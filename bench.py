@@ -1,0 +1,60 @@
+"""Benchmark harness — reimplements the reference's timing decorator
+(src/benchmarking_suite.py:25-37) with structured JSON output.
+
+Runs every registry query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Execution uses the `noop` sink so the full plan runs (scan → compute → all
+rows materialized) without driver-side collection — the same measurement
+boundary a cluster job would have.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from delta_lake_validation_spark.plans import REGISTRY  # noqa: E402
+from delta_lake_validation_spark.session import get_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warmup so the first measured query isn't charged for startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in REGISTRY.items():
+        t0 = time.perf_counter()
+        df = spec.builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,241 @@
+"""North-star LLM-data-pipeline queries (SQL-expressible subset).
+
+These are first-class operators of the engine (dedup, text analysis,
+similarity search) over the ``documents`` / ``embeddings`` fixtures, each with
+a DuckDB oracle.  Non-SQL-expressible variants (MinHash-LSH, SimHash,
+random-hyperplane ANN) live in ``operators/`` and register rows-only checks.
+
+Scale notes are inline: every query is written so the expensive side stays
+distributed and the small side broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from delta_lake_validation_spark.functions.aggregates import davg, sql_davg
+from delta_lake_validation_spark.functions.vectors import cosine_sim
+from delta_lake_validation_spark.plans.registry import register
+from delta_lake_validation_spark.tables import Tables
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+
+# ---------------------------------------------------------------------------
+# Exact deduplication: hash-groupBy on full text, keep min doc_id.
+# At 100 TB: group by a 128-bit digest instead of the raw text so the shuffle
+# carries 16 bytes/row, not the document body (same result, same plan shape).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup", "llm"),
+    doc="north-star dedup (exact); generalizes A5 src/benchmarking_suite.py:92",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    return (
+        docs.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").cast("long").alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("canonical_id", "n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace tokenizer) — all JVM-side expressions.
+# ---------------------------------------------------------------------------
+@register(
+    "token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_calc
+    FROM documents
+    """,
+    tags=("text", "llm"),
+    doc="north-star text analysis: token counting",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("int").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_calc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length/stopword-ratio heuristics via higher-order functions
+# (no Python UDF — stays inside whole-stage codegen).
+# ---------------------------------------------------------------------------
+@register(
+    "text_quality",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks,
+               length(regexp_replace(text, '\s+', '', 'g')) AS solid_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(round(CAST(solid_chars AS DOUBLE) / len(toks), 4) AS DOUBLE) AS avg_token_len,
+           CAST(round(CAST(len(list_filter(toks, x -> x IN {STOPWORDS})) AS DOUBLE)
+                      / len(toks), 4) AS DOUBLE) AS stopword_ratio
+    FROM tok
+    """,
+    tags=("text", "llm"),
+    doc="north-star text analysis: quality scoring",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    n_tokens = F.size(toks)
+    solid = F.length(F.regexp_replace("text", r"\s+", ""))
+    # array_contains(lit-array, x) beats x.isin(...) ~15× in interpreted
+    # higher-order-function evaluation (measured; isin builds a non-codegen
+    # In expression per element)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        F.round(solid.cast("double") / n_tokens, 4).cast("double").alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_tokens, 4).cast("double").alias("stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: normalized-content digest (dedup key at scale).
+# ---------------------------------------------------------------------------
+@register(
+    "doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "llm"),
+    doc="north-star text analysis: document fingerprint",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    normalized = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Per-language corpus statistics.
+# ---------------------------------------------------------------------------
+_SQL_NTOKENS = r"len(string_split_regex(trim(text), '\s+'))"
+
+
+@register(
+    "lang_stats",
+    oracle=f"""
+    SELECT lang, count(*) AS n_docs,
+           {sql_davg('n_chars', 0, 4)} AS avg_chars,
+           {sql_davg(_SQL_NTOKENS, 0, 4)} AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+    tags=("text", "llm", "agg"),
+    doc="north-star text analysis: per-language stats",
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(F.col("n_chars"), 0, 4).alias("avg_chars"),
+        davg(n_tokens, 0, 4).alias("avg_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k (the exactness baseline; the
+# LSH-bucketed scale path lives in operators/similarity.py).
+# Queries side is tiny → broadcast; base side stays partitioned → the cross
+# product is embarrassingly parallel with no shuffle until the final top-k.
+# Cosine runs as an Arrow-batched pandas UDF (functions/vectors.py) — the
+# interpreted zip_with/aggregate form measured ~100× slower.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               CAST(round(
+                   list_dot_product(CAST(qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))), 6)
+               AS DOUBLE) AS sim
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """,
+    tags=("similarity", "llm"),
+    doc="north-star similarity search: brute-force cosine top-k baseline",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Tables(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_sim("qe", "embedding").alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-duplicate pairs (cosine > threshold), all-pairs form.
+# This is the correctness oracle for the LSH variant in operators/.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+           CAST(round(
+               list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+               6) AS DOUBLE) AS sim
+    FROM embeddings a CROSS JOIN embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND round(
+               list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+               6) > 0.35
+    """,
+    tags=("similarity", "dedup", "llm"),
+    doc="north-star near-dup: all-pairs cosine threshold (oracle for LSH path)",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Tables(spark, sf_dir).embeddings
+    a = emb.select(F.col("vec_id").alias("left_id"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("right_id"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("left_id") < F.col("right_id"))
+    return (
+        pairs.withColumn("sim", cosine_sim("ea", "eb"))
+        .filter(F.col("sim") > 0.35)
+        .select("left_id", "right_id", "sim")
+    )
