@@ -188,21 +188,13 @@ def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="north-star similarity search: brute-force cosine top-k baseline",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.similarity import cosine_topk
+
     emb = Tables(spark, sf_dir).embeddings
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cosine_sim("qe", "embedding").alias("sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 10)
-    )
+    return cosine_topk(spark, emb, q, k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -230,12 +222,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="north-star near-dup: all-pairs cosine threshold (oracle for LSH path)",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.similarity import cosine_self_pairs
+
     emb = Tables(spark, sf_dir).embeddings
-    a = emb.select(F.col("vec_id").alias("left_id"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("right_id"), F.col("embedding").alias("eb"))
-    pairs = a.crossJoin(b).filter(F.col("left_id") < F.col("right_id"))
-    return (
-        pairs.withColumn("sim", cosine_sim("ea", "eb"))
-        .filter(F.col("sim") > 0.35)
-        .select("left_id", "right_id", "sim")
-    )
+    return cosine_self_pairs(spark, emb, threshold=0.35)
