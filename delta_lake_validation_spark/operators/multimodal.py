@@ -1,0 +1,90 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched mapInPandas stages.
+
+The Spark-side contract is fully real — schemas, partitioning, batch shapes,
+UDF signatures — while the codec inner loop is stubbed (this container ships
+no image/audio libraries): ``decode_image`` raises NotImplementedError at the
+exact point PIL/libvips/ffmpeg would be called, and ``extract_features`` uses
+a deterministic digest-based fake embedding so downstream operators (ANN,
+near-dup, clustering) exercise end-to-end with stable values.
+
+At 100 TB the shape matters more than the codec: payloads stay in executor
+memory one Arrow batch at a time (bound by spark.sql.execution.arrow.
+maxRecordsPerBatch — set it low for multi-MB payloads), feature extraction is
+embarrassingly parallel, and the output is a narrow (id, features) table that
+shuffles cheaply into the similarity operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = "id long, payload binary, media struct<format:string, n_bytes:int>"
+
+
+def with_binary_payload(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", fmt: str = "txt"
+) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata struct (the ingest
+    shape a real image/audio table would have)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(fmt).alias("format"), F.length(payload).cast("int").alias("n_bytes")
+        ).alias("media"),
+    )
+
+
+def decode_image(payload: bytes, fmt: str):  # pragma: no cover - stub
+    """STUB: real implementation would decode via PIL/libvips and return an
+    HxWxC array.  Deliberately unimplemented in this container."""
+    raise NotImplementedError(
+        f"image decode for format={fmt!r} requires an imaging library; "
+        "plug PIL.Image.open(io.BytesIO(payload)) here"
+    )
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """(id, features array<float>) — deterministic fake embedding derived
+    from the payload digest; stands in for a vision/audio encoder while
+    keeping the exact mapInPandas plumbing a real one uses."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                digest = hashlib.sha256(bytes(payload)).digest()
+                raw = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype="<u4")
+                feats.append((raw.astype(np.float64) / 2**32 - 0.5).astype(np.float32))
+            yield pd.DataFrame({"id": pdf["id"], "features": feats})
+
+    return df.select("id", "payload").mapInPandas(run, "id long, features array<float>")
+
+
+def frame_sample(df: DataFrame, stride: int = 1024, max_frames: int = 8) -> DataFrame:
+    """Byte-stride sampling — the plumbing shape of video frame sampling
+    (one input row → N ordered frame rows).  Output:
+    (id, frame_no int, frame binary)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, frames = [], [], []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                raw = bytes(payload)
+                for i in range(min(max_frames, max(1, len(raw) // stride))):
+                    ids.append(rid)
+                    frame_nos.append(i)
+                    frames.append(raw[i * stride : (i + 1) * stride])
+            yield pd.DataFrame({"id": ids, "frame_no": frame_nos, "frame": frames})
+
+    return df.select("id", "payload").mapInPandas(
+        run, "id long, frame_no int, frame binary"
+    )

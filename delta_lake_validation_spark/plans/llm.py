@@ -226,3 +226,128 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Tables(spark, sf_dir).embeddings
     return cosine_self_pairs(spark, emb, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs (operators/dedup.py).  The size-ratio
+# candidate filter is lossless, so this matches the naive all-pairs oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_pairs",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                  FROM documents),
+    sh AS (SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(range(1, len(t)-1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS s FROM toks)
+    SELECT a.doc_id AS left_doc, b.doc_id AS right_doc,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(a.s || b.s)), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(a.s || b.s)), 4) >= 0.8
+    """,
+    tags=("dedup", "llm"),
+    doc="north-star dedup: exact n-gram Jaccard; operators/dedup.py",
+)
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = Tables(spark, sf_dir).documents
+    return ngram_jaccard_pairs(spark, docs, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidate pairs — approximate by construction, so rows-only
+# (no SQL oracle); its exact counterpart above is the correctness anchor.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,
+    tags=("dedup", "llm", "approx"),
+    doc="north-star dedup: MinHash+banded LSH; operators/dedup.py",
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = Tables(spark, sf_dir).documents
+    return minhash_lsh_pairs(spark, docs, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs — deterministic but hash-design-specific, rows-only.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_simhash",
+    oracle=None,
+    tags=("dedup", "llm", "approx"),
+    doc="north-star dedup: 32-bit SimHash, Hamming<=2; operators/dedup.py",
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.dedup import simhash_pairs
+
+    docs = Tables(spark, sf_dir).documents
+    return simhash_pairs(spark, docs, max_hamming=2)
+
+
+# ---------------------------------------------------------------------------
+# Language identification (operators/text.py) — marker-token votes + CJK
+# charset, deterministic tie order mirrored exactly in the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "lang_id_predictions",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks,
+                      regexp_matches(text, '[一-鿿]') AS has_cjk
+               FROM documents),
+    c AS (SELECT doc_id, has_cjk,
+          len(list_filter(toks, x -> x IN ('the','and','of','is','to'))) AS c_en,
+          len(list_filter(toks, x -> x IN ('der','und','die','das','nicht'))) AS c_de,
+          len(list_filter(toks, x -> x IN ('le','et','les','des','une'))) AS c_fr,
+          len(list_filter(toks, x -> x IN ('el','y','los','las','una'))) AS c_es
+          FROM t)
+    SELECT doc_id AS id,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN c_de > c_en AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+                WHEN c_fr > c_en AND c_fr >= c_es THEN 'fr'
+                WHEN c_es > c_en THEN 'es'
+                ELSE 'en' END AS predicted_lang,
+           CAST(c_en AS INTEGER) AS c_en, CAST(c_de AS INTEGER) AS c_de,
+           CAST(c_fr AS INTEGER) AS c_fr, CAST(c_es AS INTEGER) AS c_es
+    FROM c
+    """,
+    tags=("text", "llm"),
+    doc="north-star text analysis: language-ID heuristic; operators/text.py",
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.text import lang_id
+
+    return lang_id(Tables(spark, sf_dir).documents)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature extraction (operators/multimodal.py) — binary-column
+# plumbing with a deterministic digest-based encoder stub; rows-only (the
+# fake encoder is engine-defined, not SQL-expressible).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_features",
+    oracle=None,
+    tags=("multimodal", "llm"),
+    doc="north-star multimodal: binary payload -> feature vectors; operators/multimodal.py",
+)
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.multimodal import (
+        extract_features,
+        with_binary_payload,
+    )
+
+    docs = Tables(spark, sf_dir).documents
+    feats = extract_features(with_binary_payload(docs), dim=16)
+    return feats.select(
+        "id",
+        F.size("features").cast("int").alias("dim"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )

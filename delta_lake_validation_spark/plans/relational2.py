@@ -1,0 +1,389 @@
+"""Extended relational coverage — operators Spark gives beyond the
+reference's literal usage (SURVEY.md §2.3 notes left/semi/anti/etc. come free
+via ``how=``; §2.4 notes grouping sets/rollup; §2.7 notes orderBy top-k).
+Each query still pairs with a DuckDB oracle, same determinism rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from delta_lake_validation_spark.functions.aggregates import dsum, sql_dsum
+from delta_lake_validation_spark.plans.registry import register
+from delta_lake_validation_spark.tables import Tables
+
+
+# ---------------------------------------------------------------------------
+# Join family beyond inner (left outer / semi / anti)
+# ---------------------------------------------------------------------------
+@register(
+    "left_join_nation_customers",
+    oracle="""
+    SELECT n_name, count(c_custkey) AS n_customers
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("join",),
+    doc="left outer join; SURVEY.md §2.3 engine note",
+)
+def left_join_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.nation.join(t.customer, F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    tags=("join",),
+    doc="left_semi join; SURVEY.md §2.3 engine note",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t.customer.join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "anti_join_idle_customers",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+    doc="left_anti join; SURVEY.md §2.3 engine note",
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .select("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: ROLLUP and CUBE
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+    doc="SURVEY.md §2.4 engine note (grouping sets)",
+)
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Tables(spark, sf_dir).lineitem
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+    )
+
+
+@register(
+    "cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+    doc="SURVEY.md §2.4 engine note (grouping sets)",
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Tables(spark, sf_dir).lineitem
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Pivot (conditional aggregation)
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_revenue_by_status",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_extendedprice END", 2)} AS F,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_extendedprice END", 2)} AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+    doc="pivot as conditional agg; generalizes A1",
+)
+def pivot_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum(F.col("l_extendedprice"), 2))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic windows: lag/lead and running frames
+# ---------------------------------------------------------------------------
+@register(
+    "lag_lead_user_events",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    tags=("window",),
+    doc="lag/lead; SURVEY.md §2.5 engine note (no frame specs in reference)",
+)
+def lag_lead_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "running_sum_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+               AS running_value
+    FROM events
+    """,
+    tags=("window", "frame"),
+    doc="explicit rowsBetween frame; SURVEY.md §2.5 engine note",
+)
+def running_sum_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).cast("double").alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (events.props is a JSON string)
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract_props",
+    oracle=r"""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k_value
+    FROM events
+    """,
+    tags=("json",),
+    doc="JSON scalar extraction; SURVEY.md §2.9 (none in reference — engine extension)",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Tables(spark, sf_dir).events
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array functions over the embedding column
+# ---------------------------------------------------------------------------
+@register(
+    "array_ops_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(round(CAST(embedding[1] AS DOUBLE), 6) AS DOUBLE) AS first_component
+    FROM embeddings
+    """,
+    tags=("array",),
+    doc="array functions; SURVEY.md §1.2 (ArrayType via embeddings fixture)",
+)
+def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Tables(spark, sf_dir).embeddings
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6)
+        .cast("double")
+        .alias("first_component"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: union all / intersect / except
+# ---------------------------------------------------------------------------
+@register(
+    "intersect_repeat_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    tags=("setop",),
+    doc="INTERSECT; SURVEY.md §2.6 engine note",
+)
+def intersect_repeat_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Tables(spark, sf_dir).orders
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@register(
+    "except_lost_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    tags=("setop",),
+    doc="EXCEPT; SURVEY.md §2.6 engine note",
+)
+def except_lost_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Tables(spark, sf_dir).orders
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    # subtract == SQL EXCEPT (distinct set difference); exceptAll keeps
+    # surplus multiplicities, which is a different operator
+    return y95.subtract(y96)
+
+
+# ---------------------------------------------------------------------------
+# Ordered top-k (orderBy + limit; ties broken deterministically)
+# ---------------------------------------------------------------------------
+@register(
+    "topk_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+    tags=("sort", "limit"),
+    doc="orderBy top-k; SURVEY.md §2.7 (reference only uses show(n) limits)",
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING (post-aggregation filter)
+# ---------------------------------------------------------------------------
+@register(
+    "having_big_customers",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) > 12
+    """,
+    tags=("agg", "having"),
+    doc="post-agg filter; generalizes A1",
+)
+def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# String function battery
+# ---------------------------------------------------------------------------
+@register(
+    "string_funcs_part",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substr(p_name, 1, 10) AS name_prefix,
+           CAST(length(p_type) AS INTEGER) AS type_len,
+           replace(p_type, ' ', '_') AS type_snake
+    FROM part
+    """,
+    tags=("scalar", "string"),
+    doc="string scalar battery; SURVEY.md §2.9",
+)
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Tables(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_type").cast("int").alias("type_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time extraction battery
+# ---------------------------------------------------------------------------
+@register(
+    "date_funcs_orders",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           count(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+    tags=("scalar", "date", "agg"),
+    doc="date extraction; SURVEY.md §2.9",
+)
+def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Tables(spark, sf_dir).orders
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.quarter("o_orderdate").cast("int").alias("q"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-bucket aggregation over nanosecond event timestamps (exact integer
+# arithmetic on epoch nanos — see tables.EVENTS_SCHEMA note)
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_buckets",
+    oracle="""
+    SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+    tags=("agg", "time"),
+    doc="tumbling-window batch analog; SURVEY.md §2.10 engine note",
+)
+def events_hourly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Tables(spark, sf_dir).events
+    return (
+        ev.groupBy(F.expr("ts div 3600000000000").alias("hour_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

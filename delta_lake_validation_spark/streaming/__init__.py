@@ -1,0 +1,15 @@
+"""Structured-streaming surface.
+
+The reference has zero streaming (SURVEY.md §2.10) — its only change-capture
+facility is batch CDF.  This module supplies the streaming layer a
+lakehouse engine is expected to have: windowed aggregations with watermarks,
+session windows, streaming dedup, and streaming reads of ACID-table appends.
+"""
+
+from delta_lake_validation_spark.streaming.windowed import (  # noqa: F401
+    dedup_stream,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from delta_lake_validation_spark.streaming.acid_stream import stream_appends  # noqa: F401

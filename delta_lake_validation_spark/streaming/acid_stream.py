@@ -1,0 +1,34 @@
+"""Streaming reads of ACID-table appends.
+
+The table layout (sources/acid) keeps all system state in underscore-prefixed
+directories (_txn_log, _change_data, _staging), which Spark's file listing
+treats as hidden — so the table root doubles as a valid streaming file source
+for append-only workloads: each committed append's files show up atomically
+(rename into place) and the file source picks them up exactly once.
+
+This is the engine's analog of reading Delta CDF as a stream
+(SURVEY.md §2.10 engine note); update/delete rewrites would need the change
+files under _change_data — exposed via AcidTable.read_changes for batch, and
+left for a custom streaming Source implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from delta_lake_validation_spark.sources.acid.table import AcidTable
+
+
+def stream_appends(spark: SparkSession, location: str) -> DataFrame:
+    """Unbounded DataFrame over an AcidTable's appended rows."""
+    table = AcidTable(spark, location)
+    snap = table.snapshot()
+    reader = spark.readStream.schema(table.schema(snap))
+    if snap.partition_columns:
+        reader = reader.option("basePath", table.location)
+    pattern = (
+        f"{table.location}/*/part-*.parquet"
+        if snap.partition_columns
+        else f"{table.location}/part-*.parquet"
+    )
+    return reader.format("parquet").load(pattern)

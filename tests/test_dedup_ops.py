@@ -1,0 +1,65 @@
+"""Operator-level properties of the dedup family (operators/dedup.py), beyond
+the registry's oracle parity: the approximate paths must agree with the exact
+path where their guarantees say they must."""
+
+from __future__ import annotations
+
+import pytest
+
+from delta_lake_validation_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from delta_lake_validation_spark.tables import Tables
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return Tables(spark, SF_DIR).documents
+
+
+def test_lsh_recall_on_strong_pairs(spark, docs):
+    """Pairs with true J >= 0.9 are caught by 8x4 banding with
+    probability 1-(1-0.9^4)^8 ~ 0.9998 each; on this corpus all must hit."""
+    exact = {
+        (r.left_doc, r.right_doc)
+        for r in ngram_jaccard_pairs(spark, docs, threshold=0.9).collect()
+    }
+    assert exact  # corpus contains planted near-dups
+    lsh = {
+        (r.left_doc, r.right_doc)
+        for r in minhash_lsh_pairs(spark, docs, threshold=0.5).collect()
+    }
+    missed = exact - lsh
+    assert not missed, f"LSH missed strong pairs: {missed}"
+
+
+def test_lsh_estimates_track_truth(spark, docs):
+    truth = {
+        (r.left_doc, r.right_doc): r.jaccard
+        for r in ngram_jaccard_pairs(spark, docs, threshold=0.8).collect()
+    }
+    est = {
+        (r.left_doc, r.right_doc): r.est_jaccard
+        for r in minhash_lsh_pairs(spark, docs, threshold=0.5).collect()
+    }
+    for pair, j in truth.items():
+        if pair in est:
+            assert abs(est[pair] - j) < 0.35  # 32-perm estimator tolerance
+
+
+def test_simhash_finds_near_identical_docs(spark, docs):
+    exact = {
+        (r.left_doc, r.right_doc)
+        for r in ngram_jaccard_pairs(spark, docs, threshold=0.95).collect()
+    }
+    sh = {
+        (r.left_doc, r.right_doc)
+        for r in simhash_pairs(spark, docs, max_hamming=2).collect()
+    }
+    # near-identical token multisets hash to near-identical simhashes
+    overlap = exact & sh
+    assert len(overlap) >= len(exact) * 0.5

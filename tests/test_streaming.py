@@ -1,0 +1,99 @@
+"""Streaming surface tests: file-source micro-batches driven to completion
+with availableNow, results checked against the equivalent batch computation
+(the streaming/batch unification Spark guarantees)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_validation_spark.streaming import (
+    session_counts,
+    stream_appends,
+    tumbling_counts,
+)
+from delta_lake_validation_spark.tables import EVENTS_SCHEMA
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_src")
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), d / "events.parquet")
+    return str(d)
+
+
+def _stream(spark, events_dir):
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    # epoch-nanos long -> proper event-time timestamp
+    return raw.withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run(q_df, spark, name):
+    q = (
+        q_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_counts_match_batch(spark, events_dir):
+    out = _run(tumbling_counts(_stream(spark, events_dir)), spark, "tumbling")
+    batch = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(events_dir)
+        .withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window("ts_utc", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert out.count() == batch.count()
+    assert out.agg(F.sum("n")).collect()[0][0] == batch.agg(F.sum("n")).collect()[0][0]
+
+
+def test_session_counts_run(spark, events_dir):
+    out = _run(session_counts(_stream(spark, events_dir), gap="10 minutes"), spark, "sessions")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.session_end >= r.session_start for r in rows)
+    # every event is in exactly one session
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == spark.read.schema(EVENTS_SCHEMA).parquet(events_dir).count()
+
+
+def test_stream_appends_from_acid_table(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from delta_lake_validation_spark.sources.acid import AcidTable
+
+    loc = os.path.join(str(tmp_path), "t")
+    t = AcidTable.create(
+        spark, loc, "k INT, v STRING, d DATE", partition_by=["d"]
+    )
+    rows = [Row(k=i, v=f"v{i}", d=dt.date(2024, 1, 1 + i % 2)) for i in range(10)]
+    t.append(spark.createDataFrame(rows, "k INT, v STRING, d DATE"))
+    t.append(spark.createDataFrame(rows, "k INT, v STRING, d DATE"))
+
+    stream = stream_appends(spark, loc)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("acid_appends")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM acid_appends")
+    assert got.count() == 20
+    assert set(got.columns) == {"k", "v", "d"}
+    # partition column survives the streaming read
+    assert got.select("d").distinct().count() == 2
