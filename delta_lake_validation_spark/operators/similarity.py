@@ -13,9 +13,9 @@ band join, src/benchmarking_suite.py:156-163; these operators generalize it):
   partition, memory is O(batch × dim).
 - ``cosine_self_pairs`` — all-pairs near-duplicate detection.  The right
   side is broadcast whole while it fits (dim·n·8 bytes; 100k×768 ≈ 600 MB is
-  the practical broadcast ceiling); beyond that use ``lsh_near_dup_pairs``
-  (operators/dedup.py) which buckets by random hyperplane signature first
-  so only intra-bucket blocks multiply.
+  the practical broadcast ceiling); beyond that the sub-quadratic paths
+  below (``lsh_ann_topk``, ``ivf_ann_topk``) restrict scoring to candidate
+  buckets/cells.
 
 Numerics: float64 everywhere; cosine computed as dot/(‖a‖·‖b‖) in the same
 association as the DuckDB oracle expression, rounded to 6 decimals.
@@ -111,7 +111,7 @@ def cosine_self_pairs(
 
     Right side broadcast whole; left side streamed per partition with one
     matmul per batch.  O(n²) flops — the exact baseline/oracle path; the
-    sub-quadratic scale path is LSH bucketing in operators/dedup.py.
+    sub-quadratic scale paths are lsh_ann_topk / ivf_ann_topk below.
     """
     rows = df.select(id_col, vec_col).collect()
     if not rows:
@@ -141,3 +141,200 @@ def cosine_self_pairs(
                 )
 
     return df.select(id_col, vec_col).mapInPandas(block, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Sub-quadratic ANN paths: random-hyperplane LSH and IVF
+# ---------------------------------------------------------------------------
+def _plane_signature(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Pack sign bits of mat @ planes.T into int64 signatures."""
+    bits = (mat @ planes.T) > 0
+    sig = np.zeros(len(mat), dtype=np.int64)
+    for b in range(planes.shape[0]):
+        sig |= bits[:, b].astype(np.int64) << b
+    return sig
+
+
+def lsh_ann_topk(
+    spark: SparkSession,
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qe",
+    dim: int = 64,
+    seed: int = 42,
+    scale: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
+
+    ``n_tables`` independent plane sets bucket vectors by sign-bit signature;
+    each query searches, in every table, its own bucket plus buckets within
+    ``max_hamming`` (multi-probe).  Angular LSH: per-bit collision
+    probability is 1 − θ/π, so recall rises with tables/probes while
+    candidate count stays ≪ n — per-query work drops from O(n) to
+    O(T · n / 2^planes · Σ C(planes, h)).  Same output contract as
+    cosine_topk, approximate contents.
+    """
+    rng = np.random.RandomState(seed)
+    tables = [rng.normal(size=(n_planes, dim)) for _ in range(n_tables)]
+    bc_planes = spark.sparkContext.broadcast(tables)
+
+    def sig_of(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pls = bc_planes.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _as_matrix(pdf.iloc[:, 1])
+            for t, pl in enumerate(pls):
+                yield pd.DataFrame(
+                    {"t": t, "id": pdf.iloc[:, 0], "sig": _plane_signature(m, pl)}
+                )
+
+    base_sig = base.select(id_col, vec_col).mapInPandas(
+        sig_of, "t int, id long, sig long"
+    )
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame([], "query_id long, neighbor_id long, sim double, rnk int")
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+
+    # multi-probe: per table, each query targets its bucket + hamming<=h ones
+    probe_rows = []
+    for t, pl in enumerate(tables):
+        qsig = _plane_signature(qm, pl)
+        for qid, s in zip(qids, qsig):
+            probe_rows.append((t, int(qid), int(s)))
+            if max_hamming >= 1:
+                for b in range(n_planes):
+                    probe_rows.append((t, int(qid), int(s ^ (1 << b))))
+    probes = spark.createDataFrame(probe_rows, "t int, query_id long, sig long")
+
+    cand_ids = (
+        base_sig.join(F.broadcast(probes), ["t", "sig"])
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    # score only the candidates: join back vectors, batch-cosine per partition
+    qvec = {int(r[0]): np.asarray(r[1], dtype=np.float64) for r in q_rows}
+    bc_q = spark.sparkContext.broadcast(qvec)
+    with_vec = cand_ids.join(
+        base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")),
+        "neighbor_id",
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qv = bc_q.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _as_matrix(pdf["v"])
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+            sims = np.empty(len(pdf))
+            for i, (qid, vec, n) in enumerate(zip(pdf["query_id"], m, norms)):
+                q = qv[int(qid)]
+                sims[i] = (q @ vec) / (np.sqrt(q @ q) * n)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "sim": np.round(sims, scale),
+                }
+            )
+
+    scored = with_vec.mapInPandas(score, "query_id long, neighbor_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= k
+    )
+
+
+def ivf_ann_topk(
+    spark: SparkSession,
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qe",
+    scale: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index.
+
+    Coarse cells come from ``cell_col`` (here: the embeddings' label column;
+    in a full pipeline, k-means assignments).  Centroids are one groupBy
+    (avg per dimension via posexplode — a single shuffle); each query probes
+    its ``nprobe`` nearest cells and scores only those cells' vectors.
+    Classic recall/latency trade: work scales with nprobe/ncells.
+    """
+    cells = (
+        base.select(F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("pairs"))
+        .select("cell", F.transform("pairs", lambda p: p["c"]).alias("centroid"))
+        .collect()
+    )
+    cents = {int(r["cell"]): np.asarray(r["centroid"], dtype=np.float64) for r in cells}
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if not q_rows or not cents:
+        return spark.createDataFrame([], "query_id long, neighbor_id long, sim double, rnk int")
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        scored_cells = sorted(
+            cents.items(),
+            key=lambda kv: -(qv @ kv[1]) / (np.linalg.norm(qv) * np.linalg.norm(kv[1]) + 1e-12),
+        )
+        for cell, _ in scored_cells[:nprobe]:
+            probe_rows.append((int(r[0]), cell))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    qvec = {int(r[0]): np.asarray(r[1], dtype=np.float64) for r in q_rows}
+    bc_q = spark.sparkContext.broadcast(qvec)
+    cand = (
+        base.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(cell_col).cast("int").alias("cell"),
+            F.col(vec_col).alias("v"),
+        )
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qv = bc_q.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _as_matrix(pdf["v"])
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+            sims = np.empty(len(pdf))
+            for i, (qid, vec, n) in enumerate(zip(pdf["query_id"], m, norms)):
+                q = qv[int(qid)]
+                sims[i] = (q @ vec) / (np.sqrt(q @ q) * n)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "sim": np.round(sims, scale),
+                }
+            )
+
+    scored = cand.select("query_id", "neighbor_id", "v").mapInPandas(
+        score, "query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= k
+    )

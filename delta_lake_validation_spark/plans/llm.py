@@ -354,3 +354,39 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("features").cast("int").alias("dim"),
         F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-quadratic ANN variants (operators/similarity.py) — approximate by
+# construction, rows-only; ann_cosine_topk is their exact anchor.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_lsh_topk",
+    oracle=None,
+    tags=("similarity", "llm", "approx"),
+    doc="north-star ANN: random-hyperplane LSH multi-probe; operators/similarity.py",
+)
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.similarity import lsh_ann_topk
+
+    emb = Tables(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return lsh_ann_topk(spark, emb, q, k=10, n_planes=6)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,
+    tags=("similarity", "llm", "approx"),
+    doc="north-star ANN: IVF coarse cells + probe; operators/similarity.py",
+)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.similarity import ivf_ann_topk
+
+    emb = Tables(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return ivf_ann_topk(spark, emb, q, k=10, nprobe=2)

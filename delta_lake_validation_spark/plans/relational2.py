@@ -387,3 +387,83 @@ def events_hourly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-string entry point (EP1 parity, SURVEY.md §3): the same logical query
+# as order_revenue_by_priority but entering through spark.sql over temp
+# views — exercising parser + analyzer + catalog resolution.
+# ---------------------------------------------------------------------------
+@register(
+    "sql_entry_revenue",
+    oracle=f"""
+    SELECT o_orderpriority, {sql_dsum('o_totalprice', 2)} AS total_price,
+           count(*) AS n_orders
+    FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1997
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "agg"),
+    doc="EP1 spark.sql entry: SURVEY.md §3 / validation_suite.py:422 et al.",
+)
+def sql_entry_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.sql import run_sql
+
+    factor_sum = (
+        "CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)"
+        " / 100.0 AS DOUBLE)"
+    )
+    return run_sql(
+        spark,
+        sf_dir,
+        f"""
+        SELECT o_orderpriority, {factor_sum} AS total_price,
+               count(*) AS n_orders
+        FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1997
+        GROUP BY o_orderpriority
+        """,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (median + p90) — Spark percentile() and DuckDB
+# quantile_cont use the same linear-interpolation definition.
+# ---------------------------------------------------------------------------
+@register(
+    "price_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS median_price,
+           CAST(round(quantile_cont(l_extendedprice, 0.9), 4) AS DOUBLE) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+    doc="exact percentile aggregate; SURVEY.md §2.4 engine extension",
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4)
+        .cast("double")
+        .alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4)
+        .cast("double")
+        .alias("p90_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch aggregates: HyperLogLog distinct count — approximate by design,
+# rows-only (exact countDistinct is covered elsewhere).
+# ---------------------------------------------------------------------------
+@register(
+    "approx_distinct_users",
+    oracle=None,
+    tags=("agg", "approx"),
+    doc="HLL sketch aggregate; SURVEY.md §2.4 engine extension",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Tables(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

@@ -68,11 +68,15 @@ class Snapshot:
         return sum(f.get("size", 0) for f in self.files.values())
 
 
+CHECKPOINT_INTERVAL = 20
+
+
 class TransactionLog:
-    def __init__(self, spark, location: str):
+    def __init__(self, spark, location: str, checkpoint_interval: int = CHECKPOINT_INTERVAL):
         self.location = location.rstrip("/")
         self.fs = FileSystem(spark, self.location)
         self.log_path = f"{self.location}/{LOG_DIR}"
+        self.checkpoint_interval = checkpoint_interval
 
     # -- reading -----------------------------------------------------------
     def versions(self) -> list[int]:
@@ -111,8 +115,26 @@ class TransactionLog:
             raise VersionNotFoundError(
                 f"version {target} not in log (have {vs[0]}..{vs[-1]})"
             )
+        # seed from the newest checkpoint at or below target: replay cost is
+        # O(commits since checkpoint), not O(all commits) — the same
+        # memoized-prefix trick as Delta's parquet checkpoints
         snap = Snapshot(version=target, schema_json="", partition_columns=[], properties={})
+        start_after = -1
+        for cv in sorted(self._checkpoint_versions(), reverse=True):
+            if cv <= target:
+                data = json.loads(
+                    self.fs.read_text(f"{self.log_path}/_checkpoint.{cv:020d}.json")
+                )
+                snap.schema_json = data["schemaJson"]
+                snap.partition_columns = data["partitionColumns"]
+                snap.properties = data["properties"]
+                snap.files = data["files"]
+                snap.timestamp = data.get("timestamp", "")
+                start_after = cv
+                break
         for v in vs:
+            if v <= start_after:
+                continue
             if v > target:
                 break
             e = self.read_entry(v)
@@ -155,9 +177,43 @@ class TransactionLog:
                 f"{self.log_path}/{_entry_name(version)}",
                 json.dumps(entry, indent=None, separators=(",", ":")),
             )
-            return True
         except FileExistsError:
             return False
+        if self.checkpoint_interval and version > 0 and version % self.checkpoint_interval == 0:
+            self._write_checkpoint(version)
+        return True
+
+    def _checkpoint_versions(self) -> list[int]:
+        out = []
+        for p in self.fs.list_files(self.log_path):
+            name = p.rsplit("/", 1)[-1]
+            if name.startswith("_checkpoint.") and name.endswith(".json"):
+                try:
+                    out.append(int(name[len("_checkpoint.") : -5]))
+                except ValueError:
+                    continue
+        return out
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Best-effort (idempotent, content-deterministic for a version)."""
+        try:
+            snap = self.snapshot(version)
+            self.fs.atomic_create(
+                f"{self.log_path}/_checkpoint.{version:020d}.json",
+                json.dumps(
+                    {
+                        "version": version,
+                        "schemaJson": snap.schema_json,
+                        "partitionColumns": snap.partition_columns,
+                        "properties": snap.properties,
+                        "files": snap.files,
+                        "timestamp": snap.timestamp,
+                    },
+                    separators=(",", ":"),
+                ),
+            )
+        except FileExistsError:
+            pass
 
     def next_version(self) -> int:
         vs = self.versions()

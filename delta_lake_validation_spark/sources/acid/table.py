@@ -111,6 +111,31 @@ class AcidTable:
             raise ConcurrentWriteException(f"concurrent create at {location}")
         return t
 
+    def add_column(self, name: str, dtype: str) -> None:
+        """Schema evolution: ALTER TABLE ADD COLUMN (nullable).
+
+        Metadata-only commit — existing parquet files simply lack the column
+        and the explicit-schema read path fills nulls; new writes and any
+        copy-on-write DML materialize it.  (The reference exercises no schema
+        evolution, SURVEY.md §1.3 — engine extension.)"""
+        snap = self.log.snapshot()
+        schema = self.schema(snap)
+        if name in schema.fieldNames():
+            raise AcidTableError(f"column {name!r} already exists")
+        new_schema = schema.add(name, dtype)
+        entry = {
+            "operation": "ADD COLUMN",
+            "operationParameters": {"column": name, "type": dtype},
+            "metadata": {
+                "schemaJson": new_schema.json(),
+                "partitionColumns": snap.partition_columns,
+                "properties": snap.properties,
+            },
+            "add": [],
+            "remove": [],
+        }
+        self._commit_strict(entry, snap)
+
     def set_property(self, key: str, value: str) -> None:
         """ref: ALTER TABLE … SET TBLPROPERTIES (enable_change_data_feed,
         src/validation_suite.py:302-303)."""

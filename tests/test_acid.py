@@ -278,3 +278,45 @@ def test_set_property(spark, tmp_path):
     assert t.detail()["properties"]["enableChangeDataFeed"] == "true"
     t.append(_df(spark, _rows(1, D1)))
     assert t.read_changes(0).filter("_change_type = 'insert'").count() == 1
+
+
+# ---- engine extensions: checkpointing + schema evolution -------------------
+def test_log_checkpoint_replay(spark, tmp_path):
+    from delta_lake_validation_spark.sources.acid.log import TransactionLog
+
+    loc = os.path.join(str(tmp_path), "ckpt")
+    t = AcidTable.create(spark, loc, SCHEMA, partition_by=["order_date"])
+    t.log.checkpoint_interval = 5
+    for i in range(7):
+        t.append(_df(spark, _rows(1, D1, start=i)))
+    # checkpoint written at v5
+    cps = t.log._checkpoint_versions()
+    assert 5 in cps
+    # snapshot from a fresh handle (checkpoint-seeded) == full replay
+    fresh = TransactionLog(spark, loc, checkpoint_interval=5)
+    full = TransactionLog(spark, loc, checkpoint_interval=0)
+    s1, s2 = fresh.snapshot(), full.snapshot()
+    assert s1.files == s2.files and s1.version == s2.version
+    assert t.read().count() == 7
+
+
+def test_add_column_schema_evolution(spark, tmp_path):
+    loc = os.path.join(str(tmp_path), "evolve")
+    t = AcidTable.create(spark, loc, SCHEMA, partition_by=["order_date"])
+    t.append(_df(spark, _rows(2, D1)))
+    t.add_column("discount", "double")
+    got = t.read()
+    assert "discount" in got.columns
+    assert got.filter(F.col("discount").isNull()).count() == 2  # old files -> null
+    # new writes carry the column
+    import pyspark.sql.types as T
+
+    new_schema = SCHEMA + ", discount DOUBLE"
+    rows = [
+        Row(order_id="order_x", item_count=1, cost=1.0,
+            order_time=dt.datetime(2024, 1, 10, 9, 0), order_date=D1, discount=0.5)
+    ]
+    t.append(spark.createDataFrame(rows, new_schema))
+    assert t.read().filter("discount = 0.5").count() == 1
+    with pytest.raises(Exception, match="already exists"):
+        t.add_column("discount", "double")

@@ -97,3 +97,31 @@ def test_stream_appends_from_acid_table(spark, tmp_path):
     assert set(got.columns) == {"k", "v", "d"}
     # partition column survives the streaming read
     assert got.select("d").distinct().count() == 2
+
+
+def test_stateful_running_totals(spark, events_dir):
+    from delta_lake_validation_spark.streaming import running_user_totals
+
+    out = running_user_totals(_stream(spark, events_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: (r.n_events, r.total_value) for r in spark.sql(
+        "SELECT * FROM totals").collect()}
+    batch = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in spark.read.schema(EVENTS_SCHEMA)
+        .parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for uid in batch:
+        assert got[uid][0] == batch[uid][0]
+        assert abs(got[uid][1] - batch[uid][1]) < 0.05
