@@ -13,4 +13,5 @@ from delta_lake_validation_spark.plans.registry import (  # noqa: F401
 # importing these modules populates REGISTRY
 from delta_lake_validation_spark.plans import relational  # noqa: E402,F401
 from delta_lake_validation_spark.plans import relational2  # noqa: E402,F401
+from delta_lake_validation_spark.plans import timeseries  # noqa: E402,F401
 from delta_lake_validation_spark.plans import llm  # noqa: E402,F401

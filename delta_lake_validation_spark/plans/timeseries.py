@@ -1,0 +1,220 @@
+"""Event time-series analytics (batch) + SQL subquery coverage.
+
+Sessionization, funnels, and inter-event gaps over the events table —
+batch analogs of the streaming operators (streaming/windowed.py), all in
+exact integer epoch-nanos arithmetic so the DuckDB oracle compares
+bit-identically.  The sql_* queries enter through run_sql (EP1) and cover
+scalar / IN / correlated-EXISTS subqueries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from delta_lake_validation_spark.plans.registry import register
+from delta_lake_validation_spark.tables import Tables
+
+_GAP_NS = 10 * 60 * 1_000_000_000  # 10-minute session gap
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+               lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_ns(ts), event_id) AS prev
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, tsn,
+               CASE WHEN prev IS NULL OR tsn - prev > {_GAP_NS} THEN 1 ELSE 0 END AS brk
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, tsn,
+               CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_idx
+        FROM marked
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           CAST((max(tsn) - min(tsn)) // 1000000000 AS BIGINT) AS duration_s
+    FROM sess GROUP BY user_id, session_idx
+    """,
+    tags=("timeseries", "window", "agg"),
+    doc="batch sessionization (gap rule) — batch analog of streaming session_window",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts") - F.lag("ts").over(w)) > _GAP_NS),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.select(
+        "user_id", "ts", F.sum("brk").over(wrun).cast("long").alias("session_idx")
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(max(ts) - min(ts)) div 1000000000").cast("long").alias("duration_s"),
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_buy
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (t_view IS NOT NULL) AS n_viewed,
+           count(*) FILTER (t_view IS NOT NULL AND t_click > t_view) AS n_clicked_after,
+           count(*) FILTER (t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click)
+               AS n_converted
+    FROM per_user
+    """,
+    tags=("timeseries", "agg"),
+    doc="ordered-funnel conversion via conditional min timestamps",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Tables(spark, sf_dir).events
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_viewed"),
+        F.count(
+            F.when(F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1)
+        ).alias("n_clicked_after"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_buy") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_converted"),
+    )
+
+
+@register(
+    "inter_event_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                        ORDER BY epoch_ns(ts), event_id) AS gap_ns
+        FROM events
+    )
+    SELECT event_type,
+           count(gap_ns) AS n_gaps,
+           CAST(round(CAST(sum(gap_ns) AS DOUBLE) / count(gap_ns) / 1e9, 3) AS DOUBLE)
+               AS avg_gap_s
+    FROM gaps WHERE gap_ns IS NOT NULL GROUP BY event_type
+    """,
+    tags=("timeseries", "window", "agg"),
+    doc="inter-event gap statistics (exact integer nanos)",
+)
+def inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type", (F.col("ts") - F.lag("ts").over(w)).alias("gap_ns")
+    ).filter(F.col("gap_ns").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_ns").alias("n_gaps"),
+        F.round(F.sum("gap_ns").cast("double") / F.count("gap_ns") / F.lit(1e9), 3)
+        .cast("double")
+        .alias("avg_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL subquery coverage via the EP1 entry point
+# ---------------------------------------------------------------------------
+@register(
+    "sql_scalar_subquery",
+    oracle="""
+    SELECT p_partkey, p_retailprice FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    """,
+    tags=("sql", "subquery"),
+    doc="scalar subquery through spark.sql (EP1)",
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.sql import run_sql
+
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey, p_retailprice FROM part
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        """,
+    )
+
+
+@register(
+    "sql_in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+    """,
+    tags=("sql", "subquery"),
+    doc="IN subquery through spark.sql (EP1)",
+)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.sql import run_sql
+
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+        """,
+    )
+
+
+@register(
+    "sql_correlated_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("sql", "subquery"),
+    doc="correlated EXISTS through spark.sql (EP1)",
+)
+def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.sql import run_sql
+
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """,
+    )

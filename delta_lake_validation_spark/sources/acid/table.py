@@ -594,11 +594,13 @@ class AcidTable:
         ZORDER form, src/validation_suite.py:466-477).
 
         Compacts every partition holding more than ``target_files`` active
-        files into ``target_files`` files; ``zorder_by`` sorts rows within
-        the rewritten files by the given columns so parquet min/max stats
-        tighten for those columns (the data-skipping benefit Z-order exists
-        for; true multi-dim interleaving can slot in behind the same API).
-        Commits with dataChange=false — readers see identical rows."""
+        files into ``target_files`` files; ``zorder_by`` clusters the
+        rewritten files by the columns' interleaved Morton code
+        (functions/zorder.py) so parquet min/max stats tighten for every
+        clustered column simultaneously.  Commits with dataChange=false —
+        readers see identical rows."""
+        from delta_lake_validation_spark.functions.zorder import zorder_key
+
         snap = self.log.snapshot()
         by_part: dict[tuple, list[str]] = {}
         for rel, meta in snap.files.items():
@@ -611,8 +613,14 @@ class AcidTable:
                 continue
             df = self._read_files(snap, rels)
             if zorder_by:
-                df = df.sortWithinPartitions(*zorder_by)
-            df = df.coalesce(target_files)
+                df = (
+                    df.withColumn("__zorder", zorder_key(df, zorder_by))
+                    .repartitionByRange(target_files, "__zorder")
+                    .sortWithinPartitions("__zorder")
+                    .drop("__zorder")
+                )
+            else:
+                df = df.coalesce(target_files)
             new_adds, _ = self._stage_write(df, snap, cdf_type=None)
             for a in new_adds:
                 a["dataChange"] = False

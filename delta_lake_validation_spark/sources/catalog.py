@@ -1,0 +1,104 @@
+"""Named-table catalog over ACID tables.
+
+Reference parity for catalog operations (SURVEY.md §2.1): register an
+existing location under a name (S4, src/validation_suite.py:289-299), drop
+from the catalog without touching data (S5, :262-265), list tables (S15,
+:240-241), plus name-or-path dual addressing (TableRef semantics,
+:99-122).  The catalog itself is one JSON file in a warehouse directory,
+updated via the same atomic-exclusive-create + rename protocol as the
+transaction log — safe for concurrent registrars on any store with atomic
+rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from delta_lake_validation_spark.sources.acid.errors import AcidTableError, TableNotFoundError
+from delta_lake_validation_spark.sources.acid.table import AcidTable
+from delta_lake_validation_spark.sources.fs import strip_scheme
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = strip_scheme(warehouse.rstrip("/"))
+        os.makedirs(self.warehouse, exist_ok=True)
+        self._path = os.path.join(self.warehouse, "_catalog.json")
+
+    # -- persistence -------------------------------------------------------
+    def _load(self) -> dict[str, str]:
+        if not os.path.exists(self._path):
+            return {}
+        with open(self._path) as f:
+            return json.load(f)
+
+    def _store(self, mapping: dict[str, str]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.warehouse, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(mapping, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._path)  # atomic on POSIX
+
+    # -- operations --------------------------------------------------------
+    def create_table(
+        self,
+        name: str,
+        schema: StructType | str,
+        partition_by=(),
+        properties: dict[str, str] | None = None,
+    ) -> AcidTable:
+        """CREATE TABLE under the warehouse (S3 + catalog entry)."""
+        mapping = self._load()
+        if name in mapping:
+            raise AcidTableError(f"table {name!r} already in catalog")
+        location = os.path.join(self.warehouse, f"{name}-{uuid.uuid4().hex[:8]}")
+        t = AcidTable.create(self.spark, location, schema, partition_by, properties)
+        mapping[name] = location
+        self._store(mapping)
+        return t
+
+    def register(self, name: str, location: str) -> AcidTable:
+        """Attach a catalog name to an existing table location (S4)."""
+        t = AcidTable(self.spark, location)
+        t.log.latest_version()  # validates a log exists
+        mapping = self._load()
+        mapping[name] = location
+        self._store(mapping)
+        return t
+
+    def drop(self, name: str, delete_data: bool = False) -> None:
+        """Remove from the catalog (S5 — catalog-only unless delete_data)."""
+        mapping = self._load()
+        loc = mapping.pop(name, None)
+        if loc is None:
+            raise TableNotFoundError(f"table {name!r} not in catalog")
+        self._store(mapping)
+        if delete_data:
+            AcidTable(self.spark, loc).fs.delete(loc, recursive=True)
+
+    def table(self, name_or_path: str) -> AcidTable:
+        """Dual addressing: catalog name, or a direct path (TableRef
+        semantics, src/validation_suite.py:99-122)."""
+        mapping = self._load()
+        if name_or_path in mapping:
+            return AcidTable(self.spark, mapping[name_or_path])
+        if os.path.sep in name_or_path or "://" in name_or_path:
+            return AcidTable(self.spark, name_or_path)
+        raise TableNotFoundError(f"{name_or_path!r} is neither a catalog name nor a path")
+
+    def list_tables(self) -> list[str]:
+        """SHOW TABLES (S15)."""
+        return sorted(self._load())
+
+    def as_view(self, name: str) -> DataFrame:
+        """Expose a catalog table's current snapshot as a temp view for
+        spark.sql (EP1 over ACID tables)."""
+        df = self.table(name).read()
+        df.createOrReplaceTempView(name)
+        return df

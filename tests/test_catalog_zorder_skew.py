@@ -1,0 +1,115 @@
+"""Catalog, Z-order clustering, and skew-mitigation tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from delta_lake_validation_spark.functions.skew import salted_groupby, salted_join
+from delta_lake_validation_spark.functions.zorder import zorder_sort
+from delta_lake_validation_spark.sources.catalog import Catalog
+from delta_lake_validation_spark.tables import Tables
+
+from .conftest import SF_DIR
+
+SCHEMA = "k INT, v DOUBLE, d DATE"
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return Catalog(spark, os.path.join(str(tmp_path), "warehouse"))
+
+
+def _df(spark, n=4):
+    return spark.createDataFrame(
+        [Row(k=i, v=float(i), d=dt.date(2024, 1, 1)) for i in range(n)], SCHEMA
+    )
+
+
+def test_catalog_lifecycle(spark, catalog, tmp_path):
+    t = catalog.create_table("orders", SCHEMA, partition_by=["d"])
+    t.append(_df(spark))
+    assert catalog.list_tables() == ["orders"]
+    # name and path addressing reach the same table (TableRef parity)
+    assert catalog.table("orders").read().count() == 4
+    assert catalog.table(t.location).read().count() == 4
+    # register an external location under a second name (S4)
+    catalog.register("orders_alias", t.location)
+    assert catalog.table("orders_alias").read().count() == 4
+    # drop is catalog-only by default (S5)
+    catalog.drop("orders_alias")
+    assert catalog.list_tables() == ["orders"]
+    assert catalog.table(t.location).read().count() == 4  # data intact
+    # as_view exposes to spark.sql
+    catalog.as_view("orders")
+    assert spark.sql("SELECT count(*) AS n FROM orders").collect()[0].n == 4
+
+
+def test_catalog_errors(spark, catalog):
+    catalog.create_table("t1", SCHEMA)
+    with pytest.raises(Exception, match="already in catalog"):
+        catalog.create_table("t1", SCHEMA)
+    with pytest.raises(Exception, match="not in catalog"):
+        catalog.drop("nope")
+    with pytest.raises(Exception):
+        catalog.table("nope")
+
+
+def test_zorder_sort_clusters_both_dims(spark):
+    li = Tables(spark, SF_DIR).lineitem.select("l_orderkey", "l_partkey", "l_quantity")
+    z = zorder_sort(li, ["l_orderkey", "l_partkey"], bits=4, num_partitions=8).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    # clustering quality: per-partition value ranges must be much narrower
+    # than the global range for BOTH clustered columns
+    stats = (
+        z.groupBy("pid")
+        .agg(
+            (F.max("l_orderkey") - F.min("l_orderkey")).alias("r1"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("r2"),
+        )
+        .agg(F.avg("r1").alias("a1"), F.avg("r2").alias("a2"))
+        .collect()[0]
+    )
+    g = li.agg(
+        (F.max("l_orderkey") - F.min("l_orderkey")).alias("g1"),
+        (F.max("l_partkey") - F.min("l_partkey")).alias("g2"),
+    ).collect()[0]
+    assert stats.a1 < g.g1 * 0.7
+    assert stats.a2 < g.g2 * 0.7
+    # same rows, just reordered
+    assert z.count() == li.count()
+
+
+def test_salted_groupby_matches_plain(spark):
+    li = Tables(spark, SF_DIR).lineitem
+    salted = salted_groupby(
+        li, ["l_returnflag"], {"l_orderkey": "count", "l_quantity": "max"}, n_salts=8
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.count("l_orderkey").alias("l_orderkey_count"),
+        F.max("l_quantity").alias("l_quantity_max"),
+    )
+    a = {r.l_returnflag: (r.l_orderkey_count, r.l_quantity_max) for r in salted.collect()}
+    b = {r.l_returnflag: (r.l_orderkey_count, r.l_quantity_max) for r in plain.collect()}
+    assert a == b
+
+
+def test_salted_join_matches_plain(spark):
+    t = Tables(spark, SF_DIR)
+    big = t.lineitem.select("l_orderkey", "l_suppkey", "l_quantity")
+    small = t.supplier.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    salted = salted_join(big, small, on=["l_suppkey"], n_salts=4)
+    plain = big.join(small, "l_suppkey")
+    assert salted.count() == plain.count()
+    assert salted.agg(F.sum("l_quantity")).collect() == plain.agg(F.sum("l_quantity")).collect()
+
+
+def test_salted_groupby_rejects_non_algebraic(spark):
+    li = Tables(spark, SF_DIR).lineitem
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_groupby(li, ["l_returnflag"], {"l_quantity": "avg"})
