@@ -467,3 +467,62 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13-style: customer order-count distribution (left join + two-level
+# aggregation — the classic "count the counts" shape)
+# ---------------------------------------------------------------------------
+@register(
+    "order_count_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers FROM (
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    ) GROUP BY n_orders
+    """,
+    tags=("join", "agg"),
+    doc="TPC-H Q13 shape; two-level aggregation over left join",
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per_cust = (
+        t.customer.join(t.orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4-style: priority counts for orders having a late lineitem
+# (EXISTS-with-predicate shape via semi join)
+# ---------------------------------------------------------------------------
+@register(
+    "late_order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "agg", "subquery"),
+    doc="TPC-H Q4 shape; semi join with residual date predicate",
+)
+def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    late = t.lineitem.join(
+        t.orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+    return (
+        t.orders.join(
+            late.select(F.col("l_orderkey").alias("k")).distinct(),
+            F.col("o_orderkey") == F.col("k"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -190,6 +190,37 @@ class AcidTable:
         }
 
     # ---------------------------------------------------------------- reads
+    def read_range(
+        self, column: str, lower=None, upper=None, version: int | None = None
+    ) -> DataFrame:
+        """Data-skipping range scan: prune files whose footer min/max for
+        ``column`` cannot intersect [lower, upper] — the same file-statistics
+        skipping Delta does from its log (SURVEY.md §4 'data skipping'),
+        using the per-file stats captured at write time.  Z-order clustering
+        (optimize zorder_by) is what makes these ranges tight for multiple
+        columns at once.  Falls back to reading a file whenever its stats
+        are missing (never wrong, only less pruned)."""
+        snap = self.snapshot(version)
+        keep: list[str] = []
+        for rel, meta in snap.files.items():
+            st = meta.get("stats") or {}
+            mn = (st.get("minValues") or {}).get(column)
+            mx = (st.get("maxValues") or {}).get(column)
+            if mn is None or mx is None:
+                keep.append(rel)
+                continue
+            if lower is not None and mx < lower:
+                continue
+            if upper is not None and mn > upper:
+                continue
+            keep.append(rel)
+        df = self._read_files(snap, keep)
+        if lower is not None:
+            df = df.filter(F.col(column) >= F.lit(lower))
+        if upper is not None:
+            df = df.filter(F.col(column) <= F.lit(upper))
+        return df
+
     def read(
         self, version: int | None = None, timestamp: str | None = None
     ) -> DataFrame:
@@ -292,6 +323,7 @@ class AcidTable:
                     "numRecords": _num_records(f"{self.location}/{new_rel}"),
                     "size": self.fs.file_size(f"{self.location}/{new_rel}"),
                     "dataChange": True,
+                    "stats": _file_stats(f"{self.location}/{new_rel}"),
                 }
             )
         self.fs.delete(staging, recursive=True)
@@ -435,6 +467,13 @@ class AcidTable:
         }
         return self._commit_strict(entry, snap)
 
+    def insert_values(self, rows: list) -> int:
+        """INSERT INTO … VALUES convenience (ref: insert_records builds
+        partition-batched multi-row INSERT SQL, src/validation_suite.py:
+        375-404 — here Spark routes rows to partitions itself)."""
+        snap = self.log.snapshot()
+        return self.append(self.spark.createDataFrame(rows, self.schema(snap)))
+
     def merge(self, source: DataFrame, keys: list[str]) -> int:
         """MERGE upsert: WHEN MATCHED UPDATE all, WHEN NOT MATCHED INSERT all
         (exact shape of the reference's merge, src/validation_suite.py:489-524:
@@ -443,12 +482,28 @@ class AcidTable:
         Plan: one semi-join on input_file_name finds the files holding
         matches; only those rewrite.  Inserts come from an anti-join.  Both
         joins broadcast the (typically small) source; at large source sizes
-        Catalyst falls back to shuffle joins — semantics unchanged."""
+        Catalyst falls back to shuffle joins — semantics unchanged.
+
+        Like Delta, a source with duplicate keys would update the same
+        target row twice nondeterministically — detected and rejected."""
         snap = self.log.snapshot()
         schema = self.schema(snap)
         cols = schema.fieldNames()
         if set(source.columns) != set(cols):
             raise AcidTableError(f"merge source columns {source.columns} != {cols}")
+        dup = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            dup_key = {k: dup[0][k] for k in keys}
+            raise AcidTableError(
+                f"merge source has duplicate rows for key {dup_key}; "
+                "a target row would receive multiple updates"
+            )
         tgt = self.read().alias("t")
         src = source.select(*cols).alias("s")
         on = None
@@ -703,3 +758,41 @@ def _num_records(path: str) -> int:
         return pq.ParquetFile(strip_scheme(path)).metadata.num_rows
     except Exception:
         return -1
+
+
+def _file_stats(path: str) -> dict | None:
+    """Per-file column min/max/null-count from parquet footers (numeric and
+    string columns; values JSON-serialized).  Best-effort: None disables
+    skipping for the file, never breaks the write."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(strip_scheme(path)).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                    except UnicodeDecodeError:
+                        continue
+                if not isinstance(mn, (int, float, str, bool)):
+                    continue  # timestamps/decimals: skip rather than mis-order
+                mins[name] = mn if name not in mins else min(mins[name], mn)
+                maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+                if st.null_count is not None:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+        if not mins:
+            return None
+        return {"minValues": mins, "maxValues": maxs, "nullCounts": nulls}
+    except Exception:
+        return None

@@ -320,3 +320,40 @@ def test_add_column_schema_evolution(spark, tmp_path):
     assert t.read().filter("discount = 0.5").count() == 1
     with pytest.raises(Exception, match="already exists"):
         t.add_column("discount", "double")
+
+
+def test_merge_rejects_duplicate_source_keys(spark, table):
+    table.append(_df(spark, _rows(2, D1)))
+    dup_src = _df(spark, _rows(1, D1) + _rows(1, D1))  # same order_id twice
+    with pytest.raises(Exception, match="duplicate"):
+        table.merge(dup_src, keys=["order_id"])
+
+
+def test_insert_values(spark, table):
+    table.insert_values(_rows(3, D1))
+    assert table.read().count() == 3
+    assert table.history()[0]["operation"] == "APPEND"
+
+
+def test_file_stats_and_range_skipping(spark, tmp_path):
+    loc = os.path.join(str(tmp_path), "skip")
+    t = AcidTable.create(spark, loc, "k INT, v DOUBLE, d DATE")
+    # three files with disjoint k ranges
+    for base in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [Row(k=base + i, v=float(i), d=D1) for i in range(10)],
+                "k INT, v DOUBLE, d DATE",
+            ).coalesce(1)
+        )
+    snap = t.snapshot()
+    stats = [m["stats"] for m in snap.files.values()]
+    assert all(s and "k" in s["minValues"] for s in stats)
+    # range scan prunes to exactly the one file covering [100, 109]
+    pruned = t.read_range("k", 100, 109)
+    assert pruned.count() == 10
+    files_read = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
+    assert len(files_read) == 1
+    # unbounded side + fallback correctness
+    assert t.read_range("k", lower=150).count() == 60 - 10 * 1 - 40  # k in [150..209]
+    assert t.read_range("k", upper=-1).count() == 0
