@@ -37,6 +37,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
+        # isolate queries from each other: drop cached blocks left by
+        # operators (persist/localCheckpoint) and nudge the JVM to release
+        # accumulated broadcast/shuffle state — without this, late queries
+        # measure the session's garbage, not their own plan (observed 5×)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         df = spec.builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

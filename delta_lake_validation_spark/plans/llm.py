@@ -390,3 +390,65 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     return ivf_ann_topk(spark, emb, q, k=10, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over exact near-dup pairs.
+# Iterative (non-SQL-expressible as one query) → rows-only; the pair
+# input itself is the oracle-checked ngram_jaccard_pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_clusters",
+    oracle=None,
+    tags=("dedup", "llm", "iterative"),
+    doc="north-star dedup: connected-component duplicate clusters; operators/dedup.py",
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = Tables(spark, sf_dir).documents
+    pairs = ngram_jaccard_pairs(spark, docs, threshold=0.8)
+    return dedup_clusters(spark, pairs)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline: the composite a training-data run executes —
+# exact dedup -> quality gate -> language gate -> near-dup cluster removal.
+# Output is the surviving corpus with per-doc provenance flags.
+# ---------------------------------------------------------------------------
+@register(
+    "curation_pipeline",
+    oracle=None,
+    tags=("llm", "pipeline"),
+    doc="north-star composite: dedup + quality + lang + near-dup removal",
+)
+def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = Tables(spark, sf_dir).documents
+    # 1. exact dedup: keep min doc_id per content digest
+    canonical = docs.groupBy(F.md5("text").alias("__fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = docs.join(canonical.select("doc_id"), "doc_id", "left_semi")
+    # 2. quality gate: token-count band (JVM expressions only)
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    kept = kept.withColumn("n_tokens", n_tokens).filter(
+        (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 10_000)
+    )
+    # 3. language gate
+    kept = kept.filter(F.col("lang").isin("en", "de", "fr", "es", "zh"))
+    # 4. near-dup removal: drop every cluster member except the minimum id
+    pairs = ngram_jaccard_pairs(spark, kept, threshold=0.8)
+    clusters = dedup_clusters(spark, pairs)
+    losers = clusters.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    survived = kept.join(losers, "doc_id", "left_anti")
+    return survived.select("doc_id", "lang", "n_tokens")

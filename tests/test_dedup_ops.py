@@ -63,3 +63,24 @@ def test_simhash_finds_near_identical_docs(spark, docs):
     # near-identical token multisets hash to near-identical simhashes
     overlap = exact & sh
     assert len(overlap) >= len(exact) * 0.5
+
+
+def test_dedup_clusters_paths_agree(spark, docs):
+    from delta_lake_validation_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(spark, docs, threshold=0.8)
+    fast = {(r.id, r.cluster_id) for r in dedup_clusters(spark, pairs).collect()}
+    dist = {
+        (r.id, r.cluster_id)
+        for r in dedup_clusters(spark, pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist and fast
+    # every cluster_id is the minimum member of its cluster
+    by_cluster = {}
+    for node, c in fast:
+        by_cluster.setdefault(c, []).append(node)
+    for c, members in by_cluster.items():
+        assert c == min(members + [c])
