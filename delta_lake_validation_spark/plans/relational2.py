@@ -526,3 +526,53 @@ def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Map type: parse the JSON props string into map<string,int> and access keys
+# ---------------------------------------------------------------------------
+@register(
+    "map_ops_props",
+    oracle=r"""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k_from_map,
+           1 AS n_keys
+    FROM events
+    """,
+    tags=("map", "json"),
+    doc="MapType surface: from_json -> map access/size; SURVEY.md §2.9 extension",
+)
+def map_ops_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Tables(spark, sf_dir).events
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").cast("int").alias("k_from_map"),
+        F.size(m).cast("int").alias("n_keys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array explode + re-aggregate: per-vector component statistics
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_component_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(round(min(CAST(x AS DOUBLE)), 6) AS DOUBLE) AS min_c,
+           CAST(round(max(CAST(x AS DOUBLE)), 6) AS DOUBLE) AS max_c,
+           count(*) AS n_c
+    FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+    GROUP BY vec_id
+    """,
+    tags=("array", "agg"),
+    doc="explode/unnest + re-aggregate; SURVEY.md §2.9 extension",
+)
+def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Tables(spark, sf_dir).embeddings
+    ex = emb.select("vec_id", F.explode("embedding").alias("x"))
+    return ex.groupBy("vec_id").agg(
+        F.round(F.min(F.col("x").cast("double")), 6).cast("double").alias("min_c"),
+        F.round(F.max(F.col("x").cast("double")), 6).cast("double").alias("max_c"),
+        F.count(F.lit(1)).alias("n_c"),
+    )

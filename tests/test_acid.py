@@ -357,3 +357,27 @@ def test_file_stats_and_range_skipping(spark, tmp_path):
     # unbounded side + fallback correctness
     assert t.read_range("k", lower=150).count() == 60 - 10 * 1 - 40  # k in [150..209]
     assert t.read_range("k", upper=-1).count() == 0
+
+
+def test_many_concurrent_appenders(spark, table):
+    """Stress D13/D14: 6 blind appenders race; all must commit (rebase+retry),
+    versions stay consecutive, and no rows are lost or duplicated."""
+    errors = []
+
+    def appender(i):
+        try:
+            table.append(_df(spark, _rows(2, D1, start=100 * i)))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [InheritableThread(target=appender, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    vs = table.log.versions()
+    assert vs == list(range(len(vs))) and len(vs) == 7  # create + 6 appends
+    got = sorted(r.order_id for r in table.read().collect())
+    expect = sorted(f"order_{100 * i + j}" for i in range(6) for j in range(2))
+    assert got == expect
