@@ -576,3 +576,63 @@ def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.col("x").cast("double")), 6).cast("double").alias("max_c"),
         F.count(F.lit(1)).alias("n_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6-style: forecast revenue change (tight range filters -> one scalar;
+# the canonical predicate-pushdown showcase)
+# ---------------------------------------------------------------------------
+@register(
+    "forecast_revenue_change",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 4)} AS revenue_effect
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "filter"),
+    doc="TPC-H Q6 shape; range filters push to the parquet scan",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Tables(spark, sf_dir).lineitem
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue_effect"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14-style: promo revenue share (join + conditional aggregation ratio)
+# ---------------------------------------------------------------------------
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(round(
+        {sql_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) END", 4)}
+        * 100.0
+        / {sql_dsum('l_extendedprice * (1 - l_discount)', 4)}, 4) AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    tags=("join", "agg", "conditional"),
+    doc="TPC-H Q14 shape; conditional-aggregate ratio over a join",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    joined = t.lineitem.join(
+        F.broadcast(t.part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev)
+    return joined.agg(
+        F.round(dsum(promo, 4) * 100.0 / dsum(rev, 4), 4)
+        .cast("double")
+        .alias("promo_pct")
+    )

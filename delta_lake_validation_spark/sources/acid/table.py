@@ -244,12 +244,22 @@ class AcidTable:
         return reader.parquet(*paths)
 
     # --------------------------------------------------------------- writes
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, compact: bool = False) -> int:
         """Partitioned append (ref: write_data mode=append,
         src/validation_suite.py:354-362).  Blind appends never read table
         state, so on a lost race they rebase onto the new head and retry —
-        same liveness Delta gives ConcurrentAppend-safe commits."""
+        same liveness Delta gives ConcurrentAppend-safe commits.
+
+        ``compact=True`` shuffles rows so each table partition receives one
+        task (one output file) — trades one exchange for small-file
+        pressure; equivalent to Delta's optimized writes."""
         snap = self.log.snapshot()
+        if compact:
+            df = (
+                df.repartition(*[F.col(c) for c in snap.partition_columns])
+                if snap.partition_columns
+                else df.coalesce(1)
+            )
         adds, cdf = self._stage_write(df, snap)
         entry = {
             "operation": "APPEND",

@@ -1,0 +1,43 @@
+"""Streaming Change Data Feed reader.
+
+DML commits (UPDATE/DELETE/MERGE/OVERWRITE) store their change rows as
+parquet under ``_change_data/<uuid>/`` with the ``_change_type`` column
+already materialized (sources/acid/table.py).  That directory is itself an
+append-only file stream: each commit's change files appear atomically, so a
+file source pointed directly at it yields every DML change exactly once.
+
+Limitations vs batch ``AcidTable.read_changes``: APPEND commits don't write
+change files (their inserts are synthesized from data files in batch mode),
+and commit version/timestamp aren't in the files — this stream is the
+row-level change feed for DML, suitable for incrementally maintaining
+downstream aggregates.  Combine with ``stream_appends`` for the insert side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from delta_lake_validation_spark.sources.acid.log import CDF_DIR
+from delta_lake_validation_spark.sources.acid.table import CDF_TYPE, AcidTable
+
+
+def stream_changes(spark: SparkSession, location: str) -> DataFrame:
+    """Unbounded DataFrame of DML change rows (schema + _change_type)."""
+    from delta_lake_validation_spark.sources.acid.errors import AcidTableError
+
+    table = AcidTable(spark, location)
+    snap = table.snapshot()
+    if not table._cdf_enabled(snap):
+        raise AcidTableError(
+            "Change Data Feed is not enabled "
+            "(set property enableChangeDataFeed=true)"
+        )
+    # a CDF-enabled table with no DML yet has no _change_data dir — bootstrap
+    # it so the file source starts cleanly and picks up future commits
+    table.fs.mkdirs(f"{table.location}/{CDF_DIR}")
+    schema = table.schema(snap).add(CDF_TYPE, "string")
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{table.location}/{CDF_DIR}")
+    )

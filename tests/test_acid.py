@@ -381,3 +381,29 @@ def test_many_concurrent_appenders(spark, table):
     got = sorted(r.order_id for r in table.read().collect())
     expect = sorted(f"order_{100 * i + j}" for i in range(6) for j in range(2))
     assert got == expect
+
+
+def test_compact_append_one_file_per_partition(spark, table):
+    rows = _rows(6, D1) + _rows(6, D2, start=6)
+    table.append(_df(spark, rows).repartition(8), compact=True)
+    by_part = {}
+    for meta in table.snapshot().files.values():
+        pv = meta["partitionValues"]["order_date"]
+        by_part[pv] = by_part.get(pv, 0) + 1
+    assert by_part == {D1.isoformat(): 1, D2.isoformat(): 1}
+    assert table.read().count() == 12
+
+
+def test_error_paths(spark, tmp_path):
+    from delta_lake_validation_spark.sources.acid.errors import (
+        TableNotFoundError,
+        VersionNotFoundError,
+    )
+
+    with pytest.raises(TableNotFoundError):
+        AcidTable(spark, os.path.join(str(tmp_path), "ghost")).read()
+    t = AcidTable.create(spark, os.path.join(str(tmp_path), "tt"), SCHEMA)
+    with pytest.raises(VersionNotFoundError):
+        t.read(timestamp="1990-01-01 00:00:00.000")
+    with pytest.raises(Exception, match="version or timestamp, not both"):
+        t.read(version=0, timestamp="2024-01-01 00:00:00.000")

@@ -125,3 +125,37 @@ def test_stateful_running_totals(spark, events_dir):
     for uid in batch:
         assert got[uid][0] == batch[uid][0]
         assert abs(got[uid][1] - batch[uid][1]) < 0.05
+
+
+def test_stream_changes_delivers_dml(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.streaming import stream_changes
+
+    loc = os.path.join(str(tmp_path), "cdfstream")
+    t = AcidTable.create(
+        spark, loc, "k INT, v DOUBLE, d DATE",
+        properties={"enableChangeDataFeed": "true"},
+    )
+    t.append(spark.createDataFrame(
+        [Row(k=i, v=float(i), d=dt.date(2024, 1, 1)) for i in range(4)],
+        "k INT, v DOUBLE, d DATE"))
+    t.update({"v": "v * 10"}, "k = 1")
+    t.delete("k = 2")
+
+    q = (
+        stream_changes(spark, loc)
+        .writeStream.format("memory").queryName("cdf_rows")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM cdf_rows").collect()
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert {r.k for r in by_type["update_preimage"]} == {1}
+    assert by_type["update_postimage"][0].v == 10.0
+    assert {r.k for r in by_type["delete"]} == {2}
