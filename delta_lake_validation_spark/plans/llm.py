@@ -452,3 +452,42 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survived = kept.join(losers, "doc_id", "left_anti")
     return survived.select("doc_id", "lang", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas: per-user min-max normalization of event values.
+# Min/max are exact and the division runs on identical operands in both
+# engines, so the pandas path is oracle-comparable (unlike mean/std).
+# ---------------------------------------------------------------------------
+@register(
+    "per_user_minmax_norm",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(CASE WHEN mx = mn THEN 0.5
+                ELSE round((value - mn) / (mx - mn), 6) END AS DOUBLE) AS v_norm
+    FROM (SELECT event_id, user_id, value,
+                 min(value) OVER (PARTITION BY user_id) AS mn,
+                 max(value) OVER (PARTITION BY user_id) AS mx
+          FROM events)
+    """,
+    tags=("udf", "llm"),
+    doc="grouped-map applyInPandas surface; SURVEY.md §2.11 engine extension",
+)
+def per_user_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = Tables(spark, sf_dir).events.select("event_id", "user_id", "value")
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["value"].min(), pdf["value"].max()
+        if mx == mn:
+            v = pd.Series(0.5, index=pdf.index)
+        else:
+            v = ((pdf["value"] - mn) / (mx - mn)).round(6)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "v_norm": v}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        norm, "event_id long, user_id long, v_norm double"
+    )

@@ -636,3 +636,100 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("promo_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-stage aggregation through the driver gate: must equal the plain
+# groupBy the oracle computes (functions/skew.py correctness, end-to-end)
+# ---------------------------------------------------------------------------
+@register(
+    "salted_qty_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS l_quantity_sum,
+           count(*) AS n_rows_count
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew"),
+    doc="salted hot-key aggregation; functions/skew.py",
+)
+def salted_qty_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.functions.skew import salted_groupby
+
+    li = Tables(spark, sf_dir).lineitem.withColumn(
+        "qty_long", F.col("l_quantity").cast("long")
+    ).withColumn("n_rows", F.lit(1))
+    out = salted_groupby(
+        li, ["l_returnflag"], {"qty_long": "sum", "n_rows": "count"}, n_salts=8
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("qty_long_sum").cast("long").alias("l_quantity_sum"),
+        F.col("n_rows_count").cast("long").alias("n_rows_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10-style: top returned-revenue customers (4-way join + ordered top-k)
+# ---------------------------------------------------------------------------
+@register(
+    "top_return_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS lost_revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20
+    """,
+    tags=("join", "agg", "sort"),
+    doc="TPC-H Q10 shape; multi-join + grouped revenue + ordered top-k",
+)
+def top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18-style: large-volume orders (IN over a grouped-HAVING subquery)
+# ---------------------------------------------------------------------------
+@register(
+    "large_volume_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+    GROUP BY o_orderkey, o_custkey
+    """,
+    tags=("join", "agg", "subquery"),
+    doc="TPC-H Q18 shape; semi join against a grouped-HAVING key set",
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("bigkey"))
+    )
+    return (
+        t.orders.join(big, F.col("o_orderkey") == F.col("bigkey"), "left_semi")
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"))
+    )

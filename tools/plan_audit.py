@@ -1,0 +1,66 @@
+"""Physical-plan regression guard.
+
+Builds selected registry queries (no execution) and asserts the plan
+properties the engine's scale story depends on: predicate pushdown reaching
+the parquet scan, column pruning, broadcast star joins, partial hash
+aggregation.  Run after any change to plans/ or session config:
+
+    python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from delta_lake_validation_spark.plans import REGISTRY  # noqa: E402
+from delta_lake_validation_spark.session import get_session  # noqa: E402
+
+# query -> substrings that MUST appear in the formatted physical plan
+EXPECTATIONS: dict[str, list[str]] = {
+    "filter_quantity": ["PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)"],
+    "forecast_revenue_change": ["PushedFilters: ["],
+    "select_project": ["ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,"
+                       "l_extendedprice:double,l_discount:double>"],
+    "pricing_summary": ["HashAggregate"],
+    "regional_revenue": ["BroadcastHashJoin", "HashAggregate"],
+    "dim_union_join": ["BroadcastHashJoin"],
+    "order_revenue_by_priority": ["BroadcastHashJoin"],
+    "top_return_customers": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "window_rank_topk": ["Window"],
+    "rollup_flag_status": ["Expand"],
+}
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    df = REGISTRY[name].builder(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_session("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = []
+    for name, needles in EXPECTATIONS.items():
+        plan = plan_of(spark, name, sf_dir)
+        missing = [n for n in needles if n not in plan]
+        status = "OK" if not missing else f"MISSING {missing}"
+        print(f"  {name:28s} {status}")
+        if missing:
+            failures.append(name)
+    print(f"\n{len(failures)} plan regressions: {failures}" if failures else "\nall plans OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
