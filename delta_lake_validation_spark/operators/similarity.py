@@ -338,3 +338,109 @@ def ivf_ann_topk(
     return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
         F.col("rnk") <= k
     )
+
+
+def kmeans_centroids(
+    spark: SparkSession,
+    df: DataFrame,
+    n_cells: int = 16,
+    iters: int = 10,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Fit IVF coarse centroids with Lloyd's k-means on a deterministic
+    sample (rows where xxhash64(id) % sample_mod == 0 — at 100 TB set
+    sample_mod so ~1M vectors land driver-side; the fit is O(sample) while
+    assignment stays fully distributed)."""
+    sampled = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    rows = sampled.select(vec_col).collect()
+    mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(0)
+    return cents
+
+
+def ivf_kmeans_topk(
+    spark: SparkSession,
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qe",
+    seed: int = 42,
+    scale: int = 6,
+) -> DataFrame:
+    """IVF ANN with learned k-means cells (vs ivf_ann_topk's label cells):
+    fit centroids on a sample, assign the base distributedly (one matmul
+    per batch), probe each query's ``nprobe`` nearest cells."""
+    cents = kmeans_centroids(spark, base, n_cells, id_col=id_col, vec_col=vec_col, seed=seed)
+    bc_c = spark.sparkContext.broadcast(cents)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc_c.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _as_matrix(pdf[vec_col])
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            yield pd.DataFrame({"neighbor_id": pdf[id_col], "cell": d.argmin(1).astype("int32")})
+
+    cells = base.select(id_col, vec_col).mapInPandas(assign, "neighbor_id long, cell int")
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if not q_rows:
+        return spark.createDataFrame([], "query_id long, neighbor_id long, sim double, rnk int")
+    probe_rows = []
+    qvec = {}
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qvec[int(r[0])] = qv
+        d = ((cents - qv[None, :]) ** 2).sum(-1)
+        for cell in np.argsort(d)[:nprobe]:
+            probe_rows.append((int(r[0]), int(cell)))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    bc_q = spark.sparkContext.broadcast(qvec)
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(
+            base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")),
+            "neighbor_id",
+        )
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qv = bc_q.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _as_matrix(pdf["v"])
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+            sims = np.empty(len(pdf))
+            for i, (qid, vec, n) in enumerate(zip(pdf["query_id"], m, norms)):
+                q = qv[int(qid)]
+                sims[i] = (q @ vec) / (np.sqrt(q @ q) * n)
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "neighbor_id": pdf["neighbor_id"],
+                 "sim": np.round(sims, scale)}
+            )
+
+    scored = cand.select("query_id", "neighbor_id", "v").mapInPandas(
+        score, "query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= k
+    )

@@ -244,7 +244,12 @@ class AcidTable:
         return reader.parquet(*paths)
 
     # --------------------------------------------------------------- writes
-    def append(self, df: DataFrame, compact: bool = False) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        compact: bool = False,
+        operation_parameters: dict | None = None,
+    ) -> int:
         """Partitioned append (ref: write_data mode=append,
         src/validation_suite.py:354-362).  Blind appends never read table
         state, so on a lost race they rebase onto the new head and retry —
@@ -263,7 +268,7 @@ class AcidTable:
         adds, cdf = self._stage_write(df, snap)
         entry = {
             "operation": "APPEND",
-            "operationParameters": {"mode": "Append"},
+            "operationParameters": {"mode": "Append", **(operation_parameters or {})},
             "add": adds,
             "remove": [],
             "cdf": cdf,

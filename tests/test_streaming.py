@@ -159,3 +159,52 @@ def test_stream_changes_delivers_dml(spark, tmp_path):
     assert {r.k for r in by_type["update_preimage"]} == {1}
     assert by_type["update_postimage"][0].v == 10.0
     assert {r.k for r in by_type["delete"]} == {2}
+
+
+def test_sliding_counts_cover_events(spark, events_dir):
+    from delta_lake_validation_spark.streaming import sliding_counts
+
+    out = _run(
+        sliding_counts(_stream(spark, events_dir), window="1 hour", slide="30 minutes"),
+        spark,
+        "sliding",
+    )
+    # each event lands in window/slide = 2 windows
+    total = out.agg(F.sum("n")).collect()[0][0]
+    n_events = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir).count()
+    assert total == 2 * n_events
+
+
+def test_acid_sink_exactly_once(spark, events_dir, tmp_path):
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.streaming import acid_sink
+    from delta_lake_validation_spark.streaming.acid_sink import last_committed_batch
+
+    loc = os.path.join(str(tmp_path), "sinktbl")
+    AcidTable.create(spark, loc, EVENTS_SCHEMA)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    sink = acid_sink(spark, loc, query_id="evsink")
+
+    def drain():
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(events_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    t = AcidTable(spark, loc)
+    n = t.read().count()
+    assert n == spark.read.schema(EVENTS_SCHEMA).parquet(events_dir).count()
+    # replaying the same batch id must be a no-op (exactly-once on restart)
+    first_batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    sink(first_batch, 0)
+    assert t.read().count() == n
+    assert last_committed_batch(t, "evsink") >= 0
+    # a NEW batch id still appends
+    sink(first_batch.limit(5), last_committed_batch(t, "evsink") + 1)
+    assert t.read().count() == n + 5
