@@ -492,3 +492,31 @@ def per_user_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         norm, "event_id long, user_id long, v_norm double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal → similarity composition: binary payloads → encoder (stub) →
+# exact cosine top-k over the produced feature vectors.  The full
+# image-search plumbing with only the codec faked.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_ann",
+    oracle=None,
+    tags=("multimodal", "similarity", "llm"),
+    doc="north-star composition: payload -> features -> ANN; operators/multimodal+similarity",
+)
+def multimodal_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.multimodal import (
+        extract_features,
+        with_binary_payload,
+    )
+    from delta_lake_validation_spark.operators.similarity import cosine_topk
+
+    docs = Tables(spark, sf_dir).documents
+    feats = extract_features(with_binary_payload(docs), dim=16)
+    q = feats.filter(F.col("id") % 100 == 0).select(
+        F.col("id").alias("query_id"), F.col("features").alias("qe")
+    )
+    return cosine_topk(
+        spark, feats, q, k=5, id_col="id", vec_col="features"
+    )

@@ -96,9 +96,17 @@ class Catalog:
         """SHOW TABLES (S15)."""
         return sorted(self._load())
 
-    def as_view(self, name: str) -> DataFrame:
-        """Expose a catalog table's current snapshot as a temp view for
-        spark.sql (EP1 over ACID tables)."""
-        df = self.table(name).read()
-        df.createOrReplaceTempView(name)
+    def as_view(
+        self,
+        name: str,
+        version: int | None = None,
+        timestamp: str | None = None,
+        view_name: str | None = None,
+    ) -> DataFrame:
+        """Expose a catalog table snapshot as a temp view for spark.sql —
+        optionally a historical one (the SQL analog of VERSION/TIMESTAMP AS
+        OF, src/validation_suite.py:429-453; name the view e.g.
+        ``orders_v3`` to query two versions side by side)."""
+        df = self.table(name).read(version=version, timestamp=timestamp)
+        df.createOrReplaceTempView(view_name or name)
         return df
