@@ -733,3 +733,59 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_custkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic-window battery: ntile, percent_rank, first/last value in frame
+# ---------------------------------------------------------------------------
+@register(
+    "window_battery_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+           CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           CAST(nth_value(o_totalprice, 2) OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice ASC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE)
+               AS second_cheapest_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    tags=("window",),
+    doc="ntile/percent_rank/first_value/nth_value; SURVEY.md §2.5 extension",
+)
+def window_battery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Tables(spark, sf_dir).orders
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.nth_value("o_totalprice", 2).over(wfull).cast("double").alias("second_cheapest_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance scalar (fuzzy matching primitive for entity resolution)
+# ---------------------------------------------------------------------------
+@register(
+    "brand_edit_distance",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_brand, 'Brand#11') AS INTEGER) AS dist
+    FROM part
+    """,
+    tags=("scalar", "string", "fuzzy"),
+    doc="levenshtein; SURVEY.md §2.9 note (F.levenshtein, greenfield)",
+)
+def brand_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Tables(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).cast("int").alias("dist"),
+    )

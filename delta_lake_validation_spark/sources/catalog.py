@@ -4,10 +4,10 @@ Reference parity for catalog operations (SURVEY.md §2.1): register an
 existing location under a name (S4, src/validation_suite.py:289-299), drop
 from the catalog without touching data (S5, :262-265), list tables (S15,
 :240-241), plus name-or-path dual addressing (TableRef semantics,
-:99-122).  The catalog itself is one JSON file in a warehouse directory,
-updated via the same atomic-exclusive-create + rename protocol as the
-transaction log — safe for concurrent registrars on any store with atomic
-rename.
+:99-122).  The catalog itself is one JSON file in a warehouse directory.
+Mutations take an exclusive-create lock file around the read-modify-write
+(atomic rename alone prevents torn files but not lost updates between two
+concurrent registrars), so concurrent create/register/drop serialize.
 """
 
 from __future__ import annotations
@@ -15,7 +15,9 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -45,6 +47,27 @@ class Catalog:
             json.dump(mapping, f, indent=1, sort_keys=True)
         os.replace(tmp, self._path)  # atomic on POSIX
 
+    @contextmanager
+    def _locked(self, timeout: float = 10.0):
+        """Exclusive-create lock file: serializes read-modify-write cycles
+        (same primitive as the txn log's commit; object stores swap in a
+        conditional put)."""
+        lock = self._path + ".lock"
+        deadline = time.time() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(f"catalog lock held too long: {lock}")
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            os.unlink(lock)
+
     # -- operations --------------------------------------------------------
     def create_table(
         self,
@@ -54,31 +77,34 @@ class Catalog:
         properties: dict[str, str] | None = None,
     ) -> AcidTable:
         """CREATE TABLE under the warehouse (S3 + catalog entry)."""
-        mapping = self._load()
-        if name in mapping:
-            raise AcidTableError(f"table {name!r} already in catalog")
-        location = os.path.join(self.warehouse, f"{name}-{uuid.uuid4().hex[:8]}")
-        t = AcidTable.create(self.spark, location, schema, partition_by, properties)
-        mapping[name] = location
-        self._store(mapping)
+        with self._locked():
+            mapping = self._load()
+            if name in mapping:
+                raise AcidTableError(f"table {name!r} already in catalog")
+            location = os.path.join(self.warehouse, f"{name}-{uuid.uuid4().hex[:8]}")
+            t = AcidTable.create(self.spark, location, schema, partition_by, properties)
+            mapping[name] = location
+            self._store(mapping)
         return t
 
     def register(self, name: str, location: str) -> AcidTable:
         """Attach a catalog name to an existing table location (S4)."""
         t = AcidTable(self.spark, location)
         t.log.latest_version()  # validates a log exists
-        mapping = self._load()
-        mapping[name] = location
-        self._store(mapping)
+        with self._locked():
+            mapping = self._load()
+            mapping[name] = location
+            self._store(mapping)
         return t
 
     def drop(self, name: str, delete_data: bool = False) -> None:
         """Remove from the catalog (S5 — catalog-only unless delete_data)."""
-        mapping = self._load()
-        loc = mapping.pop(name, None)
-        if loc is None:
-            raise TableNotFoundError(f"table {name!r} not in catalog")
-        self._store(mapping)
+        with self._locked():
+            mapping = self._load()
+            loc = mapping.pop(name, None)
+            if loc is None:
+                raise TableNotFoundError(f"table {name!r} not in catalog")
+            self._store(mapping)
         if delete_data:
             AcidTable(self.spark, loc).fs.delete(loc, recursive=True)
 

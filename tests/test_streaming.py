@@ -208,3 +208,28 @@ def test_acid_sink_exactly_once(spark, events_dir, tmp_path):
     # a NEW batch id still appends
     sink(first_batch.limit(5), last_committed_batch(t, "evsink") + 1)
     assert t.read().count() == n + 5
+
+
+def test_dedup_stream_drops_redeliveries(spark, events_dir, tmp_path):
+    import shutil
+
+    from delta_lake_validation_spark.streaming import dedup_stream
+
+    # duplicate the source file => every event delivered twice
+    dup_dir = str(tmp_path / "dup")
+    os.makedirs(dup_dir)
+    shutil.copy(os.path.join(events_dir, "events.parquet"), dup_dir + "/a.parquet")
+    shutil.copy(os.path.join(events_dir, "events.parquet"), dup_dir + "/b.parquet")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(dup_dir)
+        .withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = dedup_stream(stream)
+    q = (
+        out.writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) FROM dedup_out").collect()[0][0]
+    assert n == spark.read.schema(EVENTS_SCHEMA).parquet(events_dir).count()
