@@ -88,3 +88,34 @@ def frame_sample(df: DataFrame, stride: int = 1024, max_frames: int = 8) -> Data
     return df.select("id", "payload").mapInPandas(
         run, "id long, frame_no int, frame binary"
     )
+
+
+def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover - stub
+    """STUB: real implementation would decode, resample (PIL Image.resize /
+    libvips thumbnail), and re-encode.  Deliberately unimplemented here."""
+    raise NotImplementedError(
+        "image resize requires an imaging library; plug "
+        "PIL.Image.open(...).resize((width, height)) here"
+    )
+
+
+def thumbnail_bytes(df: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """Deterministic byte-level 'thumbnail' — strided sampling of the payload
+    down to ~target_bytes.  Stands in for resize-and-reencode while keeping
+    the exact one-in/one-out binary mapInPandas plumbing (schema, batching)
+    a real resizer uses.  Output: (id, thumb binary, ratio double)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs, ratios = [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                stride = max(1, len(raw) // target_bytes)
+                thumb = raw[::stride][:target_bytes]
+                thumbs.append(thumb)
+                ratios.append(round(len(thumb) / max(1, len(raw)), 6))
+            yield pd.DataFrame({"id": pdf["id"], "thumb": thumbs, "ratio": ratios})
+
+    return df.select("id", "payload").mapInPandas(
+        run, "id long, thumb binary, ratio double"
+    )

@@ -520,3 +520,28 @@ def multimodal_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(
         spark, feats, q, k=5, id_col="id", vec_col="features"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenizer (word runs + punctuation runs) — the pre-tokenize
+# split BPE vocabularies train over, vs token_counts' whitespace tokenizer.
+# ---------------------------------------------------------------------------
+@register(
+    "token_counts_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]+'))
+                AS INTEGER) AS n_bpe_tokens
+    FROM documents
+    """,
+    tags=("text", "llm"),
+    doc="north-star text analysis: BPE-style regex pre-tokenization count",
+)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]+"), 0))
+        .cast("int")
+        .alias("n_bpe_tokens"),
+    )

@@ -52,3 +52,21 @@ def test_frame_sample_shape(media):
 def test_decode_stub_contract():
     with pytest.raises(NotImplementedError, match="imaging library"):
         decode_image(b"\xff\xd8\xff", "jpeg")
+
+
+def test_thumbnail_bytes_plumbing(media):
+    from delta_lake_validation_spark.operators.multimodal import thumbnail_bytes
+
+    out = thumbnail_bytes(media, target_bytes=64).collect()
+    assert all(len(r.thumb) <= 64 for r in out)
+    assert all(0 < r.ratio <= 1.0 for r in out)
+    # deterministic
+    again = {r.id: bytes(r.thumb) for r in thumbnail_bytes(media, target_bytes=64).collect()}
+    assert all(bytes(r.thumb) == again[r.id] for r in out)
+
+
+def test_resize_stub_contract():
+    from delta_lake_validation_spark.operators.multimodal import resize_image
+
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        resize_image(b"\x89PNG", 64, 64)
