@@ -333,11 +333,11 @@ def dedup_clusters(
     )
     # small edge sets: a driver union-find beats 2-3 rounds of shuffle jobs
     # by ~30×; the distributed loop below is the identical-contract scale
-    # path (tested equal in tests/test_dedup_ops.py).  Persist so the edge
-    # pipeline (often a full PPJoin) computes once, not once per action.
-    edges = edges.persist()
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
+    # path (tested equal in tests/test_dedup_ops.py).  take(threshold+1) is
+    # a single action: if it returns ≤ threshold rows we have the WHOLE edge
+    # set and never run the (often expensive PPJoin) pipeline again.
+    probe = edges.take(driver_threshold + 1)
+    if len(probe) <= driver_threshold:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -346,14 +346,14 @@ def dedup_clusters(
                 x = parent[x]
             return x
 
-        for r in edges.collect():
+        for r in probe:
             ra, rb = find(int(r["a"])), find(int(r["b"]))
             if ra != rb:
                 hi, lo = max(ra, rb), min(ra, rb)
                 parent[hi] = lo
-        edges.unpersist()
         rows = [(node, find(node)) for node in sorted(parent)]
         return spark.createDataFrame(rows, "id long, cluster_id long")
+    edges = edges.persist()  # distributed loop re-reads edges every round
 
     labels = (
         edges.select(F.col("a").alias("id"))
