@@ -98,7 +98,15 @@ def ngram_jaccard_pairs(
     shuffles are by shingle hash (candidates) and doc id (sets) — the shape
     that scales to billions of documents.
     """
+    from fractions import Fraction
+
     from pyspark.sql import Window
+
+    # exact rational threshold: float 0.8 is 0.8000000000000000444…, which
+    # silently breaks the "lossless" bounds exactly at J == t (a 35/28-sized
+    # pair was pruned at sf0.1).  All bound math below is integer.
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    t_num, t_den = frac.numerator, frac.denominator
 
     sh = shingle_hashes(docs, id_col, text_col, k)
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
@@ -111,8 +119,10 @@ def ngram_jaccard_pairs(
         F.row_number().over(w).alias("pos"),
         F.count(F.lit(1)).over(wall).alias("sz"),
     )
+    # prefix length = sz - ceil(sz·t) + 1, ceil via integer arithmetic
+    ceil_t_sz = (F.col("sz") * t_num + F.lit(t_den - 1)).cast("long") / F.lit(t_den)
     prefix = pos.filter(
-        F.col("pos") <= F.floor((1.0 - threshold) * F.col("sz")) + 1
+        F.col("pos") <= F.col("sz") - F.floor(ceil_t_sz) + 1
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -120,27 +130,29 @@ def ngram_jaccard_pairs(
             b,
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.id") < F.col("b.id"))
-            # size-ratio bound, exact for J >= threshold
-            & (F.col("a.sz") * threshold <= F.col("b.sz"))
-            & (F.col("b.sz") * threshold <= F.col("a.sz")),
+            # size-ratio bound J >= t ⟹ t·|A| <= |B|, as exact integers
+            & (F.col("a.sz") * t_num <= F.col("b.sz") * t_den)
+            & (F.col("b.sz") * t_num <= F.col("a.sz") * t_den),
         )
         .select(F.col("a.id").alias("left_doc"), F.col("b.id").alias("right_doc"))
         .distinct()
     )
+    from delta_lake_validation_spark.functions.aggregates import round_half_up
+
     sets = sh.groupBy("id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
     verified = (
         cand.join(sets.withColumnRenamed("id", "left_doc").withColumnRenamed("hs", "hs_a"), "left_doc")
         .join(sets.withColumnRenamed("id", "right_doc").withColumnRenamed("hs", "hs_b"), "right_doc")
         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn("uni", F.size("hs_a") + F.size("hs_b") - F.col("inter"))
+        # threshold on the UNROUNDED ratio via exact cross-multiplication —
+        # float-rounded thresholds and engine round() ties both produced
+        # off-by-one row counts at sf0.1.  Display value uses explicit
+        # half-up.
+        .filter(F.col("inter") * t_den >= F.col("uni") * t_num)
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
-                scale,
-            ).cast("double"),
+            "jaccard", round_half_up(F.col("inter") / F.col("uni"), scale)
         )
-        .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("left_doc", "right_doc", "jaccard")
 

@@ -245,12 +245,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN list_distinct(list_transform(range(1, len(t)-1),
                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                 ELSE [] END AS s FROM toks)
-    SELECT a.doc_id AS left_doc, b.doc_id AS right_doc,
-           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(a.s || b.s)), 4) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                / len(list_distinct(a.s || b.s)), 4) >= 0.8
+    SELECT left_doc, right_doc,
+           CAST(floor(CAST(inter AS DOUBLE) / uni * 10000.0 + 0.5) / 10000.0
+                AS DOUBLE) AS jaccard
+    FROM (SELECT a.doc_id AS left_doc, b.doc_id AS right_doc,
+                 len(list_intersect(a.s, b.s)) AS inter,
+                 len(list_distinct(a.s || b.s)) AS uni
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    WHERE inter * 5 >= uni * 4
     """,
     tags=("dedup", "llm"),
     doc="north-star dedup: exact n-gram Jaccard; operators/dedup.py",
@@ -465,7 +467,8 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CAST(CASE WHEN mx = mn THEN 0.5
-                ELSE round((value - mn) / (mx - mn), 6) END AS DOUBLE) AS v_norm
+                ELSE floor((value - mn) / (mx - mn) * 1000000.0 + 0.5) / 1000000.0
+                END AS DOUBLE) AS v_norm
     FROM (SELECT event_id, user_id, value,
                  min(value) OVER (PARTITION BY user_id) AS mn,
                  max(value) OVER (PARTITION BY user_id) AS mx
@@ -484,7 +487,11 @@ def per_user_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         if mx == mn:
             v = pd.Series(0.5, index=pdf.index)
         else:
-            v = ((pdf["value"] - mn) / (mx - mn)).round(6)
+            # explicit half-up: pandas .round is half-even and diverges from
+            # the oracle on exactly-representable ties (e.g. 0.2890625)
+            import numpy as np
+
+            v = np.floor((pdf["value"] - mn) / (mx - mn) * 1e6 + 0.5) / 1e6
         return pd.DataFrame(
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "v_norm": v}
         )
