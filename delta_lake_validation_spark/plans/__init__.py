@@ -15,3 +15,29 @@ from delta_lake_validation_spark.plans import relational  # noqa: E402,F401
 from delta_lake_validation_spark.plans import relational2  # noqa: E402,F401
 from delta_lake_validation_spark.plans import timeseries  # noqa: E402,F401
 from delta_lake_validation_spark.plans import llm  # noqa: E402,F401
+from delta_lake_validation_spark.plans import dml  # noqa: E402,F401
+
+# Tier assignment (see registry.py): the correctness driver verifies a bounded
+# prefix of the registry, so every operator family must sort into that window.
+# relational2 holds variants of families already covered by the other modules —
+# except the per-name overrides below, which are families of their own.
+from dataclasses import replace as _replace  # noqa: E402
+
+from delta_lake_validation_spark.plans import registry as _reg  # noqa: E402
+
+_TIER_BY_MODULE = {
+    llm.__name__: _reg.TIER_LLM,
+    timeseries.__name__: _reg.TIER_TIMESERIES,
+    dml.__name__: _reg.TIER_DML,
+    relational.__name__: _reg.TIER_CORE,
+    relational2.__name__: _reg.TIER_VARIANT,
+}
+_TIER_BY_NAME = {
+    # edit-distance is its own function family (SURVEY §2.9), not a variant
+    "brand_edit_distance": _reg.TIER_TIMESERIES,
+}
+
+for _name, _spec in list(REGISTRY.items()):
+    _tier = _TIER_BY_NAME.get(_name, _TIER_BY_MODULE.get(_spec.builder.__module__))
+    if _tier is not None:
+        REGISTRY[_name] = _replace(_spec, priority=_tier)

@@ -1,0 +1,207 @@
+"""ACID DML queries with driver-checkable oracles (SURVEY.md §2.8).
+
+The driver oracle can only grade analytic queries, so §2.8 (append /
+overwrite / DELETE / UPDATE / MERGE / time travel / CDF) was previously
+pytest-only evidence.  Each query here builds a throwaway ACID table from the
+``nation`` table (25 rows at every TPC-H scale factor — SF-independent), runs
+a DML sequence, and returns a deterministic snapshot diff (step, n_rows) that
+a plain DuckDB ``SELECT`` over the same ``nation`` view reproduces.
+
+ref DML shapes exercised: DELETE with partition predicate
+(src/validation_suite.py:738-740), copy-on-write DELETE (:816-820), UPDATE
+with predicate (:762-764), MERGE upsert (:489-524), time travel (:416-453),
+CDF read (:480-486).
+
+The result is materialized (a handful of rows) before the scratch table is
+removed, so the returned DataFrame never references deleted files.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_validation_spark.plans.registry import register
+from delta_lake_validation_spark.sources.acid.table import AcidTable
+from delta_lake_validation_spark.tables import load_table
+
+_SCRATCH_ROOT = Path(__file__).resolve().parents[2] / ".scratch" / "dml"
+
+
+@contextlib.contextmanager
+def _scratch():
+    _SCRATCH_ROOT.mkdir(parents=True, exist_ok=True)
+    loc = tempfile.mkdtemp(dir=_SCRATCH_ROOT)
+    try:
+        yield loc
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def _result(spark: SparkSession, rows: list[tuple[str, int]]) -> DataFrame:
+    return spark.createDataFrame(rows, "step string, n_rows long").orderBy("step")
+
+
+@register(
+    "dml_append_versions",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'append_1' AS step,
+             (SELECT count(*) FROM nation WHERE n_regionkey < 2) AS n_rows
+      UNION ALL
+      SELECT 'append_2_total', (SELECT count(*) FROM nation)
+      UNION ALL
+      SELECT 'time_travel_v1',
+             (SELECT count(*) FROM nation WHERE n_regionkey < 2)
+    ) ORDER BY step
+    """,
+    tags=("acid", "dml"),
+    doc="Two appends then a versioned read-back (§2.8 D1/D9).",
+)
+def dml_append_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    with _scratch() as loc:
+        t = AcidTable.create(spark, loc, nation.schema)
+        v1 = t.append(nation.filter("n_regionkey < 2"))
+        v2 = t.append(nation.filter("n_regionkey >= 2"))
+        rows = [
+            ("append_1", t.read(version=v1).count()),
+            ("append_2_total", t.read(version=v2).count()),
+            ("time_travel_v1", t.read(version=v1).count()),
+        ]
+    return _result(spark, rows)
+
+
+@register(
+    "dml_delete_versions",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'after_partition_delete' AS step,
+             (SELECT count(*) FROM nation WHERE n_regionkey <> 2) AS n_rows
+      UNION ALL
+      SELECT 'after_cow_delete',
+             (SELECT count(*) FROM nation
+              WHERE n_regionkey <> 2 AND n_name NOT LIKE 'A%')
+      UNION ALL
+      SELECT 'cdf_delete_rows',
+             (SELECT count(*) FROM nation WHERE n_regionkey = 2)
+             + (SELECT count(*) FROM nation
+                WHERE n_regionkey <> 2 AND n_name LIKE 'A%')
+    ) ORDER BY step
+    """,
+    tags=("acid", "dml", "cdf"),
+    doc="Partition-pruned DELETE, then copy-on-write DELETE, CDF audit (§2.8 D4/D10).",
+)
+def dml_delete_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    with _scratch() as loc:
+        t = AcidTable.create(
+            spark,
+            loc,
+            nation.schema,
+            partition_by=["n_regionkey"],
+            properties={"enableChangeDataFeed": "true"},
+        )
+        t.append(nation)
+        t.delete("n_regionkey = 2")  # metadata-only partition prune
+        t.delete("n_name LIKE 'A%'")  # copy-on-write rewrite
+        deletes = t.read_changes(start_version=0).filter(
+            F.col("_change_type") == "delete"
+        )
+        rows = [
+            ("after_partition_delete", t.read(version=2).count()),
+            ("after_cow_delete", t.read().count()),
+            ("cdf_delete_rows", deletes.count()),
+        ]
+    return _result(spark, rows)
+
+
+@register(
+    "dml_merge_upsert",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'after_merge_total' AS step,
+             (SELECT count(*) FROM nation) + 2 AS n_rows
+      UNION ALL
+      SELECT 'updated_rows',
+             (SELECT count(*) FROM nation WHERE n_regionkey = 0)
+      UNION ALL
+      SELECT 'inserted_rows', 2
+    ) ORDER BY step
+    """,
+    tags=("acid", "dml"),
+    doc="MERGE upsert: matched rows update, unmatched insert (§2.3 J4 / §2.8 D6).",
+)
+def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    with _scratch() as loc:
+        t = AcidTable.create(spark, loc, nation.schema)
+        t.append(nation)
+        updates = nation.filter("n_regionkey = 0").withColumn(
+            "n_name", F.lit("UPDATED")
+        )
+        inserts = (
+            nation.orderBy("n_nationkey")
+            .limit(2)
+            .withColumn("n_nationkey", (F.col("n_nationkey") + 900).cast("int"))
+            .withColumn("n_name", F.lit("INSERTED"))
+        )
+        t.merge(updates.unionByName(inserts), keys=["n_nationkey"])
+        after = t.read()
+        rows = [
+            ("after_merge_total", after.count()),
+            ("updated_rows", after.filter("n_name = 'UPDATED'").count()),
+            ("inserted_rows", after.filter("n_nationkey >= 900").count()),
+        ]
+    return _result(spark, rows)
+
+
+@register(
+    "dml_update_cdf",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'bumped_rows' AS step,
+             (SELECT count(*) FROM nation WHERE n_regionkey = 3) AS n_rows
+      UNION ALL
+      SELECT 'cdf_preimages',
+             (SELECT count(*) FROM nation WHERE n_regionkey = 3)
+      UNION ALL
+      SELECT 'cdf_postimages',
+             (SELECT count(*) FROM nation WHERE n_regionkey = 3)
+      UNION ALL
+      SELECT 'total_rows', (SELECT count(*) FROM nation)
+    ) ORDER BY step
+    """,
+    tags=("acid", "dml", "cdf"),
+    doc="UPDATE with predicate + CDF pre/post images (§2.8 D5/D10).",
+)
+def dml_update_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    with _scratch() as loc:
+        t = AcidTable.create(
+            spark,
+            loc,
+            nation.schema,
+            properties={"enableChangeDataFeed": "true"},
+        )
+        t.append(nation)
+        t.update({"n_name": "'BUMPED'"}, "n_regionkey = 3")
+        changes = t.read_changes(start_version=0)
+        rows = [
+            ("bumped_rows", t.read().filter("n_name = 'BUMPED'").count()),
+            (
+                "cdf_preimages",
+                changes.filter(F.col("_change_type") == "update_preimage").count(),
+            ),
+            (
+                "cdf_postimages",
+                changes.filter(F.col("_change_type") == "update_postimage").count(),
+            ),
+            ("total_rows", t.read().count()),
+        ]
+    return _result(spark, rows)
