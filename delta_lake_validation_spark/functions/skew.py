@@ -44,6 +44,9 @@ def salted_groupby(
     return stage1.groupBy(*keys).agg(*finals)
 
 
+_SALT_SAFE_JOINS = ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -55,8 +58,15 @@ def salted_join(
     partitions and the small side replicated n_salts×.
 
     Use when the small side is too large to broadcast but small enough to
-    replicate n_salts times; result equals ``big.join(small, on, how)``.
+    replicate n_salts times; result equals ``big.join(small, on, how)`` for
+    big-side-preserving joins only — replication makes right/full outer
+    emit each unmatched small-side row n_salts times, so those are rejected.
     """
+    if how not in _SALT_SAFE_JOINS:
+        raise ValueError(
+            f"salted_join supports {_SALT_SAFE_JOINS}; {how!r} would "
+            "duplicate unmatched small-side rows n_salts times"
+        )
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )

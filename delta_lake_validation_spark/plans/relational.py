@@ -518,7 +518,8 @@ def order_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING")
     return (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales with SF — no broadcast hint; AQE/threshold decides
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderpriority")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
@@ -555,9 +556,11 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer/supplier scale with SF — no broadcast hints (they would
+        # OOM executors at 100×); nation×region stays a true broadcast dim
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(t.supplier),
+            t.supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )

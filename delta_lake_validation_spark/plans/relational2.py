@@ -452,20 +452,39 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Sketch aggregates: HyperLogLog distinct count — approximate by design,
-# rows-only (exact countDistinct is covered elsewhere).
+# Sketch aggregates: HyperLogLog distinct count — the sketch estimate itself
+# is non-deterministic across engines, so the deterministic contract is
+# (exact count, estimate-within-tolerance).  approx_count_distinct's default
+# rsd is 0.05 (1σ); 4σ = 20% bounds the estimate with overwhelming
+# probability, making `within_tol` a stable TRUE on both sides.
 # ---------------------------------------------------------------------------
 @register(
     "approx_distinct_users",
-    oracle=None,
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
     tags=("agg", "approx"),
     doc="HLL sketch aggregate; SURVEY.md §2.4 engine extension",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Tables(spark, sf_dir).events
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.2 * F.col("exact_users")
+            ).alias("within_tol"),
+        )
     )
 
 
@@ -693,7 +712,9 @@ def top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.filter(F.col("l_returnflag") == "R")
         .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales with SF — let AQE pick the strategy; only nation
+        # (25 rows at every SF) earns a broadcast hint
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("lost_revenue"))

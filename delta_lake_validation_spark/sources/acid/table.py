@@ -297,6 +297,13 @@ class AcidTable:
     def _commit_strict(self, entry: dict, snap: Snapshot) -> int:
         v = snap.version + 1
         if not self.log.try_commit(v, entry):
+            # the write staged data/CDF files before this commit attempt;
+            # losing the race must not leave them behind — orphan CDF files
+            # would surface as phantom changes in the change-feed stream
+            for a in entry.get("add", []):
+                self.fs.delete(f"{self.location}/{a['path']}")
+            for p in entry.get("cdf", []):
+                self.fs.delete(f"{self.location}/{p}")
             raise ConcurrentWriteException(
                 f"snapshot v{snap.version} is stale: version {v} exists "
                 f"(operation {entry['operation']})"
@@ -409,8 +416,14 @@ class AcidTable:
             }
             return self._commit_strict(entry, snap)
 
+        # SQL DELETE semantics: remove rows where the predicate is TRUE;
+        # rows where it evaluates NULL (nullable columns) are KEPT.  The
+        # kept-rows filter must therefore be NOT(coalesce(cond, false)),
+        # not plain ~cond — ~NULL is NULL and filter() drops it.
+        cond_true = F.coalesce(cond, F.lit(False))
+
         # copy-on-write: rewrite only files that contain matching rows
-        touched = self._files_matching(snap, cond)
+        touched = self._files_matching(snap, cond_true)
         if not touched:
             entry = {
                 "operation": "DELETE",
@@ -420,12 +433,12 @@ class AcidTable:
                 "cdf": [],
             }
             return self._commit_strict(entry, snap)
-        keep = self._read_files(snap, touched).filter(~cond)
+        keep = self._read_files(snap, touched).filter(~cond_true)
         adds, _ = self._stage_write(keep, snap, cdf_type=None)
         cdf = (
             self._write_cdf(
                 self._read_files(snap, touched)
-                .filter(cond)
+                .filter(cond_true)
                 .withColumn(CDF_TYPE, F.lit("delete"))
             )
             if self._cdf_enabled(snap)
@@ -634,24 +647,39 @@ class AcidTable:
         (ref: VACUUM RETAIN 0 HOURS with retention check disabled,
         src/validation_suite.py:456-463).  retain_hours=0 reclaims
         immediately — this breaks time travel to older versions, exactly as
-        it does in Delta."""
-        import os
+        it does in Delta.
+
+        The retention (mtime) check runs on every filesystem — on remote
+        stores too, via Hadoop FileStatus — because a file younger than the
+        cutoff may belong to an in-flight writer that staged it before its
+        commit; deleting it would break concurrent-write safety.
+
+        Also reclaims ``_change_data`` files referenced by no log entry:
+        change files are staged before the commit attempt, so a lost commit
+        race leaves orphans that the CDF stream must never see."""
         import time as _t
 
         snap = self.log.snapshot()
-        active = {f"{strip_scheme(self.location)}/{p}" for p in snap.files}
+        root = strip_scheme(self.location)
+        active = {f"{root}/{p}" for p in snap.files}
+        committed_cdf = {
+            f"{root}/{p}" for e in self.log.entries() for p in e.get("cdf", [])
+        }
         cutoff = _t.time() - retain_hours * 3600
         doomed = []
         for f_abs in self.fs.list_files(self.location):
-            rel = strip_scheme(f_abs)[len(strip_scheme(self.location)) :].lstrip("/")
+            rel = strip_scheme(f_abs)[len(root) :].lstrip("/")
             top = rel.split("/", 1)[0]
-            if top in _SYS_DIRS:
+            if top == CDF_DIR:
+                if strip_scheme(f_abs) in committed_cdf:
+                    continue
+            elif top in _SYS_DIRS:
+                continue
+            elif strip_scheme(f_abs) in active:
                 continue
             if not rel.endswith(".parquet"):
                 continue
-            if strip_scheme(f_abs) in active:
-                continue
-            if self.fs.local and os.path.getmtime(strip_scheme(f_abs)) > cutoff:
+            if self.fs.mtime(f_abs) > cutoff:
                 continue
             doomed.append(rel)
         if not dry_run:

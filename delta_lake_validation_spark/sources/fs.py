@@ -153,3 +153,12 @@ class FileSystem:
             return os.path.getsize(strip_scheme(path))
         fs, jpath = self._jfs(path)
         return fs.getFileStatus(jpath).getLen()
+
+    def mtime(self, path: str) -> float:
+        """Modification time in epoch seconds — works on every Hadoop FS, so
+        vacuum's retention check is uniform across file://, hdfs://, s3a://,
+        gs:// (Hadoop reports milliseconds; local uses os.path.getmtime)."""
+        if self.local:
+            return os.path.getmtime(strip_scheme(path))
+        fs, jpath = self._jfs(path)
+        return fs.getFileStatus(jpath).getModificationTime() / 1000.0

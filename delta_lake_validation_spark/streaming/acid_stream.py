@@ -26,8 +26,11 @@ def stream_appends(spark: SparkSession, location: str) -> DataFrame:
     reader = spark.readStream.schema(table.schema(snap))
     if snap.partition_columns:
         reader = reader.option("basePath", table.location)
+    # one glob level per partition column (k=v hive dirs); a fixed single
+    # "*" would silently match nothing on multi-column-partitioned tables
+    depth = "/".join(["*"] * len(snap.partition_columns))
     pattern = (
-        f"{table.location}/*/part-*.parquet"
+        f"{table.location}/{depth}/part-*.parquet"
         if snap.partition_columns
         else f"{table.location}/part-*.parquet"
     )

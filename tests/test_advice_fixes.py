@@ -1,0 +1,134 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md r1):
+
+1. DELETE keeps rows where the predicate evaluates NULL (SQL semantics).
+2. vacuum honors the retention cutoff via filesystem mtime (all FS kinds).
+3. A lost commit race leaves no orphan CDF/data files; vacuum also reclaims
+   unreferenced _change_data files.
+4. salted_join rejects join types that would duplicate small-side rows.
+5. stream_appends sees files under multi-column partition layouts.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from delta_lake_validation_spark.functions.skew import salted_join
+from delta_lake_validation_spark.sources.acid import (
+    AcidTable,
+    ConcurrentWriteException,
+)
+
+
+def _cdf_table(spark, tmp_path, name="t", **kw):
+    return AcidTable.create(
+        spark,
+        os.path.join(str(tmp_path), name),
+        "k INT, v INT",
+        properties={"enableChangeDataFeed": "true"},
+        **kw,
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k INT, v INT")
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    t = _cdf_table(spark, tmp_path)
+    t.append(_df(spark, [(1, 10), (2, None), (3, 3)]))
+    t.delete("v > 5")  # NULL > 5 is NULL, not TRUE: row k=2 must survive
+    kept = {r.k for r in t.read().collect()}
+    assert kept == {2, 3}
+    deletes = t.read_changes(0).filter(F.col("_change_type") == "delete").collect()
+    assert {r.k for r in deletes} == {1}
+
+
+def test_vacuum_retention_keeps_recent_unreferenced_files(spark, tmp_path):
+    t = _cdf_table(spark, tmp_path)
+    t.append(_df(spark, [(1, 1)]))
+    t.overwrite(_df(spark, [(2, 2)]))  # v1 files now inactive
+    # files were just written: younger than a 1h retention window
+    assert t.vacuum(retain_hours=1.0, dry_run=True) == []
+    doomed = t.vacuum(retain_hours=0.0)
+    assert doomed  # with retention waived, the inactive v1 file goes
+    assert t.read().collect() == [Row(k=2, v=2)]
+
+
+def test_lost_commit_race_leaves_no_orphans(spark, tmp_path):
+    t = _cdf_table(spark, tmp_path)
+    t.append(_df(spark, [(1, 1), (2, 2)]))
+    files_before = set(t.fs.list_files(t.location))
+    real_try_commit = t.log.try_commit
+    t.log.try_commit = lambda v, e: False  # force every attempt to lose
+    with pytest.raises(ConcurrentWriteException):
+        t.delete("k = 1")
+    t.log.try_commit = real_try_commit
+    # the failed DELETE staged rewrite + CDF files; all must be cleaned up
+    leftovers = set(t.fs.list_files(t.location)) - files_before
+    assert [p for p in leftovers if p.endswith(".parquet")] == []
+    assert t.read().count() == 2
+
+
+def test_vacuum_reclaims_orphan_cdf_files(spark, tmp_path):
+    t = _cdf_table(spark, tmp_path)
+    t.append(_df(spark, [(1, 1)]))
+    t.update({"v": "v + 1"}, "k = 1")  # writes committed CDF files
+    committed_cdf = [
+        f for f in t.fs.list_files(f"{t.location}/_change_data") if f.endswith(".parquet")
+    ]
+    assert committed_cdf
+    # plant an orphan change file (as a failed commit would have, pre-fix)
+    orphan_dir = f"{t.location}/_change_data/orphan"
+    _df(spark, [(9, 9)]).write.parquet(orphan_dir)
+    doomed = t.vacuum(retain_hours=0.0)
+    assert any("_change_data/orphan" in p for p in doomed)
+    survivors = set(t.fs.list_files(f"{t.location}/_change_data"))
+    assert set(committed_cdf) <= survivors
+    # committed CDF still readable (from the UPDATE version on — vacuum
+    # retain-0 legitimately breaks synthesizing the old append's inserts)
+    assert (
+        t.read_changes(2).filter(F.col("_change_type") == "update_postimage").count()
+        == 1
+    )
+
+
+def test_salted_join_rejects_small_side_duplicating_types(spark):
+    big = spark.createDataFrame([Row(k=1, a=1)])
+    small = spark.createDataFrame([Row(k=1, b=1), Row(k=2, b=2)])
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(big, small, on=["k"], how="right")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(big, small, on=["k"], how="full")
+    # big-side-preserving types still work and match the plain join
+    got = salted_join(big, small, on=["k"], how="left", n_salts=4).collect()
+    assert [(r.k, r.a, r.b) for r in got] == [(1, 1, 1)]
+
+
+def test_stream_appends_multi_column_partitions(spark, tmp_path):
+    from delta_lake_validation_spark.streaming.acid_stream import stream_appends
+
+    loc = os.path.join(str(tmp_path), "mp")
+    t = AcidTable.create(
+        spark, loc, "k INT, region STRING, day STRING", partition_by=["region", "day"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "eu", "d1"), (2, "us", "d2")],
+            "k INT, region STRING, day STRING",
+        )
+    )
+    out = os.path.join(str(tmp_path), "sink")
+    q = (
+        stream_appends(spark, loc)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2
