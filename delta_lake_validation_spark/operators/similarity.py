@@ -11,11 +11,12 @@ band join, src/benchmarking_suite.py:156-163; these operators generalize it):
   carries only k·q·partitions candidate rows.  This shape survives a
   1000-executor / 10^10-row scale-up: per-task cost is matmul over its
   partition, memory is O(batch × dim).
-- ``cosine_self_pairs`` — all-pairs near-duplicate detection.  The right
-  side is broadcast whole while it fits (dim·n·8 bytes; 100k×768 ≈ 600 MB is
-  the practical broadcast ceiling); beyond that the sub-quadratic paths
-  below (``lsh_ann_topk``, ``ivf_ann_topk``) restrict scoring to candidate
-  buckets/cells.
+- ``cosine_self_pairs`` — all-pairs near-duplicate detection as a
+  cogrouped block self-join: every unordered block pair is one task doing
+  one matmul, nothing collects to the driver, per-task memory is bounded
+  by 2·block_rows vectors.  Exact but inherently O(n²) work — the
+  sub-quadratic paths below (``lsh_ann_topk``, ``ivf_ann_topk``) restrict
+  scoring to candidate buckets/cells when the corpus outgrows that.
 
 Numerics: float64 everywhere; cosine computed as dot/(‖a‖·‖b‖) in the same
 association as the DuckDB oracle expression, rounded to 6 decimals.
@@ -106,46 +107,120 @@ def cosine_self_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 6,
+    block_rows: int = 4096,
 ) -> DataFrame:
     """All pairs (left_id < right_id) with cosine similarity > threshold.
 
-    Right side broadcast whole; left side streamed per partition with one
-    matmul per batch.  O(n²) flops — the exact baseline/oracle path; the
+    Distributed block self-join: ids hash into B blocks; every unordered
+    block pair (bi ≤ bj) becomes one cogrouped task that cross-scores its
+    two blocks with a single matmul.  Nothing is collected to the driver
+    and no side is broadcast — each task holds at most 2·block_rows
+    vectors, so executor memory is bounded regardless of corpus size.
+    Each row is shuffled B+1 times (its left and right replicas), i.e.
+    total work is the inherent O(n²/block_rows) of an *exact* all-pairs
+    scan spread over B(B+1)/2 tasks.  This is the exactness oracle; the
     sub-quadratic scale paths are lsh_ann_topk / ivf_ann_topk below.
     """
-    rows = df.select(id_col, vec_col).collect()
-    if not rows:
-        return spark.createDataFrame([], "left_id long, right_id long, sim double")
-    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
-    bc = spark.sparkContext.broadcast((all_ids, mat, norms))
-
     out_schema = "left_id long, right_id long, sim double"
+    n = df.count()
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    # enough blocks to bound per-task memory AND to spread tiny corpora
+    # across the cluster (≥8 blocks → ≥36 tasks once n is non-trivial)
+    n_blocks = max(-(-n // block_rows), min(8, -(-n // 512)))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("b"),
+    )
+    all_blocks = F.array(*[F.lit(i) for i in range(n_blocks)])
+    # a row in block b is the LEFT side of pairs (b, j≥b) and the RIGHT
+    # side of pairs (i≤b, b); each unordered block pair meets exactly once.
+    # The right side's payload columns get distinct names: a self-cogroup
+    # whose sides share attribute ids gets its right side mis-pruned down
+    # to the grouping columns (Spark 4.1 column-pruning quirk).
+    left = (
+        base.withColumn("bj", F.explode(all_blocks))
+        .filter(F.col("bj") >= F.col("b"))
+        .select(F.col("b").alias("bi"), "bj", "id", "v")
+    )
+    right = (
+        base.withColumn("bi", F.explode(all_blocks))
+        .filter(F.col("bi") <= F.col("b"))
+        .select("bi", F.col("b").alias("bj"), F.col("id").alias("rid"), F.col("v").alias("rv"))
+    )
 
-    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        r_ids, r_mat, r_norms = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            l_ids = pdf[id_col].to_numpy()
-            l_mat = _as_matrix(pdf[vec_col])
-            l_norms = np.sqrt(np.einsum("ij,ij->i", l_mat, l_mat))
-            sims = np.round(
-                (l_mat @ r_mat.T) / (l_norms[:, None] * r_norms[None, :]), scale
+    def pair_block(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"left_id": [], "right_id": [], "sim": []}).astype(
+                {"left_id": "int64", "right_id": "int64", "sim": "float64"}
             )
-            li, ri = np.nonzero((sims > threshold) & (l_ids[:, None] < r_ids[None, :]))
-            if len(li):
-                yield pd.DataFrame(
-                    {"left_id": l_ids[li], "right_id": r_ids[ri], "sim": sims[li, ri]}
-                )
+        l_ids = lpdf["id"].to_numpy()
+        r_ids = rpdf["rid"].to_numpy()
+        l_mat = _as_matrix(lpdf["v"])
+        r_mat = _as_matrix(rpdf["rv"])
+        l_norms = np.sqrt(np.einsum("ij,ij->i", l_mat, l_mat))
+        r_norms = np.sqrt(np.einsum("ij,ij->i", r_mat, r_mat))
+        sims = np.round(
+            (l_mat @ r_mat.T) / (l_norms[:, None] * r_norms[None, :]), scale
+        )
+        # canonical (min, max) ordering; within a same-block pair this also
+        # dedups the symmetric matrix
+        li, ri = np.nonzero((sims > threshold) & (l_ids[:, None] < r_ids[None, :]))
+        lo, hi = l_ids[li], r_ids[ri]
+        if key[0] != key[1]:
+            ri2, li2 = np.nonzero((sims.T > threshold) & (r_ids[:, None] < l_ids[None, :]))
+            lo = np.concatenate([lo, r_ids[ri2]])
+            hi = np.concatenate([hi, l_ids[li2]])
+            s = np.concatenate([sims[li, ri], sims.T[ri2, li2]])
+        else:
+            s = sims[li, ri]
+        return pd.DataFrame({"left_id": lo, "right_id": hi, "sim": s})
 
-    return df.select(id_col, vec_col).mapInPandas(block, out_schema)
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(pair_block, out_schema)
+    )
 
 
 # ---------------------------------------------------------------------------
 # Sub-quadratic ANN paths: random-hyperplane LSH and IVF
 # ---------------------------------------------------------------------------
+def _make_candidate_scorer(bc_q, scale: int):
+    """Arrow-batched candidate scorer shared by the ANN paths: rows sorted
+    by query_id within each batch, then ONE matvec per query group —
+    vectorized over that query's candidates instead of a per-row Python
+    loop (the r1 hot spot in ann_lsh/ivf)."""
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qv = bc_q.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _as_matrix(pdf["v"])
+            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+            qids = pdf["query_id"].to_numpy()
+            order = np.argsort(qids, kind="stable")
+            sims = np.empty(len(pdf))
+            uniq, starts = np.unique(qids[order], return_index=True)
+            bounds = np.append(starts, len(order))
+            for u, s0, s1 in zip(uniq, bounds[:-1], bounds[1:]):
+                idx = order[s0:s1]
+                q = qv[int(u)]
+                sims[idx] = (m[idx] @ q) / (np.sqrt(q @ q) * norms[idx])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "sim": np.round(sims, scale),
+                }
+            )
+
+    return score
+
+
+
 def _plane_signature(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """Pack sign bits of mat @ planes.T into int64 signatures."""
     bits = (mat @ planes.T) > 0
@@ -230,26 +305,9 @@ def lsh_ann_topk(
         "neighbor_id",
     )
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qv = bc_q.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = _as_matrix(pdf["v"])
-            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
-            sims = np.empty(len(pdf))
-            for i, (qid, vec, n) in enumerate(zip(pdf["query_id"], m, norms)):
-                q = qv[int(qid)]
-                sims[i] = (q @ vec) / (np.sqrt(q @ q) * n)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "sim": np.round(sims, scale),
-                }
-            )
-
-    scored = with_vec.mapInPandas(score, "query_id long, neighbor_id long, sim double")
+    scored = with_vec.mapInPandas(
+        _make_candidate_scorer(bc_q, scale), "query_id long, neighbor_id long, sim double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
         F.col("rnk") <= k
@@ -312,27 +370,8 @@ def ivf_ann_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qv = bc_q.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = _as_matrix(pdf["v"])
-            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
-            sims = np.empty(len(pdf))
-            for i, (qid, vec, n) in enumerate(zip(pdf["query_id"], m, norms)):
-                q = qv[int(qid)]
-                sims[i] = (q @ vec) / (np.sqrt(q @ q) * n)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "sim": np.round(sims, scale),
-                }
-            )
-
     scored = cand.select("query_id", "neighbor_id", "v").mapInPandas(
-        score, "query_id long, neighbor_id long, sim double"
+        _make_candidate_scorer(bc_q, scale), "query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
@@ -421,24 +460,8 @@ def ivf_kmeans_topk(
         )
     )
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qv = bc_q.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = _as_matrix(pdf["v"])
-            norms = np.sqrt(np.einsum("ij,ij->i", m, m))
-            sims = np.empty(len(pdf))
-            for i, (qid, vec, n) in enumerate(zip(pdf["query_id"], m, norms)):
-                q = qv[int(qid)]
-                sims[i] = (q @ vec) / (np.sqrt(q @ q) * n)
-            yield pd.DataFrame(
-                {"query_id": pdf["query_id"], "neighbor_id": pdf["neighbor_id"],
-                 "sim": np.round(sims, scale)}
-            )
-
     scored = cand.select("query_id", "neighbor_id", "v").mapInPandas(
-        score, "query_id long, neighbor_id long, sim double"
+        _make_candidate_scorer(bc_q, scale), "query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
