@@ -5,3 +5,7 @@ from delta_lake_validation_spark.sources.acid.errors import (  # noqa: F401
     VersionNotFoundError,
 )
 from delta_lake_validation_spark.sources.acid.table import AcidTable  # noqa: F401
+from delta_lake_validation_spark.sources.acid.sqlshim import (  # noqa: F401
+    AcidSqlContext,
+    AcidSqlError,
+)

@@ -1,0 +1,207 @@
+"""SQL-string entry point for ACID DML — EP1 write parity.
+
+The reference drives every write through ``spark.sql`` strings: INSERT
+(src/validation_suite.py:375-404), MERGE (:489-524), DELETE (:738-740),
+UPDATE (:762-764), and reads CDF via the ``table_changes`` TVF (:480-486).
+Without delta-spark there is no SQL parser hook for these statements, so
+this shim recognizes exactly those statement shapes and dispatches to the
+``AcidTable`` API; everything else (SELECT, WITH, EXPLAIN…) runs through
+``spark.sql`` verbatim with the registered ACID tables exposed as temp
+views of their current snapshots.
+
+Deliberate scope: the four reference DML shapes with their documented
+variations (optional PARTITION clause and column list on INSERT; aliased or
+table-name-qualified MERGE with "update all columns / insert all columns"
+branches).  Anything outside raises ``AcidSqlError`` rather than guessing.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_validation_spark.sources.acid.errors import AcidTableError
+from delta_lake_validation_spark.sources.acid.table import AcidTable
+
+
+class AcidSqlError(AcidTableError):
+    pass
+
+
+_WS = r"[\s\n]+"
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parentheses and quotes."""
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in text:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+class AcidSqlContext:
+    """Name → AcidTable registry plus the ``sql()`` dispatcher."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, AcidTable] = {}
+
+    def register(self, name: str, table: AcidTable) -> None:
+        self._tables[name] = table
+
+    def table(self, name: str) -> AcidTable:
+        if name not in self._tables:
+            raise AcidSqlError(f"unknown ACID table {name!r}; registered: {sorted(self._tables)}")
+        return self._tables[name]
+
+    # ------------------------------------------------------------------ sql
+    def sql(self, statement: str) -> DataFrame | None:
+        """Execute one statement.  DML returns None; queries return a DataFrame."""
+        s = statement.strip().rstrip(";").strip()
+        head = s.split(None, 1)[0].upper() if s else ""
+        if head == "INSERT":
+            return self._insert(s)
+        if head == "DELETE":
+            return self._delete(s)
+        if head == "UPDATE":
+            return self._update(s)
+        if head == "MERGE":
+            return self._merge(s)
+        return self._query(s)
+
+    # ----------------------------------------------------------------- DML
+    def _insert(self, s: str) -> None:
+        m = re.match(
+            rf"INSERT{_WS}INTO{_WS}(?P<table>\w+)"
+            rf"(?:{_WS}PARTITION{_WS}?\((?P<part>[^)]*)\))?"
+            rf"(?:[\s\n]*\((?P<cols>[^)]*)\))?"
+            rf"{_WS}VALUES{_WS}?(?P<values>\(.*\))$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise AcidSqlError(f"unsupported INSERT shape: {s[:120]}...")
+        t = self.table(m.group("table"))
+        schema = t.schema()
+        values_sql = m.group("values")
+        if m.group("cols"):
+            cols = [c.strip() for c in _split_top_level(m.group("cols"))]
+        else:
+            cols = schema.fieldNames()
+        # VALUES tuples evaluate through Catalyst — cast/date/timestamp
+        # literals behave exactly as in the reference's spark.sql INSERT
+        df = self.spark.sql(f"SELECT * FROM (VALUES {values_sql}) AS __v({', '.join(cols)})")
+        if m.group("part"):
+            for assign in _split_top_level(m.group("part")):
+                col, _, lit = assign.partition("=")
+                df = df.withColumn(col.strip(), F.expr(lit.strip()))
+        target_cols = schema.fieldNames()
+        missing = [c for c in target_cols if c not in df.columns]
+        if missing:
+            raise AcidSqlError(f"INSERT leaves columns unset: {missing}")
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+        t.append(df)
+        return None
+
+    def _delete(self, s: str) -> None:
+        m = re.match(
+            rf"DELETE{_WS}FROM{_WS}(?P<table>\w+)(?:{_WS}WHERE{_WS}(?P<pred>.+))?$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise AcidSqlError(f"unsupported DELETE shape: {s[:120]}...")
+        t = self.table(m.group("table"))
+        t.delete(m.group("pred").strip() if m.group("pred") else None)
+        return None
+
+    def _update(self, s: str) -> None:
+        m = re.match(
+            rf"UPDATE{_WS}(?P<table>\w+){_WS}SET{_WS}(?P<sets>.+?)"
+            rf"(?:{_WS}WHERE{_WS}(?P<pred>.+))?$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise AcidSqlError(f"unsupported UPDATE shape: {s[:120]}...")
+        t = self.table(m.group("table"))
+        assignments: dict[str, str] = {}
+        for part in _split_top_level(m.group("sets")):
+            col, eq, expr = part.partition("=")
+            if not eq:
+                raise AcidSqlError(f"bad SET clause: {part!r}")
+            assignments[col.strip()] = expr.strip()
+        pred = m.group("pred").strip() if m.group("pred") else "true"
+        t.update(assignments, pred)
+        return None
+
+    def _merge(self, s: str) -> None:
+        m = re.match(
+            rf"MERGE{_WS}INTO{_WS}(?P<target>\w+)(?:{_WS}AS{_WS}\w+|{_WS}(?!USING)\w+)?"
+            rf"{_WS}USING{_WS}(?P<source>\w+)(?:{_WS}AS{_WS}\w+|{_WS}(?!ON)\w+)?"
+            rf"{_WS}ON{_WS}(?P<on>.+?)"
+            rf"{_WS}WHEN{_WS}MATCHED{_WS}THEN{_WS}UPDATE{_WS}SET{_WS}.+?"
+            rf"{_WS}WHEN{_WS}NOT{_WS}MATCHED[\s\n]+(?:THEN[\s\n]+)?INSERT{_WS}?\(.+",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise AcidSqlError(
+                "unsupported MERGE shape (expected the reference's upsert: "
+                f"WHEN MATCHED UPDATE SET …, WHEN NOT MATCHED INSERT …): {s[:120]}..."
+            )
+        t = self.table(m.group("target"))
+        src_name = m.group("source")
+        if src_name in self._tables:
+            source = self._tables[src_name].read()
+        else:
+            source = self.spark.table(src_name)
+        # equality keys from the ON conjunction: <q>.k = <q>.k [AND ...]
+        keys = []
+        for clause in re.split(rf"{_WS}AND{_WS}", m.group("on"), flags=re.IGNORECASE):
+            eq = re.match(r"\s*(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)\s*$", clause)
+            if not eq or eq.group(1) != eq.group(2):
+                raise AcidSqlError(f"MERGE ON must be key equality; got {clause!r}")
+            keys.append(eq.group(1))
+        t.merge(source, keys)
+        return None
+
+    # --------------------------------------------------------------- query
+    _TC = re.compile(r"table_changes\s*\(\s*'(?P<table>\w+)'\s*,\s*(?P<ver>\d+)\s*\)", re.IGNORECASE)
+
+    def _query(self, s: str) -> DataFrame:
+        def expand(m: re.Match) -> str:
+            t = self.table(m.group("table"))
+            view = f"__tc_{m.group('table')}_{m.group('ver')}"
+            t.read_changes(int(m.group("ver"))).createOrReplaceTempView(view)
+            return view
+
+        s = self._TC.sub(expand, s)
+        for name, t in self._tables.items():
+            if re.search(rf"\b{re.escape(name)}\b", s):
+                t.read().createOrReplaceTempView(name)
+        return self.spark.sql(s)

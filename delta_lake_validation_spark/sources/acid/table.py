@@ -328,24 +328,33 @@ class AcidTable:
             writer = writer.partitionBy(*snap.partition_columns)
         writer.parquet(staging)
 
+        # Per-file statistics computed EXECUTOR-side: one distributed
+        # aggregation keyed by input_file_name over the staged directory.
+        # A commit staging thousands of files costs one Spark job + one
+        # recursive listing — never a driver-serial footer read per file.
+        stats_by_file = self._staged_stats(staging, schema, snap.partition_columns)
+        sizes = {
+            strip_scheme(p): sz
+            for p, sz in self.fs.list_files_with_size(staging)
+            if p.endswith(".parquet")
+        }
+
         adds = []
         base = strip_scheme(staging)
-        for f_abs in self.fs.list_files(staging):
-            name = f_abs.rsplit("/", 1)[-1]
-            if not name.endswith(".parquet"):
-                continue
-            rel_dir = strip_scheme(f_abs)[len(base) :].rsplit("/", 1)[0].strip("/")
+        for f_abs in sorted(sizes):
+            rel_dir = f_abs[len(base) :].rsplit("/", 1)[0].strip("/")
             pv = _partition_values(rel_dir)
             new_rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
             self.fs.rename(f_abs, f"{self.location}/{new_rel}")
+            n_records, st = stats_by_file.get(f_abs, (0, None))
             adds.append(
                 {
                     "path": new_rel,
                     "partitionValues": pv,
-                    "numRecords": _num_records(f"{self.location}/{new_rel}"),
-                    "size": self.fs.file_size(f"{self.location}/{new_rel}"),
+                    "numRecords": n_records,
+                    "size": sizes[f_abs],
                     "dataChange": True,
-                    "stats": _file_stats(f"{self.location}/{new_rel}"),
+                    "stats": st,
                 }
             )
         self.fs.delete(staging, recursive=True)
@@ -357,6 +366,60 @@ class AcidTable:
             old = self._read_files(snap, list(snap.files))
             cdf_files = self._write_cdf(old.withColumn(CDF_TYPE, F.lit("delete")))
         return adds, cdf_files
+
+    def _staged_stats(
+        self, staging: str, schema: StructType, partition_columns: list[str]
+    ) -> dict[str, tuple[int, dict | None]]:
+        """staged-file abs path -> (numRecords, stats dict) via ONE Spark
+        job: group the staged data by input_file_name and aggregate count +
+        per-column min/max/null-count.  Column coverage matches the data-
+        skipping reader: integral/floating/string/boolean (timestamps,
+        decimals, binaries skipped rather than mis-ordered in JSON)."""
+        from pyspark.sql.types import (
+            BooleanType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StringType,
+        )
+
+        stat_types = (
+            IntegerType, LongType, ShortType, FloatType, DoubleType,
+            StringType, BooleanType,
+        )
+        stat_cols = [
+            f.name
+            for f in schema.fields
+            if f.name not in partition_columns and isinstance(f.dataType, stat_types)
+        ]
+        reader = self.spark.read.schema(schema)
+        if partition_columns:
+            reader = reader.option("basePath", staging)
+        try:
+            staged = reader.parquet(staging)
+        except Exception:
+            return {}
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in stat_cols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}"))
+        rows = (
+            staged.withColumn("__file", F.input_file_name())
+            .groupBy("__file")
+            .agg(*aggs)
+            .collect()
+        )
+        out: dict[str, tuple[int, dict | None]] = {}
+        for r in rows:
+            mins = {c: r[f"__mn_{c}"] for c in stat_cols if r[f"__mn_{c}"] is not None}
+            maxs = {c: r[f"__mx_{c}"] for c in stat_cols if r[f"__mx_{c}"] is not None}
+            nulls = {c: r[f"__nl_{c}"] for c in stat_cols}
+            st = {"minValues": mins, "maxValues": maxs, "nullCounts": nulls} if mins else None
+            out[strip_scheme(unquote(urlparse(r["__file"]).path))] = (r["__n"], st)
+        return out
 
     def _cdf_enabled(self, snap: Snapshot) -> bool:
         return snap.properties.get("enableChangeDataFeed", "false").lower() == "true"
@@ -794,48 +857,3 @@ def _partition_values(rel_dir: str) -> dict[str, str]:
     return pv
 
 
-def _num_records(path: str) -> int:
-    try:
-        import pyarrow.parquet as pq
-
-        return pq.ParquetFile(strip_scheme(path)).metadata.num_rows
-    except Exception:
-        return -1
-
-
-def _file_stats(path: str) -> dict | None:
-    """Per-file column min/max/null-count from parquet footers (numeric and
-    string columns; values JSON-serialized).  Best-effort: None disables
-    skipping for the file, never breaks the write."""
-    try:
-        import pyarrow.parquet as pq
-
-        md = pq.ParquetFile(strip_scheme(path)).metadata
-        mins: dict = {}
-        maxs: dict = {}
-        nulls: dict = {}
-        for rg in range(md.num_row_groups):
-            row_group = md.row_group(rg)
-            for ci in range(row_group.num_columns):
-                col = row_group.column(ci)
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    continue
-                name = col.path_in_schema
-                mn, mx = st.min, st.max
-                if isinstance(mn, bytes):
-                    try:
-                        mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
-                    except UnicodeDecodeError:
-                        continue
-                if not isinstance(mn, (int, float, str, bool)):
-                    continue  # timestamps/decimals: skip rather than mis-order
-                mins[name] = mn if name not in mins else min(mins[name], mn)
-                maxs[name] = mx if name not in maxs else max(maxs[name], mx)
-                if st.null_count is not None:
-                    nulls[name] = nulls.get(name, 0) + st.null_count
-        if not mins:
-            return None
-        return {"minValues": mins, "maxValues": maxs, "nullCounts": nulls}
-    except Exception:
-        return None

@@ -69,6 +69,27 @@ class FileSystem:
             out.append(it.next().getPath().toString())
         return sorted(out)
 
+    def list_files_with_size(self, prefix: str) -> list[tuple[str, int]]:
+        """Recursive (path, size) listing — one pass, so a commit touching
+        thousands of files costs one listing instead of one RPC per file."""
+        if self.local:
+            base = strip_scheme(prefix)
+            out = []
+            for dirpath, _dirs, files in os.walk(base):
+                for f in files:
+                    p = os.path.join(dirpath, f)
+                    out.append((p, os.path.getsize(p)))
+            return sorted(out)
+        fs, jpath = self._jfs(prefix)
+        if not fs.exists(jpath):
+            return []
+        it = fs.listFiles(jpath, True)
+        out = []
+        while it.hasNext():
+            st = it.next()
+            out.append((st.getPath().toString(), st.getLen()))
+        return sorted(out)
+
     def exists(self, path: str) -> bool:
         if self.local:
             return os.path.exists(strip_scheme(path))

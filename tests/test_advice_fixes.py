@@ -132,3 +132,21 @@ def test_stream_appends_multi_column_partitions(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_many_file_commit_stats_executor_side(spark, tmp_path):
+    # 200+ staged files in one append: stats must come from one distributed
+    # job, and every add entry must carry correct numRecords + min/max
+    t = AcidTable.create(spark, os.path.join(str(tmp_path), "many"), "k INT, v INT")
+    df = spark.createDataFrame([(i, i * 2) for i in range(1000)], "k INT, v INT")
+    t.append(df.repartition(200))
+    snap = t.snapshot()
+    assert snap.num_files >= 200
+    metas = list(snap.files.values())
+    assert sum(m["numRecords"] for m in metas) == 1000
+    ks = [m["stats"]["minValues"]["k"] for m in metas if m.get("stats")]
+    assert min(ks) == 0
+    assert max(m["stats"]["maxValues"]["k"] for m in metas if m.get("stats")) == 999
+    assert all(m["size"] > 0 for m in metas)
+    # data-skipping still works off the executor-computed stats
+    assert t.read_range("k", lower=990).count() == 10
