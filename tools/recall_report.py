@@ -46,7 +46,45 @@ def main() -> int:
                   for r in REGISTRY[name].builder(spark, sf_dir).collect()}
         print(f"  {name:12s} vs exact top-10: {len(approx)} results, "
               f"recall {len(topk & approx) / max(1, len(topk)):.3f}")
+
+    clustered_regime(spark)
     return 0
+
+
+def clustered_regime(spark, n=4000, dim=64, n_clusters=20, n_queries=20, seed=7):
+    """ANN recall on CLUSTERED vectors — realistic embeddings concentrate
+    around topic clusters, where LSH buckets and IVF cells are much more
+    selective than on uniform-random vectors (the sf tables' regime)."""
+    import numpy as np
+
+    from delta_lake_validation_spark.operators.similarity import (
+        cosine_topk,
+        ivf_kmeans_topk,
+        lsh_ann_topk,
+    )
+
+    rng = np.random.RandomState(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    assign = rng.randint(0, n_clusters, size=n)
+    vecs = centers[assign] + 0.15 * rng.normal(size=(n, dim))
+    base = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    qidx = rng.choice(n, size=n_queries, replace=False)
+    queries = spark.createDataFrame(
+        [(int(1_000_000 + j), [float(x) for x in vecs[i]]) for j, i in enumerate(qidx)],
+        "query_id long, qe array<double>",
+    )
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(spark, base, queries).collect()}
+    lsh = {(r.query_id, r.neighbor_id)
+           for r in lsh_ann_topk(spark, base, queries, n_planes=12, dim=dim).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in ivf_kmeans_topk(spark, base, queries, n_cells=n_clusters, nprobe=4).collect()}
+    print(f"  [clustered n={n} k={n_clusters}] lsh_ann recall "
+          f"{len(exact & lsh) / max(1, len(exact)):.3f}, "
+          f"ivf_kmeans recall {len(exact & ivf) / max(1, len(exact)):.3f}")
 
 
 if __name__ == "__main__":
