@@ -311,10 +311,20 @@ class AcidTable:
         return v
 
     def _stage_write(
-        self, df: DataFrame, snap: Snapshot, cdf_type: str | None = "insert"
+        self,
+        df: DataFrame,
+        snap: Snapshot,
+        cdf_type: str | None = "insert",
+        rewrite: bool = False,
     ) -> tuple[list[dict], list[str]]:
         """Write df as parquet into staging, move files under the table root
-        (hive layout), return (add entries, cdf file list)."""
+        (hive layout), return (add entries, cdf file list).
+
+        ``rewrite=True`` (copy-on-write DML / compaction) names files
+        ``rw-*.parquet`` instead of ``part-*.parquet``: rewritten files
+        carry rows that are NOT new, so the append file-stream's
+        ``part-*`` glob must never see them — their row-level changes are
+        delivered through ``_change_data`` instead (streaming/cdf_stream)."""
         schema = self.schema(snap)
         cols = schema.fieldNames()
         if set(df.columns) != set(cols):
@@ -341,10 +351,11 @@ class AcidTable:
 
         adds = []
         base = strip_scheme(staging)
+        prefix = "rw" if rewrite else "part"
         for f_abs in sorted(sizes):
             rel_dir = f_abs[len(base) :].rsplit("/", 1)[0].strip("/")
             pv = _partition_values(rel_dir)
-            new_rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
+            new_rel = (rel_dir + "/" if rel_dir else "") + f"{prefix}-{uuid.uuid4().hex}.parquet"
             self.fs.rename(f_abs, f"{self.location}/{new_rel}")
             n_records, st = stats_by_file.get(f_abs, (0, None))
             adds.append(
@@ -497,7 +508,7 @@ class AcidTable:
             }
             return self._commit_strict(entry, snap)
         keep = self._read_files(snap, touched).filter(~cond_true)
-        adds, _ = self._stage_write(keep, snap, cdf_type=None)
+        adds, _ = self._stage_write(keep, snap, cdf_type=None, rewrite=True)
         cdf = (
             self._write_cdf(
                 self._read_files(snap, touched)
@@ -535,7 +546,7 @@ class AcidTable:
             for c in src.columns
         ]
         rewritten = src.select(*updated_cols)
-        adds, _ = self._stage_write(rewritten, snap, cdf_type=None)
+        adds, _ = self._stage_write(rewritten, snap, cdf_type=None, rewrite=True)
         cdf = []
         if self._cdf_enabled(snap):
             pre = src.filter(cond).withColumn(CDF_TYPE, F.lit("update_preimage"))
@@ -617,7 +628,7 @@ class AcidTable:
             )
         inserts = src.join(tgt, on, "left_anti").select(*[F.col(f"s.{c}").alias(c) for c in cols])
         new_data = inserts if rewritten is None else rewritten.unionByName(inserts)
-        adds, _ = self._stage_write(new_data, snap, cdf_type=None)
+        adds, _ = self._stage_write(new_data, snap, cdf_type=None, rewrite=True)
         cdf = []
         if self._cdf_enabled(snap):
             tf_all = self.read().alias("t")
@@ -782,7 +793,7 @@ class AcidTable:
                 )
             else:
                 df = df.coalesce(target_files)
-            new_adds, _ = self._stage_write(df, snap, cdf_type=None)
+            new_adds, _ = self._stage_write(df, snap, cdf_type=None, rewrite=True)
             for a in new_adds:
                 a["dataChange"] = False
             adds.extend(new_adds)

@@ -7,9 +7,10 @@ for append-only workloads: each committed append's files show up atomically
 (rename into place) and the file source picks them up exactly once.
 
 This is the engine's analog of reading Delta CDF as a stream
-(SURVEY.md §2.10 engine note); update/delete rewrites would need the change
-files under _change_data — exposed via AcidTable.read_changes for batch, and
-left for a custom streaming Source implementation.
+(SURVEY.md §2.10 engine note).  Copy-on-write DML/compaction rewrites are
+named ``rw-*`` by the write path, so the ``part-*`` glob here never emits
+rewritten old rows as phantom inserts; the full feed including DML changes
+is ``streaming.cdf_stream.stream_table_changes``.
 """
 
 from __future__ import annotations

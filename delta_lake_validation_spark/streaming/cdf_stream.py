@@ -10,12 +10,14 @@ Limitations vs batch ``AcidTable.read_changes``: APPEND commits don't write
 change files (their inserts are synthesized from data files in batch mode),
 and commit version/timestamp aren't in the files — this stream is the
 row-level change feed for DML, suitable for incrementally maintaining
-downstream aggregates.  Combine with ``stream_appends`` for the insert side.
+downstream aggregates.  ``stream_table_changes`` below unions in the insert
+side to make the feed complete.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from delta_lake_validation_spark.sources.acid.log import CDF_DIR
 from delta_lake_validation_spark.sources.acid.table import CDF_TYPE, AcidTable
@@ -41,3 +43,22 @@ def stream_changes(spark: SparkSession, location: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(f"{table.location}/{CDF_DIR}")
     )
+
+
+def stream_table_changes(spark: SparkSession, location: str) -> DataFrame:
+    """COMPLETE streaming change feed: inserts + update pre/post images +
+    deletes (the streaming analog of ``AcidTable.read_changes``).
+
+    Composition is sound because the write path partitions new files by
+    provenance: append/overwrite data files are named ``part-*`` (their rows
+    ARE the inserts — streamed directly, no extra copies stored, the same
+    synthesis batch CDF uses), while copy-on-write DML/compaction rewrites
+    are named ``rw-*`` and excluded from the file stream — rewritten files
+    mostly carry OLD rows, and their actual row-level changes (including
+    MERGE's inserts) arrive via the ``_change_data`` stream.  Each side is
+    an append-only file source, so every change is delivered exactly once.
+    """
+    from delta_lake_validation_spark.streaming.acid_stream import stream_appends
+
+    inserts = stream_appends(spark, location).withColumn(CDF_TYPE, F.lit("insert"))
+    return inserts.unionByName(stream_changes(spark, location))

@@ -233,3 +233,53 @@ def test_dedup_stream_drops_redeliveries(spark, events_dir, tmp_path):
     q.awaitTermination(120)
     n = spark.sql("SELECT count(*) FROM dedup_out").collect()[0][0]
     assert n == spark.read.schema(EVENTS_SCHEMA).parquet(events_dir).count()
+
+
+def test_stream_table_changes_complete_feed(spark, tmp_path):
+    """Unified change stream = appends-as-inserts + DML row changes, with
+    copy-on-write rewrites (rw-* files) never surfacing as phantom inserts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.streaming import stream_table_changes
+
+    loc = os.path.join(str(tmp_path), "unified")
+    t = AcidTable.create(
+        spark, loc, "k INT, v DOUBLE", properties={"enableChangeDataFeed": "true"}
+    )
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(10)], "k INT, v DOUBLE"))
+    t.update({"v": "v * 2"}, "k < 3")      # rewrites all 10 rows, changes 3
+    t.delete("k >= 8")                     # rewrites, deletes 2
+    q = (
+        stream_table_changes(spark, loc)
+        .writeStream.format("memory")
+        .queryName("unified_changes")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("SELECT _change_type, count(*) AS n FROM unified_changes GROUP BY 1")
+        .collect()
+    )
+    counts = {r._change_type: r.n for r in got}
+    # 10 appended inserts; 3 update pre + 3 post; 2 deletes — and crucially
+    # NOT the 10+8 rewritten rows the rw-* files carry
+    assert counts == {
+        "insert": 10,
+        "update_preimage": 3,
+        "update_postimage": 3,
+        "delete": 2,
+    }
+    # batch CDF agrees on the same feed
+    batch = {
+        r._change_type: r.n
+        for r in t.read_changes(0)
+        .groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert batch == counts
