@@ -108,7 +108,9 @@ def ngram_jaccard_pairs(
     frac = Fraction(threshold).limit_denominator(1_000_000)
     t_num, t_den = frac.numerator, frac.denominator
 
-    sh = shingle_hashes(docs, id_col, text_col, k)
+    # the shingle pipeline (tokenize → window → distinct) feeds BOTH the
+    # prefix path and the verification sets — cache it so it runs once
+    sh = shingle_hashes(docs, id_col, text_col, k).persist()
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(dfreq, "h")
     w = Window.partitionBy("id").orderBy("df", "h")

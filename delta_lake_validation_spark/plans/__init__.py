@@ -35,6 +35,9 @@ _TIER_BY_MODULE = {
 _TIER_BY_NAME = {
     # edit-distance is its own function family (SURVEY §2.9), not a variant
     "brand_edit_distance": _reg.TIER_TIMESERIES,
+    # BPE-regex tokenization is a variant of the token_counts family —
+    # demoted so the verified window holds every distinct family at 50
+    "token_counts_bpe": _reg.TIER_VARIANT,
 }
 
 for _name, _spec in list(REGISTRY.items()):

@@ -218,3 +218,38 @@ def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
         """,
     )
+
+
+@register(
+    "asof_last_purchase",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           p.event_id AS purchase_event_id,
+           p.value AS purchase_value
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts, event_id, value
+                    FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    tags=("timeseries", "asof", "join"),
+    doc="as-of join: each event -> user's latest purchase at-or-before it "
+        "(operators/asof.py; DuckDB ASOF JOIN is the oracle)",
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.asof import asof_join
+
+    ev = Tables(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        key_cols=["user_id"],
+        time_col="ts",
+        value_cols=["purchase_event_id", "purchase_value"],
+    )
+    return out.select("event_id", "user_id", "purchase_event_id", "purchase_value")

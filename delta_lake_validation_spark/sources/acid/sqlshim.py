@@ -192,15 +192,35 @@ class AcidSqlContext:
 
     # --------------------------------------------------------------- query
     _TC = re.compile(r"table_changes\s*\(\s*'(?P<table>\w+)'\s*,\s*(?P<ver>\d+)\s*\)", re.IGNORECASE)
+    _VER = re.compile(
+        r"\b(?P<table>\w+)\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)", re.IGNORECASE
+    )
+    _TS = re.compile(
+        r"\b(?P<table>\w+)\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'", re.IGNORECASE
+    )
 
     def _query(self, s: str) -> DataFrame:
-        def expand(m: re.Match) -> str:
+        def expand_tc(m: re.Match) -> str:
             t = self.table(m.group("table"))
             view = f"__tc_{m.group('table')}_{m.group('ver')}"
             t.read_changes(int(m.group("ver"))).createOrReplaceTempView(view)
             return view
 
-        s = self._TC.sub(expand, s)
+        def expand_ver(m: re.Match) -> str:
+            t = self.table(m.group("table"))
+            view = f"__v_{m.group('table')}_{m.group('ver')}"
+            t.read(version=int(m.group("ver"))).createOrReplaceTempView(view)
+            return view
+
+        def expand_ts(m: re.Match) -> str:
+            t = self.table(m.group("table"))
+            view = f"__ts_{m.group('table')}_{abs(hash(m.group('ts')))}"
+            t.read(timestamp=m.group("ts")).createOrReplaceTempView(view)
+            return view
+
+        s = self._TC.sub(expand_tc, s)
+        s = self._VER.sub(expand_ver, s)
+        s = self._TS.sub(expand_ts, s)
         for name, t in self._tables.items():
             if re.search(rf"\b{re.escape(name)}\b", s):
                 t.read().createOrReplaceTempView(name)

@@ -84,3 +84,26 @@ def test_dedup_clusters_paths_agree(spark, docs):
         by_cluster.setdefault(c, []).append(node)
     for c, members in by_cluster.items():
         assert c == min(members + [c])
+
+
+def test_asof_join_strict_and_inclusive(spark):
+    from delta_lake_validation_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")], "k INT, t INT, name STRING"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 19, 190.0), (2, 16, 160.0)], "k INT, t INT, px DOUBLE"
+    )
+    incl = {
+        r.name: r.px
+        for r in asof_join(left, right, ["k"], "t", ["px"]).collect()
+    }
+    # inclusive: t=10 matches the t=10 tick; t=20 takes latest (t=19);
+    # k=2 at t=15 has no tick at-or-before -> null
+    assert incl == {"a": 100.0, "b": 190.0, "c": None}
+    strict = {
+        r.name: r.px
+        for r in asof_join(left, right, ["k"], "t", ["px"], strict=True).collect()
+    }
+    assert strict == {"a": None, "b": 190.0, "c": None}

@@ -145,3 +145,14 @@ def test_unknown_shapes_rejected(ctx):
         ctx.sql("DELETE FROM nope WHERE 1=1")
     with pytest.raises(AcidSqlError, match="unsupported MERGE"):
         ctx.sql("MERGE INTO orders USING x ON a = b WHEN MATCHED THEN DELETE")
+
+
+def test_time_travel_sql_forms(ctx):
+    # ref reads VERSION AS OF / TIMESTAMP AS OF (:416-453); SQL forms here
+    _seed(ctx)  # v1
+    ctx.sql('DELETE FROM orders WHERE item_count = 1')  # v2
+    assert ctx.sql("SELECT * FROM orders VERSION AS OF 1").count() == 2
+    assert ctx.sql("SELECT * FROM orders").count() == 1
+    hist = ctx.table("orders").history()
+    ts_v1 = [h["timestamp"] for h in hist if h["version"] == 1][0]
+    assert ctx.sql(f"SELECT * FROM orders TIMESTAMP AS OF '{ts_v1}'").count() == 2
