@@ -38,6 +38,9 @@ _TIER_BY_NAME = {
     # BPE-regex tokenization is a variant of the token_counts family —
     # demoted so the verified window holds every distinct family at 50
     "token_counts_bpe": _reg.TIER_VARIANT,
+    # composition of multimodal_features + ann_cosine_topk, both verified
+    # as families of their own
+    "multimodal_ann": _reg.TIER_VARIANT,
 }
 
 for _name, _spec in list(REGISTRY.items()):

@@ -205,3 +205,42 @@ def dml_update_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("total_rows", t.read().count()),
         ]
     return _result(spark, rows)
+
+
+@register(
+    "dml_optimize_vacuum",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'files_before' AS step,
+             2 * (SELECT count(DISTINCT n_regionkey) FROM nation) AS n_rows
+      UNION ALL
+      SELECT 'files_after_optimize',
+             (SELECT count(DISTINCT n_regionkey) FROM nation)
+      UNION ALL
+      SELECT 'rows_after_optimize', 2 * (SELECT count(*) FROM nation)
+      UNION ALL
+      SELECT 'vacuumed_files',
+             2 * (SELECT count(DISTINCT n_regionkey) FROM nation)
+    ) ORDER BY step
+    """,
+    tags=("acid", "maintenance"),
+    doc="OPTIMIZE compaction + VACUUM reclaim, rows invariant (§2.8 D11/D12).",
+)
+def dml_optimize_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    with _scratch() as loc:
+        t = AcidTable.create(
+            spark, loc, nation.schema, partition_by=["n_regionkey"]
+        )
+        # two compact appends -> exactly one file per partition per append
+        t.append(nation, compact=True)
+        t.append(nation, compact=True)
+        files_before = t.detail()["numFiles"]
+        t.optimize(target_files=1)
+        rows = [
+            ("files_before", files_before),
+            ("files_after_optimize", t.detail()["numFiles"]),
+            ("rows_after_optimize", t.read().count()),
+            ("vacuumed_files", len(t.vacuum(retain_hours=0.0))),
+        ]
+    return _result(spark, rows)
