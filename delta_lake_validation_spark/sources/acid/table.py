@@ -331,7 +331,11 @@ class AcidTable:
             raise AcidTableError(
                 f"schema mismatch: table has {cols}, data has {df.columns}"
             )
-        df = df.select(*cols)  # positional order
+        # positional order + implicit safe cast to the table schema (as
+        # Delta does): without the cast, a long-typed df appended to an
+        # int column writes INT64 parquet that every later read rejects
+        # with PARQUET_COLUMN_DATA_TYPE_MISMATCH
+        df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
         staging = f"{self.location}/{STAGING_DIR}/{uuid.uuid4().hex}"
         writer = df.write.mode("overwrite")
         if snap.partition_columns:

@@ -150,3 +150,12 @@ def test_many_file_commit_stats_executor_side(spark, tmp_path):
     assert all(m["size"] > 0 for m in metas)
     # data-skipping still works off the executor-computed stats
     assert t.read_range("k", lower=990).count() == 10
+
+
+def test_append_coerces_compatible_types(spark, tmp_path):
+    # inferred-long rows into an INT table must write INT32 parquet
+    t = AcidTable.create(spark, os.path.join(str(tmp_path), "co"), "k INT, v INT")
+    t.append(spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=None)]))  # longs
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {(1, 10), (2, None)}
+    assert t.read().schema.simpleString() == "struct<k:int,v:int>"

@@ -37,6 +37,26 @@ EXPECTATIONS: dict[str, list[str]] = {
     "rollup_flag_status": ["Expand"],
 }
 
+# query -> callable(plan) -> list of problem strings (empty = OK)
+CUSTOM: dict[str, object] = {
+    # as-of join must stay a single shuffle (union + one window by key):
+    # any join operator or second exchange means the shape regressed
+    # formatted plans name each node twice (tree + "(n) Op" detail): count
+    # detail headers only
+    "asof_last_purchase": lambda p: (
+        (["join operator appeared"] if "Join" in p else [])
+        + ([f"expected 1 Exchange node, saw {p.count(') Exchange')}"]
+           if p.count(") Exchange") != 1 else [])
+    ),
+    # all-pairs cosine must be the distributed cogroup — never a cartesian
+    # or broadcast-nested-loop fallback
+    "embedding_near_dup": lambda p: (
+        (["no FlatMapCoGroupsInPandas"] if "FlatMapCoGroupsInPandas" not in p else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["BroadcastNestedLoopJoin appeared"] if "BroadcastNestedLoopJoin" in p else [])
+    ),
+}
+
 
 def plan_of(spark, name: str, sf_dir: str) -> str:
     df = REGISTRY[name].builder(spark, sf_dir)
@@ -57,6 +77,12 @@ def main() -> int:
         status = "OK" if not missing else f"MISSING {missing}"
         print(f"  {name:28s} {status}")
         if missing:
+            failures.append(name)
+    for name, check in CUSTOM.items():
+        plan = plan_of(spark, name, sf_dir)
+        problems = check(plan)
+        print(f"  {name:28s} {'OK' if not problems else problems}")
+        if problems:
             failures.append(name)
     print(f"\n{len(failures)} plan regressions: {failures}" if failures else "\nall plans OK")
     return 1 if failures else 0
