@@ -41,6 +41,8 @@ _TIER_BY_NAME = {
     # composition of multimodal_features + ann_cosine_topk, both verified
     # as families of their own
     "multimodal_ann": _reg.TIER_VARIANT,
+    # per-doc prediction variant of the lang_stats family
+    "lang_id_predictions": _reg.TIER_VARIANT,
 }
 
 for _name, _spec in list(REGISTRY.items()):

@@ -552,3 +552,64 @@ def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition detection (Gopher-style quality rule): fraction of duplicate
+# word trigrams within each document.  Heavily repeated boilerplate scores
+# high and gets filtered before training.  Pure Catalyst: posexplode +
+# lead window for grams, one aggregate; ratio via exact integer half-up.
+# ---------------------------------------------------------------------------
+@register(
+    "doc_repetition",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+      FROM toks WHERE len(ts) >= 3
+    ),
+    grams AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g FROM idx
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(CAST((2 * (count(*) - count(DISTINCT g)) * 10000 + count(*))
+                     // (2 * count(*)) AS DOUBLE) / 10000.0 AS DOUBLE)
+               AS dup_gram_ratio
+    FROM grams GROUP BY doc_id
+    """,
+    tags=("text", "llm", "quality"),
+    doc="duplicate-trigram fraction per doc (repetition quality rule)",
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        ).alias("g"),
+        F.lead("tok", 2).over(w).alias("__last"),
+    ).filter(F.col("__last").isNotNull())
+    agg = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("g").alias("__d"),
+    )
+    dup = F.col("n_grams") - F.col("__d")
+    scaled = F.floor(
+        (2 * dup * 10000 + F.col("n_grams")) / (2 * F.col("n_grams"))
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        (scaled.cast("double") / F.lit(10000.0)).cast("double").alias("dup_gram_ratio"),
+    )
