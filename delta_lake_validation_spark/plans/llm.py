@@ -397,12 +397,32 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Dedup clustering: connected components over exact near-dup pairs.
-# Iterative (non-SQL-expressible as one query) → rows-only; the pair
-# input itself is the oracle-checked ngram_jaccard_pairs.
+# Iterative in Spark (label propagation), but a DuckDB RECURSIVE CTE can
+# compute the same min-reachable-id closure — so the driver grades values,
+# not just row counts.
 # ---------------------------------------------------------------------------
 @register(
     "dedup_clusters",
-    oracle=None,
+    oracle=r"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents),
+    sh AS (SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(range(1, len(t)-1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS s FROM toks),
+    pairs AS (SELECT a.doc_id AS la, b.doc_id AS rb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s)) * 5
+                    >= len(list_distinct(a.s || b.s)) * 4),
+    edges AS (SELECT la AS a, rb AS b FROM pairs
+              UNION SELECT rb, la FROM pairs),
+    cc AS (SELECT a AS id, a AS lbl FROM edges
+           UNION
+           SELECT e.a, c.lbl FROM edges e JOIN cc c ON e.b = c.id)
+    SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id
+    """,
     tags=("dedup", "llm", "iterative"),
     doc="north-star dedup: connected-component duplicate clusters; operators/dedup.py",
 )
@@ -424,7 +444,37 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "curation_pipeline",
-    oracle=None,
+    oracle=r"""
+    WITH RECURSIVE
+    canonical AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+    kept AS (SELECT d.doc_id, d.lang,
+                    CAST(len(string_split_regex(trim(d.text), '\s+')) AS INTEGER)
+                        AS n_tokens,
+                    d.text
+             FROM documents d JOIN canonical c ON d.doc_id = c.doc_id
+             WHERE len(string_split_regex(trim(d.text), '\s+'))
+                       BETWEEN 10 AND 10000
+               AND d.lang IN ('en', 'de', 'fr', 'es', 'zh')),
+    toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM kept),
+    sh AS (SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(range(1, len(t)-1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS s FROM toks),
+    pairs AS (SELECT a.doc_id AS la, b.doc_id AS rb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s)) * 5
+                    >= len(list_distinct(a.s || b.s)) * 4),
+    edges AS (SELECT la AS a, rb AS b FROM pairs
+              UNION SELECT rb, la FROM pairs),
+    cc AS (SELECT a AS id, a AS lbl FROM edges
+           UNION
+           SELECT e.a, c.lbl FROM edges e JOIN cc c ON e.b = c.id),
+    losers AS (SELECT id FROM cc GROUP BY id HAVING min(lbl) <> id)
+    SELECT doc_id, lang, n_tokens FROM kept
+    WHERE doc_id NOT IN (SELECT id FROM losers)
+    """,
     tags=("llm", "pipeline"),
     doc="north-star composite: dedup + quality + lang + near-dup removal",
 )
