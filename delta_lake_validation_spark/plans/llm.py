@@ -339,7 +339,20 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "multimodal_features",
-    oracle=None,
+    # the digest-fake encoder is deterministic, so DuckDB can recompute the
+    # first feature bit-for-bit: first 4 bytes of sha256(utf8) as LE uint32,
+    # / 2^32 - 0.5, through float32 — identical doubles, no rounding needed
+    oracle="""
+    WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents)
+    SELECT doc_id AS id, CAST(16 AS INTEGER) AS dim,
+           CAST(CAST(
+             ( CAST('0x' || substr(hx, 1, 2) AS BIGINT)
+             + CAST('0x' || substr(hx, 3, 2) AS BIGINT) * 256
+             + CAST('0x' || substr(hx, 5, 2) AS BIGINT) * 65536
+             + CAST('0x' || substr(hx, 7, 2) AS BIGINT) * 16777216
+             ) / 4294967296.0 - 0.5 AS FLOAT) AS DOUBLE) AS f0
+    FROM h
+    """,
     tags=("multimodal", "llm"),
     doc="north-star multimodal: binary payload -> feature vectors; operators/multimodal.py",
 )
@@ -354,7 +367,7 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "id",
         F.size("features").cast("int").alias("dim"),
-        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.element_at("features", 1).cast("double").alias("f0"),
     )
 
 
