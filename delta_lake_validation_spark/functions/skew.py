@@ -44,7 +44,10 @@ def salted_groupby(
     return stage1.groupBy(*keys).agg(*finals)
 
 
-_SALT_SAFE_JOINS = ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti")
+_SALT_SAFE_JOINS = (
+    "inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti",
+)
 
 
 def salted_join(

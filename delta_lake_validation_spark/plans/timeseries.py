@@ -228,7 +228,9 @@ def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
            p.value AS purchase_value
     FROM events e
     ASOF LEFT JOIN (SELECT user_id, ts, event_id, value
-                    FROM events WHERE event_type = 'purchase') p
+                    FROM events WHERE event_type = 'purchase'
+                    QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                               ORDER BY event_id DESC) = 1) p
       ON e.user_id = p.user_id AND e.ts >= p.ts
     """,
     tags=("timeseries", "asof", "join"),
@@ -239,11 +241,18 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_validation_spark.operators.asof import asof_join
 
     ev = Tables(spark, sf_dir).events
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("purchase_event_id"),
-        F.col("value").alias("purchase_value"),
+    # one tick per (user, ts) — ASOF tie-break among simultaneous right
+    # rows is engine-arbitrary, so both sides dedup to max event_id first
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "value")).alias("__p"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("__p.event_id").alias("purchase_event_id"),
+            F.col("__p.value").alias("purchase_value"),
+        )
     )
     out = asof_join(
         ev.select("event_id", "user_id", "ts"),

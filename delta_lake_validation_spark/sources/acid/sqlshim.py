@@ -95,9 +95,9 @@ class AcidSqlContext:
     def _insert(self, s: str) -> None:
         m = re.match(
             rf"INSERT{_WS}INTO{_WS}(?P<table>\w+)"
-            rf"(?:{_WS}PARTITION{_WS}?\((?P<part>[^)]*)\))?"
+            rf"(?:{_WS}PARTITION[\s\n]*\((?P<part>[^)]*)\))?"
             rf"(?:[\s\n]*\((?P<cols>[^)]*)\))?"
-            rf"{_WS}VALUES{_WS}?(?P<values>\(.*\))$",
+            rf"{_WS}VALUES[\s\n]*(?P<values>\(.*\))$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
@@ -106,25 +106,28 @@ class AcidSqlContext:
         t = self.table(m.group("table"))
         schema = t.schema()
         values_sql = m.group("values")
-        if m.group("cols"):
-            cols = [c.strip() for c in _split_top_level(m.group("cols"))]
-        else:
-            cols = schema.fieldNames()
-        # VALUES tuples evaluate through Catalyst — cast/date/timestamp
-        # literals behave exactly as in the reference's spark.sql INSERT
-        df = self.spark.sql(f"SELECT * FROM (VALUES {values_sql}) AS __v({', '.join(cols)})")
+        part_assigns: list[tuple[str, str]] = []
         if m.group("part"):
             for assign in _split_top_level(m.group("part")):
                 col, _, lit = assign.partition("=")
-                df = df.withColumn(col.strip(), F.expr(lit.strip()))
-        target_cols = schema.fieldNames()
-        missing = [c for c in target_cols if c not in df.columns]
+                part_assigns.append((col.strip(), lit.strip()))
+        if m.group("cols"):
+            cols = [c.strip() for c in _split_top_level(m.group("cols"))]
+        else:
+            # static-partition INSERT without a column list: VALUES supplies
+            # every non-partition-clause column, in schema order
+            part_names = {c for c, _ in part_assigns}
+            cols = [c for c in schema.fieldNames() if c not in part_names]
+        # VALUES tuples evaluate through Catalyst — cast/date/timestamp
+        # literals behave exactly as in the reference's spark.sql INSERT
+        df = self.spark.sql(f"SELECT * FROM (VALUES {values_sql}) AS __v({', '.join(cols)})")
+        for col, lit in part_assigns:
+            df = df.withColumn(col, F.expr(lit))
+        missing = [c for c in schema.fieldNames() if c not in df.columns]
         if missing:
             raise AcidSqlError(f"INSERT leaves columns unset: {missing}")
-        df = df.select(
-            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
-        )
-        t.append(df)
+        # positional order; type coercion happens in _stage_write
+        t.append(df.select(*schema.fieldNames()))
         return None
 
     def _delete(self, s: str) -> None:
@@ -164,8 +167,8 @@ class AcidSqlContext:
             rf"MERGE{_WS}INTO{_WS}(?P<target>\w+)(?:{_WS}AS{_WS}\w+|{_WS}(?!USING)\w+)?"
             rf"{_WS}USING{_WS}(?P<source>\w+)(?:{_WS}AS{_WS}\w+|{_WS}(?!ON)\w+)?"
             rf"{_WS}ON{_WS}(?P<on>.+?)"
-            rf"{_WS}WHEN{_WS}MATCHED{_WS}THEN{_WS}UPDATE{_WS}SET{_WS}.+?"
-            rf"{_WS}WHEN{_WS}NOT{_WS}MATCHED[\s\n]+(?:THEN[\s\n]+)?INSERT{_WS}?\(.+",
+            rf"{_WS}WHEN{_WS}MATCHED{_WS}THEN{_WS}UPDATE{_WS}SET{_WS}(?P<sets>.+?)"
+            rf"{_WS}WHEN{_WS}NOT{_WS}MATCHED[\s\n]+(?:THEN[\s\n]+)?INSERT[\s\n]*\(.+",
             s,
             re.IGNORECASE | re.DOTALL,
         )
@@ -175,6 +178,22 @@ class AcidSqlContext:
                 f"WHEN MATCHED UPDATE SET …, WHEN NOT MATCHED INSERT …): {s[:120]}..."
             )
         t = self.table(m.group("target"))
+        # AcidTable.merge is full-row upsert; dispatching a partial-column
+        # SET there would silently overwrite unlisted columns — verify the
+        # statement assigns every target column (col = <source>.col)
+        set_cols = set()
+        for part in _split_top_level(m.group("sets")):
+            col, eq, _expr = part.partition("=")
+            if eq:
+                set_cols.add(col.strip().split(".")[-1].lower())
+        unassigned = [
+            c for c in t.schema().fieldNames() if c.lower() not in set_cols
+        ]
+        if unassigned:
+            raise AcidSqlError(
+                "only full-row MERGE upserts are supported (the reference's "
+                f"shape); UPDATE SET leaves columns unassigned: {unassigned}"
+            )
         src_name = m.group("source")
         if src_name in self._tables:
             source = self._tables[src_name].read()

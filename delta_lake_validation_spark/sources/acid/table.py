@@ -361,7 +361,7 @@ class AcidTable:
             pv = _partition_values(rel_dir)
             new_rel = (rel_dir + "/" if rel_dir else "") + f"{prefix}-{uuid.uuid4().hex}.parquet"
             self.fs.rename(f_abs, f"{self.location}/{new_rel}")
-            n_records, st = stats_by_file.get(f_abs, (0, None))
+            n_records, st = stats_by_file.get(f_abs.rsplit("/", 1)[-1], (0, None))
             adds.append(
                 {
                     "path": new_rel,
@@ -433,7 +433,12 @@ class AcidTable:
             maxs = {c: r[f"__mx_{c}"] for c in stat_cols if r[f"__mx_{c}"] is not None}
             nulls = {c: r[f"__nl_{c}"] for c in stat_cols}
             st = {"minValues": mins, "maxValues": maxs, "nullCounts": nulls} if mins else None
-            out[strip_scheme(unquote(urlparse(r["__file"]).path))] = (r["__n"], st)
+            # key by basename: input_file_name is a full URI whose
+            # scheme/authority rendering differs from the listing's on
+            # remote filesystems, but one staged write's filenames are
+            # unique, so the basename is a safe join key
+            name = unquote(urlparse(r["__file"]).path).rsplit("/", 1)[-1]
+            out[name] = (r["__n"], st)
         return out
 
     def _cdf_enabled(self, snap: Snapshot) -> bool:

@@ -156,3 +156,31 @@ def test_time_travel_sql_forms(ctx):
     hist = ctx.table("orders").history()
     ts_v1 = [h["timestamp"] for h in hist if h["version"] == 1][0]
     assert ctx.sql(f"SELECT * FROM orders TIMESTAMP AS OF '{ts_v1}'").count() == 2
+
+
+def test_insert_partition_without_column_list(ctx):
+    # static-partition INSERT where VALUES supplies the non-partition
+    # columns in schema order and the clause supplies the partition value
+    ctx.sql(
+        "INSERT INTO orders PARTITION (order_date = date'2024-02-01') "
+        "VALUES('o1', 1, cast('9.5' as double), timestamp'2024-02-01 08:00:00')"
+    )
+    got = ctx.sql("SELECT * FROM orders").collect()
+    assert len(got) == 1
+    assert str(got[0].order_date) == "2024-02-01"
+    assert got[0].cost == 9.5
+
+
+def test_merge_partial_column_set_rejected(ctx, spark, tmp_path):
+    _seed(ctx)
+    updates = AcidTable.create(
+        spark, os.path.join(str(tmp_path), "u2"), SCHEMA, partition_by=["order_date"]
+    )
+    ctx.register("updates", updates)
+    with pytest.raises(AcidSqlError, match="full-row MERGE"):
+        ctx.sql(
+            """MERGE INTO orders USING updates
+               ON updates.order_id = orders.order_id
+               WHEN MATCHED THEN UPDATE SET cost = updates.cost
+               WHEN NOT MATCHED THEN INSERT (order_id) VALUES (updates.order_id)"""
+        )
