@@ -89,7 +89,33 @@ class AcidSqlContext:
             return self._update(s)
         if head == "MERGE":
             return self._merge(s)
+        if head == "DESCRIBE":
+            return self._describe(s)
         return self._query(s)
+
+    def _describe(self, s: str) -> DataFrame:
+        """DESCRIBE HISTORY/DETAIL <table> (ref: validation_suite.py:244-259)."""
+        m = re.match(
+            rf"DESCRIBE{_WS}(?P<what>HISTORY|DETAIL){_WS}(?P<table>\w+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise AcidSqlError(f"unsupported DESCRIBE shape: {s[:120]}...")
+        t = self.table(m.group("table"))
+        if m.group("what").upper() == "HISTORY":
+            rows = [
+                (h["version"], h["timestamp"], h["operation"])
+                for h in t.history()
+            ]
+            return self.spark.createDataFrame(
+                rows, "version long, timestamp string, operation string"
+            )
+        d = t.detail()
+        return self.spark.createDataFrame(
+            [(d["location"], d["numFiles"], d["sizeInBytes"], d["version"])],
+            "location string, numFiles long, sizeInBytes long, version long",
+        )
 
     # ----------------------------------------------------------------- DML
     def _insert(self, s: str) -> None:

@@ -814,7 +814,24 @@ class AcidTable:
             "remove": [{"path": p} for p in remove],
             "cdf": [],
         }
-        return self._commit_strict(entry, snap)
+        # compaction changes no rows, so it commutes with appends: on a
+        # lost race, rebase onto the new head as long as every file being
+        # replaced is still active (an append never removes files; only a
+        # competing rewrite of the same files forces the conflict path)
+        v = snap.version + 1
+        for _ in range(50):
+            if self.log.try_commit(v, entry):
+                return v
+            head = self.log.snapshot()
+            if any(p not in head.files for p in remove):
+                for a in adds:
+                    self.fs.delete(f"{self.location}/{a['path']}")
+                raise ConcurrentWriteException(
+                    "optimize lost a race against a commit that rewrote "
+                    "the files being compacted"
+                )
+            v = head.version + 1
+        raise ConcurrentWriteException("optimize could not commit after 50 attempts")
 
     # ------------------------------------------------------------------ CDF
     def read_changes(

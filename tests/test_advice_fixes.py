@@ -159,3 +159,29 @@ def test_append_coerces_compatible_types(spark, tmp_path):
     got = {(r.k, r.v) for r in t.read().collect()}
     assert got == {(1, 10), (2, None)}
     assert t.read().schema.simpleString() == "struct<k:int,v:int>"
+
+
+def test_optimize_rebases_past_concurrent_append(spark, tmp_path):
+    # compaction commutes with appends: a lost race rebases instead of
+    # raising, as long as the compacted files are still active
+    t = AcidTable.create(spark, os.path.join(str(tmp_path), "opt"), "k INT, v INT")
+    t.append(_df(spark, [(1, 1)]))
+    t.append(_df(spark, [(2, 2)]))
+    real = t.log.try_commit
+    calls = {"n": 0}
+
+    def lose_once(v, e):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # simulate an append winning the version race
+            real(v, {"operation": "APPEND", "operationParameters": {},
+                     "add": [], "remove": [], "cdf": []})
+            return False
+        return real(v, e)
+
+    t.log.try_commit = lose_once
+    v = t.optimize(target_files=1)
+    t.log.try_commit = real
+    assert v == t.version()
+    assert t.read().count() == 2
+    assert t.detail()["numFiles"] == 1

@@ -184,3 +184,12 @@ def test_merge_partial_column_set_rejected(ctx, spark, tmp_path):
                WHEN MATCHED THEN UPDATE SET cost = updates.cost
                WHEN NOT MATCHED THEN INSERT (order_id) VALUES (updates.order_id)"""
         )
+
+
+def test_describe_history_and_detail(ctx):
+    _seed(ctx)
+    ctx.sql("UPDATE orders SET item_count = 0 WHERE item_count = 2")
+    hist = ctx.sql("DESCRIBE HISTORY orders").collect()
+    assert [h.operation for h in hist][:2] == ["UPDATE", "APPEND"]
+    det = ctx.sql("DESCRIBE DETAIL orders").collect()[0]
+    assert det.version == 2 and det.numFiles >= 1
