@@ -8,7 +8,7 @@ broadcast-infeasible skewed joins — and they make the technique testable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _ALGEBRAIC = {

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from delta_lake_validation_spark.functions.aggregates import davg, sql_davg
-from delta_lake_validation_spark.functions.vectors import cosine_sim
+
 from delta_lake_validation_spark.plans.registry import register
 from delta_lake_validation_spark.tables import Tables
 

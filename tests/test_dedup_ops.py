@@ -107,3 +107,37 @@ def test_asof_join_strict_and_inclusive(spark):
         for r in asof_join(left, right, ["k"], "t", ["px"], strict=True).collect()
     }
     assert strict == {"a": None, "b": 190.0, "c": None}
+
+
+def test_vector_udfs_match_hof_expressions(spark):
+    """functions/vectors pandas UDFs agree with the interpreted HOF forms
+    (zip_with+aggregate) they replace on the hot path."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_validation_spark.functions.vectors import cosine_sim, dot_product
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]), ([0.5, 0.0, -1.0], [1.0, 1.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    hof_dot = F.aggregate(
+        F.zip_with("a", "b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rows = df.select(
+        dot_product("a", "b").alias("d"),
+        hof_dot.alias("d_hof"),
+        cosine_sim("a", "b").alias("c"),
+        F.round(
+            hof_dot
+            / (
+                F.sqrt(F.aggregate(F.zip_with("a", "a", lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda acc, v: acc + v))
+                * F.sqrt(F.aggregate(F.zip_with("b", "b", lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda acc, v: acc + v))
+            ),
+            6,
+        ).alias("c_hof"),
+    ).collect()
+    for r in rows:
+        assert abs(r.d - r.d_hof) < 1e-9
+        assert abs(r.c - r.c_hof) < 1e-9
