@@ -43,6 +43,13 @@ _TIER_BY_NAME = {
     "multimodal_ann": _reg.TIER_VARIANT,
     # per-doc prediction variant of the lang_stats family
     "lang_id_predictions": _reg.TIER_VARIANT,
+    # round-2 late families: placed first past the observed 50-entry driver
+    # cap so they never displace already-verified families, but pick up
+    # driver rows if the window grows
+    "tfidf_top_terms": _reg.TIER_NEWFAM,
+    "stratified_sample": _reg.TIER_NEWFAM,
+    "text_normalize": _reg.TIER_NEWFAM,
+    "time_bucket_gapfill": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):

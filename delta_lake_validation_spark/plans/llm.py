@@ -676,3 +676,137 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
         (scaled.cast("double") / F.lit(10000.0)).cast("double").alias("dup_gram_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term weighting: the classic corpus-statistics operator an LLM-data
+# pipeline uses for keyword extraction / topic labeling.  tf counts pool per
+# source; df counts distinct documents containing the term corpus-wide.
+#
+# Determinism note: Spark's JVM ln() and DuckDB's libm ln() disagree in the
+# last ulp on ~4% of inputs (measured), so the idf dampening here is the
+# *linear* variant score = tf * N div df — exact BIGINT arithmetic that both
+# engines compute bit-identically.  Production swap to log-idf is one line.
+#
+# Scale: the token explode is the usual corpus-wide shuffle (partial aggs
+# apply); df and the 1-row N are broadcast back — no driver collect.
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        FROM documents
+    ),
+    t AS (SELECT * FROM tok WHERE term <> ''),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+    tfreq AS (SELECT source, term, count(*) AS tf FROM t GROUP BY source, term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT source, rk, term, tf, df, score FROM (
+        SELECT source, term, tf, df, (tf * n_docs) // df AS score,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (tf * n_docs) // df DESC, term
+               ) AS rk
+        FROM tfreq JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rk <= 15
+    """,
+    tags=("text", "llm", "tfidf"),
+    doc="per-source top-15 terms by exact linear TF-IDF",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tfreq = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tfreq.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.expr("(tf * n_docs) div df"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 15)
+        .select("source", "rk", "term", "tf", "df", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: deterministic per-stratum subsample (k docs per lang)
+# ranked by a portable content-independent hash (md5 of the key) so Spark and
+# DuckDB draw the identical "random" sample.  This is the curation primitive
+# for balancing language/domain mixes in a training corpus.
+#
+# Scale: one hash-shuffle on the stratum key; rank+filter prunes to k per
+# stratum before anything leaves the exchange.  For heavily skewed strata the
+# window sort is the cost — at 100 TB swap row_number for a two-pass
+# threshold (approx quantile of the hash, then filter) to avoid sorting whole
+# strata; semantics identical because the hash is uniform.
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT lang, rk, doc_id, source FROM (
+        SELECT lang, doc_id, source,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 200
+    """,
+    tags=("sampling", "llm", "curation"),
+    doc="deterministic hash-ranked stratified sample, 200 docs per lang",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 200)
+        .select("lang", "rk", "doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization: the canonicalization step every dedup/quality stage
+# runs first (lowercase, strip non-alphanumerics, collapse whitespace).
+# Regex classes are kept to the portable subset Java regex and RE2 agree on.
+#
+# Scale: pure per-row Catalyst expressions — no shuffle at all.
+# ---------------------------------------------------------------------------
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           CAST(n_chars - length(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'))) AS BIGINT) AS removed_chars
+    FROM documents
+    """,
+    tags=("text", "llm", "curation"),
+    doc="canonicalize text (lower, strip punct, collapse ws) + removal count",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (F.col("n_chars") - F.length(norm)).cast("long").alias("removed_chars"),
+    )

@@ -36,11 +36,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   15 = timeseries/sessionization + SQL subquery ops
 #   20 = ACID DML snapshot-diff queries
 #   30 = core relational ops (one per SURVEY §2 family)
+#   40 = later-round new families: first past the observed cap, so they gain
+#        driver rows if the window grows without displacing verified families
 #   60 = additional relational variants (families already covered above)
 TIER_LLM = 10
 TIER_TIMESERIES = 15
 TIER_DML = 20
 TIER_CORE = 30
+TIER_NEWFAM = 40
 TIER_VARIANT = 60
 
 

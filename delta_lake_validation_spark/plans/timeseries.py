@@ -262,3 +262,87 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["purchase_event_id", "purchase_value"],
     )
     return out.select("event_id", "user_id", "purchase_event_id", "purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style continuous aggregate with gap filling: hourly rollup per
+# event type over a generated dense bucket spine (sequence/generate_series),
+# zero-filled counts plus last-observation-carried-forward interpolation —
+# the timeseries operator family (time_bucket_gapfill + locf) that plain
+# GROUP BY can't express because absent buckets produce no row.
+#
+# Scale: the rollup is one hash aggregate; the spine is |event_types| × a
+# broadcast 1-row bounds aggregate exploded executor-side, so the dense grid
+# never exists on the driver.  LOCF is a per-type running window — at 100 TB
+# partition-by event_type keeps state bounded by bucket count, not row count.
+# Sums use exact scaled-integer arithmetic (functions/aggregates.dsum).
+# ---------------------------------------------------------------------------
+_HOUR_NS = 3_600_000_000_000
+
+
+def _gapfill_oracle() -> str:
+    from delta_lake_validation_spark.functions.aggregates import sql_dsum
+
+    return f"""
+    WITH agg AS (
+        SELECT event_type, epoch_ns(ts) // {_HOUR_NS} AS bucket,
+               count(*) AS n, {sql_dsum('value', 3)} AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT min(epoch_ns(ts)) // {_HOUR_NS} AS lo,
+               max(epoch_ns(ts)) // {_HOUR_NS} AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, g.bucket
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS bucket
+                    FROM bounds) g
+    )
+    SELECT s.event_type, s.bucket,
+           coalesce(a.n, 0) AS n,
+           CAST(coalesce(a.sum_value, 0.0) AS DOUBLE) AS sum_value,
+           CAST(last_value(a.sum_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS locf_value
+    FROM spine s LEFT JOIN agg a USING (event_type, bucket)
+    """
+
+
+@register(
+    "time_bucket_gapfill",
+    oracle=_gapfill_oracle(),
+    tags=("timeseries", "gapfill", "agg"),
+    doc="hourly continuous aggregate with dense spine, zero-fill and LOCF",
+)
+def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.functions.aggregates import dsum
+
+    ev = Tables(spark, sf_dir).events
+    agg = ev.groupBy(
+        "event_type", F.expr(f"ts div {_HOUR_NS}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), 3).alias("sum_value"))
+    bounds = ev.agg(
+        F.expr(f"min(ts) div {_HOUR_NS}").alias("lo"),
+        F.expr(f"max(ts) div {_HOUR_NS}").alias("hi"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("bucket"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(agg, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("sum_value", F.lit(0.0)).cast("double").alias("sum_value"),
+        F.last("sum_value", ignorenulls=True).over(w).cast("double").alias("locf_value"),
+    )
