@@ -91,7 +91,31 @@ class AcidSqlContext:
             return self._merge(s)
         if head == "DESCRIBE":
             return self._describe(s)
+        if head == "RESTORE":
+            return self._restore(s)
         return self._query(s)
+
+    def _restore(self, s: str) -> None:
+        """RESTORE TABLE t TO VERSION|TIMESTAMP AS OF ... (Delta RESTORE)."""
+        m = re.match(
+            rf"RESTORE{_WS}TABLE{_WS}(?P<table>\w+){_WS}TO{_WS}"
+            rf"(?P<kind>VERSION|TIMESTAMP){_WS}AS{_WS}OF{_WS}"
+            rf"(?:(?P<ver>\d+)|'(?P<ts>[^']+)')$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise AcidSqlError(f"unsupported RESTORE shape: {s[:120]}...")
+        t = self.table(m.group("table"))
+        if m.group("kind").upper() == "VERSION":
+            if m.group("ver") is None:
+                raise AcidSqlError("RESTORE ... VERSION AS OF needs an integer")
+            t.restore(int(m.group("ver")))
+        else:
+            if m.group("ts") is None:
+                raise AcidSqlError("RESTORE ... TIMESTAMP AS OF needs a quoted timestamp")
+            t.restore(t.log.version_for_timestamp(m.group("ts")))
+        return None
 
     def _describe(self, s: str) -> DataFrame:
         """DESCRIBE HISTORY/DETAIL <table> (ref: validation_suite.py:244-259)."""

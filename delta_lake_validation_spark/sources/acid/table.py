@@ -833,6 +833,72 @@ class AcidTable:
             v = head.version + 1
         raise ConcurrentWriteException("optimize could not commit after 50 attempts")
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF (Delta RESTORE parity): one
+        commit whose post-state file set equals the target version's.  Data
+        files are re-referenced, never copied, so a restore past a VACUUM
+        that reclaimed them fails up front with the missing paths.
+
+        Schema/properties are restored too when they changed since the
+        target version; a schema-changing restore emits no CDF (the pre- and
+        post-state rows live under different schemas), otherwise CDF records
+        file-level deletes (files leaving the snapshot) and inserts (files
+        re-entering) — the same provenance granularity Delta's RESTORE uses.
+        """
+        cur = self.log.snapshot()
+        old = self.log.snapshot(version)  # raises VersionNotFoundError
+        re_add = [old.files[p] for p in old.files if p not in cur.files]
+        remove = [p for p in cur.files if p not in old.files]
+        missing = [
+            a["path"]
+            for a in re_add
+            if not self.fs.exists(f"{self.location}/{a['path']}")
+        ]
+        if missing:
+            raise AcidTableError(
+                f"cannot restore to version {version}: data files were "
+                f"vacuumed: {missing[:5]}"
+            )
+        schema_changed = (
+            old.schema_json != cur.schema_json
+            or old.partition_columns != cur.partition_columns
+        )
+        cdf: list[str] = []
+        if self._cdf_enabled(cur) and not schema_changed and (re_add or remove):
+            parts = []
+            if remove:
+                parts.append(
+                    self._read_files(cur, remove).withColumn(
+                        CDF_TYPE, F.lit("delete")
+                    )
+                )
+            if re_add:
+                parts.append(
+                    self._read_files(cur, [a["path"] for a in re_add]).withColumn(
+                        CDF_TYPE, F.lit("insert")
+                    )
+                )
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            cdf = self._write_cdf(df)
+        entry: dict = {
+            "operation": "RESTORE",
+            "operationParameters": {"version": version},
+            "add": re_add,
+            "remove": [{"path": p} for p in remove],
+            "cdf": cdf,
+        }
+        if schema_changed:
+            # data+schema revert; table properties stay current (Delta
+            # RESTORE keeps them, and log replay merges rather than resets)
+            entry["metadata"] = {
+                "schemaJson": old.schema_json,
+                "partitionColumns": old.partition_columns,
+                "properties": {},
+            }
+        return self._commit_strict(entry, cur)
+
     # ------------------------------------------------------------------ CDF
     def read_changes(
         self, start_version: int, end_version: int | None = None

@@ -407,3 +407,61 @@ def test_error_paths(spark, tmp_path):
         t.read(timestamp="1990-01-01 00:00:00.000")
     with pytest.raises(Exception, match="version or timestamp, not both"):
         t.read(version=0, timestamp="2024-01-01 00:00:00.000")
+
+
+# ---- RESTORE (Delta RESTORE parity; engine extension) ----------------------
+def test_restore_to_version(spark, table):
+    v1 = table.append(_df(spark, _rows(2, D1)))
+    table.append(_df(spark, _rows(3, D2, start=10)))
+    table.delete(F.col("order_date") == D1)
+    assert table.read().count() == 3
+    rv = table.restore(v1)
+    got = table.read()
+    assert got.count() == 2
+    assert {r.order_id for r in got.collect()} == {"order_0", "order_1"}
+    hist = table.history()  # newest-first
+    assert hist[0]["operation"] == "RESTORE"
+    assert hist[0]["operationParameters"]["version"] == v1
+    # CDF for the restore commit: D2 rows leave (delete), D1 rows return (insert)
+    ch = table.read_changes(rv, rv)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_type == {"delete": 3, "insert": 2}
+    # restoring is itself versioned: restore to the pre-restore state works
+    table.restore(rv - 1)
+    assert table.read().count() == 3
+
+
+def test_restore_reverts_schema_change(spark, table):
+    v1 = table.append(_df(spark, _rows(2, D1)))
+    table.add_column("note", "string")
+    assert "note" in table.schema().fieldNames()
+    table.restore(v1)
+    assert "note" not in table.schema().fieldNames()
+    assert table.read().count() == 2
+
+
+def test_restore_after_vacuum_raises(spark, table):
+    v1 = table.append(_df(spark, _rows(2, D1)))
+    table.overwrite(_df(spark, _rows(3, D2, start=10)))
+    table.vacuum(retain_hours=0)
+    from delta_lake_validation_spark.sources.acid.errors import AcidTableError
+
+    with pytest.raises(AcidTableError, match="vacuumed"):
+        table.restore(v1)
+
+
+def test_restore_sql_forms(spark, table):
+    from delta_lake_validation_spark.sources.acid.sqlshim import AcidSqlContext
+
+    v1 = table.append(_df(spark, _rows(2, D1)))
+    table.append(_df(spark, _rows(3, D2, start=10)))
+    ctx = AcidSqlContext(spark)
+    ctx.register("orders", table)
+    ctx.sql(f"RESTORE TABLE orders TO VERSION AS OF {v1}")
+    assert table.read().count() == 2
+    ts = next(h for h in table.history() if h["version"] == v1)["timestamp"]
+    ctx.sql(f"RESTORE TABLE orders TO TIMESTAMP AS OF '{ts}'")
+    assert table.read().count() == 2
