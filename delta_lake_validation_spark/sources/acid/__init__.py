@@ -1,6 +1,7 @@
 from delta_lake_validation_spark.sources.acid.errors import (  # noqa: F401
     AcidTableError,
     ConcurrentWriteException,
+    ConstraintViolationError,
     TableNotFoundError,
     VersionNotFoundError,
 )

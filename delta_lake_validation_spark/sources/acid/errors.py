@@ -22,3 +22,7 @@ class VersionNotFoundError(AcidTableError):
 class ConcurrentWriteException(AcidTableError):
     """Another transaction committed after this one's snapshot was taken and
     the operations cannot both win (e.g. blind overwrite vs anything)."""
+
+class ConstraintViolationError(AcidTableError):
+    """A write produced rows that violate an active CHECK constraint, or
+    ADD CONSTRAINT found existing rows violating the new constraint."""

@@ -93,7 +93,33 @@ class AcidSqlContext:
             return self._describe(s)
         if head == "RESTORE":
             return self._restore(s)
+        if head == "ALTER":
+            return self._alter(s)
         return self._query(s)
+
+    def _alter(self, s: str) -> None:
+        """ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | DROP CONSTRAINT name."""
+        m = re.match(
+            rf"ALTER{_WS}TABLE{_WS}(?P<table>\w+){_WS}ADD{_WS}CONSTRAINT{_WS}"
+            rf"(?P<name>\w+){_WS}CHECK[\s\n]*\((?P<expr>.+)\)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            self.table(m.group("table")).add_constraint(
+                m.group("name"), m.group("expr").strip()
+            )
+            return None
+        m = re.match(
+            rf"ALTER{_WS}TABLE{_WS}(?P<table>\w+){_WS}DROP{_WS}CONSTRAINT{_WS}"
+            rf"(?P<name>\w+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            self.table(m.group("table")).drop_constraint(m.group("name"))
+            return None
+        raise AcidSqlError(f"unsupported ALTER shape: {s[:120]}...")
 
     def _restore(self, s: str) -> None:
         """RESTORE TABLE t TO VERSION|TIMESTAMP AS OF ... (Delta RESTORE)."""

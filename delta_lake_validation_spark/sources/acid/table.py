@@ -44,6 +44,7 @@ from pyspark.sql.types import StructType
 from delta_lake_validation_spark.sources.acid.errors import (
     AcidTableError,
     ConcurrentWriteException,
+    ConstraintViolationError,
 )
 from delta_lake_validation_spark.sources.acid.log import (
     CDF_DIR,
@@ -152,6 +153,98 @@ class AcidTable:
             "remove": [],
         }
         self._commit_strict(entry, snap)
+
+    # --------------------------------------------------------- constraints
+    # Delta stores CHECK constraints as table properties
+    # (delta.constraints.<name> = <expr>) and enforces them on every data
+    # write; same model here.  Log replay merges properties, so DROP marks
+    # the key with an empty value rather than deleting it.
+    _CONSTRAINT_PREFIX = "constraints."
+
+    def constraints(self, snap: Snapshot | None = None) -> dict[str, str]:
+        """Active CHECK constraints: name -> SQL boolean expression."""
+        snap = snap or self.log.snapshot()
+        p = self._CONSTRAINT_PREFIX
+        return {
+            k[len(p):]: v
+            for k, v in snap.properties.items()
+            if k.startswith(p) and v
+        }
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """ALTER TABLE ... ADD CONSTRAINT name CHECK (expr).  Like Delta,
+        existing rows are validated first (one scan); SQL CHECK semantics —
+        a row violates only when the expression evaluates to FALSE, NULL
+        passes."""
+        snap = self.log.snapshot()
+        key = self._CONSTRAINT_PREFIX + name
+        if snap.properties.get(key):
+            raise AcidTableError(f"constraint {name} already exists")
+        bad = (
+            self._read_files(snap, list(snap.files))
+            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .take(1)
+        )
+        if bad:
+            raise ConstraintViolationError(
+                f"cannot add CHECK constraint {name} ({expr}): "
+                f"existing row violates it: {bad[0].asDict()}"
+            )
+        entry = {
+            "operation": "ADD CONSTRAINT",
+            "operationParameters": {"name": name, "expr": expr},
+            "metadata": {
+                "schemaJson": snap.schema_json,
+                "partitionColumns": snap.partition_columns,
+                "properties": {**snap.properties, key: expr},
+            },
+            "add": [],
+            "remove": [],
+        }
+        self._commit_strict(entry, snap)
+
+    def drop_constraint(self, name: str) -> None:
+        snap = self.log.snapshot()
+        key = self._CONSTRAINT_PREFIX + name
+        if not snap.properties.get(key):
+            raise AcidTableError(f"no active constraint {name}")
+        entry = {
+            "operation": "DROP CONSTRAINT",
+            "operationParameters": {"name": name},
+            "metadata": {
+                "schemaJson": snap.schema_json,
+                "partitionColumns": snap.partition_columns,
+                "properties": {**snap.properties, key: ""},
+            },
+            "add": [],
+            "remove": [],
+        }
+        self._commit_strict(entry, snap)
+
+    def _enforce_constraints(self, df: DataFrame, snap: Snapshot) -> None:
+        """One extra pass over staged data, only when constraints exist.
+        All constraints evaluate in a single job (one flag column each)."""
+        cons = self.constraints(snap)
+        if not cons:
+            return
+        names = list(cons)
+        flags = df.select(
+            *[
+                F.coalesce(F.expr(cons[n]), F.lit(True)).alias(f"__c{i}")
+                for i, n in enumerate(names)
+            ]
+        )
+        cond = None
+        for i in range(len(names)):
+            c = ~F.col(f"__c{i}")
+            cond = c if cond is None else (cond | c)
+        bad = flags.filter(cond).take(1)
+        if bad:
+            violated = [n for i, n in enumerate(names) if bad[0][f"__c{i}"] is False]
+            raise ConstraintViolationError(
+                f"write violates CHECK constraint(s) "
+                f"{ {n: cons[n] for n in violated} }"
+            )
 
     # ------------------------------------------------------------- snapshot
     def snapshot(self, version: int | None = None) -> Snapshot:
@@ -336,6 +429,10 @@ class AcidTable:
         # int column writes INT64 parquet that every later read rejects
         # with PARQUET_COLUMN_DATA_TYPE_MISMATCH
         df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+        # CHECK constraints gate every data-file write (append/overwrite/
+        # DML rewrite alike, as Delta does).  Rewrites of rows that were
+        # valid stay valid because add_constraint validated existing data.
+        self._enforce_constraints(df, snap)
         staging = f"{self.location}/{STAGING_DIR}/{uuid.uuid4().hex}"
         writer = df.write.mode("overwrite")
         if snap.partition_columns:

@@ -465,3 +465,64 @@ def test_restore_sql_forms(spark, table):
     ts = next(h for h in table.history() if h["version"] == v1)["timestamp"]
     ctx.sql(f"RESTORE TABLE orders TO TIMESTAMP AS OF '{ts}'")
     assert table.read().count() == 2
+
+
+# ---- CHECK constraints (Delta ADD CONSTRAINT parity; engine extension) -----
+def test_check_constraint_enforced_on_writes(spark, table):
+    from delta_lake_validation_spark.sources.acid.errors import (
+        ConstraintViolationError,
+    )
+
+    table.append(_df(spark, _rows(2, D1)))
+    table.add_constraint("positive_cost", "cost > 0")
+    assert table.constraints() == {"positive_cost": "cost > 0"}
+    v_before = table.version()
+    bad = [Row(order_id="x", item_count=1, cost=-1.0,
+               order_time=dt.datetime(2024, 1, 10, 10, 0), order_date=D1)]
+    with pytest.raises(ConstraintViolationError, match="positive_cost"):
+        table.append(_df(spark, bad))
+    # failed write must not commit or leak rows
+    assert table.version() == v_before
+    assert table.read().count() == 2
+    # valid writes pass; NULL evaluates as satisfied (SQL CHECK semantics)
+    nullrow = [Row(order_id="y", item_count=1, cost=None,
+                   order_time=dt.datetime(2024, 1, 10, 10, 0), order_date=D1)]
+    table.append(_df(spark, nullrow))
+    assert table.read().count() == 3
+    # UPDATE through the rewrite path is gated too
+    with pytest.raises(ConstraintViolationError, match="positive_cost"):
+        table.update({"cost": "-5.0"}, F.col("order_id") == "order_0")
+    # drop, then the same write succeeds
+    table.drop_constraint("positive_cost")
+    assert table.constraints() == {}
+    table.append(_df(spark, bad))
+    assert table.read().count() == 4
+
+
+def test_add_constraint_validates_existing_rows(spark, table):
+    from delta_lake_validation_spark.sources.acid.errors import (
+        ConstraintViolationError,
+    )
+
+    table.append(_df(spark, _rows(3, D1)))  # item_count 1..3
+    with pytest.raises(ConstraintViolationError, match="big_orders"):
+        table.add_constraint("big_orders", "item_count > 2")
+    assert table.constraints() == {}
+
+
+def test_constraint_sql_forms(spark, table):
+    from delta_lake_validation_spark.sources.acid.errors import (
+        ConstraintViolationError,
+    )
+    from delta_lake_validation_spark.sources.acid.sqlshim import AcidSqlContext
+
+    ctx = AcidSqlContext(spark)
+    ctx.register("orders", table)
+    ctx.sql("ALTER TABLE orders ADD CONSTRAINT sane CHECK (item_count BETWEEN 1 AND 5)")
+    with pytest.raises(ConstraintViolationError, match="sane"):
+        ctx.sql("INSERT INTO orders VALUES ('z', 99, 1.0, "
+                "TIMESTAMP '2024-01-10 10:00:00', DATE '2024-01-10')")
+    ctx.sql("ALTER TABLE orders DROP CONSTRAINT sane")
+    ctx.sql("INSERT INTO orders VALUES ('z', 99, 1.0, "
+            "TIMESTAMP '2024-01-10 10:00:00', DATE '2024-01-10')")
+    assert table.read().count() == 1
