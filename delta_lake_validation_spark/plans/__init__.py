@@ -47,6 +47,7 @@ _TIER_BY_NAME = {
     # cap so they never displace already-verified families, but pick up
     # driver rows if the window grows
     "tfidf_top_terms": _reg.TIER_NEWFAM,
+    "decontaminate_trigrams": _reg.TIER_NEWFAM,
     "stratified_sample": _reg.TIER_NEWFAM,
     "text_normalize": _reg.TIER_NEWFAM,
     "time_bucket_gapfill": _reg.TIER_NEWFAM,

@@ -810,3 +810,68 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         (F.col("n_chars") - F.length(norm)).cast("long").alias("removed_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval decontamination: flag training documents sharing any word
+# trigram with a held-out eval set — the containment-join every LLM data
+# pipeline runs before training.  The eval set here is a deterministic
+# slice of the corpus (doc_id % 97 == 0) standing in for an external
+# benchmark suite; grams compare as exact strings, so both engines agree
+# bit-for-bit.
+#
+# Scale: gram explode → semi-ish inner join on the gram string → count
+# distinct per doc.  The eval gram set is tiny relative to the corpus
+# (benchmarks are MBs, corpora are TBs) — at scale broadcast it; here the
+# optimizer chooses.  No driver collect.
+# ---------------------------------------------------------------------------
+@register(
+    "decontaminate_trigrams",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+      FROM toks WHERE len(ts) >= 3
+    ),
+    grams AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g FROM idx
+    ),
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT g.doc_id, count(DISTINCT g.g) AS n_shared_grams
+    FROM grams g JOIN eval_grams e USING (g)
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    """,
+    tags=("text", "llm", "dedup", "decontamination"),
+    doc="training docs sharing a word trigram with the held-out eval slice",
+)
+def decontaminate_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        ).alias("g"),
+        F.lead("tok", 2).over(w).alias("__last"),
+    ).filter(F.col("__last").isNotNull())
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
+    )
