@@ -35,6 +35,15 @@ EXPECTATIONS: dict[str, list[str]] = {
     "top_return_customers": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     "window_rank_topk": ["Window"],
     "rollup_flag_status": ["Expand"],
+    # rank pushdown (WindowGroupLimit) keeps top-k-per-group from sorting
+    # whole partitions; stratified_sample must also prune the text column
+    "tfidf_top_terms": ["WindowGroupLimit", "HashAggregate"],
+    "stratified_sample": [
+        "WindowGroupLimit",
+        "ReadSchema: struct<doc_id:bigint,lang:string,source:string>",
+    ],
+    "time_bucket_gapfill": ["Generate", "Window"],
+    "decontaminate_trigrams": ["HashAggregate"],
 }
 
 # query -> callable(plan) -> list of problem strings (empty = OK)
@@ -55,6 +64,22 @@ CUSTOM: dict[str, object] = {
         (["no FlatMapCoGroupsInPandas"] if "FlatMapCoGroupsInPandas" not in p else [])
         + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
         + (["BroadcastNestedLoopJoin appeared"] if "BroadcastNestedLoopJoin" in p else [])
+    ),
+    # pure per-row canonicalization: any exchange means a regression
+    "text_normalize": lambda p: (
+        [f"expected 0 Exchange nodes, saw {p.count(') Exchange')}"]
+        if p.count(") Exchange") > 0
+        else []
+    ),
+    # corpus joins must never degrade to a cartesian scan
+    "tfidf_top_terms": lambda p: (
+        ["CartesianProduct appeared"] if "CartesianProduct" in p else []
+    ),
+    "time_bucket_gapfill": lambda p: (
+        ["CartesianProduct appeared"] if "CartesianProduct" in p else []
+    ),
+    "decontaminate_trigrams": lambda p: (
+        ["CartesianProduct appeared"] if "CartesianProduct" in p else []
     ),
 }
 
