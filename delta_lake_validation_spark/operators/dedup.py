@@ -130,6 +130,18 @@ def ngram_jaccard_pairs(
         F.col("pos") <= F.col("sz") - F.floor(ceil_t_sz) + 1
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # positional upper bound (PPJoin proper): at a shared prefix shingle at
+    # positions (pa, pb), overlap can't exceed min(|A|-pa, |B|-pb)+1, and
+    # J >= t ⟺ overlap >= ceil(t·(|A|+|B|)/(1+t)).  A true pair always
+    # passes at its first shared prefix shingle, so keeping pairs where ANY
+    # shared shingle passes is lossless (verification below is exact anyway
+    # — this only prunes candidates).  Integer form of x >= ceil(y/d): x·d >= y.
+    overlap_ub = (
+        F.least(
+            F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+        )
+        + 1
+    )
     cand = (
         a.join(
             b,
@@ -137,7 +149,11 @@ def ngram_jaccard_pairs(
             & (F.col("a.id") < F.col("b.id"))
             # size-ratio bound J >= t ⟹ t·|A| <= |B|, as exact integers
             & (F.col("a.sz") * t_num <= F.col("b.sz") * t_den)
-            & (F.col("b.sz") * t_num <= F.col("a.sz") * t_den),
+            & (F.col("b.sz") * t_num <= F.col("a.sz") * t_den)
+            & (
+                overlap_ub * F.lit(t_den + t_num)
+                >= F.lit(t_num) * (F.col("a.sz") + F.col("b.sz"))
+            ),
         )
         .select(F.col("a.id").alias("left_doc"), F.col("b.id").alias("right_doc"))
         .distinct()

@@ -48,6 +48,7 @@ _TIER_BY_NAME = {
     # driver rows if the window grows
     "tfidf_top_terms": _reg.TIER_NEWFAM,
     "decontaminate_trigrams": _reg.TIER_NEWFAM,
+    "dml_restore_constraints": _reg.TIER_NEWFAM,
     "stratified_sample": _reg.TIER_NEWFAM,
     "text_normalize": _reg.TIER_NEWFAM,
     "time_bucket_gapfill": _reg.TIER_NEWFAM,

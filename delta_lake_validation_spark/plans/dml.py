@@ -244,3 +244,70 @@ def dml_optimize_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("vacuumed_files", len(t.vacuum(retain_hours=0.0))),
         ]
     return _result(spark, rows)
+
+
+@register(
+    "dml_restore_constraints",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'after_delete' AS step,
+             (SELECT count(*) FROM nation WHERE n_regionkey <> 2) AS n_rows
+      UNION ALL
+      SELECT 'after_restore', (SELECT count(*) FROM nation)
+      UNION ALL
+      SELECT 'restore_cdf_inserts', (SELECT count(*) FROM nation)
+      UNION ALL
+      SELECT 'constraint_blocked', (SELECT count(*) FROM nation)
+      UNION ALL
+      SELECT 'after_drop_append',
+             (SELECT count(*) FROM nation)
+             + (SELECT count(*) FROM nation WHERE n_regionkey = 0)
+    ) ORDER BY step
+    """,
+    tags=("acid", "dml", "restore", "constraints"),
+    doc="RESTORE past a DELETE (with CDF audit), then CHECK-constraint "
+        "enforcement and drop (§2.8 extensions).",
+)
+def dml_restore_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.sources.acid.errors import (
+        ConstraintViolationError,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    with _scratch() as loc:
+        t = AcidTable.create(
+            spark,
+            loc,
+            nation.schema,
+            properties={"enableChangeDataFeed": "true"},
+        )
+        # one data file: restore's file-level CDF (all original rows return
+        # as inserts, all rewritten-file rows leave as deletes) is then
+        # layout-independent and deterministic
+        v1 = t.append(nation.coalesce(1))
+        t.delete(F.col("n_regionkey") == 2)
+        after_delete = t.read().count()
+        rv = t.restore(v1)
+        after_restore = t.read().count()
+        cdf_inserts = (
+            t.read_changes(rv, rv).filter(F.col("_change_type") == "insert").count()
+        )
+        t.add_constraint("sane_region", "n_regionkey < 10")
+        bad = nation.filter(F.col("n_regionkey") == 0).withColumn(
+            "n_regionkey", F.lit(99).cast("long")
+        )
+        try:
+            t.append(bad)
+            blocked = -1  # should be unreachable: constraint must reject
+        except ConstraintViolationError:
+            blocked = t.read().count()
+        t.drop_constraint("sane_region")
+        t.append(bad)
+        rows = [
+            ("after_delete", after_delete),
+            ("after_restore", after_restore),
+            ("restore_cdf_inserts", cdf_inserts),
+            ("constraint_blocked", blocked),
+            ("after_drop_append", t.read().count()),
+        ]
+    return _result(spark, rows)
