@@ -52,6 +52,7 @@ _TIER_BY_NAME = {
     "stratified_sample": _reg.TIER_NEWFAM,
     "text_normalize": _reg.TIER_NEWFAM,
     "time_bucket_gapfill": _reg.TIER_NEWFAM,
+    "pii_redact": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):

@@ -875,3 +875,92 @@ def decontaminate_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_shared_grams"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: scrub emails / phone numbers / IPv4 addresses before
+# training — a standard curation stage every large-scale text pipeline runs
+# (engine extension; the reference has no text surface at all).  The
+# synthetic corpus contains no PII, so the query first injects
+# deterministic doc_id-derived PII into every row IN BOTH ENGINES, then
+# grades the redaction itself: the scrubbed text plus per-class match
+# counts.  Regexes stay in the subset Java regex and RE2 interpret
+# identically (char classes, \d, \b, bounded repeats, escaped dots).
+#
+# Scale: pure per-row Catalyst regexp expressions — zero shuffle; only
+# doc_id and text are read from the scan.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "pii_redact",
+    oracle=rf"""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com call 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST(doc_id % 199 AS VARCHAR)
+                  || '.' || CAST(doc_id % 97 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS clean,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ips
+    FROM raw
+    """,
+    tags=("text", "llm", "curation", "pii"),
+    doc="inject deterministic PII, then redact emails/phones/IPs + count each",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    d = F.col("doc_id")
+
+    def s(e):
+        return e.cast("string")
+
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        s(d),
+        F.lit("@mail"),
+        s(d % 7),
+        F.lit(".com call 555-"),
+        F.lpad(s(d % 1000), 3, "0"),
+        F.lit("-"),
+        F.lpad(s(d % 10000), 4, "0"),
+        F.lit(" from 10."),
+        s(d % 256),
+        F.lit("."),
+        s(d % 199),
+        F.lit("."),
+        s(d % 97),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(raw, F.lit(pat), 0)).cast("long")
+
+    return docs.select(
+        "doc_id",
+        clean.alias("clean"),
+        n(_PII_EMAIL).alias("n_emails"),
+        n(_PII_PHONE).alias("n_phones"),
+        n(_PII_IP).alias("n_ips"),
+    )

@@ -44,6 +44,8 @@ EXPECTATIONS: dict[str, list[str]] = {
     ],
     "time_bucket_gapfill": ["Generate", "Window"],
     "decontaminate_trigrams": ["HashAggregate"],
+    # per-row regex scrub: scan must prune to the two used columns
+    "pii_redact": ["ReadSchema: struct<doc_id:bigint,text:string>"],
 }
 
 # query -> callable(plan) -> list of problem strings (empty = OK)
@@ -67,6 +69,12 @@ CUSTOM: dict[str, object] = {
     ),
     # pure per-row canonicalization: any exchange means a regression
     "text_normalize": lambda p: (
+        [f"expected 0 Exchange nodes, saw {p.count(') Exchange')}"]
+        if p.count(") Exchange") > 0
+        else []
+    ),
+    # per-row PII scrub: same zero-shuffle contract
+    "pii_redact": lambda p: (
         [f"expected 0 Exchange nodes, saw {p.count(') Exchange')}"]
         if p.count(") Exchange") > 0
         else []
