@@ -53,6 +53,7 @@ _TIER_BY_NAME = {
     "text_normalize": _reg.TIER_NEWFAM,
     "time_bucket_gapfill": _reg.TIER_NEWFAM,
     "pii_redact": _reg.TIER_NEWFAM,
+    "split_assign": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):

@@ -964,3 +964,47 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         n(_PII_PHONE).alias("n_phones"),
         n(_PII_IP).alias("n_ips"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: every training pipeline's last step
+# before writing shards.  Assignment hashes the stable document id (md5,
+# identical lowercase hex in both engines) so membership is reproducible
+# across runs, engines, and cluster sizes — never random().  The first two
+# hex chars give 256 buckets: 3 → val, 3 → test, 250 → train (~1.2% each).
+#
+# Scale: one partial-agg shuffle on (split, lang); scan prunes to three
+# columns.  Adding a corpus 100× larger changes nothing — no sort, no
+# window, no driver state.
+# ---------------------------------------------------------------------------
+@register(
+    "split_assign",
+    oracle="""
+    SELECT CASE WHEN h2 < '03' THEN 'val'
+                WHEN h2 < '06' THEN 'test'
+                ELSE 'train' END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT lang, n_chars,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+          FROM documents)
+    GROUP BY 1, 2
+    """,
+    tags=("text", "llm", "curation", "split"),
+    doc="reproducible hash-based train/val/test assignment + per-split stats",
+)
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "03", "val").when(h2 < "06", "test").otherwise("train")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

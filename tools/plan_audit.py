@@ -46,6 +46,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     "decontaminate_trigrams": ["HashAggregate"],
     # per-row regex scrub: scan must prune to the two used columns
     "pii_redact": ["ReadSchema: struct<doc_id:bigint,text:string>"],
+    # split assignment: one partial-agg shuffle, text column never read
+    "split_assign": [
+        "HashAggregate",
+        "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>",
+    ],
 }
 
 # query -> callable(plan) -> list of problem strings (empty = OK)
