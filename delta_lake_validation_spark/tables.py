@@ -27,15 +27,34 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects during footer inference ([PARQUET_TYPE_ILLEGAL]).  Reading
-# with an explicit schema that types ts as LONG (epoch nanos) sidesteps
-# inference in any session, with no legacy conf needed; time queries do exact
-# integer arithmetic on nanos (`ts div …`), which is also the deterministic
-# choice for an oracle comparison.
+# The engine's contract for events.ts is LONG epoch-NANOS: every downstream
+# time query does exact integer arithmetic on nanos (`ts div …`), which is the
+# deterministic choice for an oracle comparison (DuckDB mirrors it with
+# epoch_ns).  The physical parquet type has varied across testdata
+# generations (INT64 TIMESTAMP(NANOS) — which Spark's vectorized reader
+# rejects during footer inference with [PARQUET_TYPE_ILLEGAL] — and
+# TIMESTAMP(MICROS)).  Reading with an explicit LONG schema sidesteps
+# inference and yields the raw INT64 in the file's unit; _events_ts_scale
+# sniffs the footer once (driver-side, one file) and normalizes to nanos.
 EVENTS_SCHEMA = (
     "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
 )
+
+_TS_SCALE_BY_UNIT = {"ns": 1, "us": 1_000, "ms": 1_000_000, "s": 1_000_000_000}
+
+
+def _events_ts_scale(path: str) -> int:
+    """Multiplier that converts the file's raw INT64 ts to epoch-nanos."""
+    try:
+        import pyarrow.parquet as pq
+
+        typ = pq.read_schema(path).field("ts").type
+        unit = getattr(typ, "unit", None)
+        return _TS_SCALE_BY_UNIT.get(unit, 1)
+    except Exception:
+        # Non-local path or no footer access from Python: assume micros, the
+        # parquet-standard unit (Spark/Arrow default writer behavior).
+        return 1_000
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -48,7 +67,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        return spark.read.schema(EVENTS_SCHEMA).parquet(path)
+        df = spark.read.schema(EVENTS_SCHEMA).parquet(path)
+        scale = _events_ts_scale(path)
+        if scale != 1:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", (F.col("ts") * F.lit(scale)).cast("long"))
+        return df
     return spark.read.parquet(path)
 
 
