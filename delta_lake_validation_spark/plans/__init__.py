@@ -54,6 +54,10 @@ _TIER_BY_NAME = {
     "time_bucket_gapfill": _reg.TIER_NEWFAM,
     "pii_redact": _reg.TIER_NEWFAM,
     "split_assign": _reg.TIER_NEWFAM,
+    "token_df_stats": _reg.TIER_NEWFAM,
+    "sequence_pack": _reg.TIER_NEWFAM,
+    "attribution_window_join": _reg.TIER_NEWFAM,
+    "fuzzy_name_pairs": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):

@@ -1008,3 +1008,117 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level token document-frequency statistics.
+# The classic two-pass "how common is this document's vocabulary" signal
+# (hapax/rare-token rate is a strong noise indicator in web corpora).
+# Plan shape at 100 TB: explode -> distinct per doc -> hash-agg on token for
+# the df table -> shuffle hash join back on token (the vocabulary is
+# unbounded, so the join side is NOT broadcast) -> hash-agg per doc.  All
+# integer outputs, so the oracle comparison is exact.
+# ---------------------------------------------------------------------------
+@register(
+    "token_df_stats",
+    oracle=r"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    df AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok)
+    SELECT toks.doc_id,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(df.df) AS BIGINT) AS sum_df,
+           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+    FROM toks JOIN df USING (tok)
+    GROUP BY toks.doc_id
+    """,
+    tags=("text", "llm", "corpus"),
+    doc="per-doc corpus doc-frequency stats (unique/sum-df/hapax counts)",
+)
+def token_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+        ).alias("tok"),
+    )
+    df_tbl = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(df_tbl, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+            F.sum("df").cast("long").alias("sum_df"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed token-budget chunks for
+# context-window training, sharded by source.  The distributed-friendly
+# contract is prefix-sum packing: within each shard order docs
+# deterministically, bin = floor(running-token-count-before / budget).  This
+# is one window cumsum per shard (no sequential bin-capacity state), so it
+# scales to any corpus where a shard fits a partition — exactly how sharded
+# training-data exports pack in practice.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 512  # tokens per chunk
+
+
+@register(
+    "sequence_pack",
+    oracle=rf"""
+    WITH t AS (
+        SELECT source, doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                   AS before
+        FROM t
+    )
+    SELECT source,
+           CAST(before // {_PACK_BUDGET} AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM c
+    GROUP BY 1, 2
+    """,
+    tags=("text", "llm", "packing"),
+    doc="token-budget sequence packing into training chunks, sharded by source",
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    t = docs.select("source", "doc_id", n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        c.groupBy(
+            "source",
+            (F.col("before") / F.lit(_PACK_BUDGET))
+            .cast("long")
+            .alias("chunk_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("chunk_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )

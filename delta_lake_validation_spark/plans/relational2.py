@@ -810,3 +810,81 @@ def brand_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).cast("int").alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution blocking: near-identical customer names within a nation.
+# All-pairs comparison is quadratic; the scale shape is the same pigeonhole
+# used by dedup_simhash (operators/dedup.py): split the 9-digit name suffix
+# into 3 chunks — any pair with hamming distance <= 2 must agree on at least
+# one whole chunk (lossless for substitution distance on aligned, equal-length
+# ids).  Candidates come from 3 chunk-equality self-joins (equi joins on
+# (nation, chunk_idx, chunk_value)), then the exact distance filter runs only
+# on candidates.  At 100x data the bucket key gains entropy (more digits per
+# chunk), keeping buckets small.
+# ---------------------------------------------------------------------------
+_FUZZY_MAX_HAMMING = 2
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle=f"""
+    SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+           CAST(hamming(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE hamming(a.c_name, b.c_name) <= {_FUZZY_MAX_HAMMING}
+    """,
+    tags=("fuzzy", "dedup", "blocking", "entity-resolution"),
+    doc="blocked fuzzy self-join: hamming<=2 customer-name pairs per nation "
+    "via lossless 3-chunk pigeonhole candidates",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Tables(spark, sf_dir).customer.select(
+        "c_custkey", "c_nationkey", "c_name"
+    )
+    # 3 blocking keys per row: (chunk index, 3-digit chunk of the name suffix)
+    chunks = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_name",
+        F.posexplode(
+            F.array(
+                F.substring("c_name", 10, 3),
+                F.substring("c_name", 13, 3),
+                F.substring("c_name", 16, 3),
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    right = chunks.select(
+        F.col("c_custkey").alias("k2"),
+        F.col("c_nationkey").alias("n2"),
+        F.col("c_name").alias("name2"),
+        F.col("chunk_idx").alias("ci2"),
+        F.col("chunk_val").alias("cv2"),
+    )
+    cand = (
+        chunks.join(
+            right,
+            (F.col("c_nationkey") == F.col("n2"))
+            & (F.col("chunk_idx") == F.col("ci2"))
+            & (F.col("chunk_val") == F.col("cv2"))
+            & (F.col("c_custkey") < F.col("k2")),
+        )
+        .select(
+            F.col("c_custkey").alias("k1"),
+            "k2",
+            F.col("c_name").alias("name1"),
+            "name2",
+        )
+        .distinct()
+    )
+    dist = F.expr(
+        "size(filter(zip_with(split(name1, ''), split(name2, ''),"
+        " (x, y) -> x <> y), b -> b))"
+    ).cast("int")
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= _FUZZY_MAX_HAMMING)
+        .select("k1", "k2", "dist")
+    )

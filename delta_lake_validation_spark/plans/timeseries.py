@@ -346,3 +346,75 @@ def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("sum_value", F.lit(0.0)).cast("double").alias("sum_value"),
         F.last("sum_value", ignorenulls=True).over(w).cast("double").alias("locf_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Attribution-window range join: for every purchase, how many views did the
+# same user make in the preceding hour?  A range/interval join Spark lacks as
+# a primitive; a naive user_id-only join works locally but degenerates when a
+# user's history is long.  The 100 TB shape (reference J3 generalized,
+# src/benchmarking_suite.py:156-163): band-bucket both sides on the hour, so
+# each purchase joins exactly two (user, hour) buckets — an equi join whose
+# per-key cardinality is bounded by events-per-user-hour, then an exact range
+# residual.  Left join keeps zero-view purchases.
+# ---------------------------------------------------------------------------
+_ATTR_NS = 3_600_000_000_000  # 1-hour attribution window, in nanos
+
+
+@register(
+    "attribution_window_join",
+    oracle=f"""
+    WITH buys AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS t_buy
+        FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+        SELECT user_id, epoch_ns(ts) AS t_view
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT b.event_id, b.user_id,
+           CAST(count(v.t_view) AS BIGINT) AS n_views_1h
+    FROM buys b LEFT JOIN views v
+      ON b.user_id = v.user_id
+     AND v.t_view >= b.t_buy - {_ATTR_NS} AND v.t_view < b.t_buy
+    GROUP BY b.event_id, b.user_id
+    """,
+    tags=("timeseries", "range-join", "band"),
+    doc="1-hour attribution range join via hour-band bucketing + exact residual",
+)
+def attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Tables(spark, sf_dir).events
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("t_buy")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("t_view"),
+        F.expr(f"ts div {_ATTR_NS}").alias("bucket"),
+    )
+    # each purchase probes its own hour bucket and the previous one — the
+    # only buckets a window of width _ATTR_NS can overlap
+    probes = buys.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"t_buy div {_ATTR_NS}"),
+                F.expr(f"t_buy div {_ATTR_NS} - 1"),
+            )
+        ),
+    )
+    hits = probes.join(
+        views,
+        (probes.user_id == views.v_user_id)
+        & (probes.bucket == views.bucket)
+        & (views.t_view >= probes.t_buy - F.lit(_ATTR_NS))
+        & (views.t_view < probes.t_buy),
+        "inner",
+    ).groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_views_1h")
+    )
+    return buys.join(hits, ["event_id", "user_id"], "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("n_views_1h", F.lit(0)).cast("long").alias("n_views_1h"),
+    )
