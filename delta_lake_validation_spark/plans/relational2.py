@@ -814,14 +814,17 @@ def brand_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Entity-resolution blocking: near-identical customer names within a nation.
-# All-pairs comparison is quadratic; the scale shape is the same pigeonhole
-# used by dedup_simhash (operators/dedup.py): split the 9-digit name suffix
-# into 3 chunks — any pair with hamming distance <= 2 must agree on at least
-# one whole chunk (lossless for substitution distance on aligned, equal-length
-# ids).  Candidates come from 3 chunk-equality self-joins (equi joins on
-# (nation, chunk_idx, chunk_value)), then the exact distance filter runs only
-# on candidates.  At 100x data the bucket key gains entropy (more digits per
-# chunk), keeping buckets small.
+# All-pairs comparison is quadratic.  Chunk-pigeonhole blocking (split the
+# suffix into 3 chunks, bucket on each) is lossless but DEGENERATES on
+# zero-padded sequential ids: the high-order chunk is a constant ("000"), so
+# one bucket holds every row of a nation and the join is quadratic again —
+# measured 28 s at sf0.1.  The skew-proof lossless scheme is mask-pair
+# blocking (deletion-neighborhood generation): emit the suffix with every
+# C(9,2)=36 position pair wildcarded; a pair with hamming distance <= 2
+# collides exactly on the mask covering its mismatch positions.  A bucket is
+# now "rows agreeing on 7 *specified* digits", which stays tiny under any
+# digit-distribution skew, and the candidate count is output-bound rather
+# than data-bound.  Exact distance verification runs only on candidates.
 # ---------------------------------------------------------------------------
 _FUZZY_MAX_HAMMING = 2
 
@@ -843,32 +846,40 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = Tables(spark, sf_dir).customer.select(
         "c_custkey", "c_nationkey", "c_name"
     )
-    # 3 blocking keys per row: (chunk index, 3-digit chunk of the name suffix)
-    chunks = cust.select(
+    suffix_len = 9  # digits after the constant "Customer#" prefix
+    masks = []
+    for i in range(suffix_len):
+        for j in range(i + 1, suffix_len):
+            # the 9-digit suffix with positions i and j wildcarded
+            parts = []
+            pos = 0
+            for cut in sorted((i, j)):
+                if cut > pos:
+                    parts.append(F.substring("c_name", 10 + pos, cut - pos))
+                parts.append(F.lit("_"))
+                pos = cut + 1
+            if pos < suffix_len:
+                parts.append(F.substring("c_name", 10 + pos, suffix_len - pos))
+            masks.append(F.concat(*parts))
+    keyed = cust.select(
         "c_custkey",
         "c_nationkey",
         "c_name",
-        F.posexplode(
-            F.array(
-                F.substring("c_name", 10, 3),
-                F.substring("c_name", 13, 3),
-                F.substring("c_name", 16, 3),
-            )
-        ).alias("chunk_idx", "chunk_val"),
+        F.posexplode(F.array(*masks)).alias("mask_idx", "masked"),
     )
-    right = chunks.select(
+    right = keyed.select(
         F.col("c_custkey").alias("k2"),
         F.col("c_nationkey").alias("n2"),
         F.col("c_name").alias("name2"),
-        F.col("chunk_idx").alias("ci2"),
-        F.col("chunk_val").alias("cv2"),
+        F.col("mask_idx").alias("mi2"),
+        F.col("masked").alias("m2"),
     )
     cand = (
-        chunks.join(
+        keyed.join(
             right,
             (F.col("c_nationkey") == F.col("n2"))
-            & (F.col("chunk_idx") == F.col("ci2"))
-            & (F.col("chunk_val") == F.col("cv2"))
+            & (F.col("mask_idx") == F.col("mi2"))
+            & (F.col("masked") == F.col("m2"))
             & (F.col("c_custkey") < F.col("k2")),
         )
         .select(

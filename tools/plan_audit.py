@@ -94,6 +94,31 @@ CUSTOM: dict[str, object] = {
     "decontaminate_trigrams": lambda p: (
         ["CartesianProduct appeared"] if "CartesianProduct" in p else []
     ),
+    # corpus df join: no hint forces a strategy, so Catalyst's stats pick
+    # broadcast at toy scale and sort-merge once the vocabulary outgrows the
+    # threshold — the adaptive behavior we want.  Only a cartesian (lost
+    # equality key) is a regression.
+    "token_df_stats": lambda p: (
+        ["CartesianProduct appeared"] if "CartesianProduct" in p else []
+    ),
+    # prefix-sum packing: one window per shard, no joins at all
+    "sequence_pack": lambda p: (
+        (["join operator appeared"] if "Join" in p else [])
+        + (["no Window"] if "Window" not in p else [])
+    ),
+    # band-bucketed range join: the bucket equality must make it an equi
+    # join — a nested-loop/cartesian fallback means the band key was lost
+    "attribution_window_join": lambda p: (
+        (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["BroadcastNestedLoopJoin appeared"] if "BroadcastNestedLoopJoin" in p else [])
+    ),
+    # pigeonhole blocking: equi join on chunk keys; cartesian/BNLJ means the
+    # blocking-key equality was lost and the plan is quadratic
+    "fuzzy_name_pairs": lambda p: (
+        (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["BroadcastNestedLoopJoin appeared"] if "BroadcastNestedLoopJoin" in p else [])
+        + (["no Generate (posexplode) node"] if "Generate" not in p else [])
+    ),
 }
 
 
