@@ -58,6 +58,7 @@ _TIER_BY_NAME = {
     "sequence_pack": _reg.TIER_NEWFAM,
     "attribution_window_join": _reg.TIER_NEWFAM,
     "fuzzy_name_pairs": _reg.TIER_NEWFAM,
+    "approx_price_quantiles": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):
