@@ -8,6 +8,7 @@ session windows, streaming dedup, and streaming reads of ACID-table appends.
 
 from delta_lake_validation_spark.streaming.windowed import (  # noqa: F401
     dedup_stream,
+    interval_join_stream,
     session_counts,
     sliding_counts,
     tumbling_counts,

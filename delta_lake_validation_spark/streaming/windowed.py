@@ -83,3 +83,38 @@ def dedup_stream(
     """Streaming exact dedup: drop re-deliveries of the same id within the
     watermark horizon (state auto-expires beyond it)."""
     return events.withWatermark(ts_col, watermark).dropDuplicates([id_col, ts_col])
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    right_key: str | None = None,
+    left_ts: str = "ts_utc",
+    right_ts: str = "ts_utc",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with right events of
+    the same key whose timestamp falls in ``[left_ts - lookback, left_ts]``
+    (the streaming twin of the batch attribution_window_join).
+
+    Both sides carry a watermark, so Spark bounds the join state: a buffered
+    right row is dropped once the left watermark passes its timestamp plus
+    ``lookback`` — state is O(rate × lookback) per key range, never
+    O(history).  The time-bound condition is what makes an unbounded
+    stream-stream join feasible at all; without it Spark must keep every row
+    forever (and refuses in append mode).
+    """
+    rk = right_key or key
+    lt, rt = f"l.{left_ts}", f"r.{right_ts}"
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    return lw.join(
+        rw,
+        F.expr(
+            f"l.{key} = r.{rk} AND {rt} <= {lt} "
+            f"AND {rt} >= {lt} - INTERVAL {lookback}"
+        ),
+        "inner",
+    )

@@ -15,9 +15,14 @@ from delta_lake_validation_spark.streaming import (
     stream_appends,
     tumbling_counts,
 )
-from delta_lake_validation_spark.tables import EVENTS_SCHEMA
+from delta_lake_validation_spark.tables import EVENTS_SCHEMA, _events_ts_scale
 
 from .conftest import SF_DIR
+
+# the physical ts unit varies across testdata generations (see tables.py);
+# normalize raw INT64 -> epoch-nanos -> event-time TIMESTAMP
+_TS_SCALE = _events_ts_scale(os.path.join(SF_DIR, "events.parquet"))
+_TS_UTC = f"timestamp_micros((ts * {_TS_SCALE}) div 1000)"
 
 
 @pytest.fixture(scope="module")
@@ -29,8 +34,7 @@ def events_dir(tmp_path_factory):
 
 def _stream(spark, events_dir):
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
-    # epoch-nanos long -> proper event-time timestamp
-    return raw.withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts_utc", F.expr(_TS_UTC))
 
 
 def _run(q_df, spark, name):
@@ -50,7 +54,7 @@ def test_tumbling_counts_match_batch(spark, events_dir):
     batch = (
         spark.read.schema(EVENTS_SCHEMA)
         .parquet(events_dir)
-        .withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts_utc", F.expr(_TS_UTC))
         .groupBy(F.window("ts_utc", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -223,7 +227,7 @@ def test_dedup_stream_drops_redeliveries(spark, events_dir, tmp_path):
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(dup_dir)
-        .withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts_utc", F.expr(_TS_UTC))
     )
     out = dedup_stream(stream)
     q = (
@@ -283,3 +287,50 @@ def test_stream_table_changes_complete_feed(spark, tmp_path):
         .collect()
     }
     assert batch == counts
+
+
+def test_interval_join_stream_matches_batch(spark, events_dir):
+    """Stream-stream interval join (purchase <- views in preceding hour)
+    equals the batch time-bound join — and bounded state comes from the
+    watermark + time condition (append mode would otherwise be rejected)."""
+    from delta_lake_validation_spark.streaming import interval_join_stream
+
+    src = _stream(spark, events_dir)
+    buys = src.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), "user_id", F.col("ts_utc")
+    )
+    views = src.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts_utc").alias("v_ts_utc"),
+    )
+    joined = interval_join_stream(
+        buys, views, key="user_id", right_key="v_user_id",
+        left_ts="ts_utc", right_ts="v_ts_utc", lookback="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ivj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT buy_id, view_id FROM ivj")
+
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir).withColumn(
+        "ts_utc", F.expr(_TS_UTC)
+    )
+    bb = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), "user_id", "ts_utc"
+    )
+    bv = batch.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts_utc").alias("v_ts_utc"),
+    )
+    expected = bb.join(
+        bv,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts_utc") <= F.col("ts_utc"))
+        & (F.col("v_ts_utc") >= F.col("ts_utc") - F.expr("INTERVAL 1 hour")),
+    ).select("buy_id", "view_id")
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
