@@ -1014,9 +1014,10 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corpus-level token document-frequency statistics.
 # The classic two-pass "how common is this document's vocabulary" signal
 # (hapax/rare-token rate is a strong noise indicator in web corpora).
-# Plan shape at 100 TB: explode -> distinct per doc -> hash-agg on token for
-# the df table -> shuffle hash join back on token (the vocabulary is
-# unbounded, so the join side is NOT broadcast) -> hash-agg per doc.  All
+# Plan shape at 100 TB: explode -> distinct tokens per doc -> ONE shuffle by
+# token with a whole-partition count window (each (doc, tok) row picks up
+# its token's document frequency in place — no aggregate-and-rejoin, so the
+# corpus is scanned and exploded exactly once) -> hash-agg per doc.  All
 # integer outputs, so the oracle comparison is exact.
 # ---------------------------------------------------------------------------
 @register(
@@ -1045,9 +1046,11 @@ def token_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
         ).alias("tok"),
     )
-    df_tbl = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # toks is distinct per (doc, tok), so a whole-partition count window
+    # over tok IS the document frequency — single scan, single tok shuffle
+    df_col = F.count(F.lit(1)).over(Window.partitionBy("tok"))
     return (
-        toks.join(df_tbl, "tok")
+        toks.withColumn("df", df_col)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_unique"),

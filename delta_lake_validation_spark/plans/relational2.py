@@ -840,7 +840,7 @@ _FUZZY_MAX_HAMMING = 2
     """,
     tags=("fuzzy", "dedup", "blocking", "entity-resolution"),
     doc="blocked fuzzy self-join: hamming<=2 customer-name pairs per nation "
-    "via lossless 3-chunk pigeonhole candidates",
+    "via lossless mask-pair (wildcarded position pair) blocking",
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = Tables(spark, sf_dir).customer.select(

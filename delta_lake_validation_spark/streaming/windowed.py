@@ -96,8 +96,10 @@ def interval_join_stream(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Stream-stream interval join: pair each left event with right events of
-    the same key whose timestamp falls in ``[left_ts - lookback, left_ts]``
-    (the streaming twin of the batch attribution_window_join).
+    the same key whose timestamp falls in ``[left_ts - lookback, left_ts)``
+    (the streaming twin of the batch attribution_window_join, including its
+    strict upper bound — a right event at exactly the left timestamp does
+    not match on either path).
 
     Both sides carry a watermark, so Spark bounds the join state: a buffered
     right row is dropped once the left watermark passes its timestamp plus
@@ -113,7 +115,7 @@ def interval_join_stream(
     return lw.join(
         rw,
         F.expr(
-            f"l.{key} = r.{rk} AND {rt} <= {lt} "
+            f"l.{key} = r.{rk} AND {rt} < {lt} "
             f"AND {rt} >= {lt} - INTERVAL {lookback}"
         ),
         "inner",

@@ -41,20 +41,46 @@ EVENTS_SCHEMA = (
 )
 
 _TS_SCALE_BY_UNIT = {"ns": 1, "us": 1_000, "ms": 1_000_000, "s": 1_000_000_000}
+_ts_scale_cache: dict[str, int] = {}
 
 
-def _events_ts_scale(path: str) -> int:
-    """Multiplier that converts the file's raw INT64 ts to epoch-nanos."""
+def _events_ts_scale(path: str, spark: SparkSession | None = None) -> int:
+    """Multiplier that converts the file's raw INT64 ts to epoch-nanos.
+
+    Memoized per path.  Sniff order: pyarrow footer read (local paths), then
+    Spark's own schema inference (works on any Hadoop-visible filesystem):
+    TIMESTAMP(NANOS) makes inference throw PARQUET_TYPE_ILLEGAL (⇒ the raw
+    INT64 already is nanos), MICROS infers TimestampType, a plain LONG needs
+    no scaling.  If every probe fails the error propagates — a silent guess
+    here would reintroduce the silent-1000×-off failure this exists to stop.
+    """
+    if path in _ts_scale_cache:
+        return _ts_scale_cache[path]
+    scale: int | None = None
     try:
         import pyarrow.parquet as pq
 
         typ = pq.read_schema(path).field("ts").type
-        unit = getattr(typ, "unit", None)
-        return _TS_SCALE_BY_UNIT.get(unit, 1)
+        scale = _TS_SCALE_BY_UNIT.get(getattr(typ, "unit", None), 1)
     except Exception:
-        # Non-local path or no footer access from Python: assume micros, the
-        # parquet-standard unit (Spark/Arrow default writer behavior).
-        return 1_000
+        if spark is None:
+            raise
+        try:
+            inferred = spark.read.parquet(path).schema["ts"].dataType
+            scale = {
+                "timestamp": 1_000,  # Spark reads MICROS as TimestampType
+                "timestamp_ntz": 1_000,
+                "long": 1,
+            }[inferred.typeName()]
+        except KeyError:
+            raise
+        except Exception as e:
+            if "PARQUET_TYPE_ILLEGAL" in str(e) or "INT64 (TIMESTAMP(NANOS" in str(e):
+                scale = 1  # NANOS: raw INT64 is already epoch-nanos
+            else:
+                raise
+    _ts_scale_cache[path] = scale
+    return scale
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -68,7 +94,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         df = spark.read.schema(EVENTS_SCHEMA).parquet(path)
-        scale = _events_ts_scale(path)
+        scale = _events_ts_scale(path, spark)
         if scale != 1:
             from pyspark.sql import functions as F
 

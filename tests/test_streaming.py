@@ -329,7 +329,7 @@ def test_interval_join_stream_matches_batch(spark, events_dir):
     expected = bb.join(
         bv,
         (F.col("user_id") == F.col("v_user_id"))
-        & (F.col("v_ts_utc") <= F.col("ts_utc"))
+        & (F.col("v_ts_utc") < F.col("ts_utc"))
         & (F.col("v_ts_utc") >= F.col("ts_utc") - F.expr("INTERVAL 1 hour")),
     ).select("buy_id", "view_id")
     assert got.count() == expected.count()

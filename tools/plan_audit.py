@@ -112,8 +112,9 @@ CUSTOM: dict[str, object] = {
         (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
         + (["BroadcastNestedLoopJoin appeared"] if "BroadcastNestedLoopJoin" in p else [])
     ),
-    # pigeonhole blocking: equi join on chunk keys; cartesian/BNLJ means the
-    # blocking-key equality was lost and the plan is quadratic
+    # mask-pair blocking: equi join on (nation, mask, masked-name) keys;
+    # cartesian/BNLJ means the blocking-key equality was lost and the plan
+    # is quadratic
     "fuzzy_name_pairs": lambda p: (
         (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
         + (["BroadcastNestedLoopJoin appeared"] if "BroadcastNestedLoopJoin" in p else [])
