@@ -943,3 +943,58 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_tol"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the star schema: orphan foreign keys
+# per relationship, as one tiny summary row each.  The pipeline-hygiene gate
+# run before training-data exports.  Each relationship is a left-anti join
+# (fact shuffles on its FK; dims broadcast under the threshold, AQE decides
+# above it); counts aggregate to a 5-row result so the driver never sees
+# row-level data.
+# ---------------------------------------------------------------------------
+@register(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS relation,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+                (SELECT o_orderkey FROM orders)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+                (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+                (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+                (SELECT n_nationkey FROM nation))
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT count(*) FROM supplier WHERE s_nationkey NOT IN
+                (SELECT n_nationkey FROM nation))
+    """,
+    tags=("join", "anti", "audit", "quality"),
+    doc="orphan-FK audit over the star schema via per-relationship anti joins",
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    rels = [
+        ("lineitem->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+        ("lineitem->part", t.lineitem, "l_partkey", t.part, "p_partkey"),
+        ("orders->customer", t.orders, "o_custkey", t.customer, "c_custkey"),
+        ("customer->nation", t.customer, "c_nationkey", t.nation, "n_nationkey"),
+        ("supplier->nation", t.supplier, "s_nationkey", t.nation, "n_nationkey"),
+    ]
+    out = None
+    for name, fact, fk, dim, pk in rels:
+        orphans = (
+            fact.select(F.col(fk).alias("fk"))
+            .join(dim.select(F.col(pk).alias("fk")), "fk", "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            .select(F.lit(name).alias("relation"), "n_orphans")
+        )
+        out = orphans if out is None else out.unionByName(orphans)
+    return out
