@@ -114,3 +114,31 @@ class Tables:
         if name.startswith("_"):
             raise AttributeError(name)
         return load_table(self._spark, self._sf_dir, name)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV source.  ``schema`` is required: schema inference costs a full
+    extra pass over the data — never acceptable at scale — and pins column
+    types explicitly so downstream arithmetic is deterministic.  Malformed
+    rows land in ``_corrupt_record`` when the schema declares it, else the
+    permissive default nulls them (audit with ``fk_integrity_audit``-style
+    checks rather than failing mid-scan)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines source with a required explicit schema (same scale
+    rationale as ``read_csv``; inference on JSON additionally widens
+    numeric types unpredictably)."""
+    return spark.read.schema(schema).json(path)

@@ -185,3 +185,28 @@ def test_optimize_rebases_past_concurrent_append(spark, tmp_path):
     assert v == t.version()
     assert t.read().count() == 2
     assert t.detail()["numFiles"] == 1
+
+
+def test_csv_json_sources_roundtrip(spark, tmp_path):
+    """CSV/JSON sources read back a written extract with the declared
+    schema — no inference pass, types pinned."""
+    from delta_lake_validation_spark.tables import Tables, read_csv, read_json
+
+    from .conftest import SF_DIR
+
+    li = Tables(spark, SF_DIR).lineitem.select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).limit(100)
+    csv_dir = str(tmp_path / "csv")
+    json_dir = str(tmp_path / "json")
+    li.write.option("header", "true").csv(csv_dir)
+    li.write.json(json_dir)
+    schema = "l_orderkey LONG, l_linenumber INT, l_quantity DOUBLE"
+    back_csv = read_csv(spark, csv_dir, schema)
+    back_json = read_json(spark, json_dir, schema)
+    assert back_csv.schema == li.schema
+    assert back_json.schema == li.schema
+    assert back_csv.count() == 100
+    assert sorted(r.l_orderkey for r in back_json.collect()) == sorted(
+        r.l_orderkey for r in li.collect()
+    )
