@@ -1,0 +1,158 @@
+"""Incrementally-maintained aggregate views over an ACID table's CDF.
+
+The lakehouse materialized-view pattern: instead of recomputing
+``SELECT group_cols, sum(x), count(*)`` over the whole fact table on every
+refresh, apply only the rows that changed since the last refresh — read the
+Change Data Feed, weight each change row (+1 for insert/update_postimage,
+−1 for delete/update_preimage), aggregate the deltas, and combine them with
+the stored view state.  At 100 TB a refresh then costs O(changed rows), not
+O(table), which is the entire point of keeping a CDF.
+
+Engine extension — the reference consumes CDF only as a batch validation
+query (src/validation_suite.py:480-486); this turns it into the incremental
+pipeline primitive CDF exists for.
+
+Correctness model:
+- SUM/COUNT are self-inverting under signed deltas, so the view equals the
+  full recompute exactly for integral values (tested) and up to float
+  associativity for doubles.
+- Commits whose row-level changes the CDF cannot fully represent
+  (OVERWRITE replaces rows it never emits as deletes; RESTORE re-references
+  old files) force a FULL recompute of the view — detected from the log, so
+  ``refresh()`` is always correct, just not always incremental (the same
+  contract Delta Live Tables applies to non-append changes it can't map).
+- Exactly-once: the source version the view reflects rides in the
+  operationParameters of the SAME overwrite commit that writes the
+  refreshed rows (the acid_sink idempotence pattern), so a crashed refresh
+  either fully happened or fully didn't — it can never double-apply deltas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_validation_spark.sources.acid import AcidTable
+from delta_lake_validation_spark.sources.acid.table import CDF_TYPE
+
+_LAST_VERSION_PROP = "view.sourceVersion"
+# commit operations whose CDF fully describes the row-level change
+_INCREMENTAL_OPS = {
+    "APPEND",
+    "DELETE",
+    "UPDATE",
+    "MERGE",
+    "OPTIMIZE",  # dataChange=false: no CDF rows, nothing to apply
+    "SET TBLPROPERTIES",
+    "ADD COLUMN",
+    "ADD CONSTRAINT",
+    "DROP CONSTRAINT",
+}
+
+
+class IncrementalAggView:
+    """``SELECT group_cols…, sum(value_col) AS sum_value, count(*) AS n_rows``
+    maintained incrementally from the source table's CDF."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: AcidTable,
+        location: str,
+        group_cols: list[str],
+        value_col: str,
+    ):
+        self.spark = spark
+        self.source = source
+        self.location = location
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.view = self._ensure_view()
+
+    # ------------------------------------------------------------- helpers
+    def _view_schema(self) -> str:
+        src = self.source.schema()
+        fields = {f.name: f.dataType.simpleString() for f in src.fields}
+        cols = [f"{c} {fields[c]}" for c in self.group_cols]
+        cols.append(f"sum_value {fields[self.value_col]}")
+        cols.append("n_rows LONG")
+        return ", ".join(cols)
+
+    def _ensure_view(self) -> AcidTable:
+        try:
+            t = AcidTable(self.spark, self.location)
+            t.log.snapshot()  # raises when no table exists here yet
+            return t
+        except Exception:
+            return AcidTable.create(self.spark, self.location, self._view_schema())
+
+    def _full_aggregate(self, df: DataFrame) -> DataFrame:
+        return df.groupBy(*self.group_cols).agg(
+            F.sum(self.value_col).alias("sum_value"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+
+    def last_source_version(self) -> int:
+        last = -1
+        for e in self.view.log.entries():
+            params = e.get("operationParameters", {})
+            if _LAST_VERSION_PROP in params:
+                last = max(last, int(params[_LAST_VERSION_PROP]))
+        return last
+
+    def read(self) -> DataFrame:
+        return self.view.read()
+
+    # ------------------------------------------------------------- refresh
+    def refresh(self) -> str:
+        """Bring the view up to the source's current version.  Returns the
+        strategy used: ``"noop"``, ``"incremental"`` or ``"full"``."""
+        src_version = self.source.log.snapshot().version
+        last = self.last_source_version()
+        if src_version <= last:
+            return "noop"
+        ops = {
+            e["operation"] for e in self.source.log.entries(start=last + 1, end=src_version)
+        }
+        if ops <= _INCREMENTAL_OPS and last >= 0:
+            new_state = self._incremental_state(last + 1, src_version)
+            strategy = "incremental"
+        else:
+            # first refresh, or a commit the CDF can't represent row-wise
+            new_state = self._full_aggregate(self.source.read())
+            strategy = "full"
+        # state + watermark land in ONE atomic commit: a crashed refresh
+        # either happened entirely or not at all
+        self.view.overwrite(
+            new_state.select(*self.group_cols, "sum_value", "n_rows"),
+            operation_parameters={_LAST_VERSION_PROP: str(src_version)},
+        )
+        return strategy
+
+    def _incremental_state(self, start: int, end: int) -> DataFrame:
+        changes = self.source.read_changes(start, end)
+        sign = F.when(
+            F.col(CDF_TYPE).isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = (
+            changes.withColumn("__w", sign)
+            .groupBy(*self.group_cols)
+            .agg(
+                F.sum(F.col("__w") * F.col(self.value_col)).alias("d_sum"),
+                F.sum(F.col("__w")).cast("long").alias("d_n"),
+            )
+        )
+        cur = self.view.read().alias("v")
+        merged = cur.join(delta.alias("d"), self.group_cols, "full_outer").select(
+            *[F.coalesce(F.col(f"v.{c}"), F.col(f"d.{c}")).alias(c) for c in self.group_cols],
+            (
+                F.coalesce(F.col("v.sum_value"), F.lit(0))
+                + F.coalesce(F.col("d.d_sum"), F.lit(0))
+            ).alias("sum_value"),
+            (
+                F.coalesce(F.col("v.n_rows"), F.lit(0))
+                + F.coalesce(F.col("d.d_n"), F.lit(0))
+            ).cast("long").alias("n_rows"),
+        )
+        # groups whose rows all disappeared leave the view entirely
+        return merged.filter(F.col("n_rows") > 0)

@@ -60,6 +60,7 @@ _TIER_BY_NAME = {
     "fuzzy_name_pairs": _reg.TIER_NEWFAM,
     "approx_price_quantiles": _reg.TIER_NEWFAM,
     "fk_integrity_audit": _reg.TIER_NEWFAM,
+    "dml_incremental_view": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):

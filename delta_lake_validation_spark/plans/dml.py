@@ -311,3 +311,68 @@ def dml_restore_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("after_drop_append", t.read().count()),
         ]
     return _result(spark, rows)
+
+
+@register(
+    "dml_incremental_view",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'full_seed' AS step,
+             (SELECT count(DISTINCT n_regionkey) FROM nation) AS n_rows
+      UNION ALL
+      SELECT 'incr_after_append',
+             (SELECT count(DISTINCT n_regionkey) FROM nation) + 1
+      UNION ALL
+      SELECT 'incr_after_delete',
+             (SELECT count(DISTINCT n_regionkey) FROM nation)
+      UNION ALL
+      SELECT 'sum_region_0',
+             (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation
+              WHERE n_regionkey = 0)
+    ) ORDER BY step
+    """,
+    tags=("acid", "cdf", "view"),
+    doc="Incremental materialized aggregate view maintained from the CDF: "
+    "seed (full), append (incremental, new group appears), delete "
+    "(incremental, group disappears), and a value check on an untouched "
+    "group (delta_lake_validation_spark/materialized.py).",
+)
+def dml_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.materialized import IncrementalAggView
+
+    nation = load_table(spark, sf_dir, "nation")
+    with _scratch() as src_loc, _scratch() as view_loc:
+        t = AcidTable.create(
+            spark, src_loc, nation.schema,
+            properties={"enableChangeDataFeed": "true"},
+        )
+        t.append(nation)
+        view = IncrementalAggView(
+            spark, t, view_loc, ["n_regionkey"], "n_nationkey"
+        )
+        s1 = view.refresh()
+        n1 = view.read().count()
+        t.append(
+            spark.createDataFrame(
+                [tuple(99 if f.dataType.simpleString() != "string" else "XX"
+                       for f in nation.schema.fields)],
+                nation.schema,
+            )
+        )
+        s2 = view.refresh()
+        n2 = view.read().count()
+        t.delete("n_regionkey = 99")
+        s3 = view.refresh()
+        n3 = view.read().count()
+        sum0 = (
+            view.read().filter(F.col("n_regionkey") == 0)
+            .select("sum_value").collect()[0][0]
+        )
+        assert (s1, s2, s3) == ("full", "incremental", "incremental"), (s1, s2, s3)
+        rows = [
+            ("full_seed", n1),
+            ("incr_after_append", n2),
+            ("incr_after_delete", n3),
+            ("sum_region_0", int(sum0)),
+        ]
+    return _result(spark, rows)

@@ -372,15 +372,25 @@ class AcidTable:
                 return v
         raise ConcurrentWriteException("append could not commit after 50 attempts")
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self, df: DataFrame, operation_parameters: dict | None = None
+    ) -> int:
         """Full-table overwrite (ref: write_data mode=overwrite + test 6,
         src/validation_suite.py:354-362, 679-707).  Reads table state (the
-        file list it replaces), so a stale snapshot loses the race."""
+        file list it replaces), so a stale snapshot loses the race.
+
+        ``operation_parameters`` ride in the commit entry — the same
+        txnAppId/txnVersion idempotence hook the append path exposes
+        (used by streaming/acid_sink and materialized views to make
+        write+watermark a single atomic commit)."""
         snap = self.log.snapshot()
         adds, cdf = self._stage_write(df, snap, cdf_type="insert_overwrite")
         entry = {
             "operation": "OVERWRITE",
-            "operationParameters": {"mode": "Overwrite"},
+            "operationParameters": {
+                "mode": "Overwrite",
+                **(operation_parameters or {}),
+            },
             "add": adds,
             "remove": [{"path": p} for p in snap.files],
             "cdf": cdf,

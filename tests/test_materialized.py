@@ -1,0 +1,99 @@
+"""Incremental materialized aggregate views over the ACID CDF: the view
+must equal a full recompute after every DML shape, refresh incrementally
+when the CDF covers the change, and fall back to full when it can't."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from delta_lake_validation_spark.materialized import IncrementalAggView
+from delta_lake_validation_spark.sources.acid import AcidTable
+
+
+@pytest.fixture()
+def source(spark, tmp_path):
+    loc = os.path.join(str(tmp_path), "fact")
+    t = AcidTable.create(
+        spark, loc, "k STRING, qty LONG",
+        properties={"enableChangeDataFeed": "true"},
+    )
+    t.append(spark.createDataFrame(
+        [Row(k=k, qty=q) for k, q in
+         [("a", 1), ("a", 2), ("b", 10), ("b", 20), ("c", 5)]],
+        "k STRING, qty LONG"))
+    return t
+
+
+def _expected(t):
+    return {
+        (r.k, r.sum_value, r.n_rows)
+        for r in t.read().groupBy("k").agg(
+            F.sum("qty").alias("sum_value"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        ).collect()
+    }
+
+
+def _got(view):
+    return {(r.k, r.sum_value, r.n_rows) for r in view.read().collect()}
+
+
+def test_incremental_matches_full_recompute(spark, source, tmp_path):
+    v = IncrementalAggView(
+        spark, source, os.path.join(str(tmp_path), "view"), ["k"], "qty")
+    assert v.refresh() == "full"            # first refresh seeds the state
+    assert _got(v) == _expected(source)
+    assert v.refresh() == "noop"
+
+    source.append(spark.createDataFrame(
+        [Row(k="a", qty=7), Row(k="d", qty=100)], "k STRING, qty LONG"))
+    assert v.refresh() == "incremental"     # append: +rows, new group d
+    assert _got(v) == _expected(source)
+
+    source.update({"qty": "qty + 1"}, "k = 'b'")
+    assert v.refresh() == "incremental"     # update: pre/post images cancel
+    assert _got(v) == _expected(source)
+
+    source.delete("k = 'c'")
+    assert v.refresh() == "incremental"     # delete empties group c entirely
+    assert _got(v) == _expected(source)
+    assert not any(r.k == "c" for r in v.read().collect())
+
+    upd = spark.createDataFrame(
+        [Row(k="a", qty=1000), Row(k="e", qty=1)], "k STRING, qty LONG")
+    # MERGE keyed on k would multi-match group a; use a fresh keyed table op:
+    source.append(upd)
+    assert v.refresh() == "incremental"
+    assert _got(v) == _expected(source)
+
+
+def test_overwrite_forces_full_refresh(spark, source, tmp_path):
+    v = IncrementalAggView(
+        spark, source, os.path.join(str(tmp_path), "view"), ["k"], "qty")
+    v.refresh()
+    source.overwrite(spark.createDataFrame(
+        [Row(k="z", qty=9)], "k STRING, qty LONG"))
+    assert v.refresh() == "full"            # CDF can't express the removals
+    assert _got(v) == {("z", 9, 1)}
+
+
+def test_refresh_is_exactly_once(spark, source, tmp_path):
+    v = IncrementalAggView(
+        spark, source, os.path.join(str(tmp_path), "view"), ["k"], "qty")
+    v.refresh()
+    source.append(spark.createDataFrame([Row(k="a", qty=3)], "k STRING, qty LONG"))
+    assert v.refresh() == "incremental"
+    before = _got(v)
+    # watermark rides in the same commit as the data: a re-run (as after a
+    # crash-and-replay) sees itself as current and must not re-apply deltas
+    assert v.refresh() == "noop"
+    assert _got(v) == before
+    # a NEW view object over the same location recovers the watermark
+    v2 = IncrementalAggView(
+        spark, source, os.path.join(str(tmp_path), "view"), ["k"], "qty")
+    assert v2.refresh() == "noop"
+    assert _got(v2) == before
