@@ -156,3 +156,27 @@ class IncrementalAggView:
         )
         # groups whose rows all disappeared leave the view entirely
         return merged.filter(F.col("n_rows") > 0)
+
+
+def refresh_on_changes(view: IncrementalAggView, checkpoint: str):
+    """Continuously refresh ``view`` as its source table commits: returns a
+    started StreamingQuery driving ``view.refresh()`` once per micro-batch
+    of the source's change stream.
+
+    The stream is only a TRIGGER — refresh() reads the CDF itself from the
+    view's own watermark, so duplicate or empty micro-batches are harmless
+    (refresh is idempotent and exactly-once by construction), and a restart
+    from the checkpoint can never double-apply deltas.
+    """
+    from delta_lake_validation_spark.streaming.cdf_stream import stream_table_changes
+
+    changes = stream_table_changes(view.spark, view.source.location)
+
+    def trigger(_df, _batch_id):
+        view.refresh()
+
+    return (
+        changes.writeStream.foreachBatch(trigger)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -314,6 +314,43 @@ class AcidTable:
             df = df.filter(F.col(column) <= F.lit(upper))
         return df
 
+    def read_where(
+        self, ranges: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
+        """Multi-column data-skipping scan: ``ranges`` maps column ->
+        (lower, upper) (either bound may be None); a file is pruned when ANY
+        column's stats range cannot intersect its requested range — the
+        conjunctive-predicate file skipping Delta does from its log, and the
+        read shape Z-order clustering exists to serve (Morton keys tighten
+        several columns' per-file ranges at once).  Missing stats keep the
+        file (never wrong, only less pruned); the exact residual filter
+        always applies."""
+        snap = self.snapshot(version)
+        keep: list[str] = []
+        for rel, meta in snap.files.items():
+            st = meta.get("stats") or {}
+            mins = st.get("minValues") or {}
+            maxs = st.get("maxValues") or {}
+            skip = False
+            for col, (lower, upper) in ranges.items():
+                mn, mx = mins.get(col), maxs.get(col)
+                if mn is None or mx is None:
+                    continue
+                if (lower is not None and mx < lower) or (
+                    upper is not None and mn > upper
+                ):
+                    skip = True
+                    break
+            if not skip:
+                keep.append(rel)
+        df = self._read_files(snap, keep)
+        for col, (lower, upper) in ranges.items():
+            if lower is not None:
+                df = df.filter(F.col(col) >= F.lit(lower))
+            if upper is not None:
+                df = df.filter(F.col(col) <= F.lit(upper))
+        return df
+
     def read(
         self, version: int | None = None, timestamp: str | None = None
     ) -> DataFrame:

@@ -526,3 +526,29 @@ def test_constraint_sql_forms(spark, table):
     ctx.sql("INSERT INTO orders VALUES ('z', 99, 1.0, "
             "TIMESTAMP '2024-01-10 10:00:00', DATE '2024-01-10')")
     assert table.read().count() == 1
+
+
+def test_read_where_multi_column_skipping(spark, tmp_path):
+    """Conjunctive multi-column file skipping: a file is pruned when ANY
+    column's stats exclude its range; residual filters stay exact."""
+    import os
+
+    loc = os.path.join(str(tmp_path), "mc")
+    t = AcidTable.create(spark, loc, "k INT, grp INT, v DOUBLE")
+    # 4 files with disjoint k ranges and alternating grp values
+    for i in range(4):
+        t.append(
+            spark.createDataFrame(
+                [Row(k=i * 100 + j, grp=i % 2, v=float(j)) for j in range(10)],
+                "k INT, grp INT, v DOUBLE",
+            ).coalesce(1)
+        )
+    # k range matches files 1-2 only; grp=0 then excludes file 1 (grp=1)
+    got = t.read_where({"k": (100, 299), "grp": (0, 0)})
+    assert got.count() == 10
+    files_read = {r[0] for r in got.select(F.input_file_name()).distinct().collect()}
+    assert len(files_read) == 1  # only file 2 (k 200-209, grp 0) survives
+    # residual exactness: a range narrower than one file's stats span
+    assert t.read_where({"k": (205, 207)}).count() == 3
+    # no bounds at all = full table
+    assert t.read_where({}).count() == 40

@@ -97,3 +97,29 @@ def test_refresh_is_exactly_once(spark, source, tmp_path):
         spark, source, os.path.join(str(tmp_path), "view"), ["k"], "qty")
     assert v2.refresh() == "noop"
     assert _got(v2) == before
+
+
+def test_refresh_on_changes_stream(spark, source, tmp_path):
+    """The change-stream trigger keeps the view current without manual
+    refresh calls; a second pass over the same checkpoint is a no-op."""
+    from delta_lake_validation_spark.materialized import refresh_on_changes
+
+    v = IncrementalAggView(
+        spark, source, os.path.join(str(tmp_path), "view"), ["k"], "qty")
+    source.append(spark.createDataFrame([Row(k="x", qty=42)], "k STRING, qty LONG"))
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    q = refresh_on_changes(v, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _got(v) == _expected(source)
+    last = v.last_source_version()
+    # restart from the same checkpoint: no new data, no state change
+    q2 = refresh_on_changes(v, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert v.last_source_version() == last
+    assert _got(v) == _expected(source)
