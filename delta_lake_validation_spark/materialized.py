@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from delta_lake_validation_spark.sources.acid import AcidTable
+from delta_lake_validation_spark.sources.acid import AcidTable, TableNotFoundError
 from delta_lake_validation_spark.sources.acid.table import CDF_TYPE
 
 _LAST_VERSION_PROP = "view.sourceVersion"
@@ -71,19 +71,27 @@ class IncrementalAggView:
 
     # ------------------------------------------------------------- helpers
     def _view_schema(self) -> str:
+        # derive sum_value's type from what Spark's SUM actually returns
+        # (sum(INT) is LONG, sum(DECIMAL(p,s)) widens precision) — declaring
+        # the source column's type would silently downcast-wrap on overflow
         src = self.source.schema()
-        fields = {f.name: f.dataType.simpleString() for f in src.fields}
+        agg_schema = self._full_aggregate(
+            self.spark.createDataFrame([], src)
+        ).schema
+        fields = {f.name: f.dataType.simpleString() for f in agg_schema.fields}
         cols = [f"{c} {fields[c]}" for c in self.group_cols]
-        cols.append(f"sum_value {fields[self.value_col]}")
+        cols.append(f"sum_value {fields['sum_value']}")
         cols.append("n_rows LONG")
         return ", ".join(cols)
 
     def _ensure_view(self) -> AcidTable:
         try:
             t = AcidTable(self.spark, self.location)
-            t.log.snapshot()  # raises when no table exists here yet
+            t.log.snapshot()
             return t
-        except Exception:
+        except TableNotFoundError:
+            # only "no table here yet" — transient IO / corrupt-log errors
+            # must propagate, not get masked by a create() attempt
             return AcidTable.create(self.spark, self.location, self._view_schema())
 
     def _full_aggregate(self, df: DataFrame) -> DataFrame:
@@ -93,12 +101,16 @@ class IncrementalAggView:
         )
 
     def last_source_version(self) -> int:
-        last = -1
-        for e in self.view.log.entries():
-            params = e.get("operationParameters", {})
+        # every refresh commit carries the watermark, so walk back from the
+        # newest commit and stop at the first one that has it — O(1) per
+        # refresh instead of re-reading the whole view log every time
+        latest = self.view.log.snapshot().version
+        for v in range(latest, -1, -1):
+            entry = self.view.log.read_entry(v)
+            params = entry.get("operationParameters", {})
             if _LAST_VERSION_PROP in params:
-                last = max(last, int(params[_LAST_VERSION_PROP]))
-        return last
+                return int(params[_LAST_VERSION_PROP])
+        return -1
 
     def read(self) -> DataFrame:
         return self.view.read()
@@ -111,23 +123,45 @@ class IncrementalAggView:
         last = self.last_source_version()
         if src_version <= last:
             return "noop"
-        ops = {
-            e["operation"] for e in self.source.log.entries(start=last + 1, end=src_version)
-        }
-        if ops <= _INCREMENTAL_OPS and last >= 0:
-            new_state = self._incremental_state(last + 1, src_version)
-            strategy = "incremental"
-        else:
-            # first refresh, or a commit the CDF can't represent row-wise
-            new_state = self._full_aggregate(self.source.read())
-            strategy = "full"
+        if last >= 0 and self._cdf_covers(last + 1, src_version):
+            try:
+                new_state = self._incremental_state(last + 1, src_version)
+                self._commit_state(new_state, src_version)
+                return "incremental"
+            except Exception:
+                # e.g. vacuum reclaimed the files an unprocessed APPEND's
+                # synthesized inserts point at — fall back rather than wedge
+                pass
+        # first refresh, a commit the CDF can't represent row-wise, or a
+        # failed incremental attempt: recompute AT THE WATERMARK VERSION so
+        # a commit racing in after the src_version read is never baked into
+        # state that claims an older watermark (it would then be re-applied)
+        new_state = self._full_aggregate(self.source.read(version=src_version))
+        self._commit_state(new_state, src_version)
+        return "full"
+
+    def _cdf_covers(self, start: int, end: int) -> bool:
+        """True when every commit in [start, end] is row-representable from
+        the CDF: known operation, and any commit that removed data stored
+        its change files (a DELETE/UPDATE/MERGE from before CDF was enabled
+        has none — only a full recompute sees those rows leave)."""
+        for e in self.source.log.entries(start=start, end=end):
+            if e["operation"] not in _INCREMENTAL_OPS:
+                return False
+            removes_data = any(
+                r for r in e.get("remove", [])
+            ) and e["operation"] not in ("OPTIMIZE",)
+            if removes_data and not e.get("cdf"):
+                return False
+        return True
+
+    def _commit_state(self, new_state: DataFrame, src_version: int) -> None:
         # state + watermark land in ONE atomic commit: a crashed refresh
         # either happened entirely or not at all
         self.view.overwrite(
             new_state.select(*self.group_cols, "sum_value", "n_rows"),
             operation_parameters={_LAST_VERSION_PROP: str(src_version)},
         )
-        return strategy
 
     def _incremental_state(self, start: int, end: int) -> DataFrame:
         changes = self.source.read_changes(start, end)
@@ -143,7 +177,13 @@ class IncrementalAggView:
             )
         )
         cur = self.view.read().alias("v")
-        merged = cur.join(delta.alias("d"), self.group_cols, "full_outer").select(
+        # eqNullSafe: groupBy folds NULL keys into one group, a plain
+        # column-list join would never match them and duplicate the row
+        cond = None
+        for c in self.group_cols:
+            eq = F.col(f"v.{c}").eqNullSafe(F.col(f"d.{c}"))
+            cond = eq if cond is None else (cond & eq)
+        merged = cur.join(delta.alias("d"), cond, "full_outer").select(
             *[F.coalesce(F.col(f"v.{c}"), F.col(f"d.{c}")).alias(c) for c in self.group_cols],
             (
                 F.coalesce(F.col("v.sum_value"), F.lit(0))

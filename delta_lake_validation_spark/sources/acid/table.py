@@ -292,27 +292,10 @@ class AcidTable:
         using the per-file stats captured at write time.  Z-order clustering
         (optimize zorder_by) is what makes these ranges tight for multiple
         columns at once.  Falls back to reading a file whenever its stats
-        are missing (never wrong, only less pruned)."""
-        snap = self.snapshot(version)
-        keep: list[str] = []
-        for rel, meta in snap.files.items():
-            st = meta.get("stats") or {}
-            mn = (st.get("minValues") or {}).get(column)
-            mx = (st.get("maxValues") or {}).get(column)
-            if mn is None or mx is None:
-                keep.append(rel)
-                continue
-            if lower is not None and mx < lower:
-                continue
-            if upper is not None and mn > upper:
-                continue
-            keep.append(rel)
-        df = self._read_files(snap, keep)
-        if lower is not None:
-            df = df.filter(F.col(column) >= F.lit(lower))
-        if upper is not None:
-            df = df.filter(F.col(column) <= F.lit(upper))
-        return df
+        are missing (never wrong, only less pruned).
+
+        Single-column convenience form of ``read_where``."""
+        return self.read_where({column: (lower, upper)}, version=version)
 
     def read_where(
         self, ranges: dict[str, tuple], version: int | None = None

@@ -123,3 +123,60 @@ def test_refresh_on_changes_stream(spark, source, tmp_path):
         q2.stop()
     assert v.last_source_version() == last
     assert _got(v) == _expected(source)
+
+
+def test_null_group_key_merges_once(spark, tmp_path):
+    """groupBy folds NULL keys into one group; the incremental merge must
+    match them too (null-safe join), not duplicate the row."""
+    loc = os.path.join(str(tmp_path), "nullfact")
+    t = AcidTable.create(
+        spark, loc, "k STRING, qty LONG",
+        properties={"enableChangeDataFeed": "true"},
+    )
+    t.append(spark.createDataFrame([Row(k=None, qty=1), Row(k="a", qty=2)],
+                                   "k STRING, qty LONG"))
+    v = IncrementalAggView(
+        spark, t, os.path.join(str(tmp_path), "view"), ["k"], "qty")
+    v.refresh()
+    t.append(spark.createDataFrame([Row(k=None, qty=10)], "k STRING, qty LONG"))
+    assert v.refresh() == "incremental"
+    rows = v.read().collect()
+    nulls = [r for r in rows if r.k is None]
+    assert len(nulls) == 1 and nulls[0].sum_value == 11 and nulls[0].n_rows == 2
+
+
+def test_pre_cdf_delete_forces_full_refresh(spark, tmp_path):
+    """A DELETE committed before CDF was enabled stored no change rows; the
+    view must detect the gap and recompute instead of silently keeping the
+    deleted rows."""
+    loc = os.path.join(str(tmp_path), "latecdf")
+    t = AcidTable.create(spark, loc, "k STRING, qty LONG")  # CDF off
+    t.append(spark.createDataFrame(
+        [Row(k="a", qty=1), Row(k="b", qty=2)], "k STRING, qty LONG"))
+    v = IncrementalAggView(
+        spark, t, os.path.join(str(tmp_path), "view"), ["k"], "qty")
+    v.refresh()
+    t.delete("k = 'a'")                       # no CDF rows recorded
+    t.set_property("enableChangeDataFeed", "true")
+    assert v.refresh() == "full"              # gap detected, not incremental
+    assert _got(v) == _expected(t)
+    assert not any(r.k == "a" for r in v.read().collect())
+
+
+def test_sum_type_widens_with_spark_semantics(spark, tmp_path):
+    """sum(INT) is LONG in Spark; the view schema must hold the widened type
+    so large sums don't wrap through a silent downcast."""
+    loc = os.path.join(str(tmp_path), "intfact")
+    t = AcidTable.create(
+        spark, loc, "k STRING, qty INT",
+        properties={"enableChangeDataFeed": "true"},
+    )
+    big = 2_000_000_000  # 2e9: two of these overflow INT32
+    t.append(spark.createDataFrame(
+        [Row(k="a", qty=big), Row(k="a", qty=big)], "k STRING, qty INT"))
+    v = IncrementalAggView(
+        spark, t, os.path.join(str(tmp_path), "view"), ["k"], "qty")
+    v.refresh()
+    [r] = v.read().collect()
+    assert r.sum_value == 2 * big and r.sum_value > 0
+    assert dict(v.read().dtypes)["sum_value"] == "bigint"
