@@ -1125,3 +1125,44 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Video-shaped frame sampling, value-graded: the mapInPandas plumbing emits
+# one row per sampled frame (byte-stride stand-in for a real decoder); its
+# arithmetic — frame count, total sampled bytes, first-frame digest — is
+# exactly replicable in SQL, so the oracle grades the 1→N row expansion,
+# ordering, and slicing, not just row counts.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_frames",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(least(8, greatest(1, length(text) // 1024)) AS INTEGER)
+               AS n_frames,
+           CAST(CASE WHEN length(text) < 1024 THEN length(text)
+                     ELSE least(8, length(text) // 1024) * 1024 END AS BIGINT)
+               AS frame_bytes,
+           md5(substr(text, 1, 1024)) AS first_frame_md5
+    FROM documents
+    """,
+    tags=("multimodal", "llm"),
+    doc="byte-stride frame sampling (operators/multimodal.py frame_sample) "
+    "graded on frame count, sampled bytes, and first-frame digest",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.multimodal import (
+        frame_sample,
+        with_binary_payload,
+    )
+
+    docs = Tables(spark, sf_dir).documents
+    media = with_binary_payload(docs)
+    frames = frame_sample(media, stride=1024, max_frames=8)
+    return frames.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.sum(F.length("frame")).cast("long").alias("frame_bytes"),
+        F.max(F.when(F.col("frame_no") == 0, F.md5("frame"))).alias(
+            "first_frame_md5"
+        ),
+    )
