@@ -62,6 +62,7 @@ _TIER_BY_NAME = {
     "fk_integrity_audit": _reg.TIER_NEWFAM,
     "dml_incremental_view": _reg.TIER_NEWFAM,
     "multimodal_frames": _reg.TIER_NEWFAM,
+    "chars_decile": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):

@@ -1166,3 +1166,29 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_frame_md5"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile binning via NTILE: length deciles within each language — the
+# binning step behind curriculum bucketing / stratified mixing.  Partitioned
+# by lang so no global sort exists (a global NTILE would single-partition
+# the window; at scale you bin per shard or cut on approx quantiles).
+# Fully deterministic: the ordering is total (n_chars, doc_id).
+# ---------------------------------------------------------------------------
+@register(
+    "chars_decile",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+                AS INTEGER) AS decile
+    FROM documents
+    """,
+    tags=("window", "ntile", "llm"),
+    doc="per-language length deciles via NTILE (total order, deterministic)",
+)
+def chars_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "lang", F.ntile(10).over(w).cast("int").alias("decile")
+    )

@@ -210,3 +210,42 @@ def test_csv_json_sources_roundtrip(spark, tmp_path):
     assert sorted(r.l_orderkey for r in back_json.collect()) == sorted(
         r.l_orderkey for r in li.collect()
     )
+
+
+def test_events_ts_scale_sniffs_all_units(spark, tmp_path):
+    """The ts-unit sniff must normalize NANOS/MICROS/MILLIS parquet and a
+    plain LONG column identically — the testdata's physical type changed
+    between rounds once already and silently broke every time query 1000×."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import delta_lake_validation_spark.tables as T
+
+    base = 1_700_000_000_000_000_000  # epoch nanos
+    for unit, scale in [("ns", 1), ("us", 1_000), ("ms", 1_000_000)]:
+        path = str(tmp_path / f"ev_{unit}.parquet")
+        tbl = pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([base // scale, (base + scale) // scale],
+                           pa.timestamp(unit)),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        })
+        pq.write_table(tbl, path, coerce_timestamps=None,
+                       use_deprecated_int96_timestamps=False,
+                       store_schema=False, version="2.6")
+        T._ts_scale_cache.clear()
+        assert T._events_ts_scale(path, spark) == scale, unit
+        got = (
+            spark.read.schema(T.EVENTS_SCHEMA).parquet(path)
+            .selectExpr(f"ts * {scale} AS ns").collect()
+        )
+        assert {r.ns for r in got} == {base, base + scale}, unit
+    # plain LONG ts needs no scaling
+    path = str(tmp_path / "ev_long.parquet")
+    pq.write_table(pa.table({"ts": pa.array([base], pa.int64())}), path)
+    T._ts_scale_cache.clear()
+    assert T._events_ts_scale(path, spark) == 1
+    T._ts_scale_cache.clear()
