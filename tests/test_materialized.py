@@ -180,3 +180,43 @@ def test_sum_type_widens_with_spark_semantics(spark, tmp_path):
     [r] = v.read().collect()
     assert r.sum_value == 2 * big and r.sum_value > 0
     assert dict(v.read().dtypes)["sum_value"] == "bigint"
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_random_dml_sequences_match_full_recompute(spark, tmp_path, seed):
+    """Property: after ANY sequence of append/update/delete/overwrite and a
+    refresh, the view equals the full recompute — whichever strategy each
+    refresh picked."""
+    import random
+
+    rng = random.Random(seed)
+    loc = os.path.join(str(tmp_path), f"fact{seed}")
+    t = AcidTable.create(
+        spark, loc, "k STRING, qty LONG",
+        properties={"enableChangeDataFeed": "true"},
+    )
+    keys = ["a", "b", "c", "d"]
+    t.append(spark.createDataFrame(
+        [Row(k=rng.choice(keys), qty=rng.randint(1, 9)) for _ in range(8)],
+        "k STRING, qty LONG"))
+    v = IncrementalAggView(
+        spark, t, os.path.join(str(tmp_path), f"view{seed}"), ["k"], "qty")
+    v.refresh()
+    for _ in range(4):
+        op = rng.choice(["append", "update", "delete", "overwrite"])
+        k = rng.choice(keys)
+        if op == "append":
+            t.append(spark.createDataFrame(
+                [Row(k=rng.choice(keys), qty=rng.randint(1, 9))
+                 for _ in range(3)], "k STRING, qty LONG"))
+        elif op == "update":
+            t.update({"qty": f"qty + {rng.randint(1, 5)}"}, f"k = '{k}'")
+        elif op == "delete":
+            t.delete(f"k = '{k}'")
+        else:
+            t.overwrite(spark.createDataFrame(
+                [Row(k=rng.choice(keys), qty=rng.randint(1, 9))
+                 for _ in range(4)], "k STRING, qty LONG"))
+        strategy = v.refresh()
+        assert strategy in ("incremental", "full", "noop")
+        assert _got(v) == _expected(t), (seed, op, strategy)
