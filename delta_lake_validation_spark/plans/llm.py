@@ -1134,16 +1134,31 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly replicable in SQL, so the oracle grades the 1→N row expansion,
 # ordering, and slicing, not just row counts.
 # ---------------------------------------------------------------------------
+_FRAME_STRIDE = 64  # small enough that testdata docs (~100-600 bytes)
+#                     genuinely expand to multiple frames and hit the
+#                     max_frames cap — with a larger stride every doc would
+#                     emit one frame and the expansion/slicing arms of both
+#                     sides would be dead code that an oracle sweep can't see
+
+
 @register(
     "multimodal_frames",
-    oracle="""
+    # frame counts/bytes use octet_length, so they are byte-true for any
+    # input; the digest column slices VARCHAR (DuckDB cannot slice BLOBs),
+    # which only equals byte slicing for ASCII — the guard makes a
+    # non-ASCII fixture FAIL the comparison loudly instead of silently
+    # passing with character semantics
+    oracle=f"""
     SELECT doc_id AS id,
-           CAST(least(8, greatest(1, length(text) // 1024)) AS INTEGER)
-               AS n_frames,
-           CAST(CASE WHEN length(text) < 1024 THEN length(text)
-                     ELSE least(8, length(text) // 1024) * 1024 END AS BIGINT)
-               AS frame_bytes,
-           md5(substr(text, 1, 1024)) AS first_frame_md5
+           CAST(least(8, greatest(1, octet_length(encode(text)) // {_FRAME_STRIDE}))
+                AS INTEGER) AS n_frames,
+           CAST(CASE WHEN octet_length(encode(text)) < {_FRAME_STRIDE}
+                     THEN octet_length(encode(text))
+                     ELSE least(8, octet_length(encode(text)) // {_FRAME_STRIDE})
+                          * {_FRAME_STRIDE} END AS BIGINT) AS frame_bytes,
+           CASE WHEN octet_length(encode(text)) = length(text)
+                THEN md5(substr(text, 1, {_FRAME_STRIDE}))
+                ELSE 'NON_ASCII_FIXTURE_UNSUPPORTED' END AS first_frame_md5
     FROM documents
     """,
     tags=("multimodal", "llm"),
@@ -1158,7 +1173,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Tables(spark, sf_dir).documents
     media = with_binary_payload(docs)
-    frames = frame_sample(media, stride=1024, max_frames=8)
+    frames = frame_sample(media, stride=_FRAME_STRIDE, max_frames=8)
     return frames.groupBy("id").agg(
         F.count(F.lit(1)).cast("int").alias("n_frames"),
         F.sum(F.length("frame")).cast("long").alias("frame_bytes"),

@@ -112,6 +112,21 @@ CUSTOM: dict[str, object] = {
         (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
         + (["BroadcastNestedLoopJoin appeared"] if "BroadcastNestedLoopJoin" in p else [])
     ),
+    # decile binning reads 3 narrow columns — the wide text column must be
+    # pruned from the scan — through exactly one window
+    "chars_decile": lambda p: (
+        (["text column not pruned"]
+         if "ReadSchema: struct<doc_id:bigint,text" in p or ":string,text:" in p
+         else [])
+        + (["no Window"] if "Window" not in p else [])
+    ),
+    # frame sampling must stay the Arrow-batched python stage (MapInPandas),
+    # scanning only the two columns the payload needs
+    "multimodal_frames": lambda p: (
+        (["no MapInPandas stage"] if "MapInPandas" not in p else [])
+        + (["scan wider than doc_id+text"]
+           if "ReadSchema: struct<doc_id:bigint,text:string>" not in p else [])
+    ),
     # mask-pair blocking: equi join on (nation, mask, masked-name) keys;
     # cartesian/BNLJ means the blocking-key equality was lost and the plan
     # is quadratic
