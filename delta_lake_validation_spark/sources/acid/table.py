@@ -346,15 +346,37 @@ class AcidTable:
         snap = self.snapshot(version)
         return self._read_files(snap, list(snap.files))
 
+    def _abs(self, path: str) -> str:
+        """Resolve a log file reference: add entries normally hold paths
+        relative to the table location; shallow clones (``clone_to``) hold
+        absolute references into the source table."""
+        if path.startswith("/") or "://" in path:
+            return path
+        return f"{self.location}/{path}"
+
     def _read_files(self, snap: Snapshot, rel_paths: list[str]) -> DataFrame:
         schema = self.schema(snap)
         if not rel_paths:
             return self.spark.createDataFrame([], schema)
-        paths = [f"{self.location}/{p}" for p in rel_paths]
-        reader = self.spark.read.schema(schema)
-        if snap.partition_columns:
-            reader = reader.option("basePath", self.location)
-        return reader.parquet(*paths)
+        # group by partition-discovery base: local files resolve partition
+        # values against this table's location, cloned absolute references
+        # against the source location recorded in their add entry
+        groups: dict[str, list[str]] = {}
+        for p in rel_paths:
+            meta = snap.files.get(p) or {}
+            if p.startswith("/") or "://" in p:
+                base = meta.get("basePath", self.location)
+                groups.setdefault(base, []).append(p)
+            else:
+                groups.setdefault(self.location, []).append(f"{self.location}/{p}")
+        out = None
+        for base, paths in groups.items():
+            reader = self.spark.read.schema(schema)
+            if snap.partition_columns:
+                reader = reader.option("basePath", base)
+            df = reader.parquet(*paths)
+            out = df if out is None else out.unionByName(df)
+        return out
 
     # --------------------------------------------------------------- writes
     def append(
@@ -960,6 +982,46 @@ class AcidTable:
             v = head.version + 1
         raise ConcurrentWriteException("optimize could not commit after 50 attempts")
 
+    def clone_to(self, location: str) -> "AcidTable":
+        """Shallow clone (Delta ``CREATE TABLE ... SHALLOW CLONE`` parity):
+        a new table whose log references this table's CURRENT data files by
+        absolute path — zero data copied, so forking a 100 TB table for a
+        dev/test branch costs one metadata commit.  Writes to the clone
+        stage their own local files; the source is never touched.
+
+        Same caveat as Delta: the clone borrows the source's files, so a
+        VACUUM on the SOURCE that reclaims files the clone still references
+        breaks the clone (the clone's own vacuum only ever lists its own
+        directory and cannot delete source files).  CDF on the clone starts
+        after the clone point."""
+        snap = self.log.snapshot()
+        clone = AcidTable.create(
+            self.spark,
+            location,
+            self.schema(snap),
+            partition_by=list(snap.partition_columns),
+            properties=dict(snap.properties),
+        )
+        adds = []
+        for rel, meta in snap.files.items():
+            m = dict(meta)
+            m["path"] = self._abs(rel)  # absolutize (idempotent for clones)
+            if snap.partition_columns and "basePath" not in m:
+                m["basePath"] = self.location
+            adds.append(m)
+        entry = {
+            "operation": "CLONE",
+            "operationParameters": {
+                "source": self.location,
+                "sourceVersion": snap.version,
+            },
+            "add": adds,
+            "remove": [],
+            "cdf": [],
+        }
+        clone._commit_strict(entry, clone.log.snapshot())
+        return clone
+
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF (Delta RESTORE parity): one
         commit whose post-state file set equals the target version's.  Data
@@ -979,7 +1041,7 @@ class AcidTable:
         missing = [
             a["path"]
             for a in re_add
-            if not self.fs.exists(f"{self.location}/{a['path']}")
+            if not self.fs.exists(self._abs(a["path"]))
         ]
         if missing:
             raise AcidTableError(

@@ -552,3 +552,39 @@ def test_read_where_multi_column_skipping(spark, tmp_path):
     assert t.read_where({"k": (205, 207)}).count() == 3
     # no bounds at all = full table
     assert t.read_where({}).count() == 40
+
+
+def test_shallow_clone_zero_copy_fork(spark, tmp_path):
+    """Shallow clone references the source's files (no copies); writes and
+    DML on the clone never touch the source; the clone's vacuum cannot
+    reclaim source files."""
+    import os
+
+    src_loc = os.path.join(str(tmp_path), "src")
+    src = AcidTable.create(spark, src_loc, "k INT, v DOUBLE, d DATE",
+                           partition_by=["d"])
+    src.append(spark.createDataFrame(
+        [Row(k=i, v=float(i), d=dt.date(2024, 1, 1 + i % 2)) for i in range(10)],
+        "k INT, v DOUBLE, d DATE"))
+
+    clone_loc = os.path.join(str(tmp_path), "fork")
+    clone = src.clone_to(clone_loc)
+    # identical content, zero parquet files under the clone's directory
+    assert {r.k for r in clone.read().collect()} == set(range(10))
+    clone_parquet = [p for p, _, files in os.walk(clone_loc)
+                     for f in files if f.endswith(".parquet")]
+    assert clone_parquet == []
+    # partition pruning still works through the source basePath
+    assert clone.read().filter("d = date'2024-01-01'").count() == 5
+
+    # diverge the clone: delete + append; source must be untouched
+    clone.delete("k < 3")
+    clone.append(spark.createDataFrame(
+        [Row(k=100, v=1.0, d=dt.date(2024, 1, 3))], "k INT, v DOUBLE, d DATE"))
+    assert {r.k for r in clone.read().collect()} == set(range(3, 10)) | {100}
+    assert {r.k for r in src.read().collect()} == set(range(10))
+
+    # clone vacuum only lists its own directory — source files survive
+    clone.vacuum(retain_hours=0)
+    assert {r.k for r in src.read().collect()} == set(range(10))
+    assert {r.k for r in clone.read().collect()} == set(range(3, 10)) | {100}
