@@ -32,8 +32,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from delta_lake_validation_spark.sources.acid import AcidTable, TableNotFoundError
+import logging
+
+from pyspark.errors import AnalysisException
+
+from delta_lake_validation_spark.sources.acid import (
+    AcidTable,
+    ConcurrentWriteException,
+    TableNotFoundError,
+)
 from delta_lake_validation_spark.sources.acid.table import CDF_TYPE
+
+_log = logging.getLogger(__name__)
 
 _LAST_VERSION_PROP = "view.sourceVersion"
 # commit operations whose CDF fully describes the row-level change
@@ -128,10 +138,29 @@ class IncrementalAggView:
                 new_state = self._incremental_state(last + 1, src_version)
                 self._commit_state(new_state, src_version)
                 return "incremental"
-            except Exception:
-                # e.g. vacuum reclaimed the files an unprocessed APPEND's
-                # synthesized inserts point at — fall back rather than wedge
-                pass
+            except ConcurrentWriteException:
+                # a racing refresh won — surface it, the caller decides
+                # whether to retry; recomputing here would just race again
+                raise
+            except Exception as e:
+                # recoverable only when the incremental inputs are GONE
+                # (vacuum reclaimed the files an unprocessed APPEND's
+                # synthesized inserts point at) — fall back rather than
+                # wedge.  Anything else (analysis bugs, schema drift) is a
+                # defect that a silent full recompute would mask.
+                msg = str(e)
+                gone = isinstance(e, AnalysisException) or any(
+                    s in msg
+                    for s in ("FileNotFound", "PATH_NOT_FOUND", "does not exist")
+                )
+                if not gone:
+                    raise
+                _log.warning(
+                    "incremental refresh failed (%s: %s); falling back to "
+                    "full recompute",
+                    type(e).__name__,
+                    msg.splitlines()[0] if msg else "",
+                )
         # first refresh, a commit the CDF can't represent row-wise, or a
         # failed incremental attempt: recompute AT THE WATERMARK VERSION so
         # a commit racing in after the src_version read is never baked into

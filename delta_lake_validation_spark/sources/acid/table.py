@@ -444,9 +444,15 @@ class AcidTable:
         if not self.log.try_commit(v, entry):
             # the write staged data/CDF files before this commit attempt;
             # losing the race must not leave them behind — orphan CDF files
-            # would surface as phantom changes in the change-feed stream
+            # would surface as phantom changes in the change-feed stream.
+            # Absolute add references (shallow clones) were never staged by
+            # this table: resolve via _abs and only delete under our root,
+            # so a lost clone race can never reach into the source table.
+            root = strip_scheme(self.location).rstrip("/") + "/"
             for a in entry.get("add", []):
-                self.fs.delete(f"{self.location}/{a['path']}")
+                p = self._abs(a["path"])
+                if strip_scheme(p).startswith(root):
+                    self.fs.delete(p)
             for p in entry.get("cdf", []):
                 self.fs.delete(f"{self.location}/{p}")
             raise ConcurrentWriteException(
@@ -842,11 +848,25 @@ class AcidTable:
         return sorted({self._rel_of(h) for h in hits})
 
     def _rel_of(self, file_uri: str) -> str:
-        p = unquote(urlparse(file_uri).path) if "://" in file_uri or file_uri.startswith("file:") else file_uri
-        root = strip_scheme(self.location)
-        if p.startswith(root):
+        """Map an ``input_file_name()`` URI back to its add-entry path:
+        files under this table's location become relative paths (how local
+        writes are logged); anything else is a shallow-clone reference and
+        must keep the exact absolute form ``clone_to`` stored — scheme and
+        authority included — or copy-on-write DML on a remote-fs clone
+        would look up a mangled key and fail PATH_NOT_FOUND."""
+        if "://" in file_uri or file_uri.startswith("file:"):
+            pr = urlparse(file_uri)
+            p = unquote(pr.path)
+            scheme_abs = f"{pr.scheme}://{pr.netloc}{p}" if pr.scheme not in ("file", "") else p
+        else:
+            p = file_uri
+            scheme_abs = file_uri
+        root = strip_scheme(self.location).rstrip("/")
+        if p.startswith(root + "/"):
             return p[len(root) :].lstrip("/")
-        return p
+        # clone_to stores source refs as location-prefixed: scheme'd when the
+        # source location carries a scheme, bare posix otherwise
+        return scheme_abs
 
     def _partition_prune(self, snap: Snapshot, cond: Column) -> list[str] | None:
         """If cond references only partition columns, return the files whose
@@ -995,13 +1015,6 @@ class AcidTable:
         directory and cannot delete source files).  CDF on the clone starts
         after the clone point."""
         snap = self.log.snapshot()
-        clone = AcidTable.create(
-            self.spark,
-            location,
-            self.schema(snap),
-            partition_by=list(snap.partition_columns),
-            properties=dict(snap.properties),
-        )
         adds = []
         for rel, meta in snap.files.items():
             m = dict(meta)
@@ -1009,17 +1022,30 @@ class AcidTable:
             if snap.partition_columns and "basePath" not in m:
                 m["basePath"] = self.location
             adds.append(m)
+        # ONE commit carrying both the table metadata and the cloned file
+        # references (Delta's SHALLOW CLONE is likewise a single atomic
+        # commit): a crash can only leave nothing, never a valid-looking
+        # empty table at the target
+        clone = AcidTable(self.spark, location)
+        if clone.log.exists():
+            raise AcidTableError(f"table already exists at {location}")
         entry = {
             "operation": "CLONE",
             "operationParameters": {
                 "source": self.location,
                 "sourceVersion": snap.version,
             },
+            "metadata": {
+                "schemaJson": snap.schema_json,
+                "partitionColumns": list(snap.partition_columns),
+                "properties": dict(snap.properties),
+            },
             "add": adds,
             "remove": [],
             "cdf": [],
         }
-        clone._commit_strict(entry, clone.log.snapshot())
+        if not clone.log.try_commit(0, entry):
+            raise ConcurrentWriteException(f"concurrent create at {location}")
         return clone
 
     def restore(self, version: int) -> int:

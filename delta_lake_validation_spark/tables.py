@@ -67,12 +67,41 @@ def _events_ts_scale(path: str, spark: SparkSession | None = None) -> int:
             raise
         try:
             inferred = spark.read.parquet(path).schema["ts"].dataType
-            scale = {
-                "timestamp": 1_000,  # Spark reads MICROS as TimestampType
-                "timestamp_ntz": 1_000,
-                "long": 1,
-            }[inferred.typeName()]
+            if inferred.typeName() in ("timestamp", "timestamp_ntz"):
+                # Spark infers TimestampType for BOTH TIMESTAMP(MICROS) and
+                # TIMESTAMP(MILLIS) parquet — assuming micros here would be
+                # the silent-1000×-off failure this function exists to stop.
+                # Disambiguate from the raw stored INT64's magnitude: epoch
+                # values for any plausible event date (1973…2200) differ by
+                # unit in non-overlapping bands (millis ~1e11-8e12,
+                # micros ~1e14-8e15, nanos ~1e17+).
+                row = (
+                    spark.read.schema("ts LONG")
+                    .parquet(path)
+                    .agg({"ts": "max"})
+                    .collect()
+                )
+                raw = row[0][0]
+                if raw is None:
+                    scale = 1_000  # empty file: unit is moot, pick micros
+                elif raw >= 10**16:
+                    scale = 1  # already nanos
+                elif raw >= 10**13:
+                    scale = 1_000  # micros
+                elif raw >= 10**10:
+                    scale = 1_000_000  # millis
+                else:
+                    raise ValueError(
+                        f"events.ts raw INT64 magnitude {raw} is outside every "
+                        "known epoch-unit band; refusing to guess a scale"
+                    )
+            elif inferred.typeName() == "long":
+                scale = 1
+            else:
+                raise KeyError(inferred.typeName())
         except KeyError:
+            raise
+        except ValueError:
             raise
         except Exception as e:
             if "PARQUET_TYPE_ILLEGAL" in str(e) or "INT64 (TIMESTAMP(NANOS" in str(e):

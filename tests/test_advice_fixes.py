@@ -249,3 +249,102 @@ def test_events_ts_scale_sniffs_all_units(spark, tmp_path):
     T._ts_scale_cache.clear()
     assert T._events_ts_scale(path, spark) == 1
     T._ts_scale_cache.clear()
+
+
+# ---------------------------------------------------------------------------
+# Round-3 advisor findings (ADVICE.md r2)
+# ---------------------------------------------------------------------------
+def test_ts_scale_fallback_disambiguates_millis(spark, tmp_path, monkeypatch):
+    """Without pyarrow, the Spark-inference fallback must NOT assume every
+    TimestampType parquet is micros: a MILLIS-typed file needs scale 1e6."""
+    import builtins
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import delta_lake_validation_spark.tables as T
+
+    base = 1_700_000_000_000_000_000  # epoch nanos
+    paths = {}
+    for unit, scale in [("us", 1_000), ("ms", 1_000_000)]:
+        path = str(tmp_path / f"ev_{unit}.parquet")
+        tbl = pa.table({"ts": pa.array([base // scale], pa.timestamp(unit))})
+        pq.write_table(tbl, path, coerce_timestamps=None, store_schema=False,
+                       version="2.6")
+        paths[unit] = (path, scale)
+
+    real_import = builtins.__import__
+
+    def no_pyarrow(name, *a, **kw):
+        if name.startswith("pyarrow"):
+            raise ImportError("pyarrow disabled for this test")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_pyarrow)
+    for unit, (path, scale) in paths.items():
+        T._ts_scale_cache.clear()
+        assert T._events_ts_scale(path, spark) == scale, unit
+    T._ts_scale_cache.clear()
+
+
+def test_shallow_clone_is_one_atomic_commit(spark, tmp_path):
+    """clone_to writes a SINGLE v0 commit carrying metadata + file refs —
+    no intermediate empty-but-valid table state can survive a crash."""
+    src = _cdf_table(spark, tmp_path, "src_atomic")
+    src.append(_df(spark, [(1, 1), (2, 2)]))
+    clone = src.clone_to(os.path.join(str(tmp_path), "fork_atomic"))
+    snap = clone.log.snapshot()
+    assert snap.version == 0  # one commit, not create-then-clone
+    entry = clone.log.read_entry(0)
+    assert entry["operation"] == "CLONE"
+    assert len(entry["add"]) > 0 and "metadata" in entry
+    assert {r.k for r in clone.read().collect()} == {1, 2}
+
+
+def test_rel_of_preserves_foreign_scheme_uri(spark, tmp_path):
+    """A scheme'd input_file_name outside the table root must round-trip
+    unchanged (shallow clones on s3a/hdfs store absolute scheme'd refs)."""
+    t = _cdf_table(spark, tmp_path, "relof")
+    assert (
+        t._rel_of("s3a://bucket/src/part-0.parquet")
+        == "s3a://bucket/src/part-0.parquet"
+    )
+    own = f"file://{t.location}/part-1.parquet"
+    assert t._rel_of(own) == "part-1.parquet"
+    assert t._rel_of("/elsewhere/part-2.parquet") == "/elsewhere/part-2.parquet"
+
+
+def test_incremental_refresh_raises_on_genuine_bug(spark, tmp_path, monkeypatch):
+    """refresh() only falls back to full recompute when incremental inputs
+    are gone; an unexpected error must propagate, not silently recompute."""
+    from delta_lake_validation_spark.materialized import IncrementalAggView
+
+    src = _cdf_table(spark, tmp_path, "mv_src")
+    src.append(_df(spark, [(1, 10), (2, 20)]))
+    view = IncrementalAggView(
+        spark,
+        source=src,
+        location=os.path.join(str(tmp_path), "mv"),
+        group_cols=["k"],
+        value_col="v",
+    )
+    view.refresh()  # initial full
+    src.append(_df(spark, [(1, 5)]))
+
+    monkeypatch.setattr(
+        view, "_incremental_state",
+        lambda *a, **kw: (_ for _ in ()).throw(ValueError("genuine bug")),
+    )
+    with pytest.raises(ValueError, match="genuine bug"):
+        view.refresh()
+
+    # ...but a gone-files failure still falls back to full
+    monkeypatch.setattr(
+        view, "_incremental_state",
+        lambda *a, **kw: (_ for _ in ()).throw(
+            RuntimeError("java.io.FileNotFoundException: part-0 does not exist")
+        ),
+    )
+    assert view.refresh() == "full"
+    got = {(r.k, r.sum_value) for r in view.read().collect()}
+    assert got == {(1, 15), (2, 20)}
