@@ -28,6 +28,29 @@ from pyspark.sql import functions as F
 _P31 = (1 << 31) - 1  # universal-hash modulus
 
 
+def _sha60(col: F.Column) -> F.Column:
+    """60-bit positive hash from the sha256 hex prefix.
+
+    The cross-engine grading profile: Spark's ``sha2(s, 256)`` and DuckDB's
+    ``sha256(s)`` emit the same hex, and both engines cast a 15-hex-char
+    prefix to the same BIGINT — so every hash-derived operator output
+    (MinHash signatures, SimHash bits, LSH bands) becomes exactly
+    SQL-mirrorable and the driver can value-grade the whole pipeline.
+    ~10× slower per call than xxhash64 but still JVM-side and vectorized;
+    the default profile stays xxhash64 for throughput-critical use."""
+    return F.conv(F.substring(F.sha2(col.cast("string"), 256), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def _hash_col(col: F.Column, hash_mode: str) -> F.Column:
+    if hash_mode == "xxhash64":
+        return F.xxhash64(col)
+    if hash_mode == "sha256":
+        return _sha60(col)
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
 def shingles(text_col: F.Column | str, k: int = 3) -> F.Column:
     """Distinct word k-gram set of a text column, as array<string>.
 
@@ -44,7 +67,11 @@ def shingles(text_col: F.Column | str, k: int = 3) -> F.Column:
 
 
 def shingle_hashes(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Exploded distinct (id, shingle-hash) rows — the codegen shingling path.
 
@@ -63,7 +90,7 @@ def shingle_hashes(
     grams = toks.select(
         "id", F.concat_ws(" ", *leads).alias("g"), F.lead("tok", k - 1).over(w).alias("last")
     ).filter(F.col("last").isNotNull())
-    return grams.select("id", F.xxhash64("g").alias("h")).distinct()
+    return grams.select("id", _hash_col(F.col("g"), hash_mode).alias("h")).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -195,10 +222,11 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = 32,
     k: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig array<long>) — one shingle explode + one hash aggregate, all
     JVM-side codegen; scales linearly in corpus size."""
-    base = shingle_hashes(docs, id_col, text_col, k).select(
+    base = shingle_hashes(docs, id_col, text_col, k, hash_mode).select(
         "id", F.pmod(F.col("h"), F.lit(_P31)).alias("h")
     )
     mins = [
@@ -218,19 +246,31 @@ def minhash_lsh_pairs(
     num_perm: int = 32,
     bands: int = 8,
     k: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH, with the signature
     Jaccard estimate.  Approximate by construction (recall
     1-(1-t^r)^bands for rows-per-band r) — the oracle-exact counterpart is
-    ngram_jaccard_pairs."""
+    ngram_jaccard_pairs.
+
+    With ``hash_mode="sha256"`` the whole pipeline (shingle hash →
+    signature → band keys → estimate) is deterministic integer/dyadic
+    arithmetic that DuckDB reproduces bit-for-bit, so the LSH output itself
+    is value-gradeable; band keys are then the plain signature-slice
+    strings instead of an xxhash64 (bigger shuffle key, same semantics)."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_perm, k)
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
+    sig = minhash_signatures(docs, id_col, text_col, num_perm, k, hash_mode)
+
+    def band_key(b: int) -> F.Column:
+        elems = [
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if hash_mode == "sha256":
+            return F.concat_ws(",", *[e.cast("string") for e in elems])
+        return F.xxhash64(F.lit(b), *elems)
+
+    band_cols = [band_key(b).alias(f"band{b}") for b in range(bands)]
     banded = sig.select("id", "sig", *band_cols)
     bands_long = banded.select(
         "id",
@@ -252,10 +292,12 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["left_doc", "right_doc"])
     )
-    est = F.round(
+    # exact dyadic ratio (matches / 2^5): no rounding, so the value is
+    # bit-identical across engines — a round() here would reintroduce
+    # HALF_UP-vs-HALF_EVEN drift against the SQL mirror
+    est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e))
-        / F.lit(float(num_perm)),
-        4,
+        / F.lit(float(num_perm))
     )
     return cand.select("left_doc", "right_doc", est.cast("double").alias("est_jaccard")).filter(
         F.col("est_jaccard") >= threshold
@@ -265,14 +307,19 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 # SimHash near-dup pairs
 # ---------------------------------------------------------------------------
-def simhash32(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash32(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
     """(id, simhash long) — 32-bit SimHash over whitespace tokens, computed
     as 32 signed bit-vote aggregates (pure hash-agg, scales linearly)."""
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("tok"),
     )
-    h = toks.select("id", F.xxhash64("tok").alias("h"))
+    h = toks.select("id", _hash_col(F.col("tok"), hash_mode).alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -293,14 +340,16 @@ def simhash_pairs(
     max_hamming: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Pairs at Hamming distance ≤ max_hamming between 32-bit SimHashes.
     Candidates via the pigeonhole chunk trick (max_hamming+1 chunks: any
     qualifying pair agrees exactly on at least one chunk), verified with
-    bit_count(xor) — exact w.r.t. the SimHash values themselves."""
+    bit_count(xor) — exact w.r.t. the SimHash values themselves (and with
+    ``hash_mode="sha256"`` exactly SQL-mirrorable, see :func:`_sha60`)."""
     chunks = max_hamming + 1
     width = 32 // chunks
-    sim = simhash32(docs, id_col, text_col)
+    sim = simhash32(docs, id_col, text_col, hash_mode)
     chunk_cols = [
         (F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))).alias(
             f"c{i}"

@@ -43,6 +43,9 @@ _TIER_BY_NAME = {
     "multimodal_ann": _reg.TIER_VARIANT,
     # per-doc prediction variant of the lang_stats family
     "lang_id_predictions": _reg.TIER_VARIANT,
+    # xxhash64 throughput profiles of the value-graded sha256 LSH queries
+    "dedup_minhash_lsh_fast": _reg.TIER_VARIANT,
+    "dedup_simhash_fast": _reg.TIER_VARIANT,
     # round-2 late families: placed first past the observed 50-entry driver
     # cap so they never displace already-verified families, but pick up
     # driver rows if the window grows

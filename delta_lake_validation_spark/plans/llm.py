@@ -265,16 +265,77 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash-LSH candidate pairs — approximate by construction, so rows-only
-# (no SQL oracle); its exact counterpart above is the correctness anchor.
+# MinHash-LSH candidate pairs.  LSH is approximate w.r.t. true Jaccard, but
+# the PIPELINE (shingle hash → signature → band join → estimate) is
+# deterministic integer arithmetic: with the sha256 hash profile
+# (operators/dedup.py:_sha60) DuckDB reproduces every stage bit-for-bit, so
+# the driver value-grades the LSH output itself — the oracle below IS banded
+# MinHash-LSH in SQL.  The xxhash64 throughput profile stays registered as
+# the rows-only dedup_minhash_lsh_fast variant.
 # ---------------------------------------------------------------------------
+def _minhash_oracle(num_perm: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    from delta_lake_validation_spark.operators.dedup import _hash_params
+
+    rpb = num_perm // bands
+    params = _hash_params(num_perm)
+    mins = ",\n           ".join(
+        f"list_min(list_transform(hl, h -> (h * {a} + {b}) % 2147483647))"
+        for a, b in params
+    )
+    min_matches = int(-(-threshold * num_perm // 1))  # ceil(t · num_perm)
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+                  FROM documents),
+    sh AS (SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(range(1, len(t)-1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS s FROM toks),
+    hl AS (SELECT doc_id,
+           list_transform(s, g -> CAST('0x' || substr(sha256(g), 1, 15) AS BIGINT)
+                                  % 2147483647) AS hl
+           FROM sh WHERE len(s) > 0),
+    sig AS (SELECT doc_id, [{mins}] AS sig FROM hl),
+    bands AS (SELECT doc_id, sig, t.b,
+              array_to_string(sig[t.b*{rpb}+1 : t.b*{rpb}+{rpb}], ',') AS key
+              FROM sig, range({bands}) t(b)),
+    cand AS (SELECT DISTINCT x.doc_id AS l, y.doc_id AS r
+             FROM bands x JOIN bands y
+               ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+    est AS (SELECT l, r,
+            len(list_filter(range(1, {num_perm + 1}),
+                            i -> sa.sig[i] = sb.sig[i])) AS m
+            FROM cand JOIN sig sa ON sa.doc_id = cand.l
+                      JOIN sig sb ON sb.doc_id = cand.r)
+    SELECT l AS left_doc, r AS right_doc,
+           CAST(m / {float(num_perm)} AS DOUBLE) AS est_jaccard
+    FROM est WHERE m >= {min_matches}
+    """
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,
-    tags=("dedup", "llm", "approx"),
-    doc="north-star dedup: MinHash+banded LSH; operators/dedup.py",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "llm", "lsh"),
+    doc="north-star dedup: MinHash+banded LSH, value-graded via the "
+    "cross-engine sha256 hash profile; operators/dedup.py",
 )
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = Tables(spark, sf_dir).documents
+    return minhash_lsh_pairs(spark, docs, threshold=0.5, hash_mode="sha256")
+
+
+@register(
+    "dedup_minhash_lsh_fast",
+    oracle=None,
+    tags=("dedup", "llm", "approx"),
+    doc="xxhash64 throughput profile of dedup_minhash_lsh (same pipeline, "
+    "~10× cheaper hash); rows-only — the sha256 twin is value-graded",
+    priority=60,
+)
+def dedup_minhash_lsh_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_validation_spark.operators.dedup import minhash_lsh_pairs
 
     docs = Tables(spark, sf_dir).documents
@@ -282,15 +343,59 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup pairs — deterministic but hash-design-specific, rows-only.
+# SimHash near-dup pairs — same cross-engine contract: sha256 token hashes
+# make the 32 bit-votes, the fingerprint, and the Hamming filter exactly
+# SQL-expressible, so the driver value-grades the SimHash output.
 # ---------------------------------------------------------------------------
+def _simhash_oracle(max_hamming: int = 2) -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32)
+    )
+    fingerprint = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                  FROM documents),
+    h AS (SELECT doc_id,
+                 CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT) AS h
+          FROM toks),
+    v AS (SELECT doc_id,
+           {votes}
+          FROM h GROUP BY doc_id),
+    s AS (SELECT doc_id, CAST({fingerprint} AS BIGINT) AS sim FROM v)
+    SELECT a.doc_id AS left_doc, b.doc_id AS right_doc,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+    """
+
+
 @register(
     "dedup_simhash",
-    oracle=None,
-    tags=("dedup", "llm", "approx"),
-    doc="north-star dedup: 32-bit SimHash, Hamming<=2; operators/dedup.py",
+    oracle=_simhash_oracle(),
+    tags=("dedup", "llm", "lsh"),
+    doc="north-star dedup: 32-bit SimHash, Hamming<=2, value-graded via the "
+    "cross-engine sha256 hash profile; operators/dedup.py",
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.dedup import simhash_pairs
+
+    docs = Tables(spark, sf_dir).documents
+    return simhash_pairs(spark, docs, max_hamming=2, hash_mode="sha256")
+
+
+@register(
+    "dedup_simhash_fast",
+    oracle=None,
+    tags=("dedup", "llm", "approx"),
+    doc="xxhash64 throughput profile of dedup_simhash; rows-only — the "
+    "sha256 twin is value-graded",
+    priority=60,
+)
+def dedup_simhash_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_validation_spark.operators.dedup import simhash_pairs
 
     docs = Tables(spark, sf_dir).documents
