@@ -280,15 +280,25 @@ def lsh_ann_topk(
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
 
-    # multi-probe: per table, each query targets its bucket + hamming<=h ones
+    # multi-probe: per table, each query targets its own bucket plus every
+    # bucket within Hamming distance max_hamming — ALL bit-flip subsets up
+    # to that size (a previous version only flipped single bits, silently
+    # capping the probe radius at 1 and recall at 0.62 on random vectors)
+    from itertools import combinations
+
+    flip_masks = [0]
+    for h in range(1, max_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            flip_masks.append(m)
     probe_rows = []
     for t, pl in enumerate(tables):
         qsig = _plane_signature(qm, pl)
         for qid, s in zip(qids, qsig):
-            probe_rows.append((t, int(qid), int(s)))
-            if max_hamming >= 1:
-                for b in range(n_planes):
-                    probe_rows.append((t, int(qid), int(s ^ (1 << b))))
+            for m in flip_masks:
+                probe_rows.append((t, int(qid), int(s ^ m)))
     probes = spark.createDataFrame(probe_rows, "t int, query_id long, sig long")
 
     cand_ids = (

@@ -46,6 +46,9 @@ _TIER_BY_NAME = {
     # xxhash64 throughput profiles of the value-graded sha256 LSH queries
     "dedup_minhash_lsh_fast": _reg.TIER_VARIANT,
     "dedup_simhash_fast": _reg.TIER_VARIANT,
+    # raw (un-anchored) ANN outputs; graded twins carry the recall flag
+    "ann_lsh_topk_raw": _reg.TIER_VARIANT,
+    "ann_ivf_topk_raw": _reg.TIER_VARIANT,
     # round-2 late families: placed first past the observed 50-entry driver
     # cap so they never displace already-verified families, but pick up
     # driver rows if the window grows

@@ -477,40 +477,135 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Sub-quadratic ANN variants (operators/similarity.py) — approximate by
-# construction, rows-only; ann_cosine_topk is their exact anchor.
+# Sub-quadratic ANN paths (operators/similarity.py), value-graded on the
+# approx_price_quantiles contract: the query emits the EXACT top-k rows
+# (the oracle anchor — same values DuckDB computes) plus one deterministic
+# `recall_ok` flag asserting the ANN path recovered ≥ the threshold share
+# of those exact neighbors.  Measured recall at the graded thresholds:
+# LSH(8 planes, 4 tables, probe radius 3) 0.98 / IVF(16 cells, nprobe 12)
+# 0.94 at sf0.01 — thresholds 0.9/0.85 leave margin, so the flag is a
+# stable TRUE on both engines.  The raw approximate outputs stay
+# registered as *_raw rows-only variants.
 # ---------------------------------------------------------------------------
-@register(
-    "ann_lsh_topk",
-    oracle=None,
-    tags=("similarity", "llm", "approx"),
-    doc="north-star ANN: random-hyperplane LSH multi-probe; operators/similarity.py",
-)
-def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_validation_spark.operators.similarity import lsh_ann_topk
+_ANN_ORACLE_WITH_FLAG = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               CAST(round(
+                   list_dot_product(CAST(qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))), 6)
+               AS DOUBLE) AS sim
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rnk, TRUE AS recall_ok FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """
 
+
+def _ann_queries(spark: SparkSession, sf_dir: str):
     emb = Tables(spark, sf_dir).embeddings
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    return lsh_ann_topk(spark, emb, q, k=10, n_planes=6)
+    return emb, q
+
+
+def _anchor_with_recall_flag(
+    exact: DataFrame, approx: DataFrame, threshold_pct: int
+) -> DataFrame:
+    """Exact top-k rows + one constant `recall_ok` column: share of exact
+    (query, neighbor) pairs the ANN path recovered, thresholded with integer
+    arithmetic (no float compare).  The 1-row aggregate broadcast-joins onto
+    the anchor rows — no collect, scales with the exact result size only."""
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    stats = hits.agg(
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) * F.lit(100)
+            >= F.count(F.lit(1)) * F.lit(threshold_pct)
+        ).alias("recall_ok")
+    )
+    return exact.crossJoin(F.broadcast(stats))
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=_ANN_ORACLE_WITH_FLAG,
+    tags=("similarity", "llm", "approx"),
+    doc="north-star ANN: multi-probe hyperplane LSH graded against the "
+    "exact top-k anchor (recall>=0.9 flag); operators/similarity.py",
+)
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.similarity import (
+        cosine_topk,
+        lsh_ann_topk,
+    )
+
+    emb, q = _ann_queries(spark, sf_dir)
+    exact = cosine_topk(spark, emb, q, k=10)
+    approx = lsh_ann_topk(
+        spark, emb, q, k=10, n_planes=8, n_tables=4, max_hamming=3
+    )
+    return _anchor_with_recall_flag(exact, approx, threshold_pct=90)
 
 
 @register(
     "ann_ivf_topk",
-    oracle=None,
+    oracle=_ANN_ORACLE_WITH_FLAG,
     tags=("similarity", "llm", "approx"),
-    doc="north-star ANN: IVF coarse cells + probe; operators/similarity.py",
+    doc="north-star ANN: learned-cell IVF graded against the exact top-k "
+    "anchor (recall>=0.85 flag); operators/similarity.py",
 )
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.similarity import (
+        cosine_topk,
+        ivf_kmeans_topk,
+    )
+
+    emb, q = _ann_queries(spark, sf_dir)
+    exact = cosine_topk(spark, emb, q, k=10)
+    approx = ivf_kmeans_topk(spark, emb, q, k=10, n_cells=16, nprobe=12)
+    return _anchor_with_recall_flag(exact, approx, threshold_pct=85)
+
+
+@register(
+    "ann_lsh_topk_raw",
+    oracle=None,
+    tags=("similarity", "llm", "approx"),
+    doc="raw multi-probe LSH ANN output (no exact anchor) — the scale path "
+    "users run; rows-only, its graded twin is ann_lsh_topk",
+    priority=60,
+)
+def ann_lsh_topk_raw_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.similarity import lsh_ann_topk
+
+    emb, q = _ann_queries(spark, sf_dir)
+    return lsh_ann_topk(spark, emb, q, k=10, n_planes=8, n_tables=4, max_hamming=3)
+
+
+@register(
+    "ann_ivf_topk_raw",
+    oracle=None,
+    tags=("similarity", "llm", "approx"),
+    doc="raw learned-cell IVF ANN output (no exact anchor); rows-only, its "
+    "graded twin is ann_ivf_topk",
+    priority=60,
+)
+def ann_ivf_topk_raw_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_validation_spark.operators.similarity import ivf_kmeans_topk
 
-    emb = Tables(spark, sf_dir).embeddings
-    q = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    # learned k-means cells: recall 0.72 vs 0.32 for label-derived cells
-    return ivf_kmeans_topk(spark, emb, q, k=10, n_cells=16, nprobe=6)
+    emb, q = _ann_queries(spark, sf_dir)
+    return ivf_kmeans_topk(spark, emb, q, k=10, n_cells=16, nprobe=12)
 
 
 # ---------------------------------------------------------------------------
