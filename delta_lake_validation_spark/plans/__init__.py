@@ -49,6 +49,8 @@ _TIER_BY_NAME = {
     # raw (un-anchored) ANN outputs; graded twins carry the recall flag
     "ann_lsh_topk_raw": _reg.TIER_VARIANT,
     "ann_ivf_topk_raw": _reg.TIER_VARIANT,
+    # grouped-map applyInPandas surface demo; the graded form is the JVM window
+    "per_user_minmax_norm_udf": _reg.TIER_VARIANT,
     # round-2 late families: placed first past the observed 50-entry driver
     # cap so they never displace already-verified families, but pick up
     # driver rows if the window grows

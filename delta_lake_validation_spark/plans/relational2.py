@@ -861,16 +861,20 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pos < suffix_len:
                 parts.append(F.substring("c_name", 10 + pos, suffix_len - pos))
             masks.append(F.concat(*parts))
+    # the 36× exploded rows carry ONLY (key, nation, mask) — no name
+    # strings — and the candidate distinct runs on the bare (k1, k2) key
+    # pair; names rehydrate afterwards via two key joins against the
+    # un-exploded table.  (A previous version dragged both full name
+    # strings through the amplification and the distinct — the slowest
+    # query in the r2 bench at 6.7s, for identical output.)
     keyed = cust.select(
         "c_custkey",
         "c_nationkey",
-        "c_name",
         F.posexplode(F.array(*masks)).alias("mask_idx", "masked"),
     )
     right = keyed.select(
         F.col("c_custkey").alias("k2"),
         F.col("c_nationkey").alias("n2"),
-        F.col("c_name").alias("name2"),
         F.col("mask_idx").alias("mi2"),
         F.col("masked").alias("m2"),
     )
@@ -882,13 +886,16 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("masked") == F.col("m2"))
             & (F.col("c_custkey") < F.col("k2")),
         )
-        .select(
-            F.col("c_custkey").alias("k1"),
-            "k2",
-            F.col("c_name").alias("name1"),
-            "name2",
-        )
+        .select(F.col("c_custkey").alias("k1"), "k2")
         .distinct()
+    )
+    names = cust.select("c_custkey", "c_name")
+    cand = cand.join(
+        names.select(F.col("c_custkey").alias("k1"), F.col("c_name").alias("name1")),
+        "k1",
+    ).join(
+        names.select(F.col("c_custkey").alias("k2"), F.col("c_name").alias("name2")),
+        "k2",
     )
     dist = F.expr(
         "size(filter(zip_with(split(name1, ''), split(name2, ''),"
