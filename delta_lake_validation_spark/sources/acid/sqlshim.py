@@ -95,7 +95,152 @@ class AcidSqlContext:
             return self._restore(s)
         if head == "ALTER":
             return self._alter(s)
+        if head == "VACUUM":
+            return self._vacuum(s)
+        if head == "OPTIMIZE":
+            return self._optimize(s)
+        if head == "CREATE":
+            return self._create(s)
+        if head == "DROP":
+            return self._drop(s)
         return self._query(s)
+
+    # ----------------------------------------------------------- lifecycle
+    def _vacuum(self, s: str) -> DataFrame:
+        """VACUUM t [RETAIN n HOURS] [DRY RUN] (ref: validation_suite.py:461;
+        the reference first disables the retention-duration check via SET,
+        which runs through _query as a plain Spark conf statement)."""
+        m = re.match(
+            rf"VACUUM{_WS}(?P<table>\w+)"
+            rf"(?:{_WS}RETAIN{_WS}(?P<hours>\d+(?:\.\d+)?){_WS}HOURS?)?"
+            rf"(?:{_WS}(?P<dry>DRY{_WS}RUN))?$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise AcidSqlError(f"unsupported VACUUM shape: {s[:120]}...")
+        t = self.table(m.group("table"))
+        hours = float(m.group("hours")) if m.group("hours") is not None else 168.0
+        deleted = t.vacuum(retain_hours=hours, dry_run=m.group("dry") is not None)
+        # Delta's VACUUM returns one path row per reclaimed (or reclaimable,
+        # under DRY RUN) file
+        return self.spark.createDataFrame(
+            [(p,) for p in deleted], "path string"
+        )
+
+    def _optimize(self, s: str) -> DataFrame:
+        """OPTIMIZE t [WHERE part-pred] [ZORDER BY (c1, c2)]
+        (ref: validation_suite.py:466-477, all three documented forms)."""
+        m = re.match(
+            rf"OPTIMIZE{_WS}(?P<table>\w+)"
+            rf"(?:{_WS}WHERE{_WS}(?P<pred>.+?))?"
+            rf"(?:{_WS}ZORDER{_WS}BY{_WS}(?P<zcols>\([^)]*\)|[\w,\s]+))?$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise AcidSqlError(f"unsupported OPTIMIZE shape: {s[:120]}...")
+        t = self.table(m.group("table"))
+        zorder = None
+        if m.group("zcols"):
+            zorder = [
+                c.strip()
+                for c in m.group("zcols").strip().strip("()").split(",")
+                if c.strip()
+            ]
+        where = m.group("pred").strip() if m.group("pred") else None
+        version = t.optimize(zorder_by=zorder, where=where)
+        d = t.detail()
+        return self.spark.createDataFrame(
+            [(d["location"], version, d["numFiles"])],
+            "path string, version long, num_files long",
+        )
+
+    def _create(self, s: str) -> None:
+        """CREATE TABLE [IF NOT EXISTS] t [(schema)] USING DELTA
+        [LOCATION '...'] [PARTITIONED BY (...)] [TBLPROPERTIES(...)] —
+        the reference's create_table and register_table DDL verbatim
+        (validation_suite.py:268-299).  With a column list this creates the
+        table at LOCATION; without one it opens the existing table there
+        (metastore-style registration).  Clauses parse order-independently,
+        as Delta accepts them."""
+        head_m = re.match(
+            rf"CREATE{_WS}TABLE(?:{_WS}IF{_WS}NOT{_WS}EXISTS)?{_WS}(?P<table>[\w.]+)"
+            rf"(?:[\s\n]*\((?P<schema>.*?)\))?{_WS}USING{_WS}DELTA(?P<rest>.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not head_m:
+            raise AcidSqlError(f"unsupported CREATE TABLE shape: {s[:120]}...")
+        if_not_exists = re.search(rf"IF{_WS}NOT{_WS}EXISTS", s[:60], re.IGNORECASE)
+        name = head_m.group("table").split(".")[-1]  # catalog prefixes ignored
+        rest = head_m.group("rest") or ""
+        loc_m = re.search(rf"LOCATION{_WS}'(?P<loc>[^']+)'", rest, re.IGNORECASE)
+        part_m = re.search(
+            rf"PARTITIONED{_WS}BY[\s\n]*\((?P<cols>[^)]*)\)", rest, re.IGNORECASE
+        )
+        props_m = re.search(
+            r"TBLPROPERTIES[\s\n]*\((?P<props>[^)]*)\)", rest, re.IGNORECASE
+        )
+        if not loc_m:
+            raise AcidSqlError(
+                "CREATE TABLE needs LOCATION (this engine has no metastore "
+                "default location)"
+            )
+        location = loc_m.group("loc")
+        schema_ddl = head_m.group("schema")
+        if not schema_ddl:
+            # register_table form: open the table that already exists there
+            t = AcidTable(self.spark, location)
+            if not t.log.exists():
+                raise AcidSqlError(f"no ACID table found at {location}")
+            self.register(name, t)
+            return None
+        partition_by = (
+            [c.strip() for c in part_m.group("cols").split(",") if c.strip()]
+            if part_m
+            else []
+        )
+        properties: dict[str, str] = {}
+        if props_m:
+            for assign in _split_top_level(props_m.group("props")):
+                key, _, val = assign.partition("=")
+                key = key.strip().strip("'\"")
+                # Delta spells table properties with a 'delta.' prefix;
+                # the log stores the bare name (enableChangeDataFeed)
+                if key.lower().startswith("delta."):
+                    key = key[len("delta.") :]
+                properties[key] = val.strip().strip("'\"")
+        t = AcidTable.create(
+            self.spark,
+            location,
+            schema_ddl,
+            partition_by=partition_by,
+            properties=properties,
+            if_not_exists=bool(if_not_exists),
+        )
+        self.register(name, t)
+        return None
+
+    def _drop(self, s: str) -> None:
+        """DROP TABLE [IF EXISTS] t (ref: validation_suite.py:260-263) —
+        unregisters the name; data stays on disk (external-table drop)."""
+        m = re.match(
+            rf"DROP{_WS}TABLE(?:{_WS}IF{_WS}EXISTS)?{_WS}(?P<table>[\w.]+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise AcidSqlError(f"unsupported DROP shape: {s[:120]}...")
+        name = m.group("table").split(".")[-1]
+        if_exists = re.search(rf"IF{_WS}EXISTS", s, re.IGNORECASE)
+        if name not in self._tables:
+            if if_exists:
+                return None
+            raise AcidSqlError(f"unknown ACID table {name!r}")
+        del self._tables[name]
+        self.spark.catalog.dropTempView(name)
+        return None
 
     def _alter(self, s: str) -> None:
         """ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | DROP CONSTRAINT name."""

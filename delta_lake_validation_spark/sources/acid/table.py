@@ -939,7 +939,12 @@ class AcidTable:
                 self.fs.delete(f"{self.location}/{rel}")
         return sorted(doomed)
 
-    def optimize(self, zorder_by: list[str] | None = None, target_files: int = 1) -> int:
+    def optimize(
+        self,
+        zorder_by: list[str] | None = None,
+        target_files: int = 1,
+        where: str | None = None,
+    ) -> int:
         """Bin-packing compaction, optionally clustered (ref: OPTIMIZE /
         ZORDER form, src/validation_suite.py:466-477).
 
@@ -947,13 +952,27 @@ class AcidTable:
         files into ``target_files`` files; ``zorder_by`` clusters the
         rewritten files by the columns' interleaved Morton code
         (functions/zorder.py) so parquet min/max stats tighten for every
-        clustered column simultaneously.  Commits with dataChange=false —
-        readers see identical rows."""
+        clustered column simultaneously.  ``where`` scopes the compaction to
+        the partitions matching a partition-column predicate (Delta's
+        ``OPTIMIZE t WHERE ...``, validation_suite.py:473) — on a 100 TB
+        table you compact the partitions that fragmented, not the world.
+        Commits with dataChange=false — readers see identical rows."""
         from delta_lake_validation_spark.functions.zorder import zorder_key
 
         snap = self.log.snapshot()
+        in_scope = set(snap.files)
+        if where is not None:
+            pruned = self._partition_prune(snap, F.expr(where))
+            if pruned is None:
+                raise AcidTableError(
+                    "OPTIMIZE ... WHERE must reference partition columns "
+                    f"only ({list(snap.partition_columns)}); got {where!r}"
+                )
+            in_scope = set(pruned)
         by_part: dict[tuple, list[str]] = {}
         for rel, meta in snap.files.items():
+            if rel not in in_scope:
+                continue
             key = tuple(sorted((meta.get("partitionValues") or {}).items()))
             by_part.setdefault(key, []).append(rel)
         remove: list[str] = []
@@ -978,7 +997,10 @@ class AcidTable:
             remove.extend(rels)
         entry = {
             "operation": "OPTIMIZE",
-            "operationParameters": {"zorderBy": zorder_by or []},
+            "operationParameters": {
+                "zorderBy": zorder_by or [],
+                **({"where": where} if where else {}),
+            },
             "add": adds,
             "remove": [{"path": p} for p in remove],
             "cdf": [],
