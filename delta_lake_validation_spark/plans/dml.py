@@ -376,3 +376,99 @@ def dml_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("sum_region_0", int(sum0)),
         ]
     return _result(spark, rows)
+
+
+@register(
+    "delta_interop_read",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'latest_region_' || CAST(n_regionkey AS VARCHAR) AS step,
+             count(*) AS n_rows
+      FROM nation GROUP BY n_regionkey
+      UNION ALL
+      SELECT 'v0_total', (SELECT count(*) FROM nation)
+    ) ORDER BY step
+    """,
+    tags=("acid", "delta", "interop"),
+    doc="Authors a real _delta_log (protocol/metaData/add/remove JSON "
+    "commits) over nation data, then reads it back through the Delta-"
+    "protocol source with time travel (ref src/validation_suite.py:268-286 "
+    "world: every reference table is a genuine Delta table).",
+)
+def delta_interop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from delta_lake_validation_spark.sources.delta_log import DeltaTable
+
+    nation = load_table(spark, sf_dir, "nation")
+    with _scratch() as loc:
+        root = Path(loc)
+
+        def _one_file(df, sub: str) -> str:
+            out = root / sub
+            df.coalesce(1).write.mode("overwrite").parquet(str(out))
+            name = next(p.name for p in out.iterdir() if p.name.endswith(".parquet"))
+            return f"{sub}/{name}"
+
+        f_all = _one_file(nation, "part-all")
+        f_lo = _one_file(nation.filter("n_regionkey < 2"), "part-lo")
+        f_hi = _one_file(nation.filter("n_regionkey >= 2"), "part-hi")
+
+        log = root / "_delta_log"
+        log.mkdir()
+        meta = {
+            "metaData": {
+                "id": "delta-interop-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(nation.schema.jsonValue()),
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        }
+        proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+        def _commit(v: int, ts_ms: int, op: str, actions: list) -> None:
+            head = {"commitInfo": {"timestamp": ts_ms, "operation": op}}
+            (log / f"{v:020d}.json").write_text(
+                "\n".join(_json.dumps(a) for a in [head] + actions) + "\n"
+            )
+
+        def _add(p: str) -> dict:
+            return {
+                "add": {
+                    "path": p,
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                }
+            }
+
+        _commit(0, 1700000000000, "WRITE", [proto, meta, _add(f_all)])
+        _commit(
+            1,
+            1700000100000,
+            "OVERWRITE",
+            [
+                {"remove": {"path": f_all, "deletionTimestamp": 1700000100000,
+                            "dataChange": True}},
+                _add(f_lo),
+                _add(f_hi),
+            ],
+        )
+
+        t = DeltaTable(spark, str(root))
+        latest = (
+            t.read()
+            .groupBy("n_regionkey")
+            .count()
+            .select(
+                F.concat(F.lit("latest_region_"), F.col("n_regionkey").cast("string"))
+                .alias("step"),
+                F.col("count").alias("n_rows"),
+            )
+        )
+        v0_total = t.read(version=0).count()
+        rows = [(r["step"], r["n_rows"]) for r in latest.collect()]
+        rows.append(("v0_total", v0_total))
+    return _result(spark, rows)

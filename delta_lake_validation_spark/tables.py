@@ -171,3 +171,17 @@ def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
     rationale as ``read_csv``; inference on JSON additionally widens
     numeric types unpredictably)."""
     return spark.read.schema(schema).json(path)
+
+
+def read_delta(
+    spark: SparkSession,
+    location: str,
+    version: int | None = None,
+    timestamp: str | None = None,
+) -> DataFrame:
+    """Read a real Delta Lake table (``_delta_log`` protocol) — interop with
+    tables the reference creates via ``CREATE TABLE ... USING DELTA``
+    (ref src/validation_suite.py:268-286).  See sources/delta_log.py."""
+    from delta_lake_validation_spark.sources.delta_log import read_delta as _rd
+
+    return _rd(spark, location, version=version, timestamp=timestamp)

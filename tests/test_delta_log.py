@@ -1,0 +1,439 @@
+"""Read-only Delta-protocol source: hand-authored ``_delta_log`` directories
+(no delta-spark involved) read back through DeltaTable / read_delta.
+
+Covers: multi-commit replay with remove (overwrite), version/timestamp time
+travel, Hive-layout and non-Hive-layout partitioned tables, classic
+checkpoint replay, schema evolution, protocol feature rejection, history
+and detail.  Parity target: the reference operates on real Delta tables
+(ref src/validation_suite.py:268-286); this is the interop read path.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pytest
+from pyspark.sql import Row
+
+from delta_lake_validation_spark.sources.delta_log import (
+    DeltaProtocolError,
+    DeltaTable,
+    read_delta,
+)
+
+PROTOCOL = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def _meta(schema_fields, partition_cols=(), configuration=None, meta_id=None):
+    return {
+        "metaData": {
+            "id": meta_id or str(uuid.uuid4()),
+            "name": None,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": n,
+                            "type": t,
+                            "nullable": True,
+                            "metadata": {},
+                        }
+                        for n, t in schema_fields
+                    ],
+                }
+            ),
+            "partitionColumns": list(partition_cols),
+            "configuration": configuration or {},
+            "createdTime": 1700000000000,
+        }
+    }
+
+
+def _write_commit(log_dir, version, actions):
+    log_dir.mkdir(parents=True, exist_ok=True)
+    path = log_dir / f"{version:020d}.json"
+    path.write_text("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
+def _add(path, size=1, partition_values=None, ts=1700000000000):
+    return {
+        "add": {
+            "path": path,
+            "partitionValues": partition_values or {},
+            "size": size,
+            "modificationTime": ts,
+            "dataChange": True,
+        }
+    }
+
+
+def _remove(path, ts=1700000001000):
+    return {"remove": {"path": path, "deletionTimestamp": ts, "dataChange": True}}
+
+
+def _commit_info(ts_ms, operation="WRITE"):
+    return {"commitInfo": {"timestamp": ts_ms, "operation": operation}}
+
+
+def _write_parquet(spark, rows, schema, path):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(path)
+    )
+    files = [
+        p.name for p in path.iterdir() if p.name.endswith(".parquet")
+    ]
+    assert len(files) == 1
+    return f"{path.name}/{files[0]}"
+
+
+def _flat_table(spark, tmp_path):
+    """v0: two files {1,2},{3}; v1: overwrite second file with {30,40}."""
+    loc = tmp_path / "tbl"
+    log = loc / "_delta_log"
+    f1 = _write_parquet(spark, [Row(id=1), Row(id=2)], "id int", loc / "a")
+    f2 = _write_parquet(spark, [Row(id=3)], "id int", loc / "b")
+    f3 = _write_parquet(spark, [Row(id=30), Row(id=40)], "id int", loc / "c")
+    _write_commit(
+        log,
+        0,
+        [
+            _commit_info(1700000000000, "CREATE TABLE AS SELECT"),
+            PROTOCOL,
+            _meta([("id", "integer")]),
+            _add(f1),
+            _add(f2),
+        ],
+    )
+    _write_commit(
+        log,
+        1,
+        [_commit_info(1700000500000, "WRITE"), _remove(f2), _add(f3)],
+    )
+    return loc
+
+
+def test_replay_and_overwrite(spark, tmp_path):
+    loc = _flat_table(spark, tmp_path)
+    got = {r.id for r in read_delta(spark, str(loc)).collect()}
+    assert got == {1, 2, 30, 40}
+
+
+def test_time_travel_by_version(spark, tmp_path):
+    loc = _flat_table(spark, tmp_path)
+    got = {r.id for r in read_delta(spark, str(loc), version=0).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_time_travel_by_timestamp(spark, tmp_path):
+    loc = _flat_table(spark, tmp_path)
+    # between the two commitInfo timestamps -> v0
+    ts = "2023-11-14T22:13:30+00:00"  # 1700000010 s
+    got = {r.id for r in read_delta(spark, str(loc), timestamp=ts).collect()}
+    assert got == {1, 2, 3}
+    with pytest.raises(ValueError):
+        read_delta(spark, str(loc), timestamp="2000-01-01T00:00:00+00:00")
+
+
+def test_hive_partitioned_read_and_prune(spark, tmp_path):
+    loc = tmp_path / "part"
+    log = loc / "_delta_log"
+    fa = _write_parquet(spark, [Row(v=1), Row(v=2)], "v int", loc / "k=a")
+    fb = _write_parquet(spark, [Row(v=3)], "v int", loc / "k=b")
+    _write_commit(
+        log,
+        0,
+        [
+            PROTOCOL,
+            _meta([("v", "integer"), ("k", "string")], partition_cols=["k"]),
+            _add(fa, partition_values={"k": "a"}),
+            _add(fb, partition_values={"k": "b"}),
+        ],
+    )
+    df = read_delta(spark, str(loc))
+    assert df.columns == ["v", "k"]
+    assert {(r.v, r.k) for r in df.collect()} == {(1, "a"), (2, "a"), (3, "b")}
+    # the filter lands in PartitionFilters (pruned at scan, not post-filter)
+    plan = df.filter("k = 'b'")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(k" in plan and "= b)" in plan
+
+
+def test_non_hive_layout_stamps_partition_values(spark, tmp_path):
+    loc = tmp_path / "npart"
+    log = loc / "_delta_log"
+    # files at the table root with opaque names: partitionValues is the
+    # only source of truth for k
+    fa = _write_parquet(spark, [Row(v=1)], "v int", loc / "f1")
+    fb = _write_parquet(spark, [Row(v=2)], "v int", loc / "f2")
+    _write_commit(
+        log,
+        0,
+        [
+            PROTOCOL,
+            _meta([("v", "integer"), ("k", "integer")], partition_cols=["k"]),
+            _add(fa, partition_values={"k": "7"}),
+            _add(fb, partition_values={"k": None}),
+        ],
+    )
+    df = read_delta(spark, str(loc))
+    assert {(r.v, r.k) for r in df.collect()} == {(1, 7), (2, None)}
+
+
+def test_checkpoint_replay(spark, tmp_path):
+    """A classic checkpoint parquet supersedes the JSON commits before it:
+    delete the early JSON files to prove replay starts at the checkpoint."""
+    loc = _flat_table(spark, tmp_path)
+    log = loc / "_delta_log"
+    tbl = DeltaTable(spark, str(loc))
+    snap = tbl.snapshot(1)
+    add_rows = [
+        Row(
+            add=Row(
+                path=p,
+                partitionValues={},
+                size=int(a.get("size", 1)),
+                modificationTime=int(a.get("modificationTime", 0)),
+                dataChange=False,
+            ),
+            metaData=None,
+            protocol=None,
+            remove=None,
+        )
+        for p, a in snap.files.items()
+    ]
+    meta_row = Row(
+        add=None,
+        metaData=Row(
+            id="ckpt-meta",
+            schemaString=json.dumps(snap.schema.jsonValue()),
+            partitionColumns=[],
+            configuration={},
+        ),
+        protocol=Row(minReaderVersion=1, minWriterVersion=2),
+        remove=None,
+    )
+    schema = (
+        "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
+        "modificationTime:bigint,dataChange:boolean>,"
+        "metaData struct<id:string,schemaString:string,"
+        "partitionColumns:array<string>,configuration:map<string,string>>,"
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>,"
+        "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
+    )
+    ckpt_dir = tmp_path / "ckpt_out"
+    spark.createDataFrame(add_rows + [meta_row], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(ckpt_dir))
+    src = next(p for p in ckpt_dir.iterdir() if p.name.endswith(".parquet"))
+    (log / "00000000000000000001.checkpoint.parquet").write_bytes(src.read_bytes())
+    # v2 appends one more file after the checkpoint
+    f4 = _write_parquet(spark, [Row(id=99)], "id int", loc / "d")
+    _write_commit(log, 2, [_commit_info(1700001000000), _add(f4)])
+    # drop pre-checkpoint JSON: replay must come from the checkpoint
+    (log / "00000000000000000000.json").unlink()
+    tbl2 = DeltaTable(spark, str(loc))
+    got = {r.id for r in tbl2.read().collect()}
+    assert got == {1, 2, 30, 40, 99}
+    assert {r.id for r in tbl2.read(version=1).collect()} == {1, 2, 30, 40}
+
+
+def test_schema_evolution_uses_latest_metadata(spark, tmp_path):
+    loc = tmp_path / "evo"
+    log = loc / "_delta_log"
+    f1 = _write_parquet(spark, [Row(id=1)], "id int", loc / "a")
+    _write_commit(log, 0, [PROTOCOL, _meta([("id", "integer")]), _add(f1)])
+    f2 = _write_parquet(spark, [Row(id=2, tag="x")], "id int, tag string", loc / "b")
+    _write_commit(
+        log, 1, [_meta([("id", "integer"), ("tag", "string")]), _add(f2)]
+    )
+    df = read_delta(spark, str(loc))
+    assert df.columns == ["id", "tag"]
+    assert {(r.id, r.tag) for r in df.collect()} == {(1, None), (2, "x")}
+    assert read_delta(spark, str(loc), version=0).columns == ["id"]
+
+
+def test_rejects_unsupported_reader_features(spark, tmp_path):
+    loc = tmp_path / "dv"
+    log = loc / "_delta_log"
+    f1 = _write_parquet(spark, [Row(id=1)], "id int", loc / "a")
+    _write_commit(
+        log,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            _meta([("id", "integer")]),
+            _add(f1),
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        read_delta(spark, str(loc))
+
+
+def test_history_and_detail(spark, tmp_path):
+    loc = _flat_table(spark, tmp_path)
+    tbl = DeltaTable(spark, str(loc))
+    hist = tbl.history()
+    assert [h["version"] for h in hist] == [1, 0]
+    assert hist[0]["operation"] == "WRITE"
+    assert hist[1]["operation"] == "CREATE TABLE AS SELECT"
+    det = tbl.detail()
+    assert det["format"] == "delta"
+    assert det["numFiles"] == 2
+    assert det["partitionColumns"] == []
+
+
+def test_missing_log_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        DeltaTable(spark, str(tmp_path / "nope"))
+
+
+# --------------------------------------------------------------- import_delta
+
+
+def test_import_delta_zero_copy(spark, tmp_path):
+    """Fork a real Delta table into the ACID format by reference: reads
+    match, writes to the import stage locally, source files untouched."""
+    from delta_lake_validation_spark.sources.delta_log import import_delta
+
+    loc = _flat_table(spark, tmp_path)
+    before = sorted(p for p in loc.rglob("*.parquet"))
+    t = import_delta(spark, str(loc), str(tmp_path / "imported"))
+    assert {r.id for r in t.read().collect()} == {1, 2, 30, 40}
+    t.append(spark.createDataFrame([Row(id=100)], "id int"))
+    assert {r.id for r in t.read().collect()} == {1, 2, 30, 40, 100}
+    t.delete("id = 1")
+    assert {r.id for r in t.read().collect()} == {2, 30, 40, 100}
+    # source Delta table is byte-identical and still readable
+    assert sorted(p for p in loc.rglob("*.parquet")) == before
+    assert {r.id for r in read_delta(spark, str(loc)).collect()} == {1, 2, 30, 40}
+
+
+def test_import_delta_partitioned_prunes(spark, tmp_path):
+    from delta_lake_validation_spark.sources.delta_log import import_delta
+
+    loc = tmp_path / "psrc"
+    log = loc / "_delta_log"
+    fa = _write_parquet(spark, [Row(v=1), Row(v=2)], "v int", loc / "k=a")
+    fb = _write_parquet(spark, [Row(v=3)], "v int", loc / "k=b")
+    _write_commit(
+        log,
+        0,
+        [
+            PROTOCOL,
+            _meta([("v", "integer"), ("k", "string")], partition_cols=["k"]),
+            _add(fa, partition_values={"k": "a"}),
+            _add(fb, partition_values={"k": "b"}),
+        ],
+    )
+    t = import_delta(spark, str(loc), str(tmp_path / "pimp"))
+    df = t.read().filter("k = 'b'")
+    assert {(r.v, r.k) for r in df.collect()} == {(3, "b")}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(k" in plan
+
+
+def test_import_delta_non_hive_partitioned_raises(spark, tmp_path):
+    from delta_lake_validation_spark.sources.acid.errors import AcidTableError
+    from delta_lake_validation_spark.sources.delta_log import import_delta
+
+    loc = tmp_path / "nhsrc"
+    log = loc / "_delta_log"
+    fa = _write_parquet(spark, [Row(v=1)], "v int", loc / "f1")
+    _write_commit(
+        log,
+        0,
+        [
+            PROTOCOL,
+            _meta([("v", "integer"), ("k", "integer")], partition_cols=["k"]),
+            _add(fa, partition_values={"k": "7"}),
+        ],
+    )
+    with pytest.raises(AcidTableError, match="Hive"):
+        import_delta(spark, str(loc), str(tmp_path / "nhimp"))
+
+
+# ---------------------------------------------------------------- CDF (cdc)
+
+
+def test_read_changes_inserts_deletes_and_cdc(spark, tmp_path):
+    """v0 insert (add-only), v1 update via cdc files, v2 whole-file delete
+    (remove-only): the derived change feed matches the Delta CDF contract."""
+    loc = tmp_path / "cdf"
+    log = loc / "_delta_log"
+    f1 = _write_parquet(spark, [Row(id=1), Row(id=2)], "id int", loc / "a")
+    _write_commit(
+        log,
+        0,
+        [
+            _commit_info(1700000000000),
+            PROTOCOL,
+            _meta(
+                [("id", "integer")],
+                configuration={"delta.enableChangeDataFeed": "true"},
+            ),
+            _add(f1),
+        ],
+    )
+    # v1: rewrite f1 -> f2 (id 2 becomes 20) with explicit cdc files
+    f2 = _write_parquet(spark, [Row(id=1), Row(id=20)], "id int", loc / "b")
+    cdc_rel = _write_parquet(
+        spark,
+        [
+            Row(id=2, _change_type="update_preimage"),
+            Row(id=20, _change_type="update_postimage"),
+        ],
+        "id int, _change_type string",
+        loc / "_change_data",
+    )
+    _write_commit(
+        log,
+        1,
+        [
+            _commit_info(1700000100000, "UPDATE"),
+            _remove(f1),
+            _add(f2),
+            {
+                "cdc": {
+                    "path": cdc_rel,
+                    "partitionValues": {},
+                    "size": 1,
+                    "dataChange": False,
+                }
+            },
+        ],
+    )
+    # v2: whole-file delete, no cdc -> derived delete rows
+    _write_commit(log, 2, [_commit_info(1700000200000, "DELETE"), _remove(f2)])
+
+    t = DeltaTable(spark, str(loc))
+    rows = {
+        (r.id, r._change_type, r._commit_version)
+        for r in t.read_changes(0).collect()
+    }
+    assert rows == {
+        (1, "insert", 0),
+        (2, "insert", 0),
+        (2, "update_preimage", 1),
+        (20, "update_postimage", 1),
+        (1, "delete", 2),
+        (20, "delete", 2),
+    }
+    # bounded range
+    only_v1 = {r._change_type for r in t.read_changes(1, 1).collect()}
+    assert only_v1 == {"update_preimage", "update_postimage"}
+
+
+def test_read_changes_mixed_rewrite_without_cdc_raises(spark, tmp_path):
+    loc = _flat_table(spark, tmp_path)  # v1 is remove+add without cdc
+    t = DeltaTable(spark, str(loc))
+    with pytest.raises(DeltaProtocolError, match="cdc"):
+        t.read_changes(1, 1)

@@ -1,0 +1,125 @@
+"""TestRunMode parity (ref src/validation_suite.py:67-76): setup_only /
+validation_only phases with an external interleaved Delta op, exercised on
+the reference's test_9 vacuum scenario (:796-830): insert two date
+partitions, externally DELETE one + VACUUM, then validate that the deleted
+partition's files are physically gone and the kept partition survives."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from delta_lake_validation_spark.runmode import (
+    Scenario,
+    ScenarioConfig,
+    TestRunMode,
+    run_interleaved,
+)
+from delta_lake_validation_spark.sources.acid import AcidSqlContext, AcidTable
+
+SCHEMA = (
+    "order_id STRING, item_count INT, cost DOUBLE, "
+    "order_time TIMESTAMP, order_date DATE"
+)
+TO_DELETE = "2024-01-10"
+TO_KEEP = "2024-01-16"
+PER_PARTITION = 5
+
+
+def _partition_files(location: str, date: str) -> list[str]:
+    return glob.glob(os.path.join(location, f"order_date={date}", "*.parquet"))
+
+
+class VacuumScenario(Scenario):
+    """test_9: two-partition insert (setup) / delete-partition-gone check
+    (validate).  State travels only through the table location."""
+
+    name = "vacuum_test"
+
+    def setup(self, config: ScenarioConfig) -> None:
+        spark = config.spark
+        t = AcidTable.create(
+            spark, config.location, SCHEMA, partition_by=["order_date"]
+        )
+        for d in (TO_DELETE, TO_KEEP):
+            rows = [
+                (f"order_{d}_{i}", i + 1, 10.0 + i)
+                for i in range(PER_PARTITION)
+            ]
+            df = (
+                spark.createDataFrame(
+                    rows, "order_id string, item_count int, cost double"
+                )
+                .selectExpr(
+                    "order_id",
+                    "item_count",
+                    "cost",
+                    f"timestamp'{d} 12:00:00' AS order_time",
+                    f"date'{d}' AS order_date",
+                )
+            )
+            t.append(df)
+
+    def validate(self, config: ScenarioConfig) -> dict:
+        # re-attach: no state from setup except the durable table
+        t = AcidTable(config.spark, config.location)
+        return {
+            "rows": t.read().count(),
+            "deleted_partition_files": len(
+                _partition_files(config.location, TO_DELETE)
+            ),
+            "kept_partition_files": len(_partition_files(config.location, TO_KEEP)),
+        }
+
+
+def test_interleaved_vacuum(spark, tmp_path):
+    loc = str(tmp_path / "orders")
+
+    def external_delete_and_vacuum(config: ScenarioConfig) -> None:
+        # the "external engine": a fresh SQL context over the same location,
+        # driving the reference's literal statements (:816-820, :461)
+        ctx = AcidSqlContext(config.spark)
+        ctx.register("orders", AcidTable(config.spark, config.location))
+        ctx.sql(
+            f'DELETE FROM orders WHERE order_date >= "{TO_DELETE} 00:00:00" '
+            f'AND order_date <= "{TO_DELETE} 00:00:00"'
+        )
+        ctx.sql("VACUUM orders RETAIN 0 HOURS")
+
+    pre = _partition_files(loc, TO_DELETE)
+    result = run_interleaved(VacuumScenario(), ScenarioConfig(spark, loc),
+                             external_delete_and_vacuum)
+    assert pre == []  # nothing existed before setup
+    assert result["rows"] == PER_PARTITION
+    assert result["deleted_partition_files"] == 0
+    assert result["kept_partition_files"] > 0
+
+
+def test_setup_only_then_validation_only_separate_configs(spark, tmp_path):
+    """The two phases share nothing in memory — validation_only re-attaches
+    purely from the location, as a separate-process run would."""
+    loc = str(tmp_path / "orders2")
+    s = VacuumScenario()
+    assert (
+        s.run(ScenarioConfig(spark, loc, TestRunMode.setup_only)) is None
+    )
+    result = s.run(ScenarioConfig(spark, loc, TestRunMode.validation_only))
+    assert result["rows"] == 2 * PER_PARTITION
+    assert result["deleted_partition_files"] > 0
+
+
+def test_setup_and_validate_single_run(spark, tmp_path):
+    loc = str(tmp_path / "orders3")
+    result = VacuumScenario().run(ScenarioConfig(spark, loc))
+    assert result["rows"] == 2 * PER_PARTITION
+
+
+def test_validation_only_without_setup_fails(spark, tmp_path):
+    with pytest.raises(Exception):
+        VacuumScenario().run(
+            ScenarioConfig(
+                spark, str(tmp_path / "missing"), TestRunMode.validation_only
+            )
+        )
