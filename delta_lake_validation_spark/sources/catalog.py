@@ -97,6 +97,21 @@ class Catalog:
             self._store(mapping)
         return t
 
+    def register_delta(self, name: str, location: str):
+        """Attach a catalog name to a real Delta Lake table (``_delta_log``
+        protocol) — read-only interop entry (SURVEY §2.13; the reference's
+        tables are all genuine Delta tables, src/validation_suite.py:268-286).
+        Stored as ``{"format": "delta", "location": ...}``; plain-string
+        entries remain the engine's own ACID tables."""
+        from delta_lake_validation_spark.sources.delta_log import DeltaTable
+
+        t = DeltaTable(self.spark, location)  # validates _delta_log exists
+        with self._locked():
+            mapping = self._load()
+            mapping[name] = {"format": "delta", "location": location}
+            self._store(mapping)
+        return t
+
     def drop(self, name: str, delete_data: bool = False) -> None:
         """Remove from the catalog (S5 — catalog-only unless delete_data)."""
         with self._locked():
@@ -106,6 +121,8 @@ class Catalog:
                 raise TableNotFoundError(f"table {name!r} not in catalog")
             self._store(mapping)
         if delete_data:
+            if isinstance(loc, dict):
+                loc = loc["location"]
             AcidTable(self.spark, loc).fs.delete(loc, recursive=True)
 
     def table(self, name_or_path: str) -> AcidTable:
@@ -113,10 +130,25 @@ class Catalog:
         semantics, src/validation_suite.py:99-122)."""
         mapping = self._load()
         if name_or_path in mapping:
-            return AcidTable(self.spark, mapping[name_or_path])
+            entry = mapping[name_or_path]
+            if isinstance(entry, dict):
+                raise AcidTableError(
+                    f"{name_or_path!r} is a Delta interop entry — use "
+                    "delta_table()/as_view(); writes go through import_delta"
+                )
+            return AcidTable(self.spark, entry)
         if os.path.sep in name_or_path or "://" in name_or_path:
             return AcidTable(self.spark, name_or_path)
         raise TableNotFoundError(f"{name_or_path!r} is neither a catalog name nor a path")
+
+    def delta_table(self, name: str):
+        """The DeltaTable handle for a ``register_delta`` entry."""
+        from delta_lake_validation_spark.sources.delta_log import DeltaTable
+
+        entry = self._load().get(name)
+        if not isinstance(entry, dict) or entry.get("format") != "delta":
+            raise TableNotFoundError(f"{name!r} is not a Delta catalog entry")
+        return DeltaTable(self.spark, entry["location"])
 
     def list_tables(self) -> list[str]:
         """SHOW TABLES (S15)."""
@@ -132,7 +164,13 @@ class Catalog:
         """Expose a catalog table snapshot as a temp view for spark.sql —
         optionally a historical one (the SQL analog of VERSION/TIMESTAMP AS
         OF, src/validation_suite.py:429-453; name the view e.g.
-        ``orders_v3`` to query two versions side by side)."""
+        ``orders_v3`` to query two versions side by side).  Works for both
+        ACID entries and ``register_delta`` interop entries."""
+        entry = self._load().get(name)
+        if isinstance(entry, dict) and entry.get("format") == "delta":
+            df = self.delta_table(name).read(version=version, timestamp=timestamp)
+            df.createOrReplaceTempView(view_name or name)
+            return df
         df = self.table(name).read(version=version, timestamp=timestamp)
         df.createOrReplaceTempView(view_name or name)
         return df

@@ -505,6 +505,115 @@ def read_delta(
     return DeltaTable(spark, location).read(version=version, timestamp=timestamp)
 
 
+def export_delta(table, version: int | None = None) -> int:
+    """Publish an ACID table snapshot as a real ``_delta_log`` in the table
+    directory, so any Delta Lake reader (the reference engine included) can
+    consume the table in place — the outbound half of the interop story
+    (``import_delta``/``read_delta`` are the inbound half).
+
+    Zero data is copied: the ACID table's data files are already Hive-laid
+    parquet under the table root; export writes ONE JSON commit describing
+    the snapshot.  Re-exporting after further ACID commits appends a new
+    Delta version containing the remove/add diff versus the last export, so
+    the Delta log time-travels across exports.  The Delta log is a
+    *publication* of chosen snapshots, not a live mirror: ACID commits
+    between exports are invisible to Delta readers until the next export.
+
+    Returns the Delta version written.
+    """
+    import time as _time
+
+    spark = table.spark
+    snap = table.log.snapshot(version)
+    loc = table.location
+    log_dir = f"{loc}/_delta_log"
+
+    current: dict[str, dict] = {}
+    for rel, meta in snap.files.items():
+        current[rel] = meta
+
+    prev_files: dict[str, dict] = {}
+    next_v = 0
+    try:
+        prev = DeltaTable(spark, loc)
+        prev_files = prev.snapshot().files
+        next_v = prev.latest_version() + 1
+    except FileNotFoundError:
+        pass
+
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "EXPORT" if next_v else "CREATE TABLE",
+                "operationParameters": {"sourceVersion": snap.version},
+            }
+        }
+    ]
+    if next_v == 0:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    actions.append(
+        {
+            "metaData": {
+                "id": f"acid-export-{os.path.basename(loc) or 'table'}",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema.jsonValue()),
+                "partitionColumns": list(snap.partition_columns),
+                "configuration": {
+                    f"delta.{k}" if k == "enableChangeDataFeed" else k: v
+                    for k, v in snap.properties.items()
+                },
+            }
+        }
+    )
+    for p in prev_files:
+        if p not in current:
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    for rel, meta in current.items():
+        if rel in prev_files:
+            continue
+        stats = None
+        if meta.get("numRecords") is not None:
+            stats = json.dumps({"numRecords": meta["numRecords"]})
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": dict(meta.get("partitionValues") or {}),
+                    "size": int(meta.get("size", 0) or 0),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    **({"stats": stats} if stats else {}),
+                }
+            }
+        )
+
+    body = "\n".join(json.dumps(a) for a in actions) + "\n"
+    path = f"{log_dir}/{next_v:020d}.json"
+    if is_local(path):
+        os.makedirs(strip_scheme(log_dir), exist_ok=True)
+        with open(strip_scheme(path), "x", encoding="utf-8") as f:
+            f.write(body)
+    else:  # pragma: no cover - remote fs path
+        fs = FileSystem(spark, loc)
+        jvm = spark._jvm
+        jfs, jpath = fs._jfs(path)
+        stream = jfs.create(jpath, False)
+        stream.write(bytearray(body.encode("utf-8")))
+        stream.close()
+    return next_v
+
+
 def import_delta(spark: SparkSession, delta_location: str, target_location: str):
     """Zero-copy migration: fork a real Delta table into the engine's own
     ACID format by absolute file reference — one metadata commit, no data

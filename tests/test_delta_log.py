@@ -437,3 +437,91 @@ def test_read_changes_mixed_rewrite_without_cdc_raises(spark, tmp_path):
     t = DeltaTable(spark, str(loc))
     with pytest.raises(DeltaProtocolError, match="cdc"):
         t.read_changes(1, 1)
+
+
+# -------------------------------------------------------------- export_delta
+
+
+def test_export_delta_roundtrip_and_reexport(spark, tmp_path):
+    """ACID table -> _delta_log publication -> read back via the Delta
+    source: rows, partitions, and cross-export time travel all line up."""
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.sources.delta_log import export_delta
+
+    loc = str(tmp_path / "acid")
+    t = AcidTable.create(
+        spark, loc, "id int, k string", partition_by=["k"]
+    )
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id int, k string")
+    )
+    v0 = export_delta(t)
+    assert v0 == 0
+    dt = DeltaTable(spark, loc)
+    assert {(r.id, r.k) for r in dt.read().collect()} == {
+        (1, "a"), (2, "a"), (3, "b")
+    }
+    assert dt.detail()["partitionColumns"] == ["k"]
+
+    # further ACID commits are invisible until the next export
+    t.delete("k = 'a'")
+    assert {(r.id, r.k) for r in DeltaTable(spark, loc).read().collect()} == {
+        (1, "a"), (2, "a"), (3, "b")
+    }
+    v1 = export_delta(t)
+    assert v1 == 1
+    dt = DeltaTable(spark, loc)
+    assert {(r.id, r.k) for r in dt.read().collect()} == {(3, "b")}
+    # Delta-side time travel reaches the first export
+    assert {(r.id, r.k) for r in dt.read(version=0).collect()} == {
+        (1, "a"), (2, "a"), (3, "b")
+    }
+    ops = [h["operation"] for h in dt.history()]
+    assert ops == ["EXPORT", "CREATE TABLE"]
+
+
+def test_export_delta_prunes_partitions(spark, tmp_path):
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.sources.delta_log import export_delta
+
+    loc = str(tmp_path / "acidp")
+    t = AcidTable.create(spark, loc, "id int, k string", partition_by=["k"])
+    t.append(
+        spark.createDataFrame([(1, "a"), (3, "b")], "id int, k string")
+    )
+    export_delta(t)
+    df = DeltaTable(spark, loc).read().filter("k = 'b'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(k" in plan
+    assert {(r.id, r.k) for r in df.collect()} == {(3, "b")}
+
+
+# ----------------------------------------------------- catalog registration
+
+
+def test_catalog_register_delta_and_sql(spark, tmp_path):
+    """A real Delta table registered in the catalog is queryable through
+    spark.sql via as_view, including time travel; table() refuses to hand
+    it out as a writable ACID table."""
+    import os
+
+    from delta_lake_validation_spark.sources.acid.errors import AcidTableError
+    from delta_lake_validation_spark.sources.catalog import Catalog
+
+    loc = _flat_table(spark, tmp_path)
+    cat = Catalog(spark, os.path.join(str(tmp_path), "wh"))
+    cat.register_delta("ext_orders", str(loc))
+    assert "ext_orders" in cat.list_tables()
+
+    cat.as_view("ext_orders")
+    got = {r.id for r in spark.sql("SELECT id FROM ext_orders").collect()}
+    assert got == {1, 2, 30, 40}
+    cat.as_view("ext_orders", version=0, view_name="ext_orders_v0")
+    got0 = {r.id for r in spark.sql("SELECT id FROM ext_orders_v0").collect()}
+    assert got0 == {1, 2, 3}
+
+    with pytest.raises(AcidTableError, match="Delta interop"):
+        cat.table("ext_orders")
+    assert cat.delta_table("ext_orders").latest_version() == 1
+    cat.drop("ext_orders")
+    assert "ext_orders" not in cat.list_tables()
