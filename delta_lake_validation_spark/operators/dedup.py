@@ -469,3 +469,137 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Incremental exact dedup: new batch vs. an indexed corpus
+# ---------------------------------------------------------------------------
+def build_shingle_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    hash_mode: str = "xxhash64",
+) -> dict[str, DataFrame]:
+    """Corpus-side index for :func:`incremental_jaccard_pairs`: three
+    DataFrames the caller persists once (parquet or an ACID table) —
+
+    - ``dfreq``  (h, df): corpus document frequency per shingle hash, the
+      frozen global rarity order every later batch ranks against;
+    - ``pos``    (id, h, pos, sz): each corpus doc's shingles with their
+      rank in (df, h) order and the doc's shingle count — the prefix-filter
+      side.  Threshold-independent: a query at threshold t keeps
+      ``pos <= sz - ceil(t*sz) + 1``, so one index serves any t;
+    - ``sets``   (id, hs): sorted shingle-hash set per doc, the exact-
+      verification side.
+
+    At 100 TB the index is written bucketed by ``h`` (pos/dfreq) and ``id``
+    (sets); each incoming batch then joins without reshuffling the corpus —
+    the whole point: ingestion cost is O(batch + candidates), never
+    O(corpus).
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_hashes(docs, id_col, text_col, k, hash_mode)
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dfreq, "h")
+    w = Window.partitionBy("id").orderBy("df", "h")
+    wall = Window.partitionBy("id")
+    pos = ranked.select(
+        "id",
+        "h",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wall).alias("sz"),
+    )
+    sets = sh.groupBy("id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    return {"dfreq": dfreq, "pos": pos, "sets": sets}
+
+
+def incremental_jaccard_pairs(
+    spark: SparkSession,
+    batch: DataFrame,
+    index: dict[str, DataFrame],
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    scale: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """EXACT k-gram Jaccard pairs between a new batch and an indexed corpus
+    (batch × corpus only — the incremental-ingestion shape): same lossless
+    PPJoin prefix + size-ratio + positional bounds as
+    :func:`ngram_jaccard_pairs`, but the corpus side comes entirely from the
+    prebuilt index — corpus text is never re-shingled or re-scanned.
+
+    Ordering consistency: BOTH sides rank shingles by the *corpus* document
+    frequency (batch shingles unseen in the corpus get df=0, i.e. rarest).
+    The prefix theorem only needs one shared total order, so freezing the
+    corpus's order keeps the filter lossless for every future batch without
+    index rebuilds; (df, h) ties are broken by hash, a total order.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    from delta_lake_validation_spark.functions.aggregates import round_half_up
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    t_num, t_den = frac.numerator, frac.denominator
+
+    sh_b = shingle_hashes(batch, id_col, text_col, k, hash_mode).persist()
+    ranked_b = sh_b.join(index["dfreq"], "h", "left").fillna(0, subset=["df"])
+    w = Window.partitionBy("id").orderBy("df", "h")
+    wall = Window.partitionBy("id")
+    pos_b = ranked_b.select(
+        "id",
+        "h",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wall).alias("sz"),
+    )
+
+    def _prefix(pos_df: DataFrame) -> DataFrame:
+        ceil_t_sz = (F.col("sz") * t_num + F.lit(t_den - 1)).cast("long") / F.lit(
+            t_den
+        )
+        return pos_df.filter(F.col("pos") <= F.col("sz") - F.floor(ceil_t_sz) + 1)
+
+    a = _prefix(pos_b).alias("a")  # batch
+    b = _prefix(index["pos"]).alias("b")  # corpus
+    overlap_ub = (
+        F.least(F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")) + 1
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.sz") * t_num <= F.col("b.sz") * t_den)
+            & (F.col("b.sz") * t_num <= F.col("a.sz") * t_den)
+            & (
+                overlap_ub * F.lit(t_den + t_num)
+                >= F.lit(t_num) * (F.col("a.sz") + F.col("b.sz"))
+            ),
+        )
+        .select(F.col("a.id").alias("new_doc"), F.col("b.id").alias("corpus_doc"))
+        .distinct()
+    )
+    sets_b = sh_b.groupBy("id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    verified = (
+        cand.join(
+            sets_b.withColumnRenamed("id", "new_doc").withColumnRenamed(
+                "hs", "hs_a"
+            ),
+            "new_doc",
+        )
+        .join(
+            index["sets"]
+            .withColumnRenamed("id", "corpus_doc")
+            .withColumnRenamed("hs", "hs_b"),
+            "corpus_doc",
+        )
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn("uni", F.size("hs_a") + F.size("hs_b") - F.col("inter"))
+        .filter(F.col("inter") * t_den >= F.col("uni") * t_num)
+        .withColumn("jaccard", round_half_up(F.col("inter") / F.col("uni"), scale))
+    )
+    return verified.select("new_doc", "corpus_doc", "jaccard")

@@ -264,6 +264,44 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(spark, docs, threshold=0.8)
 
 
+@register(
+    "incremental_dedup",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                  FROM documents),
+    sh AS (SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(range(1, len(t)-1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS s FROM toks)
+    SELECT new_doc, corpus_doc,
+           CAST(floor(CAST(inter AS DOUBLE) / uni * 10000.0 + 0.5) / 10000.0
+                AS DOUBLE) AS jaccard
+    FROM (SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+                 len(list_intersect(a.s, b.s)) AS inter,
+                 len(list_distinct(a.s || b.s)) AS uni
+          FROM sh a JOIN sh b
+            ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0)
+    WHERE inter * 5 >= uni * 4
+    """,
+    tags=("dedup", "llm", "incremental"),
+    doc="incremental ingestion dedup: EXACT batch-vs-corpus Jaccard via the "
+    "frozen corpus shingle index (operators/dedup.py:build_shingle_index) — "
+    "O(batch+candidates), corpus text never re-scanned",
+)
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.dedup import (
+        build_shingle_index,
+        incremental_jaccard_pairs,
+    )
+
+    docs = Tables(spark, sf_dir).documents
+    corpus = docs.filter("doc_id % 10 != 0")
+    batch = docs.filter("doc_id % 10 = 0")
+    index = build_shingle_index(corpus)
+    return incremental_jaccard_pairs(spark, batch, index, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # MinHash-LSH candidate pairs.  LSH is approximate w.r.t. true Jaccard, but
 # the PIPELINE (shingle hash → signature → band join → estimate) is

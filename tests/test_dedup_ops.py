@@ -141,3 +141,66 @@ def test_vector_udfs_match_hof_expressions(spark):
     for r in rows:
         assert abs(r.d - r.d_hof) < 1e-9
         assert abs(r.c - r.c_hof) < 1e-9
+
+
+def test_incremental_matches_batch_cross_pairs(spark, docs, tmp_path):
+    """Index-backed incremental dedup equals the direct cross-set answer:
+    persist the corpus index to parquet (round-trip, as a real ingestion
+    pipeline would), then dedup the batch against the reloaded index and
+    compare with ngram_jaccard_pairs restricted to cross-split pairs."""
+    from delta_lake_validation_spark.operators.dedup import (
+        build_shingle_index,
+        incremental_jaccard_pairs,
+    )
+
+    corpus = docs.filter("doc_id % 10 != 0")
+    batch = docs.filter("doc_id % 10 = 0")
+    idx = build_shingle_index(corpus)
+    for name in ("dfreq", "pos", "sets"):
+        idx[name].write.mode("overwrite").parquet(str(tmp_path / name))
+    reloaded = {
+        name: spark.read.parquet(str(tmp_path / name))
+        for name in ("dfreq", "pos", "sets")
+    }
+    got = {
+        (r.new_doc, r.corpus_doc, r.jaccard)
+        for r in incremental_jaccard_pairs(
+            spark, batch, reloaded, threshold=0.8
+        ).collect()
+    }
+    # direct answer: full self-join pairs, keep only cross-split ones
+    full = ngram_jaccard_pairs(spark, docs, threshold=0.8).collect()
+    want = set()
+    for r in full:
+        l_new, r_new = r.left_doc % 10 == 0, r.right_doc % 10 == 0
+        if l_new and not r_new:
+            want.add((r.left_doc, r.right_doc, r.jaccard))
+        elif r_new and not l_new:
+            want.add((r.right_doc, r.left_doc, r.jaccard))
+    assert got == want and got  # non-empty on this corpus
+
+
+def test_incremental_handles_unseen_shingles(spark):
+    """Batch docs whose shingles are absent from the corpus (df=0 ranks)
+    must not break losslessness: an identical pair is still found and an
+    unrelated doc produces nothing."""
+    from delta_lake_validation_spark.operators.dedup import (
+        build_shingle_index,
+        incremental_jaccard_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+            (11, "totally novel words never indexed anywhere here"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_shingle_index(corpus)
+    rows = incremental_jaccard_pairs(spark, batch, idx, threshold=0.8).collect()
+    assert {(r.new_doc, r.corpus_doc) for r in rows} == {(10, 1)}
+    assert rows[0].jaccard == 1.0

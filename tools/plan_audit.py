@@ -101,6 +101,13 @@ CUSTOM: dict[str, object] = {
     "token_df_stats": lambda p: (
         ["CartesianProduct appeared"] if "CartesianProduct" in p else []
     ),
+    # incremental batch-vs-corpus dedup: candidate generation must be the
+    # equi join on the shingle hash — a cartesian/nested-loop fallback means
+    # the prefix key was lost and ingestion is O(batch × corpus)
+    "incremental_dedup": lambda p: (
+        (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["BroadcastNestedLoopJoin appeared"] if "BroadcastNestedLoopJoin" in p else [])
+    ),
     # prefix-sum packing: one window per shard, no joins at all
     "sequence_pack": lambda p: (
         (["join operator appeared"] if "Join" in p else [])
