@@ -500,7 +500,9 @@ def build_shingle_index(
     """
     from pyspark.sql import Window
 
-    sh = shingle_hashes(docs, id_col, text_col, k, hash_mode)
+    # one shingle scan feeds all three outputs (dfreq, pos, sets): without
+    # the persist, materializing the index re-tokenizes the corpus 3×
+    sh = shingle_hashes(docs, id_col, text_col, k, hash_mode).persist()
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(dfreq, "h")
     w = Window.partitionBy("id").orderBy("df", "h")

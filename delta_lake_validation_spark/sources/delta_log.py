@@ -286,7 +286,9 @@ class DeltaTable:
             raise ValueError("pass version or timestamp, not both")
         if timestamp is not None:
             version = self.version_for_timestamp(timestamp)
-        snap = self.snapshot(version)
+        return self._read_snapshot(self.snapshot(version))
+
+    def _read_snapshot(self, snap: DeltaSnapshot) -> DataFrame:
         data_schema = StructType(
             [f for f in snap.schema.fields if f.name not in snap.partition_columns]
         )
@@ -351,6 +353,68 @@ class DeltaTable:
                 if c not in seen or seen[c] != pv.get(c):
                     return False
         return True
+
+    def read_where(
+        self, ranges: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
+        """Multi-column data-skipping scan over a real Delta table: prune
+        files whose log ``stats`` (minValues/maxValues JSON, written by every
+        Delta writer) cannot intersect the requested ranges — the same
+        conjunctive file skipping Delta itself performs, plus partition-value
+        pruning for partition columns.  Missing stats keep the file (never
+        wrong, only less pruned); the exact residual filter always applies.
+        Mirrors ``AcidTable.read_where`` so interop tables skip identically.
+        """
+        snap = self.snapshot(version)
+        keep: dict[str, dict] = {}
+        for p, a in snap.files.items():
+            st = a.get("stats")
+            if isinstance(st, str):
+                try:
+                    st = json.loads(st)
+                except ValueError:
+                    st = None
+            st = st or {}
+            mins = st.get("minValues") or {}
+            maxs = st.get("maxValues") or {}
+            pv = a.get("partitionValues") or {}
+            skip = False
+            for col, (lower, upper) in ranges.items():
+                if col in snap.partition_columns:
+                    v = pv.get(col)
+                    if v is None:
+                        continue
+                    lo = mx = v
+                else:
+                    lo, mx = mins.get(col), maxs.get(col)
+                    if lo is None or mx is None:
+                        continue
+                try:
+                    if (lower is not None and type(lower)(mx) < lower) or (
+                        upper is not None and type(upper)(lo) > upper
+                    ):
+                        skip = True
+                        break
+                except (TypeError, ValueError):
+                    continue  # incomparable stats: keep the file
+            if not skip:
+                keep[p] = a
+        pruned = DeltaSnapshot(
+            snap.version,
+            snap.schema,
+            snap.partition_columns,
+            keep,
+            snap.properties,
+            snap.metadata_id,
+            snap.name,
+        )
+        df = self._read_snapshot(pruned)
+        for col, (lower, upper) in ranges.items():
+            if lower is not None:
+                df = df.filter(F.col(col) >= F.lit(lower))
+            if upper is not None:
+                df = df.filter(F.col(col) <= F.lit(upper))
+        return df
 
     # -------------------------------------------------------------- changes
     def read_changes(

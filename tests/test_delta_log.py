@@ -525,3 +525,53 @@ def test_catalog_register_delta_and_sql(spark, tmp_path):
     assert cat.delta_table("ext_orders").latest_version() == 1
     cat.drop("ext_orders")
     assert "ext_orders" not in cat.list_tables()
+
+
+# ------------------------------------------------------------- data skipping
+
+
+def test_read_where_skips_files_by_stats(spark, tmp_path):
+    """Files whose log stats cannot intersect the range never reach the
+    scan; missing stats keep the file; the residual filter stays exact."""
+    loc = tmp_path / "skip"
+    log = loc / "_delta_log"
+    f_lo = _write_parquet(spark, [Row(v=i) for i in (1, 5)], "v int", loc / "lo")
+    f_hi = _write_parquet(spark, [Row(v=i) for i in (100, 200)], "v int", loc / "hi")
+    f_ns = _write_parquet(spark, [Row(v=50)], "v int", loc / "ns")  # no stats
+    a_lo = _add(f_lo)
+    a_lo["add"]["stats"] = json.dumps(
+        {"numRecords": 2, "minValues": {"v": 1}, "maxValues": {"v": 5},
+         "nullCount": {"v": 0}}
+    )
+    a_hi = _add(f_hi)
+    a_hi["add"]["stats"] = json.dumps(
+        {"numRecords": 2, "minValues": {"v": 100}, "maxValues": {"v": 200},
+         "nullCount": {"v": 0}}
+    )
+    _write_commit(
+        log, 0, [PROTOCOL, _meta([("v", "integer")]), a_lo, a_hi, _add(f_ns)]
+    )
+    t = DeltaTable(spark, str(loc))
+    df = t.read_where({"v": (40, 60)})
+    assert {r.v for r in df.collect()} == {50}
+    files = {f.rsplit("/", 2)[-2] for f in df.inputFiles()}
+    assert files == {"ns"}  # lo and hi pruned by stats; ns kept (no stats)
+    # partition-value pruning path
+    locp = tmp_path / "skipp"
+    logp = locp / "_delta_log"
+    fa = _write_parquet(spark, [Row(v=1)], "v int", locp / "k=3")
+    fb = _write_parquet(spark, [Row(v=2)], "v int", locp / "k=9")
+    _write_commit(
+        logp,
+        0,
+        [
+            PROTOCOL,
+            _meta([("v", "integer"), ("k", "integer")], partition_cols=["k"]),
+            _add(fa, partition_values={"k": "3"}),
+            _add(fb, partition_values={"k": "9"}),
+        ],
+    )
+    tp = DeltaTable(spark, str(locp))
+    dfp = tp.read_where({"k": (5, None)})
+    assert {(r.v, r.k) for r in dfp.collect()} == {(2, 9)}
+    assert all("k=9" in f for f in dfp.inputFiles())
