@@ -43,3 +43,81 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         pred.alias("predicted_lang"),
         *[c[lang].cast("int").alias(f"c_{lang}") for lang in MARKERS],
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (training-data prep: one doc -> overlapping chunks)
+# ---------------------------------------------------------------------------
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's whitespace tokens into overlapping windows of
+    ``size`` tokens every ``stride`` (chunk i covers tokens
+    [i*stride, i*stride+size)); the trailing chunk may be short.  Pure
+    Catalyst (sequence → explode → slice): stays in whole-stage codegen and
+    scales as a single narrow map stage — no shuffle at all.
+
+    Output: (doc_id, chunk_id, n_tokens, chunk_text).
+    """
+    if not (0 < stride <= size):
+        raise ValueError("need 0 < stride <= size")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.floor((n + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_t"),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.least(F.lit(size), F.col("_n") - start).cast("int").alias("n_tokens"),
+        F.array_join(F.slice("_t", start + 1, size), " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_udtf(
+    spark: SparkSession,
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Python UDTF form of :func:`chunk_documents` (SURVEY §2.11 UDTF
+    surface demo): a table function invoked via SQL ``LATERAL``, one input
+    row expanding to N output rows executor-side.  Arrow-batched, but still
+    Python-per-row — the Catalyst form above is the production path; this
+    exists to exercise and document the UDTF seam for operators that have
+    no expression equivalent (custom tokenizers, model-based splitters).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, n_tokens int, chunk_text string")
+    class ChunkDocs:
+        def eval(self, text: str):
+            toks = (text or "").strip().split()
+            if not toks:
+                toks = [""]  # split of '' yields [''] in the Catalyst form
+            i = 0
+            cid = 0
+            while i < len(toks):
+                window = toks[i : i + size]
+                yield cid, len(window), " ".join(window)
+                cid += 1
+                i += stride
+
+    spark.udtf.register("chunk_docs", ChunkDocs)
+    docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))\
+        .createOrReplaceTempView("_chunk_docs_in")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk_text "
+        "FROM _chunk_docs_in d, LATERAL chunk_docs(d.text) c"
+    )

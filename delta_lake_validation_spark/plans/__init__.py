@@ -54,6 +54,8 @@ _TIER_BY_NAME = {
     # round-2 late families: placed first past the observed 50-entry driver
     # cap so they never displace already-verified families, but pick up
     # driver rows if the window grows
+    "doc_chunks": _reg.TIER_NEWFAM,
+    "embedding_centroids": _reg.TIER_NEWFAM,
     "tfidf_top_terms": _reg.TIER_NEWFAM,
     "decontaminate_trigrams": _reg.TIER_NEWFAM,
     "dml_restore_constraints": _reg.TIER_NEWFAM,

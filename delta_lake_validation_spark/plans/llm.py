@@ -265,6 +265,31 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS n,
+                    CAST(floor((len(t) + 47) / 48) AS INT) AS n_chunks
+             FROM toks)
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           CAST(least(64, n - i*48) AS INT) AS n_tokens,
+           array_to_string(t[(i*48 + 1):(i*48 + 64)], ' ') AS chunk_text
+    FROM base, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)
+    """,
+    tags=("llm", "chunking"),
+    doc="context-window chunking for training-data prep: one doc -> "
+    "overlapping 64-token windows every 48 (operators/text.py, pure "
+    "Catalyst sequence/explode/slice — zero shuffle); the Python UDTF twin "
+    "chunk_documents_udtf demos the §2.11 table-function seam",
+)
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.text import chunk_documents
+
+    return chunk_documents(Tables(spark, sf_dir).documents)
+
+
+@register(
     "incremental_dedup",
     oracle=r"""
     WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -837,6 +862,50 @@ def per_user_minmax_norm_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact cosine top-k over the produced feature vectors.  The full
 # image-search plumbing with only the codec faked.
 # ---------------------------------------------------------------------------
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH e AS (SELECT label, unnest(embedding) AS v,
+                      unnest(range(len(embedding))) AS pos FROM embeddings),
+    per AS (SELECT label, pos, avg(v) AS cv FROM e GROUP BY label, pos),
+    agg AS (SELECT label, count(*) AS dim, sqrt(sum(cv*cv)) AS nrm,
+                   avg(cv) AS mean_cv
+            FROM per GROUP BY label),
+    cnt AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+    SELECT a.label, c.n_vecs, CAST(a.dim AS BIGINT) AS dim,
+           CAST(floor(a.nrm * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)
+               AS centroid_norm,
+           CAST(floor(a.mean_cv * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)
+               AS centroid_mean
+    FROM agg a JOIN cnt c USING (label)
+    """,
+    tags=("similarity", "llm", "embedding"),
+    doc="per-label embedding centroids (semantic-clustering prep): "
+    "posexplode -> per-dimension mean -> norm/mean summary, all JVM "
+    "aggregates; the centroid table is what IVF cells / semantic dedup "
+    "representatives are built from",
+)
+def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.functions.aggregates import round_half_up
+
+    emb = Tables(spark, sf_dir).embeddings
+    e = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    per = e.groupBy("label", "pos").agg(F.avg("v").alias("cv"))
+    agg = per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("nrm"),
+        F.avg("cv").alias("mean_cv"),
+    )
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return agg.join(cnt, "label").select(
+        "label",
+        "n_vecs",
+        "dim",
+        round_half_up(F.col("nrm"), 6).alias("centroid_norm"),
+        round_half_up(F.col("mean_cv"), 6).alias("centroid_mean"),
+    )
+
+
 @register(
     "multimodal_ann",
     oracle=None,

@@ -204,3 +204,32 @@ def test_incremental_handles_unseen_shingles(spark):
     rows = incremental_jaccard_pairs(spark, batch, idx, threshold=0.8).collect()
     assert {(r.new_doc, r.corpus_doc) for r in rows} == {(10, 1)}
     assert rows[0].jaccard == 1.0
+
+
+def test_chunking_udtf_matches_catalyst(spark, docs):
+    """The Python UDTF chunker and the Catalyst sequence/explode/slice form
+    produce identical rows (SURVEY 2.11 demo contract)."""
+    from delta_lake_validation_spark.operators.text import (
+        chunk_documents,
+        chunk_documents_udtf,
+    )
+
+    sample = docs.limit(50)
+    jvm = {
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(sample).collect()
+    }
+    py = {
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in chunk_documents_udtf(spark, sample).collect()
+    }
+    assert jvm == py and jvm
+    # overlap invariant: consecutive chunks share size-stride tokens
+    one = [r for r in jvm if r[1] in (0, 1)]
+    by_doc = {}
+    for doc, cid, n, txt in one:
+        by_doc.setdefault(doc, {})[cid] = txt.split()
+    multi = [v for v in by_doc.values() if len(v) == 2]
+    assert multi
+    for v in multi:
+        assert v[0][48:] == v[1][: len(v[0][48:])]
