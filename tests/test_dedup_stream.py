@@ -1,0 +1,119 @@
+"""Streaming incremental dedup: corpus index as ACID tables, per-batch
+foreachBatch verdicts, index growth across batches, exactly-once replay,
+and crash-between-commits recovery (index folded, results not)."""
+
+from __future__ import annotations
+
+from delta_lake_validation_spark.sources.acid.table import AcidTable
+from delta_lake_validation_spark.streaming.dedup_stream import (
+    DedupIndex,
+    dedup_stream_sink,
+)
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog tonight"),
+    (2, "completely different corpus content about spark engines here"),
+]
+SCHEMA = "doc_id long, text string"
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _results(spark, loc):
+    return {
+        (r.new_doc, r.match_doc, r.within_batch, r.batch_id)
+        for r in AcidTable(spark, loc).read().collect()
+    }
+
+
+def test_stream_dedup_lifecycle(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    res = str(tmp_path / "res")
+    index = DedupIndex.create(spark, root, _mk(spark, CORPUS))
+    sink = dedup_stream_sink(spark, index, res, threshold=0.8, query_id="q1")
+
+    # batch 0: one dup-of-corpus, one novel, one within-batch dup pair
+    b0 = _mk(
+        spark,
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            (11, "a totally novel document with fresh unseen words inside"),
+            (12, "identical within batch pair of documents right here now"),
+            (13, "identical within batch pair of documents right here now"),
+        ],
+    )
+    sink(b0, 0)
+    got0 = _results(spark, res)
+    assert got0 == {
+        (10, 1, False, 0),  # matched the corpus through the index
+        (12, 13, True, 0),  # batch-internal duplicate
+    }
+
+    # batch 1: duplicates batch 0's NOVEL doc — only findable if batch 0
+    # was folded into the index
+    b1 = _mk(
+        spark, [(20, "a totally novel document with fresh unseen words inside")]
+    )
+    sink(b1, 1)
+    assert _results(spark, res) == got0 | {(20, 11, False, 1)}
+
+    # replay of batch 1 (restart semantics): nothing duplicates
+    sink(b1, 1)
+    assert _results(spark, res) == got0 | {(20, 11, False, 1)}
+    pos_rows = AcidTable(spark, f"{root}/pos").read().count()
+
+    # crash between index and results commits: fold batch 2 into the index
+    # first (simulating the crash point), then replay the full sink — the
+    # verdicts must come out as if computed against the pre-batch index
+    b2 = _mk(
+        spark,
+        [(30, "completely different corpus content about spark engines here")],
+    )
+    index.append_batch(b2, 2, "q1")
+    sink(b2, 2)
+    assert _results(spark, res) == got0 | {
+        (20, 11, False, 1),
+        (30, 2, False, 2),  # matches corpus doc 2, NOT its own index copy
+    }
+    # index folded exactly once despite append_batch + sink both running
+    b2_pos = (
+        AcidTable(spark, f"{root}/pos").read().filter("id = 30").count()
+    )
+    sets_30 = AcidTable(spark, f"{root}/sets").read().filter("id = 30").count()
+    assert sets_30 == 1 and b2_pos > 0
+    assert AcidTable(spark, f"{root}/pos").read().count() > pos_rows
+
+
+def test_frozen_order_still_lossless_after_growth(spark, tmp_path):
+    """After several folds, a new batch's duplicates of ANY generation are
+    still found exactly (the frozen rarity order keeps the prefix filter
+    lossless regardless of drift)."""
+    root = str(tmp_path / "idx2")
+    res = str(tmp_path / "res2")
+    index = DedupIndex.create(spark, root, _mk(spark, CORPUS))
+    sink = dedup_stream_sink(spark, index, res, threshold=0.8, query_id="q2")
+    texts = [
+        "wave one brings entirely new vocabulary alpha beta gamma delta",
+        "wave two keeps adding more fresh terms epsilon zeta eta theta",
+    ]
+    sink(_mk(spark, [(100, texts[0])]), 0)
+    sink(_mk(spark, [(200, texts[1])]), 1)
+    # batch 2 duplicates one doc from each earlier generation + the corpus
+    sink(
+        _mk(
+            spark,
+            [
+                (300, texts[0]),
+                (301, texts[1]),
+                (302, CORPUS[0][1]),
+            ],
+        ),
+        2,
+    )
+    got = {
+        (r.new_doc, r.match_doc)
+        for r in AcidTable(spark, res).read().filter("batch_id = 2").collect()
+    }
+    assert got == {(300, 100), (301, 200), (302, 1)}
