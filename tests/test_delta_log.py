@@ -575,3 +575,22 @@ def test_read_where_skips_files_by_stats(spark, tmp_path):
     dfp = tp.read_where({"k": (5, None)})
     assert {(r.v, r.k) for r in dfp.collect()} == {(2, 9)}
     assert all("k=9" in f for f in dfp.inputFiles())
+
+
+def test_optimize_after_import_never_touches_source(spark, tmp_path):
+    """Compaction (OPTIMIZE) on an imported Delta table rewrites into the
+    import's own directory; the source Delta table's files stay intact and
+    its reads unchanged — the clone-safety contract extended to imports."""
+    from delta_lake_validation_spark.sources.delta_log import import_delta
+
+    loc = _flat_table(spark, tmp_path)
+    before = {p: p.stat().st_size for p in loc.rglob("*.parquet")}
+    t = import_delta(spark, str(loc), str(tmp_path / "opt_imp"))
+    t.optimize(target_files=1)
+    assert {r.id for r in t.read().collect()} == {1, 2, 30, 40}
+    # compacted output lives under the import, not the source
+    snap = t.snapshot()
+    assert all(not p.startswith(str(loc)) for p in snap.files)
+    after = {p: p.stat().st_size for p in loc.rglob("*.parquet")}
+    assert after == before
+    assert {r.id for r in read_delta(spark, str(loc)).collect()} == {1, 2, 30, 40}
