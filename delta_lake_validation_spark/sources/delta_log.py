@@ -678,6 +678,82 @@ def export_delta(table, version: int | None = None) -> int:
     return next_v
 
 
+def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
+    """Write a classic checkpoint parquet (+ ``_last_checkpoint``) for the
+    latest version of a Delta log — so readers replay one columnar file
+    plus the JSON tail instead of the whole commit chain.  Complements
+    ``export_delta`` for long-lived exported tables; also valid on any
+    Delta log this module can read.  Returns the checkpointed version."""
+    from pyspark.sql import Row
+
+    if not is_local(location):  # pragma: no cover
+        raise NotImplementedError(
+            "checkpoint writing currently targets local/posix paths; remote "
+            "stores need a rename primitive routed through FileSystem"
+        )
+    t = DeltaTable(spark, location)
+    snap = t.snapshot()
+    v = snap.version
+    rows = [
+        Row(
+            add=Row(
+                path=p,
+                partitionValues={
+                    k: v_ for k, v_ in (a.get("partitionValues") or {}).items()
+                },
+                size=int(a.get("size", 0) or 0),
+                modificationTime=int(a.get("modificationTime", 0) or 0),
+                dataChange=False,
+                stats=a.get("stats")
+                if isinstance(a.get("stats"), str)
+                else (json.dumps(a["stats"]) if a.get("stats") else None),
+            ),
+            metaData=None,
+            protocol=None,
+            remove=None,
+        )
+        for p, a in snap.files.items()
+    ]
+    rows.append(
+        Row(
+            add=None,
+            metaData=Row(
+                id=snap.metadata_id or "checkpoint-meta",
+                schemaString=json.dumps(snap.schema.jsonValue()),
+                partitionColumns=list(snap.partition_columns),
+                configuration=dict(snap.properties),
+            ),
+            protocol=Row(minReaderVersion=1, minWriterVersion=2),
+            remove=None,
+        )
+    )
+    schema = (
+        "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
+        "modificationTime:bigint,dataChange:boolean,stats:string>,"
+        "metaData struct<id:string,schemaString:string,"
+        "partitionColumns:array<string>,configuration:map<string,string>>,"
+        "protocol struct<minReaderVersion:int,minWriterVersion:int>,"
+        "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
+    )
+    log_dir = f"{location.rstrip('/')}/_delta_log"
+    tmp = f"{log_dir}/.ckpt-tmp"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    import shutil
+
+    base = strip_scheme(tmp)
+    src = next(
+        f for f in os.listdir(base) if f.endswith(".parquet")
+    )
+    dst = f"{strip_scheme(log_dir)}/{v:020d}.checkpoint.parquet"
+    shutil.move(f"{base}/{src}", dst)
+    shutil.rmtree(base, ignore_errors=True)
+    with open(f"{strip_scheme(log_dir)}/_last_checkpoint", "w") as f:
+        json.dump({"version": v, "size": len(rows)}, f)
+    return v
+
+
 def import_delta(spark: SparkSession, delta_location: str, target_location: str):
     """Zero-copy migration: fork a real Delta table into the engine's own
     ACID format by absolute file reference — one metadata commit, no data

@@ -594,3 +594,38 @@ def test_optimize_after_import_never_touches_source(spark, tmp_path):
     after = {p: p.stat().st_size for p in loc.rglob("*.parquet")}
     assert after == before
     assert {r.id for r in read_delta(spark, str(loc)).collect()} == {1, 2, 30, 40}
+
+
+def test_write_checkpoint_and_replay(spark, tmp_path):
+    """write_delta_checkpoint emits a classic checkpoint + _last_checkpoint;
+    replay works with the pre-checkpoint JSON deleted, stats survive into
+    read_where skipping, and later commits append past it."""
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.sources.delta_log import (
+        export_delta,
+        write_delta_checkpoint,
+    )
+
+    loc = str(tmp_path / "ck")
+    t = AcidTable.create(spark, loc, "id int, k string", partition_by=["k"])
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id int, k string"))
+    export_delta(t)
+    t.append(spark.createDataFrame([(3, "b")], "id int, k string"))
+    export_delta(t)
+    v = write_delta_checkpoint(spark, loc)
+    assert v == 1
+    log = tmp_path / "ck" / "_delta_log"
+    assert (log / "00000000000000000001.checkpoint.parquet").exists()
+    assert (log / "_last_checkpoint").exists()
+    (log / "00000000000000000000.json").unlink()
+    dt = DeltaTable(spark, loc)
+    assert {(r.id, r.k) for r in dt.read().collect()} == {
+        (1, "a"), (2, "b"), (3, "b")
+    }
+    # per-file numRecords stats written by the ACID layer ride through the
+    # export+checkpoint into Delta-side pruning metadata
+    assert dt.snapshot().files and all(
+        a.get("stats") for a in dt.snapshot().files.values()
+    )
+    # partition-value skipping still works off the checkpoint
+    assert {r.id for r in dt.read_where({"id": (3, None)}).collect()} == {3}
