@@ -46,6 +46,7 @@ _SUPPORTED_READER_FEATURES = {
     "v2Checkpoint",  # we only consume classic checkpoints; v2 tables still
     # list them via _last_checkpoint so reads stay correct
     "vacuumProtocolCheck",
+    "columnMapping",  # name mode implemented; id mode rejected at snapshot
 }
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
@@ -72,6 +73,58 @@ class DeltaSnapshot:
         self.properties = properties
         self.metadata_id = metadata_id
         self.name = name
+        # column mapping (name mode): logical -> physical top-level names;
+        # identity mapping when the table has no mapping
+        mode = (properties or {}).get("delta.columnMapping.mode", "none")
+        if mode == "name":
+            self.physical = {
+                f.name: (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                for f in schema.fields
+            }
+        elif mode in ("none", ""):
+            self.physical = {f.name: f.name for f in schema.fields}
+        else:
+            raise DeltaProtocolError(
+                f"columnMapping mode {mode!r} not supported (id mode needs "
+                "parquet field-id resolution); refusing to read incorrectly"
+            )
+
+    def phys(self, logical: str) -> str:
+        return self.physical[logical]
+
+    def physical_schema(self) -> StructType:
+        """The on-disk schema: top-level names swapped to physicalName.
+        Nested struct fields keep their physical names too — the read path
+        restores logical names with a positional struct cast."""
+
+        def rename(field):
+            import copy
+
+            f = copy.deepcopy(field)
+            f.name = (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            f.dataType = rename_type(f.dataType)
+            return f
+
+        def rename_type(dt):
+            from pyspark.sql.types import ArrayType, MapType
+
+            if isinstance(dt, StructType):
+                return StructType([rename(f) for f in dt.fields])
+            if isinstance(dt, ArrayType):
+                return ArrayType(rename_type(dt.elementType), dt.containsNull)
+            if isinstance(dt, MapType):
+                return MapType(
+                    rename_type(dt.keyType),
+                    rename_type(dt.valueType),
+                    dt.valueContainsNull,
+                )
+            return dt
+
+        return StructType([rename(f) for f in self.schema.fields])
 
     @property
     def num_files(self) -> int:
@@ -289,15 +342,29 @@ class DeltaTable:
         return self._read_snapshot(self.snapshot(version))
 
     def _read_snapshot(self, snap: DeltaSnapshot) -> DataFrame:
+        # all on-disk structure (file schema, partition dirs, partitionValues
+        # keys) speaks PHYSICAL names; logical names are restored at the end
+        # with a positional struct cast (identity when no mapping)
+        phys_schema = snap.physical_schema()
+        phys_parts = [snap.phys(c) for c in snap.partition_columns]
         data_schema = StructType(
-            [f for f in snap.schema.fields if f.name not in snap.partition_columns]
+            [f for f in phys_schema.fields if f.name not in phys_parts]
         )
+
+        def to_logical(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(snap.phys(f.name)).cast(f.dataType).alias(f.name)
+                    for f in snap.schema.fields
+                ]
+            )
+
         if not snap.files:
             return self.spark.createDataFrame([], snap.schema)
         paths = [self._abs(p) for p in snap.files]
         if not snap.partition_columns:
-            return self.spark.read.schema(snap.schema).parquet(*paths)
-        if self._hive_layout(snap):
+            return to_logical(self.spark.read.schema(phys_schema).parquet(*paths))
+        if self._hive_layout(snap, phys_parts):
             # every file sits at .../col=value/... consistent with its
             # partitionValues: one partition-discovery scan, fully prunable
             df = (
@@ -307,14 +374,14 @@ class DeltaTable:
             )
             for c in snap.partition_columns:
                 typ = snap.schema[c].dataType
-                df = df.withColumn(c, F.col(c).cast(typ))
-            return df.select(*[f.name for f in snap.schema.fields])
+                df = df.withColumn(snap.phys(c), F.col(snap.phys(c)).cast(typ))
+            return to_logical(df)
         # non-Hive layout (e.g. random file names at the root): group files
         # by their partitionValues tuple and stamp literals per group
         groups: dict[tuple, list[str]] = {}
         for p, a in snap.files.items():
             key = tuple(
-                (a.get("partitionValues") or {}).get(c) for c in snap.partition_columns
+                (a.get("partitionValues") or {}).get(c) for c in phys_parts
             )
             groups.setdefault(key, []).append(self._abs(p))
         out = None
@@ -323,10 +390,10 @@ class DeltaTable:
             for c, raw in zip(snap.partition_columns, key):
                 typ = snap.schema[c].dataType
                 df = df.withColumn(
-                    c, F.lit(raw).cast(typ) if raw is not None else F.lit(None).cast(typ)
+                    snap.phys(c),
+                    F.lit(raw).cast(typ) if raw is not None else F.lit(None).cast(typ),
                 )
-            df = df.select(*[f.name for f in snap.schema.fields])
-            out = df if out is None else out.unionByName(df)
+            out = to_logical(df) if out is None else out.unionByName(to_logical(df))
         return out
 
     def _abs(self, path: str) -> str:
@@ -337,9 +404,14 @@ class DeltaTable:
 
         return f"{self.location}/{unquote(path)}"
 
-    def _hive_layout(self, snap: DeltaSnapshot) -> bool:
+    def _hive_layout(
+        self, snap: DeltaSnapshot, part_names: list[str] | None = None
+    ) -> bool:
         """True when every live file's directory encodes exactly its
-        partitionValues Hive-style, so partition discovery is safe."""
+        partitionValues Hive-style, so partition discovery is safe.
+        ``part_names`` are the on-disk (physical) partition column names."""
+        if part_names is None:
+            part_names = [snap.phys(c) for c in snap.partition_columns]
         for p, a in snap.files.items():
             pv = a.get("partitionValues") or {}
             rel = urlparse(p).path if "://" in p else p
@@ -349,7 +421,7 @@ class DeltaTable:
                 if "=" in d:
                     k, _, v = d.partition("=")
                     seen[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
-            for c in snap.partition_columns:
+            for c in part_names:
                 if c not in seen or seen[c] != pv.get(c):
                     return False
         return True
@@ -380,13 +452,15 @@ class DeltaTable:
             pv = a.get("partitionValues") or {}
             skip = False
             for col, (lower, upper) in ranges.items():
+                # stats and partitionValues speak physical names
+                pcol = snap.phys(col) if col in snap.physical else col
                 if col in snap.partition_columns:
-                    v = pv.get(col)
+                    v = pv.get(pcol)
                     if v is None:
                         continue
                     lo = mx = v
                 else:
-                    lo, mx = mins.get(col), maxs.get(col)
+                    lo, mx = mins.get(pcol), maxs.get(pcol)
                     if lo is None or mx is None:
                         continue
                 try:
@@ -434,17 +508,21 @@ class DeltaTable:
         if end_version is None:
             end_version = self.latest_version()
         snap = self.snapshot(end_version)
+        # change/data files speak physical names (column mapping); logical
+        # names are restored in the final select
+        phys_schema = snap.physical_schema()
+        phys_parts = [snap.phys(c) for c in snap.partition_columns]
         data_schema = StructType(
-            [f for f in snap.schema.fields if f.name not in snap.partition_columns]
+            [f for f in phys_schema.fields if f.name not in phys_parts]
         )
         cdc_schema = StructType(list(data_schema.fields)).add("_change_type", "string")
 
         def _with_parts(df: DataFrame, pv: dict) -> DataFrame:
             for c in snap.partition_columns:
                 typ = snap.schema[c].dataType
-                raw = pv.get(c)
+                raw = pv.get(snap.phys(c))
                 df = df.withColumn(
-                    c,
+                    snap.phys(c),
                     F.lit(raw).cast(typ) if raw is not None else F.lit(None).cast(typ),
                 )
             return df
@@ -502,7 +580,12 @@ class DeltaTable:
                         F.timestamp_millis(F.lit(ts_ms)),
                     )
                     .select(
-                        *[f.name for f in snap.schema.fields],
+                        *[
+                            F.col(snap.phys(f.name))
+                            .cast(f.dataType)
+                            .alias(f.name)
+                            for f in snap.schema.fields
+                        ],
                         "_change_type",
                         "_commit_version",
                         "_commit_timestamp",
@@ -778,6 +861,14 @@ def import_delta(spark: SparkSession, delta_location: str, target_location: str)
 
     src = DeltaTable(spark, delta_location)
     snap = src.snapshot()
+    if any(lg != ph for lg, ph in snap.physical.items()):
+        from delta_lake_validation_spark.sources.acid.errors import AcidTableError
+
+        raise AcidTableError(
+            "import_delta cannot borrow files from a column-mapped table "
+            "(physical file schema differs from the logical one); read via "
+            "read_delta and write a fresh ACID table instead"
+        )
     if snap.partition_columns and not src._hive_layout(snap):
         raise AcidTableError(
             "import_delta requires Hive partition layout for partitioned "

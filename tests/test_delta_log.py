@@ -629,3 +629,122 @@ def test_write_checkpoint_and_replay(spark, tmp_path):
     )
     # partition-value skipping still works off the checkpoint
     assert {r.id for r in dt.read_where({"id": (3, None)}).collect()} == {3}
+
+
+# ----------------------------------------------------- column mapping (name)
+
+
+def _mapped_meta(configuration=None):
+    """metaData for a column-mapped (name mode) table: logical (v, k) over
+    physical (col-aaaa, col-bbbb)."""
+    fields = [
+        {
+            "name": "v",
+            "type": "integer",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-aaaa",
+            },
+        },
+        {
+            "name": "k",
+            "type": "string",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-bbbb",
+            },
+        },
+    ]
+    conf = {"delta.columnMapping.mode": "name", "delta.columnMapping.maxColumnId": "2"}
+    conf.update(configuration or {})
+    return {
+        "metaData": {
+            "id": "mapped",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": ["k"],
+            "configuration": conf,
+        }
+    }
+
+
+def test_column_mapping_name_mode_read(spark, tmp_path):
+    """Files carry physical names (col-aaaa) and physical partition dirs
+    (col-bbbb=x); the reader restores logical names, types, and pruning."""
+    loc = tmp_path / "cm"
+    log = loc / "_delta_log"
+    fa = _write_parquet(
+        spark, [Row(**{"col-aaaa": 1}), Row(**{"col-aaaa": 2})],
+        "`col-aaaa` int", loc / "col-bbbb=x",
+    )
+    fb = _write_parquet(
+        spark, [Row(**{"col-aaaa": 3})], "`col-aaaa` int", loc / "col-bbbb=y"
+    )
+    proto = {
+        "protocol": {
+            "minReaderVersion": 2,
+            "minWriterVersion": 5,
+        }
+    }
+    a1 = _add(fa, partition_values={"col-bbbb": "x"})
+    a1["add"]["stats"] = json.dumps(
+        {"numRecords": 2, "minValues": {"col-aaaa": 1},
+         "maxValues": {"col-aaaa": 2}, "nullCount": {"col-aaaa": 0}}
+    )
+    a2 = _add(fb, partition_values={"col-bbbb": "y"})
+    a2["add"]["stats"] = json.dumps(
+        {"numRecords": 1, "minValues": {"col-aaaa": 3},
+         "maxValues": {"col-aaaa": 3}, "nullCount": {"col-aaaa": 0}}
+    )
+    _write_commit(log, 0, [proto, _mapped_meta(), a1, a2])
+    t = DeltaTable(spark, str(loc))
+    df = t.read()
+    assert df.columns == ["v", "k"]
+    assert {(r.v, r.k) for r in df.collect()} == {(1, "x"), (2, "x"), (3, "y")}
+    # logical-name filters prune through the physical partition layout
+    plan = df.filter("k = 'y'")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(col-bbbb" in plan
+    # stats skipping via logical range on physical stats keys
+    skinny = t.read_where({"v": (3, None)})
+    assert {(r.v, r.k) for r in skinny.collect()} == {(3, "y")}
+    assert all("col-bbbb=y" in f for f in skinny.inputFiles())
+    # CDF derives inserts with logical names too
+    ch = t.read_changes(0)
+    assert {(r.v, r.k, r._change_type) for r in ch.collect()} == {
+        (1, "x", "insert"), (2, "x", "insert"), (3, "y", "insert")
+    }
+
+
+def test_column_mapping_id_mode_rejected(spark, tmp_path):
+    loc = tmp_path / "cmid"
+    log = loc / "_delta_log"
+    f = _write_parquet(spark, [Row(**{"col-aaaa": 1})], "`col-aaaa` int", loc / "d")
+    meta = _mapped_meta()
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    _write_commit(
+        log, 0,
+        [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+         meta, _add(f, partition_values={"col-bbbb": "x"})],
+    )
+    with pytest.raises(DeltaProtocolError, match="id mode"):
+        DeltaTable(spark, str(loc)).read()
+
+
+def test_column_mapping_import_rejected(spark, tmp_path):
+    from delta_lake_validation_spark.sources.acid.errors import AcidTableError
+    from delta_lake_validation_spark.sources.delta_log import import_delta
+
+    loc = tmp_path / "cmimp"
+    log = loc / "_delta_log"
+    f = _write_parquet(
+        spark, [Row(**{"col-aaaa": 1})], "`col-aaaa` int", loc / "col-bbbb=x"
+    )
+    _write_commit(
+        log, 0,
+        [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+         _mapped_meta(), _add(f, partition_values={"col-bbbb": "x"})],
+    )
+    with pytest.raises(AcidTableError, match="column-mapped"):
+        import_delta(spark, str(loc), str(tmp_path / "cmtgt"))
