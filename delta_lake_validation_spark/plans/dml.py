@@ -472,3 +472,74 @@ def delta_interop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [(r["step"], r["n_rows"]) for r in latest.collect()]
         rows.append(("v0_total", v0_total))
     return _result(spark, rows)
+
+
+@register(
+    "dedup_stream_scenario",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, doc_id % 3 AS g,
+                         string_split_regex(lower(trim(text)), '\s+') AS t
+                  FROM documents WHERE doc_id < 1500),
+    sh AS (SELECT doc_id, g,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(range(1, len(t)-1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS s FROM toks),
+    pairs AS (
+      SELECT a.doc_id AS new_doc, b.doc_id AS match_doc,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(list_distinct(a.s || b.s)) AS uni,
+             a.g AS ga, b.g AS gb, a.doc_id < b.doc_id AS ordered
+      FROM sh a JOIN sh b ON a.doc_id != b.doc_id)
+    SELECT new_doc, match_doc,
+           CAST(floor(CAST(inter AS DOUBLE) / uni * 10000.0 + 0.5) / 10000.0
+                AS DOUBLE) AS jaccard,
+           within_batch, batch_id
+    FROM (
+      SELECT *, FALSE AS within_batch, CAST(0 AS BIGINT) AS batch_id
+      FROM pairs WHERE ga = 1 AND gb = 0
+      UNION ALL
+      SELECT *, TRUE, CAST(0 AS BIGINT)
+      FROM pairs WHERE ga = 1 AND gb = 1 AND ordered
+      UNION ALL
+      SELECT *, FALSE, CAST(1 AS BIGINT)
+      FROM pairs WHERE ga = 2 AND gb IN (0, 1)
+      UNION ALL
+      SELECT *, TRUE, CAST(1 AS BIGINT)
+      FROM pairs WHERE ga = 2 AND gb = 2 AND ordered
+    )
+    WHERE inter * 5 >= uni * 4
+    """,
+    tags=("streaming", "dedup", "acid"),
+    doc="end-to-end streaming incremental dedup scenario "
+    "(streaming/dedup_stream.py): corpus=doc_id%3==0 seeds the ACID index, "
+    "two micro-batches (%3==1, %3==2) flow through the exactly-once "
+    "foreachBatch sink; every verdict row (index match / within-batch dup "
+    "per batch) is EXACT Jaccard and reproduced by the DuckDB oracle",
+)
+def dedup_stream_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.streaming.dedup_stream import (
+        DedupIndex,
+        dedup_stream_sink,
+    )
+    from delta_lake_validation_spark.tables import Tables
+
+    docs = Tables(spark, sf_dir).documents
+    with _scratch() as loc:
+        docs = docs.filter("doc_id < 1500")  # SF-capped scenario, like
+        # the nation-based DML queries: the streaming contract is what is
+        # graded, not corpus throughput (bench has the batch dedup families)
+        index = DedupIndex.create(
+            spark, f"{loc}/index", docs.filter("doc_id % 3 = 0")
+        )
+        sink = dedup_stream_sink(
+            spark, index, f"{loc}/results", threshold=0.8, query_id="scenario"
+        )
+        sink(docs.filter("doc_id % 3 = 1"), 0)
+        sink(docs.filter("doc_id % 3 = 2"), 1)
+        rows = AcidTable(spark, f"{loc}/results").read().collect()
+    return spark.createDataFrame(
+        rows,
+        "new_doc long, match_doc long, jaccard double, "
+        "within_batch boolean, batch_id long",
+    )

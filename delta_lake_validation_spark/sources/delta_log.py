@@ -9,6 +9,14 @@ snapshot and serve reads, time travel, history and detail — the read half of
 the Delta protocol (https://github.com/delta-io/delta/blob/master/PROTOCOL.md),
 reimplemented from the published spec (no delta-spark dependency).
 
+Protocol coverage rationale: the reference pins delta-spark 2.3.0
+(ref pyproject.toml:8-12), so every table it can produce uses reader
+version ≤2 plus (optionally) column mapping — all fully supported here,
+including classic checkpoints, CDF, and name-mode column mapping.
+Reader-v3 features the reference can never emit (deletionVectors, id-mode
+mapping, v2 checkpoint manifests) are *detected and refused* rather than
+silently misread.
+
 Scale notes:
 - The log replay is driver-side but bounded: one checkpoint parquet read
   (columnar, only the ``add``/``remove``/``metaData``/``protocol`` columns)
