@@ -100,6 +100,8 @@ class AcidSqlContext:
         if head == "OPTIMIZE":
             return self._optimize(s)
         if head == "CREATE":
+            if re.search(rf"SHALLOW{_WS}CLONE", s, re.IGNORECASE):
+                return self._shallow_clone(s)
             return self._create(s)
         if head == "DROP":
             return self._drop(s)
@@ -155,6 +157,34 @@ class AcidSqlContext:
             [(d["location"], version, d["numFiles"])],
             "path string, version long, num_files long",
         )
+
+    def _shallow_clone(self, s: str) -> None:
+        """CREATE TABLE [IF NOT EXISTS] t SHALLOW CLONE src
+        [VERSION AS OF n] LOCATION '...' — Delta's zero-copy fork DDL over
+        ``AcidTable.clone_to`` (optionally of a historical version)."""
+        m = re.match(
+            rf"CREATE{_WS}TABLE(?:{_WS}IF{_WS}NOT{_WS}EXISTS)?{_WS}"
+            rf"(?P<table>[\w.]+){_WS}SHALLOW{_WS}CLONE{_WS}(?P<src>[\w.]+)"
+            rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(?P<ver>\d+))?"
+            rf"(?:{_WS}LOCATION{_WS}'(?P<loc>[^']+)')?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise AcidSqlError(f"unsupported SHALLOW CLONE shape: {s[:120]}...")
+        if not m.group("loc"):
+            raise AcidSqlError(
+                "SHALLOW CLONE needs LOCATION (this engine has no metastore "
+                "default location)"
+            )
+        name = m.group("table").split(".")[-1]
+        src = self.table(m.group("src").split(".")[-1])
+        ver = m.group("ver")
+        clone = src.clone_to(
+            m.group("loc"), version=int(ver) if ver is not None else None
+        )
+        self.register(name, clone)
+        return None
 
     def _create(self, s: str) -> None:
         """CREATE TABLE [IF NOT EXISTS] t [(schema)] USING DELTA

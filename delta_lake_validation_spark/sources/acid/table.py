@@ -1024,9 +1024,10 @@ class AcidTable:
             v = head.version + 1
         raise ConcurrentWriteException("optimize could not commit after 50 attempts")
 
-    def clone_to(self, location: str) -> "AcidTable":
-        """Shallow clone (Delta ``CREATE TABLE ... SHALLOW CLONE`` parity):
-        a new table whose log references this table's CURRENT data files by
+    def clone_to(self, location: str, version: int | None = None) -> "AcidTable":
+        """Shallow clone (Delta ``CREATE TABLE ... SHALLOW CLONE`` parity,
+        optionally of a historical version — ``VERSION AS OF`` clones):
+        a new table whose log references this table's data files by
         absolute path — zero data copied, so forking a 100 TB table for a
         dev/test branch costs one metadata commit.  Writes to the clone
         stage their own local files; the source is never touched.
@@ -1036,7 +1037,7 @@ class AcidTable:
         breaks the clone (the clone's own vacuum only ever lists its own
         directory and cannot delete source files).  CDF on the clone starts
         after the clone point."""
-        snap = self.log.snapshot()
+        snap = self.log.snapshot(version)
         adds = []
         for rel, meta in snap.files.items():
             m = dict(meta)

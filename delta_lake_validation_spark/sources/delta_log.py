@@ -845,7 +845,12 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
     return v
 
 
-def import_delta(spark: SparkSession, delta_location: str, target_location: str):
+def import_delta(
+    spark: SparkSession,
+    delta_location: str,
+    target_location: str,
+    version: int | None = None,
+):
     """Zero-copy migration: fork a real Delta table into the engine's own
     ACID format by absolute file reference — one metadata commit, no data
     rewritten, so importing a 100 TB reference table is O(metadata).
@@ -868,7 +873,7 @@ def import_delta(spark: SparkSession, delta_location: str, target_location: str)
     from delta_lake_validation_spark.sources.acid.table import AcidTable
 
     src = DeltaTable(spark, delta_location)
-    snap = src.snapshot()
+    snap = src.snapshot(version)
     if any(lg != ph for lg, ph in snap.physical.items()):
         from delta_lake_validation_spark.sources.acid.errors import AcidTableError
 

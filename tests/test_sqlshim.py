@@ -299,3 +299,25 @@ def test_optimize_where_rejects_non_partition_predicate(ctx):
     _seed(ctx)
     with pytest.raises(AcidTableError):
         ctx.sql("OPTIMIZE orders WHERE cost > 5")
+
+
+def test_shallow_clone_sql(spark, ctx, tmp_path):
+    """CREATE TABLE ... SHALLOW CLONE src [VERSION AS OF n] LOCATION —
+    Delta's zero-copy fork DDL, including historical clones."""
+    _seed(ctx, dates=("2024-01-01",), per_date=2)
+    _seed(ctx, dates=("2024-01-02",), per_date=3)
+    loc1 = str(tmp_path / "clone1")
+    ctx.sql(f"CREATE TABLE orders_fork SHALLOW CLONE orders LOCATION '{loc1}'")
+    assert ctx.sql("SELECT count(*) AS n FROM orders_fork").collect()[0].n == 5
+    loc2 = str(tmp_path / "clone2")
+    ctx.sql(
+        "CREATE TABLE orders_v1 SHALLOW CLONE orders VERSION AS OF 1 "
+        f"LOCATION '{loc2}'"
+    )
+    assert ctx.sql("SELECT count(*) AS n FROM orders_v1").collect()[0].n == 2
+    import pytest as _pytest
+
+    from delta_lake_validation_spark.sources.acid import AcidSqlError
+
+    with _pytest.raises(AcidSqlError, match="LOCATION"):
+        ctx.sql("CREATE TABLE nope SHALLOW CLONE orders")
