@@ -512,13 +512,13 @@ def delta_interop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("streaming", "dedup", "acid"),
     doc="end-to-end streaming incremental dedup scenario "
-    "(streaming/dedup_stream.py): corpus=doc_id%3==0 seeds the ACID index, "
+    "(streaming/incremental_dedup.py): corpus=doc_id%3==0 seeds the ACID index, "
     "two micro-batches (%3==1, %3==2) flow through the exactly-once "
     "foreachBatch sink; every verdict row (index match / within-batch dup "
     "per batch) is EXACT Jaccard and reproduced by the DuckDB oracle",
 )
 def dedup_stream_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_validation_spark.streaming.dedup_stream import (
+    from delta_lake_validation_spark.streaming.incremental_dedup import (
         DedupIndex,
         dedup_stream_sink,
     )

@@ -5,7 +5,7 @@ and crash-between-commits recovery (index folded, results not)."""
 from __future__ import annotations
 
 from delta_lake_validation_spark.sources.acid.table import AcidTable
-from delta_lake_validation_spark.streaming.dedup_stream import (
+from delta_lake_validation_spark.streaming.incremental_dedup import (
     DedupIndex,
     dedup_stream_sink,
 )
