@@ -748,3 +748,62 @@ def test_column_mapping_import_rejected(spark, tmp_path):
     )
     with pytest.raises(AcidTableError, match="column-mapped"):
         import_delta(spark, str(loc), str(tmp_path / "cmtgt"))
+
+
+def test_multipart_checkpoint_replay(spark, tmp_path):
+    """Multi-part classic checkpoints (NN.checkpoint.part.parts.parquet)
+    replay from all parts; an incomplete part set is ignored and replay
+    falls back to the JSON chain."""
+    loc = _flat_table(spark, tmp_path)
+    log = loc / "_delta_log"
+    snap = DeltaTable(spark, str(loc)).snapshot(1)
+    files = list(snap.files.items())
+    assert len(files) == 2
+
+    def _part(rows_files, idx, parts):
+        add_rows = [
+            Row(
+                add=Row(path=p, partitionValues={}, size=1,
+                        modificationTime=0, dataChange=False),
+                metaData=None, protocol=None, remove=None,
+            )
+            for p, _ in rows_files
+        ]
+        if idx == 1:  # meta rides in part 1
+            add_rows.append(
+                Row(
+                    add=None,
+                    metaData=Row(
+                        id="mp", schemaString=json.dumps(snap.schema.jsonValue()),
+                        partitionColumns=[], configuration={},
+                    ),
+                    protocol=Row(minReaderVersion=1, minWriterVersion=2),
+                    remove=None,
+                )
+            )
+        schema = (
+            "add struct<path:string,partitionValues:map<string,string>,"
+            "size:bigint,modificationTime:bigint,dataChange:boolean>,"
+            "metaData struct<id:string,schemaString:string,"
+            "partitionColumns:array<string>,configuration:map<string,string>>,"
+            "protocol struct<minReaderVersion:int,minWriterVersion:int>,"
+            "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
+        )
+        out = tmp_path / f"mp{idx}"
+        spark.createDataFrame(add_rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(out))
+        src = next(p for p in out.iterdir() if p.name.endswith(".parquet"))
+        (log / f"00000000000000000001.checkpoint.{idx:010d}.{parts:010d}.parquet"
+         ).write_bytes(src.read_bytes())
+
+    _part(files[:1], 1, 2)
+    _part(files[1:], 2, 2)
+    (log / "00000000000000000000.json").unlink()
+    got = {r.id for r in DeltaTable(spark, str(loc)).read().collect()}
+    assert got == {1, 2, 30, 40}
+    # drop part 2: incomplete set must be ignored, and with v0 json gone the
+    # snapshot build fails loudly instead of silently serving half a table
+    (log / "00000000000000000001.checkpoint.0000000002.0000000002.parquet").unlink()
+    with pytest.raises(Exception):
+        DeltaTable(spark, str(loc)).read()
