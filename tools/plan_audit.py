@@ -101,6 +101,17 @@ CUSTOM: dict[str, object] = {
     "token_df_stats": lambda p: (
         ["CartesianProduct appeared"] if "CartesianProduct" in p else []
     ),
+    # context-window chunking is a pure map: any exchange is a regression
+    "doc_chunks": lambda p: (
+        [f"expected 0 Exchange nodes, saw {p.count(') Exchange')}"]
+        if p.count(") Exchange") > 0
+        else []
+    ),
+    # centroid summary: two partial-agg shuffles, no join fallback
+    "embedding_centroids": lambda p: (
+        (["no HashAggregate"] if "HashAggregate" not in p else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+    ),
     # incremental batch-vs-corpus dedup: candidate generation must be the
     # equi join on the shingle hash — a cartesian/nested-loop fallback means
     # the prefix key was lost and ingestion is O(batch × corpus)
