@@ -86,6 +86,17 @@ class DedupIndex:
     def frames(self) -> dict[str, DataFrame]:
         return {name: self._table(name).read() for name in _INDEX_TABLES}
 
+    def compact(self, target_files: int = 8) -> dict[str, int]:
+        """Compact the index tables' accumulated per-batch files (OPTIMIZE):
+        a long-running stream appends one file set per micro-batch, and
+        thousands of small files tax every later lookup's listing/planning.
+        Run periodically (e.g. every N batches) from maintenance, not from
+        the hot sink path.  Returns table -> new version."""
+        return {
+            name: self._table(name).optimize(target_files=target_files)
+            for name in _INDEX_TABLES
+        }
+
     def append_batch(
         self,
         batch: DataFrame,

@@ -117,3 +117,25 @@ def test_frozen_order_still_lossless_after_growth(spark, tmp_path):
         for r in AcidTable(spark, res).read().filter("batch_id = 2").collect()
     }
     assert got == {(300, 100), (301, 200), (302, 1)}
+
+
+def test_index_compaction_preserves_answers(spark, tmp_path):
+    """OPTIMIZE on the index tables shrinks file counts without changing
+    any verdict: a post-compaction batch still matches every generation."""
+    root = str(tmp_path / "idx3")
+    res = str(tmp_path / "res3")
+    index = DedupIndex.create(spark, root, _mk(spark, CORPUS))
+    sink = dedup_stream_sink(spark, index, res, threshold=0.8, query_id="q3")
+    for b in range(4):
+        sink(_mk(spark, [(100 + b, f"filler batch {b} unique words here now")]), b)
+    pos_t = AcidTable(spark, f"{root}/pos")
+    files_before = pos_t.snapshot().num_files
+    versions = index.compact(target_files=1)
+    assert set(versions) == {"dfreq", "pos", "sets"}
+    assert AcidTable(spark, f"{root}/pos").snapshot().num_files < files_before
+    sink(_mk(spark, [(500, CORPUS[1][1])]), 4)
+    got = {
+        (r.new_doc, r.match_doc)
+        for r in AcidTable(spark, res).read().filter("batch_id = 4").collect()
+    }
+    assert got == {(500, 2)}
