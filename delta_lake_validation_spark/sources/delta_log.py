@@ -51,10 +51,11 @@ class DeltaProtocolError(RuntimeError):
 #: mis-name columns) must hard-fail, per the protocol's reader rules.
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
-    "v2Checkpoint",  # we only consume classic checkpoints; v2 tables still
-    # list them via _last_checkpoint so reads stay correct
     "vacuumProtocolCheck",
     "columnMapping",  # name mode implemented; id mode rejected at snapshot
+    # NOT listed (refused): deletionVectors (would resurrect deleted rows),
+    # v2Checkpoint (UUID-named manifests we never parse — after JSON log
+    # cleanup such a table would look empty/unreadable, so refuse up front)
 }
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
@@ -374,15 +375,16 @@ class DeltaTable:
             return to_logical(self.spark.read.schema(phys_schema).parquet(*paths))
         if self._hive_layout(snap, phys_parts):
             # every file sits at .../col=value/... consistent with its
-            # partitionValues: one partition-discovery scan, fully prunable
+            # partitionValues: one partition-discovery scan, fully prunable.
+            # The FULL schema (partition fields included, with their true
+            # types) is passed so discovery never runs type inference — a
+            # string partition value like '0123' or '1.10' would otherwise
+            # be inferred numeric and silently reformatted.
             df = (
-                self.spark.read.schema(data_schema)
+                self.spark.read.schema(phys_schema)
                 .option("basePath", self.location)
                 .parquet(*paths)
             )
-            for c in snap.partition_columns:
-                typ = snap.schema[c].dataType
-                df = df.withColumn(snap.phys(c), F.col(snap.phys(c)).cast(typ))
             return to_logical(df)
         # non-Hive layout (e.g. random file names at the root): group files
         # by their partitionValues tuple and stamp literals per group
@@ -716,9 +718,14 @@ def export_delta(table, version: int | None = None) -> int:
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": json.dumps(schema.jsonValue()),
                 "partitionColumns": list(snap.partition_columns),
+                # exports are SNAPSHOT publications: diff commits carry no
+                # cdc files, so advertising CDF would make table_changes
+                # error on any mixed re-export — strip the property rather
+                # than publish a capability the log cannot honor
                 "configuration": {
-                    f"delta.{k}" if k == "enableChangeDataFeed" else k: v
+                    k: v
                     for k, v in snap.properties.items()
+                    if k != "enableChangeDataFeed"
                 },
             }
         }
@@ -810,6 +817,7 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
             add=None,
             metaData=Row(
                 id=snap.metadata_id or "checkpoint-meta",
+                format=Row(provider="parquet", options={}),
                 schemaString=json.dumps(snap.schema.jsonValue()),
                 partitionColumns=list(snap.partition_columns),
                 configuration=dict(snap.properties),
@@ -821,7 +829,8 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
     schema = (
         "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
         "modificationTime:bigint,dataChange:boolean,stats:string>,"
-        "metaData struct<id:string,schemaString:string,"
+        "metaData struct<id:string,format:struct<provider:string,"
+        "options:map<string,string>>,schemaString:string,"
         "partitionColumns:array<string>,configuration:map<string,string>>,"
         "protocol struct<minReaderVersion:int,minWriterVersion:int>,"
         "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
@@ -875,8 +884,6 @@ def import_delta(
     src = DeltaTable(spark, delta_location)
     snap = src.snapshot(version)
     if any(lg != ph for lg, ph in snap.physical.items()):
-        from delta_lake_validation_spark.sources.acid.errors import AcidTableError
-
         raise AcidTableError(
             "import_delta cannot borrow files from a column-mapped table "
             "(physical file schema differs from the logical one); read via "

@@ -24,13 +24,31 @@ corpus), which swaps in atomically via the ACID tables' overwrite — the
 same "rebuild the index, not the pipeline" pattern every search engine
 uses.
 
-Exactly-once: all three index tables and the results table record the
-stream's (queryId, batchId) in their commit parameters and skip replayed
-batches, the acid_sink idempotence pattern.
+Shingle parameters are pinned: ``k`` is stored as a table property at
+create time and validated on every fold, so an operator restarting the
+sink with a different k fails fast instead of silently joining
+incompatible hash spaces.
+
+Doc-id contract: ids are write-once.  A re-sent id is NOT re-folded
+(first write wins) but still produces an index-match verdict against the
+stored copy — including the same-id pair, which is the signal "this id is
+already in the corpus".
+
+Exactly-once & replay: every index/results commit records the stream's
+(queryId, batchId), replayed batches are skipped per table, and index rows
+carry ``src_batch`` so a replayed lookup EXCLUDES exactly the rows folded
+by its own batch — a crash between the index and results commits therefore
+reproduces the pre-batch answer bit-for-bit.  The committed-batch floor is
+memoized per (table, query) after the first log scan, so steady-state
+idempotence checks cost O(1), not a full log read per micro-batch.
 
 At 100 TB: the index tables are the bucketed corpus-side state; each
 micro-batch shuffles only itself plus candidates.  Nothing here re-reads
-corpus text — ingestion cost is independent of corpus size.
+corpus text — ingestion cost is independent of corpus size.  A
+long-running stream should run ``DedupIndex.compact()`` from maintenance
+every N batches (per-batch appends accumulate small files) and may
+``spark.catalog.clearCache()`` there too (the exact-join operators persist
+their shared shingle scans per invocation).
 """
 
 from __future__ import annotations
@@ -43,10 +61,12 @@ from delta_lake_validation_spark.operators.dedup import (
     ngram_jaccard_pairs,
     shingle_hashes,
 )
+from delta_lake_validation_spark.sources.acid.errors import AcidTableError
 from delta_lake_validation_spark.sources.acid.table import AcidTable
 from delta_lake_validation_spark.streaming.acid_sink import last_committed_batch
 
 _INDEX_TABLES = ("dfreq", "pos", "sets")
+_K_PROP = "dedup.k"
 
 
 class DedupIndex:
@@ -55,6 +75,9 @@ class DedupIndex:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
+        # (table, query_id) -> highest batch id known committed; primed by
+        # one log scan, then maintained in memory (restart re-primes)
+        self._floors: dict[tuple[str, str], int] = {}
 
     def _table(self, name: str) -> AcidTable:
         return AcidTable(self.spark, f"{self.root}/{name}")
@@ -70,32 +93,66 @@ class DedupIndex:
         k: int = 3,
     ) -> "DedupIndex":
         """Build and persist the index from the initial corpus (the df-rank
-        order frozen here governs all later batches)."""
+        order frozen here governs all later batches).  Corpus rows carry
+        ``src_batch = -1``."""
+        from pyspark.sql import functions as F
+
         idx = build_shingle_index(corpus, id_col, text_col, k)
         schemas = {
-            "dfreq": "h long, df long",
-            "pos": "id long, h long, pos int, sz long",
-            "sets": "id long, hs array<long>",
+            "dfreq": "h long, df long, src_batch long",
+            "pos": "id long, h long, pos int, sz long, src_batch long",
+            "sets": "id long, hs array<long>, src_batch long",
         }
         self_ = cls(spark, root)
         for name in _INDEX_TABLES:
-            t = AcidTable.create(spark, f"{self_.root}/{name}", schemas[name])
-            t.append(idx[name])
+            t = AcidTable.create(
+                spark,
+                f"{self_.root}/{name}",
+                schemas[name],
+                properties={_K_PROP: str(k)},
+            )
+            t.append(idx[name].withColumn("src_batch", F.lit(-1).cast("long")))
         return self_
 
-    def frames(self) -> dict[str, DataFrame]:
-        return {name: self._table(name).read() for name in _INDEX_TABLES}
+    def _check_k(self, k: int) -> None:
+        stored = self._table("pos").detail()["properties"].get(_K_PROP)
+        if stored is not None and int(stored) != k:
+            raise AcidTableError(
+                f"index was built with k={stored}; refusing to fold/look up "
+                f"with k={k} (incompatible shingle hash spaces)"
+            )
+
+    def frames(self, exclude_batch: int | None = None) -> dict[str, DataFrame]:
+        """Current index state; ``exclude_batch`` drops pos/sets rows folded
+        by that batch id (the replay-correct view for its own lookup)."""
+        out = {name: self._table(name).read() for name in _INDEX_TABLES}
+        if exclude_batch is not None:
+            for name in ("pos", "sets"):
+                out[name] = out[name].filter(
+                    out[name].src_batch != int(exclude_batch)
+                )
+        return out
 
     def compact(self, target_files: int = 8) -> dict[str, int]:
         """Compact the index tables' accumulated per-batch files (OPTIMIZE):
         a long-running stream appends one file set per micro-batch, and
         thousands of small files tax every later lookup's listing/planning.
         Run periodically (e.g. every N batches) from maintenance, not from
-        the hot sink path.  Returns table -> new version."""
-        return {
-            name: self._table(name).optimize(target_files=target_files)
-            for name in _INDEX_TABLES
-        }
+        the hot sink path.  Tables already at/below ``target_files`` are
+        skipped (no empty OPTIMIZE commits lengthening the log).  Returns
+        table -> new version for the tables that compacted."""
+        out: dict[str, int] = {}
+        for name in _INDEX_TABLES:
+            t = self._table(name)
+            if t.snapshot().num_files > target_files:
+                out[name] = t.optimize(target_files=target_files)
+        return out
+
+    def _floor(self, name: str, query_id: str) -> int:
+        key = (name, query_id)
+        if key not in self._floors:
+            self._floors[key] = last_committed_batch(self._table(name), query_id)
+        return self._floors[key]
 
     def append_batch(
         self,
@@ -109,38 +166,51 @@ class DedupIndex:
         """Fold a batch into the index under the FROZEN rarity order: the
         batch's prefix positions are computed against the stored dfreq (df=0
         for unseen shingles), its own shingles append to dfreq as new rows
-        (summed on read is unnecessary — dfreq is only an ORDER; frozen
-        means we deliberately do NOT update existing counts)."""
+        (frozen means we deliberately do NOT update existing counts).
+        Ids already present in the index are NOT re-folded (write-once)."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        sh = shingle_hashes(batch, id_col, text_col, k).persist()
-        dfreq = self._table("dfreq").read()
-        ranked = sh.join(dfreq, "h", "left").fillna(0, subset=["df"])
-        w = Window.partitionBy("id").orderBy("df", "h")
-        wall = Window.partitionBy("id")
-        pos = ranked.select(
-            "id",
-            "h",
-            F.row_number().over(w).alias("pos"),
-            F.count(F.lit(1)).over(wall).alias("sz"),
+        self._check_k(k)
+        existing_ids = self._table("sets").read().select("id")
+        fresh = batch.join(
+            existing_ids, batch[id_col] == existing_ids.id, "left_anti"
         )
-        sets = sh.groupBy("id").agg(
-            F.sort_array(F.collect_list("h")).alias("hs")
-        )
-        # only genuinely-new shingles enter dfreq (df=0 placeholders keep
-        # later batches' unseen-shingle ranking identical to this batch's)
-        new_h = (
-            sh.select("h").distinct().join(dfreq.select("h"), "h", "left_anti")
-            .withColumn("df", F.lit(0).cast("long"))
-        )
-        params = {"streamQueryId": query_id, "streamBatchId": int(batch_id)}
-        for name, df in (("pos", pos), ("sets", sets), ("dfreq", new_h)):
-            t = self._table(name)
-            if batch_id <= last_committed_batch(t, query_id):
-                continue  # replay after restart: this table already folded it
-            t.append(df, operation_parameters=params)
-        sh.unpersist()
+        sh = shingle_hashes(fresh, id_col, text_col, k).persist()
+        try:
+            dfreq = self._table("dfreq").read().select("h", "df")
+            ranked = sh.join(dfreq, "h", "left").fillna(0, subset=["df"])
+            w = Window.partitionBy("id").orderBy("df", "h")
+            wall = Window.partitionBy("id")
+            tag = F.lit(int(batch_id)).cast("long")
+            pos = ranked.select(
+                "id",
+                "h",
+                F.row_number().over(w).alias("pos"),
+                F.count(F.lit(1)).over(wall).alias("sz"),
+            ).withColumn("src_batch", tag)
+            sets = (
+                sh.groupBy("id")
+                .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+                .withColumn("src_batch", tag)
+            )
+            # only genuinely-new shingles enter dfreq (df=0 placeholders keep
+            # later batches' unseen-shingle ranking identical to this batch's)
+            new_h = (
+                sh.select("h")
+                .distinct()
+                .join(dfreq.select("h"), "h", "left_anti")
+                .withColumn("df", F.lit(0).cast("long"))
+                .withColumn("src_batch", tag)
+            )
+            params = {"streamQueryId": query_id, "streamBatchId": int(batch_id)}
+            for name, df in (("pos", pos), ("sets", sets), ("dfreq", new_h)):
+                if batch_id <= self._floor(name, query_id):
+                    continue  # replay after restart: already folded
+                self._table(name).append(df, operation_parameters=params)
+                self._floors[(name, query_id)] = int(batch_id)
+        finally:
+            sh.unpersist()
 
 
 def dedup_stream_sink(
@@ -161,10 +231,13 @@ def dedup_stream_sink(
 
     Results table schema: (new_doc, match_doc, jaccard, within_batch,
     batch_id).  ``within_batch`` distinguishes batch-internal duplicates
-    from index matches."""
+    from index matches; a same-id index match means the id was re-sent."""
     from pyspark.sql import functions as F
 
+    results_floor: dict[str, int] = {}
+
     def write_batch(batch: DataFrame, batch_id: int) -> None:
+        index._check_k(k)
         results = AcidTable(spark, results_location)
         if not results.log.exists():
             results = AcidTable.create(
@@ -173,53 +246,59 @@ def dedup_stream_sink(
                 "new_doc long, match_doc long, jaccard double, "
                 "within_batch boolean, batch_id long",
             )
-        if batch_id <= last_committed_batch(results, query_id):
+        if "floor" not in results_floor:
+            results_floor["floor"] = last_committed_batch(results, query_id)
+        if batch_id <= results_floor["floor"]:
             # the whole batch already committed (results are written LAST,
             # so a committed result implies the index commits landed too)
             return
         batch = batch.persist()
-        # exclude index entries whose id is in THIS batch: after a crash
-        # between the index and results commits, replay re-runs the lookup
-        # against an index that already folded the batch — without this
-        # filter every batch doc would "match" its own index copy, and
-        # within-batch pairs would double as index matches
-        own_ids = batch.select(F.col(id_col).alias("corpus_doc")).distinct()
-        vs_index = (
-            incremental_jaccard_pairs(
-                spark, batch, index.frames(), threshold, id_col, text_col, k
-            )
-            .join(own_ids, "corpus_doc", "left_anti")
-            .select(
+        try:
+            # exclude exactly the index rows THIS batch folded (if any):
+            # after a crash between the index and results commits, replay
+            # then reproduces the pre-batch lookup bit-for-bit.  Rows from
+            # other batches — including older copies of re-sent ids — stay
+            # visible, so legitimate matches are never dropped.
+            vs_index = incremental_jaccard_pairs(
+                spark,
+                batch,
+                index.frames(exclude_batch=batch_id),
+                threshold,
+                id_col,
+                text_col,
+                k,
+            ).select(
                 F.col("new_doc"),
                 F.col("corpus_doc").alias("match_doc"),
                 "jaccard",
                 F.lit(False).alias("within_batch"),
             )
-        )
-        within = ngram_jaccard_pairs(
-            spark, batch, threshold, id_col, text_col, k
-        ).select(
-            F.col("left_doc").alias("new_doc"),
-            F.col("right_doc").alias("match_doc"),
-            "jaccard",
-            F.lit(True).alias("within_batch"),
-        )
-        verdicts = vs_index.unionByName(within).withColumn(
-            "batch_id", F.lit(int(batch_id))
-        )
-        # materialize verdicts BEFORE mutating the index (executor-side —
-        # localCheckpoint cuts the lineage so the later write cannot
-        # re-evaluate against the post-append index state; never a driver
-        # collect, so verdict volume doesn't bound batch size)
-        verdicts = verdicts.localCheckpoint(eager=True)
-        index.append_batch(batch, batch_id, query_id, id_col, text_col, k)
-        results.append(
-            verdicts,
-            operation_parameters={
-                "streamQueryId": query_id,
-                "streamBatchId": int(batch_id),
-            },
-        )
-        batch.unpersist()
+            within = ngram_jaccard_pairs(
+                spark, batch, threshold, id_col, text_col, k
+            ).select(
+                F.col("left_doc").alias("new_doc"),
+                F.col("right_doc").alias("match_doc"),
+                "jaccard",
+                F.lit(True).alias("within_batch"),
+            )
+            verdicts = vs_index.unionByName(within).withColumn(
+                "batch_id", F.lit(int(batch_id))
+            )
+            # materialize verdicts BEFORE mutating the index (executor-side
+            # — localCheckpoint cuts the lineage so the later write cannot
+            # re-evaluate against the post-append index state; never a
+            # driver collect, so verdict volume doesn't bound batch size)
+            verdicts = verdicts.localCheckpoint(eager=True)
+            index.append_batch(batch, batch_id, query_id, id_col, text_col, k)
+            results.append(
+                verdicts,
+                operation_parameters={
+                    "streamQueryId": query_id,
+                    "streamBatchId": int(batch_id),
+                },
+            )
+            results_floor["floor"] = int(batch_id)
+        finally:
+            batch.unpersist()
 
     return write_batch

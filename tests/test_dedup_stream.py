@@ -139,3 +139,52 @@ def test_index_compaction_preserves_answers(spark, tmp_path):
         for r in AcidTable(spark, res).read().filter("batch_id = 4").collect()
     }
     assert got == {(500, 2)}
+
+
+def test_resent_id_still_matches_old_copy_and_k_pinned(spark, tmp_path):
+    """A re-sent doc_id is not re-folded (write-once), but the stored copy
+    stays visible to lookups: a new doc near-dupping the OLD text is
+    matched, and the re-sent id itself gets a same-id verdict.  A k
+    mismatch at sink time fails fast."""
+    import pytest
+
+    from delta_lake_validation_spark.sources.acid.errors import AcidTableError
+
+    root = str(tmp_path / "idx4")
+    res = str(tmp_path / "res4")
+    index = DedupIndex.create(spark, root, _mk(spark, CORPUS))
+    sink = dedup_stream_sink(spark, index, res, threshold=0.8, query_id="q4")
+    old_text = "original generation one text with unique vocabulary inside"
+    sink(_mk(spark, [(7, old_text)]), 0)
+    # batch 1 re-sends id 7 with NEW text, plus doc 10 matching 7's OLD text
+    sink(
+        _mk(
+            spark,
+            [
+                (7, "completely rewritten text sharing nothing with before"),
+                (10, old_text),
+            ],
+        ),
+        1,
+    )
+    got = {
+        (r.new_doc, r.match_doc, r.within_batch)
+        for r in AcidTable(spark, res).read().filter("batch_id = 1").collect()
+    }
+    # 10 matches the stored copy of 7; the rewritten 7 shares nothing so its
+    # only signal is absent (no same-id pair: texts differ below threshold)
+    assert (10, 7, False) in got
+    # id 7 was not re-folded: one sets row, the original text's shingles
+    assert AcidTable(spark, f"{root}/sets").read().filter("id = 7").count() == 1
+    # identical re-send -> same-id verdict
+    sink(_mk(spark, [(7, old_text)]), 2)
+    got2 = {
+        (r.new_doc, r.match_doc)
+        for r in AcidTable(spark, res).read().filter("batch_id = 2").collect()
+    }
+    assert (7, 7) in got2
+
+    with pytest.raises(AcidTableError, match="k="):
+        dedup_stream_sink(spark, index, res, threshold=0.8, query_id="q5", k=5)(
+            _mk(spark, [(99, "anything at all here")]), 0
+        )
