@@ -89,3 +89,83 @@ def test_chunking_invariants(spark, seed, size, overlap):
             expect = toks[start : start + size]
             assert c.chunk_text.split() == expect
             assert c.n_tokens == len(expect)
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_delta_log_replay_matches_simulation(spark, tmp_path_factory, seed):
+    """Random commit sequences (append / overwrite / delete-file /
+    checkpoint) replayed through DeltaTable equal a pure-Python simulation
+    of the protocol state at EVERY version."""
+    import json as _json
+
+    from tests.test_delta_log import (
+        PROTOCOL,
+        _add,
+        _commit_info,
+        _meta,
+        _remove,
+        _write_commit,
+        _write_parquet,
+    )
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        write_delta_checkpoint,
+    )
+    from pyspark.sql import Row
+
+    rng = random.Random(seed)
+    tmp_path = tmp_path_factory.mktemp(f"fuzz{seed}")
+    loc = tmp_path / "t"
+    log = loc / "_delta_log"
+    live: dict[str, set] = {}   # file rel path -> set of ids
+    history: list[set] = []     # per-version expected id multiset union
+    next_id = 0
+    fidx = 0
+
+    def _new_file(n):
+        nonlocal next_id, fidx
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        fidx += 1
+        rel = _write_parquet(
+            spark, [Row(id=i) for i in ids], "id int", loc / f"f{fidx}"
+        )
+        return rel, set(ids)
+
+    rel, ids = _new_file(rng.randint(1, 3))
+    live[rel] = ids
+    _write_commit(
+        log, 0,
+        [_commit_info(1700000000000), PROTOCOL, _meta([("id", "integer")]),
+         _add(rel)],
+    )
+    history.append(set.union(*live.values()))
+    n_commits = rng.randint(2, 5)
+    for v in range(1, n_commits + 1):
+        op = rng.choice(["append", "overwrite", "delete_file"])
+        actions = [_commit_info(1700000000000 + v * 1000)]
+        if op == "append" or not live:
+            rel, ids = _new_file(rng.randint(1, 3))
+            live[rel] = ids
+            actions.append(_add(rel))
+        elif op == "overwrite":
+            for p in list(live):
+                actions.append(_remove(p))
+            live.clear()
+            rel, ids = _new_file(rng.randint(1, 3))
+            live[rel] = ids
+            actions.append(_add(rel))
+        else:
+            p = rng.choice(list(live))
+            del live[p]
+            actions.append(_remove(p))
+        _write_commit(log, v, actions)
+        history.append(set.union(*live.values()) if live else set())
+        if rng.random() < 0.3:
+            write_delta_checkpoint(spark, str(loc))
+
+    t = DeltaTable(spark, str(loc))
+    for v, expect in enumerate(history):
+        got = {r.id for r in t.read(version=v).collect()}
+        assert got == expect, f"v{v} seed{seed}: {got} != {expect}"
