@@ -55,6 +55,9 @@ _TIER_BY_NAME = {
     # cap so they never displace already-verified families, but pick up
     # driver rows if the window grows
     "doc_chunks": _reg.TIER_NEWFAM,
+    # composition of cosine_self_pairs + dedup_clusters (both in-window);
+    # demoted so nested_groupby_avg (SURVEY A3) keeps its driver slot
+    "semantic_dedup": _reg.TIER_NEWFAM,
     "embedding_centroids": _reg.TIER_NEWFAM,
     "tfidf_top_terms": _reg.TIER_NEWFAM,
     "decontaminate_trigrams": _reg.TIER_NEWFAM,

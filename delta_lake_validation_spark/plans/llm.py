@@ -907,6 +907,57 @@ def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.vec_id AS la, b.vec_id AS rb
+      FROM embeddings a CROSS JOIN embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND round(
+            list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+            6) > 0.35),
+    edges AS (SELECT la AS a, rb AS b FROM pairs
+              UNION SELECT rb, la FROM pairs),
+    cc AS (SELECT a AS id, a AS lbl FROM edges
+           UNION
+           SELECT e.a, c.lbl FROM edges e JOIN cc c ON e.b = c.id),
+    lbl AS (SELECT id, min(lbl) AS rep FROM cc GROUP BY id)
+    SELECT e.vec_id,
+           COALESCE(l.rep, e.vec_id) AS rep_id,
+           COALESCE(l.rep, e.vec_id) = e.vec_id AS is_kept
+    FROM embeddings e LEFT JOIN lbl l ON e.vec_id = l.id
+    """,
+    tags=("similarity", "dedup", "llm"),
+    doc="semantic dedup: cosine near-dup pairs -> connected components -> "
+    "keep the minimum vec_id per cluster; singletons keep themselves. The "
+    "representative table a semantic-dedup'd training corpus retains "
+    "(composes cosine_self_pairs + dedup_clusters, both independently "
+    "oracle-graded)",
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.dedup import dedup_clusters
+    from delta_lake_validation_spark.operators.similarity import cosine_self_pairs
+
+    emb = Tables(spark, sf_dir).embeddings
+    pairs = cosine_self_pairs(spark, emb, threshold=0.35).select(
+        F.col("left_id").alias("left_doc"), F.col("right_id").alias("right_doc")
+    )
+    clusters = dedup_clusters(spark, pairs)
+    return (
+        emb.select("vec_id")
+        .join(clusters, emb.vec_id == clusters.id, "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("rep_id"),
+        )
+        .withColumn("is_kept", F.col("rep_id") == F.col("vec_id"))
+    )
+
+
+@register(
     "multimodal_ann",
     oracle=None,
     tags=("multimodal", "similarity", "llm"),
