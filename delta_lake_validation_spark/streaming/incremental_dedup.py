@@ -115,12 +115,15 @@ class DedupIndex:
         return self_
 
     def _check_k(self, k: int) -> None:
+        if getattr(self, "_k_ok", None) == k:
+            return  # validated once per handle; property is immutable
         stored = self._table("pos").detail()["properties"].get(_K_PROP)
         if stored is not None and int(stored) != k:
             raise AcidTableError(
                 f"index was built with k={stored}; refusing to fold/look up "
                 f"with k={k} (incompatible shingle hash spaces)"
             )
+        self._k_ok = k
 
     def frames(self, exclude_batch: int | None = None) -> dict[str, DataFrame]:
         """Current index state; ``exclude_batch`` drops pos/sets rows folded
