@@ -202,7 +202,9 @@ def ngram_jaccard_pairs(
             "jaccard", round_half_up(F.col("inter") / F.col("uni"), scale)
         )
     )
-    return verified.select("left_doc", "right_doc", "jaccard")
+    out = verified.select("left_doc", "right_doc", "jaccard")
+    out._graft_caches = [sh]  # released by streaming callers after materializing
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -258,6 +260,13 @@ def minhash_lsh_pairs(
     arithmetic that DuckDB reproduces bit-for-bit, so the LSH output itself
     is value-gradeable; band keys are then the plain signature-slice
     strings instead of an xxhash64 (bigger shuffle key, same semantics)."""
+    if bands <= 0 or num_perm % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm}: a zero "
+            "rows-per-band degenerates the band join to a full cross join, "
+            "and a remainder silently discards permutations (recall would "
+            "no longer match the documented 1-(1-t^r)^b)"
+        )
     rows_per_band = num_perm // bands
     sig = minhash_signatures(docs, id_col, text_col, num_perm, k, hash_mode)
 
@@ -415,27 +424,38 @@ def dedup_clusters(
     )
     # small edge sets: a driver union-find beats 2-3 rounds of shuffle jobs
     # by ~30×; the distributed loop below is the identical-contract scale
-    # path (tested equal in tests/test_dedup_ops.py).  take(threshold+1) is
-    # a single action: if it returns ≤ threshold rows we have the WHOLE edge
-    # set and never run the (often expensive PPJoin) pipeline again.
+    # path (tested equal in tests/test_dedup_ops.py).  Persist BEFORE the
+    # probe so the (often expensive PPJoin) pipeline the probe executes is
+    # cached for the distributed loop instead of recomputed from scratch.
+    edges = edges.persist()
     probe = edges.take(driver_threshold + 1)
     if len(probe) <= driver_threshold:
-        parent: dict[int, int] = {}
+        try:
+            parent: dict = {}
 
-        def find(x: int) -> int:
-            while parent.setdefault(x, x) != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
+            def find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
 
-        for r in probe:
-            ra, rb = find(int(r["a"])), find(int(r["b"]))
-            if ra != rb:
-                hi, lo = max(ra, rb), min(ra, rb)
-                parent[hi] = lo
-        rows = [(node, find(node)) for node in sorted(parent)]
-        return spark.createDataFrame(rows, "id long, cluster_id long")
-    edges = edges.persist()  # distributed loop re-reads edges every round
+            for r in probe:
+                ra, rb = find(r["a"]), find(r["b"])
+                if ra != rb:
+                    hi, lo = max(ra, rb), min(ra, rb)
+                    parent[hi] = lo
+            rows = [(node, find(node)) for node in sorted(parent)]
+            # id type follows the input (string entity keys work the same
+            # as numeric doc ids; both paths share this contract)
+            id_type = pairs.schema[left_col].dataType
+            from pyspark.sql.types import StructField, StructType as _ST
+
+            schema = _ST(
+                [StructField("id", id_type), StructField("cluster_id", id_type)]
+            )
+            return spark.createDataFrame(rows, schema)
+        finally:
+            edges.unpersist()
 
     labels = (
         edges.select(F.col("a").alias("id"))
@@ -457,17 +477,28 @@ def dedup_clusters(
                 ).alias("cluster_id"),
             )
         )
-        # convergence check: any label still shrinking?
+        # checkpoint FIRST (one evaluation of the round's joins), then run
+        # the convergence probe on the two materialized label sets — the
+        # previous order evaluated the uncached `updated` plan twice
+        new_labels = updated.localCheckpoint(eager=True)
         changed = (
-            updated.alias("u")
+            new_labels.alias("u")
             .join(labels.alias("l"), "id")
             .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
             .limit(1)
             .count()
         )
-        labels = updated.localCheckpoint(eager=True)  # cut the lineage each round
+        labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iterations} rounds "
+            "(component diameter exceeds the bound) — raise max_iterations; "
+            "silently returning partial labels would split real clusters"
+        )
+    edges.unpersist()
     return labels
 
 
@@ -604,4 +635,6 @@ def incremental_jaccard_pairs(
         .filter(F.col("inter") * t_den >= F.col("uni") * t_num)
         .withColumn("jaccard", round_half_up(F.col("inter") / F.col("uni"), scale))
     )
-    return verified.select("new_doc", "corpus_doc", "jaccard")
+    out = verified.select("new_doc", "corpus_doc", "jaccard")
+    out._graft_caches = [sh_b]  # released by streaming callers after materializing
+    return out

@@ -4,7 +4,7 @@ Catalyst expressions (no UDF, codegen-friendly, linear scale)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MARKERS = {
@@ -103,7 +103,9 @@ def chunk_documents_udtf(
     @udtf(returnType="chunk_id int, n_tokens int, chunk_text string")
     class ChunkDocs:
         def eval(self, text: str):
-            toks = (text or "").strip().split()
+            if text is None:
+                return  # match the Catalyst form: NULL text -> no chunks
+            toks = text.strip().split()
             if not toks:
                 toks = [""]  # split of '' yields [''] in the Catalyst form
             i = 0

@@ -262,7 +262,7 @@ def dedup_stream_sink(
             # then reproduces the pre-batch lookup bit-for-bit.  Rows from
             # other batches — including older copies of re-sent ids — stay
             # visible, so legitimate matches are never dropped.
-            vs_index = incremental_jaccard_pairs(
+            vs_raw = incremental_jaccard_pairs(
                 spark,
                 batch,
                 index.frames(exclude_batch=batch_id),
@@ -270,15 +270,17 @@ def dedup_stream_sink(
                 id_col,
                 text_col,
                 k,
-            ).select(
+            )
+            within_raw = ngram_jaccard_pairs(
+                spark, batch, threshold, id_col, text_col, k
+            )
+            vs_index = vs_raw.select(
                 F.col("new_doc"),
                 F.col("corpus_doc").alias("match_doc"),
                 "jaccard",
                 F.lit(False).alias("within_batch"),
             )
-            within = ngram_jaccard_pairs(
-                spark, batch, threshold, id_col, text_col, k
-            ).select(
+            within = within_raw.select(
                 F.col("left_doc").alias("new_doc"),
                 F.col("right_doc").alias("match_doc"),
                 "jaccard",
@@ -292,6 +294,12 @@ def dedup_stream_sink(
             # re-evaluate against the post-append index state; never a
             # driver collect, so verdict volume doesn't bound batch size)
             verdicts = verdicts.localCheckpoint(eager=True)
+            # verdicts are materialized: release the operators' internal
+            # shingle caches NOW, or a long-running stream pins one cached
+            # RDD per operator per micro-batch until storage pressure
+            for src in (vs_raw, within_raw):
+                for cached in getattr(src, "_graft_caches", []):
+                    cached.unpersist()
             index.append_batch(batch, batch_id, query_id, id_col, text_col, k)
             results.append(
                 verdicts,
