@@ -93,6 +93,36 @@ def shingle_hashes(
     return grams.select("id", _hash_col(F.col("g"), hash_mode).alias("h")).distinct()
 
 
+
+def _rank_positions(sh: DataFrame, dfreq: DataFrame, outer: bool = False) -> DataFrame:
+    """(id, h, pos, sz): each doc's shingles ranked rare-first by (df, h)
+    with the doc's shingle count — the ONE implementation of the PPJoin
+    ordering shared by the self-join, the index build, and the incremental
+    lookup (a bound-math fix must land once, not four times).  ``outer``
+    ranks shingles absent from ``dfreq`` as df=0 (rarest) — the incremental
+    contract for unseen batch shingles."""
+    from pyspark.sql import Window
+
+    ranked = sh.join(dfreq, "h", "left" if outer else "inner")
+    if outer:
+        ranked = ranked.fillna(0, subset=["df"])
+    w = Window.partitionBy("id").orderBy("df", "h")
+    wall = Window.partitionBy("id")
+    return ranked.select(
+        "id",
+        "h",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wall).alias("sz"),
+    )
+
+
+def _prefix_filter(pos_df: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """Keep each doc's first sz - ceil(t*sz) + 1 ranked shingles (integer
+    ceil: float thresholds broke losslessness exactly at J == t)."""
+    ceil_t_sz = (F.col("sz") * t_num + F.lit(t_den - 1)).cast("long") / F.lit(t_den)
+    return pos_df.filter(F.col("pos") <= F.col("sz") - F.floor(ceil_t_sz) + 1)
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard self-join
 # ---------------------------------------------------------------------------
@@ -142,20 +172,7 @@ def ngram_jaccard_pairs(
     # long-lived interactive session should clearCache() periodically.
     sh = shingle_hashes(docs, id_col, text_col, k).persist()
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(dfreq, "h")
-    w = Window.partitionBy("id").orderBy("df", "h")
-    wall = Window.partitionBy("id")
-    pos = ranked.select(
-        "id",
-        "h",
-        F.row_number().over(w).alias("pos"),
-        F.count(F.lit(1)).over(wall).alias("sz"),
-    )
-    # prefix length = sz - ceil(sz·t) + 1, ceil via integer arithmetic
-    ceil_t_sz = (F.col("sz") * t_num + F.lit(t_den - 1)).cast("long") / F.lit(t_den)
-    prefix = pos.filter(
-        F.col("pos") <= F.col("sz") - F.floor(ceil_t_sz) + 1
-    )
+    prefix = _prefix_filter(_rank_positions(sh, dfreq), t_num, t_den)
     a, b = prefix.alias("a"), prefix.alias("b")
     # positional upper bound (PPJoin proper): at a shared prefix shingle at
     # positions (pa, pb), overlap can't exceed min(|A|-pa, |B|-pb)+1, and
@@ -535,15 +552,7 @@ def build_shingle_index(
     # the persist, materializing the index re-tokenizes the corpus 3×
     sh = shingle_hashes(docs, id_col, text_col, k, hash_mode).persist()
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(dfreq, "h")
-    w = Window.partitionBy("id").orderBy("df", "h")
-    wall = Window.partitionBy("id")
-    pos = ranked.select(
-        "id",
-        "h",
-        F.row_number().over(w).alias("pos"),
-        F.count(F.lit(1)).over(wall).alias("sz"),
-    )
+    pos = _rank_positions(sh, dfreq)
     sets = sh.groupBy("id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
     return {"dfreq": dfreq, "pos": pos, "sets": sets}
 
@@ -581,24 +590,9 @@ def incremental_jaccard_pairs(
     t_num, t_den = frac.numerator, frac.denominator
 
     sh_b = shingle_hashes(batch, id_col, text_col, k, hash_mode).persist()
-    ranked_b = sh_b.join(index["dfreq"], "h", "left").fillna(0, subset=["df"])
-    w = Window.partitionBy("id").orderBy("df", "h")
-    wall = Window.partitionBy("id")
-    pos_b = ranked_b.select(
-        "id",
-        "h",
-        F.row_number().over(w).alias("pos"),
-        F.count(F.lit(1)).over(wall).alias("sz"),
-    )
-
-    def _prefix(pos_df: DataFrame) -> DataFrame:
-        ceil_t_sz = (F.col("sz") * t_num + F.lit(t_den - 1)).cast("long") / F.lit(
-            t_den
-        )
-        return pos_df.filter(F.col("pos") <= F.col("sz") - F.floor(ceil_t_sz) + 1)
-
-    a = _prefix(pos_b).alias("a")  # batch
-    b = _prefix(index["pos"]).alias("b")  # corpus
+    pos_b = _rank_positions(sh_b, index["dfreq"].select("h", "df"), outer=True)
+    a = _prefix_filter(pos_b, t_num, t_den).alias("a")  # batch
+    b = _prefix_filter(index["pos"], t_num, t_den).alias("b")  # corpus
     overlap_ub = (
         F.least(F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")) + 1
     )

@@ -171,7 +171,6 @@ class DedupIndex:
         for unseen shingles), its own shingles append to dfreq as new rows
         (frozen means we deliberately do NOT update existing counts).
         Ids already present in the index are NOT re-folded (write-once)."""
-        from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         self._check_k(k)
@@ -181,17 +180,13 @@ class DedupIndex:
         )
         sh = shingle_hashes(fresh, id_col, text_col, k).persist()
         try:
+            from delta_lake_validation_spark.operators.dedup import _rank_positions
+
             dfreq = self._table("dfreq").read().select("h", "df")
-            ranked = sh.join(dfreq, "h", "left").fillna(0, subset=["df"])
-            w = Window.partitionBy("id").orderBy("df", "h")
-            wall = Window.partitionBy("id")
             tag = F.lit(int(batch_id)).cast("long")
-            pos = ranked.select(
-                "id",
-                "h",
-                F.row_number().over(w).alias("pos"),
-                F.count(F.lit(1)).over(wall).alias("sz"),
-            ).withColumn("src_batch", tag)
+            pos = _rank_positions(sh, dfreq, outer=True).withColumn(
+                "src_batch", tag
+            )
             sets = (
                 sh.groupBy("id")
                 .agg(F.sort_array(F.collect_list("h")).alias("hs"))
