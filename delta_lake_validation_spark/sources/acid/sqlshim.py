@@ -34,13 +34,27 @@ _WS = r"[\s\n]+"
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
-    """Split on ``sep`` outside parentheses and quotes."""
+    """Split on ``sep`` outside parentheses and quotes.  Inside a string
+    literal both backslash escapes (\\') and doubled quotes ('') are
+    honored — Spark SQL accepts both, and treating an escaped quote as the
+    closing quote would flip the in-string state and corrupt the split."""
     parts, depth, buf, quote = [], 0, [], None
-    for ch in text:
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
         if quote:
             buf.append(ch)
+            if ch == "\\" and i + 1 < n:
+                buf.append(text[i + 1])
+                i += 2
+                continue
             if ch == quote:
+                if i + 1 < n and text[i + 1] == quote:  # doubled-quote escape
+                    buf.append(text[i + 1])
+                    i += 2
+                    continue
                 quote = None
+            i += 1
             continue
         if ch in ("'", '"'):
             quote = ch
@@ -56,9 +70,62 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
             buf = []
         else:
             buf.append(ch)
+        i += 1
     if buf:
         parts.append("".join(buf).strip())
     return [p for p in parts if p]
+
+
+def _quote_spans(text: str) -> list[tuple[int, int]]:
+    """[start, end) spans of string literals (same escape rules as above)."""
+    spans, i, n = [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", '"'):
+            start, quote = i, ch
+            i += 1
+            while i < n:
+                if text[i] == "\\":
+                    i += 2
+                    continue
+                if text[i] == quote:
+                    if i + 1 < n and text[i + 1] == quote:
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            spans.append((start, i))
+        else:
+            i += 1
+    return spans
+
+
+def _split_at_top_keyword(text: str, keyword: str) -> tuple[str, str | None]:
+    """Split at the first standalone ``keyword`` that sits outside quotes
+    and outside parentheses (a WHERE inside a string literal or a subquery
+    must not terminate the SET clause)."""
+    spans = _quote_spans(text)
+    for m in re.finditer(rf"\b{keyword}\b", text, re.IGNORECASE):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        if text[: m.start()].count("(") != text[: m.start()].count(")"):
+            continue
+        return text[: m.start()].strip(), text[m.end():].strip()
+    return text.strip(), None
+
+
+def _sub_outside_quotes(pattern: re.Pattern, repl, text: str) -> str:
+    """re.sub that never rewrites inside string literals."""
+    while True:
+        spans = _quote_spans(text)
+        for m in pattern.finditer(text):
+            if any(a <= m.start() < b for a, b in spans):
+                continue
+            text = text[: m.start()] + repl(m) + text[m.end():]
+            break
+        else:
+            return text
 
 
 class AcidSqlContext:
@@ -362,8 +429,17 @@ class AcidSqlContext:
             for assign in _split_top_level(m.group("part")):
                 col, _, lit = assign.partition("=")
                 part_assigns.append((col.strip(), lit.strip()))
+        by_lower = {c.lower(): c for c in schema.fieldNames()}
+
+        def _resolve(name: str) -> str:
+            actual = by_lower.get(name.lower())
+            if actual is None:
+                raise AcidSqlError(f"INSERT references unknown column {name!r}")
+            return actual
+
+        part_assigns = [(_resolve(c), lit) for c, lit in part_assigns]
         if m.group("cols"):
-            cols = [c.strip() for c in _split_top_level(m.group("cols"))]
+            cols = [_resolve(c.strip()) for c in _split_top_level(m.group("cols"))]
         else:
             # static-partition INSERT without a column list: VALUES supplies
             # every non-partition-clause column, in schema order
@@ -395,31 +471,43 @@ class AcidSqlContext:
 
     def _update(self, s: str) -> None:
         m = re.match(
-            rf"UPDATE{_WS}(?P<table>\w+){_WS}SET{_WS}(?P<sets>.+?)"
-            rf"(?:{_WS}WHERE{_WS}(?P<pred>.+))?$",
+            rf"UPDATE{_WS}(?P<table>\w+){_WS}SET{_WS}(?P<rest>.+)$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise AcidSqlError(f"unsupported UPDATE shape: {s[:120]}...")
         t = self.table(m.group("table"))
+        # the SET/WHERE boundary is found lexically (outside quotes and
+        # parens): a WHERE inside a string literal or subquery must not
+        # truncate the assignments
+        sets_sql, pred = _split_at_top_keyword(m.group("rest"), "WHERE")
+        by_lower = {c.lower(): c for c in t.schema().fieldNames()}
         assignments: dict[str, str] = {}
-        for part in _split_top_level(m.group("sets")):
+        for part in _split_top_level(sets_sql):
             col, eq, expr = part.partition("=")
             if not eq:
                 raise AcidSqlError(f"bad SET clause: {part!r}")
-            assignments[col.strip()] = expr.strip()
-        pred = m.group("pred").strip() if m.group("pred") else "true"
-        t.update(assignments, pred)
+            name = col.strip()
+            actual = by_lower.get(name.lower())
+            if actual is None:
+                # SQL identifiers are case-insensitive: an unknown column is
+                # an error, never a silent no-op
+                raise AcidSqlError(f"UPDATE SET references unknown column {name!r}")
+            assignments[actual] = expr.strip()
+        t.update(assignments, pred if pred else "true")
         return None
 
     def _merge(self, s: str) -> None:
         m = re.match(
-            rf"MERGE{_WS}INTO{_WS}(?P<target>\w+)(?:{_WS}AS{_WS}\w+|{_WS}(?!USING)\w+)?"
-            rf"{_WS}USING{_WS}(?P<source>\w+)(?:{_WS}AS{_WS}\w+|{_WS}(?!ON)\w+)?"
+            rf"MERGE{_WS}INTO{_WS}(?P<target>\w+)"
+            rf"(?:{_WS}AS{_WS}(?P<talias>\w+)|{_WS}(?!USING)(?P<talias2>\w+))?"
+            rf"{_WS}USING{_WS}(?P<source>\w+)"
+            rf"(?:{_WS}AS{_WS}(?P<salias>\w+)|{_WS}(?!ON)(?P<salias2>\w+))?"
             rf"{_WS}ON{_WS}(?P<on>.+?)"
             rf"{_WS}WHEN{_WS}MATCHED{_WS}THEN{_WS}UPDATE{_WS}SET{_WS}(?P<sets>.+?)"
-            rf"{_WS}WHEN{_WS}NOT{_WS}MATCHED[\s\n]+(?:THEN[\s\n]+)?INSERT[\s\n]*\(.+",
+            rf"{_WS}WHEN{_WS}NOT{_WS}MATCHED[\s\n]+(?:THEN[\s\n]+)?INSERT[\s\n]*"
+            rf"\((?P<icols>[^)]*)\)[\s\n]*VALUES[\s\n]*\((?P<ivals>.*)\)[\s\n]*$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
@@ -429,14 +517,37 @@ class AcidSqlContext:
                 f"WHEN MATCHED UPDATE SET …, WHEN NOT MATCHED INSERT …): {s[:120]}..."
             )
         t = self.table(m.group("target"))
-        # AcidTable.merge is full-row upsert; dispatching a partial-column
-        # SET there would silently overwrite unlisted columns — verify the
-        # statement assigns every target column (col = <source>.col)
+        # AcidTable.merge is a full-row SOURCE upsert; dispatching anything
+        # else there would silently compute the wrong table.  Verify the
+        # statement really has that meaning: every target column assigned,
+        # every RHS the SAME column from the source (qualified by the source
+        # name/alias or bare), and the INSERT an identity mapping of source
+        # columns — arithmetic SETs, constants, or reordered INSERTs raise.
+        src_q = {
+            q.lower()
+            for q in (m.group("source"), m.group("salias"), m.group("salias2"))
+            if q
+        }
+
+        def _is_source_col(expr: str, col: str) -> bool:
+            e = expr.strip().lower()
+            if e == col.lower():
+                return True
+            qual, dot, name = e.partition(".")
+            return bool(dot) and qual in src_q and name == col.lower()
+
         set_cols = set()
         for part in _split_top_level(m.group("sets")):
-            col, eq, _expr = part.partition("=")
-            if eq:
-                set_cols.add(col.strip().split(".")[-1].lower())
+            col, eq, expr = part.partition("=")
+            if not eq:
+                raise AcidSqlError(f"bad MERGE SET clause: {part!r}")
+            cname = col.strip().split(".")[-1]
+            if not _is_source_col(expr, cname):
+                raise AcidSqlError(
+                    "only full-row source upserts are supported: SET "
+                    f"{cname} = {expr.strip()!r} is not the source's {cname}"
+                )
+            set_cols.add(cname.lower())
         unassigned = [
             c for c in t.schema().fieldNames() if c.lower() not in set_cols
         ]
@@ -445,6 +556,16 @@ class AcidSqlContext:
                 "only full-row MERGE upserts are supported (the reference's "
                 f"shape); UPDATE SET leaves columns unassigned: {unassigned}"
             )
+        icols = [c.strip() for c in _split_top_level(m.group("icols"))]
+        ivals = [v.strip() for v in _split_top_level(m.group("ivals"))]
+        if len(icols) != len(ivals) or not icols:
+            raise AcidSqlError("MERGE INSERT column/value lists differ in length")
+        for c, v in zip(icols, ivals):
+            if not _is_source_col(v, c.split(".")[-1]):
+                raise AcidSqlError(
+                    "only full-row source upserts are supported: INSERT maps "
+                    f"{c} from {v!r}, not the source's {c}"
+                )
         src_name = m.group("source")
         if src_name in self._tables:
             source = self._tables[src_name].read()
@@ -488,10 +609,17 @@ class AcidSqlContext:
             t.read(timestamp=m.group("ts")).createOrReplaceTempView(view)
             return view
 
-        s = self._TC.sub(expand_tc, s)
-        s = self._VER.sub(expand_ver, s)
-        s = self._TS.sub(expand_ts, s)
+        # rewrites and view registration are quote-aware: time-travel
+        # syntax INSIDE a string literal is data, not a table reference
+        s = _sub_outside_quotes(self._TC, expand_tc, s)
+        s = _sub_outside_quotes(self._VER, expand_ver, s)
+        s = _sub_outside_quotes(self._TS, expand_ts, s)
+        spans = _quote_spans(s)
         for name, t in self._tables.items():
-            if re.search(rf"\b{re.escape(name)}\b", s):
+            hits = [
+                mm for mm in re.finditer(rf"\b{re.escape(name)}\b", s)
+                if not any(a <= mm.start() < b for a, b in spans)
+            ]
+            if hits:
                 t.read().createOrReplaceTempView(name)
         return self.spark.sql(s)

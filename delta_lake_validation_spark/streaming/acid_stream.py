@@ -4,7 +4,12 @@ The table layout (sources/acid) keeps all system state in underscore-prefixed
 directories (_txn_log, _change_data, _staging), which Spark's file listing
 treats as hidden — so the table root doubles as a valid streaming file source
 for append-only workloads: each committed append's files show up atomically
-(rename into place) and the file source picks them up exactly once.
+(rename into place) and the file source picks them up exactly once for
+committed transactions.  Same single-writer visibility caveat as
+cdf_stream: files are renamed into place BEFORE the log commit, so a
+concurrent writer that loses its commit race (overwrite path) or crashes
+mid-commit can briefly expose files the log never admitted; with one
+writer per table the window is empty.
 
 This is the engine's analog of reading Delta CDF as a stream
 (SURVEY.md §2.10 engine note).  Copy-on-write DML/compaction rewrites are

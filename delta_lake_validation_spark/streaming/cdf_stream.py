@@ -4,7 +4,19 @@ DML commits (UPDATE/DELETE/MERGE/OVERWRITE) store their change rows as
 parquet under ``_change_data/<uuid>/`` with the ``_change_type`` column
 already materialized (sources/acid/table.py).  That directory is itself an
 append-only file stream: each commit's change files appear atomically, so a
-file source pointed directly at it yields every DML change exactly once.
+file source pointed directly at it yields every DML change exactly once
+for committed transactions.
+
+Visibility caveat (single-writer assumption): change files are staged
+BEFORE the log commit, and a writer that loses the commit race (or
+crashes) deletes/abandons them — a stream listing the directory inside
+that window can observe rows from a transaction that never committed.
+With one writer per table (the reference's operating mode, and this
+engine's streaming-sink pattern) the window is empty; multi-writer
+deployments should point the maintenance vacuum at crashed writers' leaks
+and treat this stream as at-least-once across writer failures.  A
+committed-files-only stream (driven off the log instead of the directory)
+is the strict fix and is noted in SCALE.md known limits.
 
 Limitations vs batch ``AcidTable.read_changes``: APPEND commits don't write
 change files (their inserts are synthesized from data files in batch mode),

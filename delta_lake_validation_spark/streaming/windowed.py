@@ -81,8 +81,12 @@ def dedup_stream(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming exact dedup: drop re-deliveries of the same id within the
-    watermark horizon (state auto-expires beyond it)."""
-    return events.withWatermark(ts_col, watermark).dropDuplicates([id_col, ts_col])
+    watermark horizon (state auto-expires beyond it).  Keys on the id ALONE
+    — an at-least-once producer may re-stamp the timestamp on retry, and a
+    (id, ts) key would pass such re-deliveries through as distinct."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
 
 
 def interval_join_stream(

@@ -321,3 +321,75 @@ def test_shallow_clone_sql(spark, ctx, tmp_path):
 
     with _pytest.raises(AcidSqlError, match="LOCATION"):
         ctx.sql("CREATE TABLE nope SHALLOW CLONE orders")
+
+
+def test_update_where_inside_string_literal(ctx, spark):
+    """A 'where' inside a string literal must not truncate the SET clause."""
+    _seed(ctx, per_date=2)
+    ctx.sql("UPDATE orders SET order_id = 'x where y' WHERE item_count = 1")
+    got = ctx.sql("SELECT order_id FROM orders ORDER BY item_count").collect()
+    assert got[0].order_id == "x where y"
+
+
+def test_update_insert_case_insensitive_columns(ctx, spark):
+    """SQL identifiers are case-insensitive: mismatched case must resolve
+    to the schema column, never silently no-op; unknown columns error."""
+    _seed(ctx, per_date=1)
+    ctx.sql("UPDATE orders SET Item_Count = 42 WHERE true")
+    assert ctx.sql("SELECT item_count FROM orders").collect()[0].item_count == 42
+    with pytest.raises(AcidSqlError, match="unknown column"):
+        ctx.sql("UPDATE orders SET no_such = 1 WHERE true")
+
+
+def test_merge_non_source_semantics_rejected(ctx, spark, tmp_path):
+    """MERGE statements whose SET/INSERT are not the identity mapping from
+    the source must be refused — executing them as a full-row upsert would
+    silently compute the wrong table."""
+    import os as _os
+
+    _seed(ctx, per_date=1)
+    updates = AcidTable.create(
+        spark, _os.path.join(str(tmp_path), "u2"), SCHEMA,
+        partition_by=["order_date"],
+    )
+    ctx.register("updates2", updates)
+    head = (
+        "MERGE INTO orders USING updates2 "
+        "ON updates2.order_id = orders.order_id "
+        "WHEN MATCHED THEN UPDATE SET "
+    )
+    full_insert = (
+        " WHEN NOT MATCHED THEN INSERT (order_id, item_count, cost, "
+        "order_time, order_date) VALUES (updates2.order_id, "
+        "updates2.item_count, updates2.cost, updates2.order_time, "
+        "updates2.order_date)"
+    )
+    sets_ok = (
+        "order_id = updates2.order_id, item_count = updates2.item_count, "
+        "cost = updates2.cost, order_time = updates2.order_time, "
+        "order_date = updates2.order_date"
+    )
+    # arithmetic SET -> rejected
+    with pytest.raises(AcidSqlError, match="full-row source"):
+        ctx.sql(
+            head
+            + sets_ok.replace(
+                "item_count = updates2.item_count",
+                "item_count = orders.item_count + updates2.item_count",
+            )
+            + full_insert
+        )
+    # INSERT constant instead of source column -> rejected
+    with pytest.raises(AcidSqlError, match="full-row source"):
+        ctx.sql(
+            head + sets_ok
+            + full_insert.replace("updates2.item_count", "0")
+        )
+
+
+def test_query_time_travel_inside_literal_untouched(ctx, spark):
+    _seed(ctx, per_date=1)
+    row = ctx.sql(
+        "SELECT 'orders VERSION AS OF 1' AS note, count(*) AS n FROM orders"
+    ).collect()[0]
+    assert row.note == "orders VERSION AS OF 1" and row.n == 1
