@@ -74,3 +74,42 @@ def stream_table_changes(spark: SparkSession, location: str) -> DataFrame:
 
     inserts = stream_appends(spark, location).withColumn(CDF_TYPE, F.lit("insert"))
     return inserts.unionByName(stream_changes(spark, location))
+
+
+class CommittedChangeFeed:
+    """Log-driven incremental change feed: serves ONLY committed
+    transactions, closing the directory-listing visibility window the file
+    sources above document (a lost-race or crashed writer's staged files
+    are invisible here because the feed never lists directories — it walks
+    the transaction log and reads exactly the files each commit admitted).
+
+    Usage (driver loop, foreachBatch of a timer stream, or a scheduler):
+
+        feed = CommittedChangeFeed(spark, location)
+        while True:
+            batch = feed.next_batch()       # DataFrame or None
+            if batch is not None:
+                process(batch)              # CDF contract columns included
+
+    Deliberately not a Structured Streaming Source (PySpark exposes no
+    custom-source API); the cursor is plain state the caller may persist
+    (``feed.position`` / ``CommittedChangeFeed(..., start_version=p)``) for
+    exactly-once across restarts, e.g. in an ACID commit's parameters via
+    the acid_sink pattern.
+    """
+
+    def __init__(self, spark: SparkSession, location: str, start_version: int = 0):
+        self.spark = spark
+        self.location = location
+        self.position = start_version  # next version to serve
+
+    def next_batch(self) -> DataFrame | None:
+        """Changes of all commits in [position, latest], or None if the log
+        has nothing new.  Advances the cursor past what it returned."""
+        table = AcidTable(self.spark, self.location)
+        latest = table.version()
+        if latest < self.position:
+            return None
+        df = table.read_changes(self.position, latest)
+        self.position = latest + 1
+        return df

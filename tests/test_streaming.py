@@ -334,3 +334,40 @@ def test_interval_join_stream_matches_batch(spark, events_dir):
     ).select("buy_id", "view_id")
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
+
+
+def test_committed_change_feed_ignores_uncommitted_files(spark, tmp_path):
+    """The log-driven feed serves only committed transactions: a stray
+    staged file in the table directory (crashed/racing writer) is never
+    emitted, and the cursor survives handoff across feed instances."""
+    from delta_lake_validation_spark.sources.acid.table import AcidTable
+    from delta_lake_validation_spark.streaming.cdf_stream import (
+        CommittedChangeFeed,
+    )
+
+    loc = str(tmp_path / "t")
+    t = AcidTable.create(
+        spark, loc, "id int", properties={"enableChangeDataFeed": "true"}
+    )
+    feed = CommittedChangeFeed(spark, loc)
+    t.append(spark.createDataFrame([(1,), (2,)], "id int"))
+    b1 = feed.next_batch()
+    assert {(r.id, r._change_type) for r in b1.collect()} == {
+        (1, "insert"), (2, "insert")
+    }
+    assert feed.next_batch() is None  # nothing new
+
+    # simulate a crashed writer: a data-shaped file present in the
+    # directory but admitted by no commit
+    stray = spark.createDataFrame([(99,)], "id int")
+    stray.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stray"))
+    src = next(p for p in (tmp_path / "stray").iterdir() if p.name.endswith(".parquet"))
+    (tmp_path / "t" / "part-deadbeef.parquet").write_bytes(src.read_bytes())
+
+    t.delete("id = 1")
+    # resume from a NEW feed instance at the persisted cursor
+    feed2 = CommittedChangeFeed(spark, loc, start_version=feed.position)
+    b2 = feed2.next_batch()
+    rows = {(r.id, r._change_type) for r in b2.collect()}
+    assert (1, "delete") in rows
+    assert all(r[0] != 99 for r in rows)  # stray file never surfaces
