@@ -169,3 +169,63 @@ def test_delta_log_replay_matches_simulation(spark, tmp_path_factory, seed):
     for v, expect in enumerate(history):
         got = {r.id for r in t.read(version=v).collect()}
         assert got == expect, f"v{v} seed{seed}: {got} != {expect}"
+
+
+@settings(max_examples=4, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_delta_import_dml_export_roundtrip(spark, tmp_path_factory, seed):
+    """Cross-feature fuzz: random Delta log -> zero-copy import -> random
+    ACID DML -> export back to a Delta log -> Delta read equals a Python
+    simulation, and the source Delta table is untouched throughout."""
+    from tests.test_delta_log import (
+        PROTOCOL,
+        _add,
+        _commit_info,
+        _meta,
+        _write_commit,
+        _write_parquet,
+    )
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        export_delta,
+        import_delta,
+        read_delta,
+    )
+    from pyspark.sql import Row
+
+    rng = random.Random(seed)
+    tmp_path = tmp_path_factory.mktemp(f"rt{seed}")
+    src = tmp_path / "src"
+    log = src / "_delta_log"
+    ids = sorted(rng.sample(range(100), rng.randint(3, 8)))
+    rel = _write_parquet(spark, [Row(id=i) for i in ids], "id int", src / "d")
+    _write_commit(
+        log, 0,
+        [_commit_info(1700000000000), PROTOCOL, _meta([("id", "integer")]),
+         _add(rel)],
+    )
+    state = set(ids)
+    src_bytes = {p: p.stat().st_size for p in src.rglob("*.parquet")}
+
+    t = import_delta(spark, str(src), str(tmp_path / "imp"))
+    for _ in range(rng.randint(1, 3)):
+        op = rng.choice(["append", "delete", "update"])
+        if op == "append":
+            new = [rng.randrange(1000, 2000) for _ in range(rng.randint(1, 3))]
+            t.append(spark.createDataFrame([(i,) for i in new], "id int"))
+            state |= set(new)
+        elif op == "delete" and state:
+            cut = rng.choice(sorted(state))
+            t.delete(f"id = {cut}")
+            state.discard(cut)
+        elif op == "update" and state:
+            lo = rng.choice(sorted(state))
+            t.update({"id": "id + 10000"}, f"id = {lo}")
+            state.discard(lo)
+            state.add(lo + 10000)
+    export_delta(t)
+    got = {r.id for r in read_delta(spark, str(tmp_path / "imp")).collect()}
+    assert got == state, f"seed {seed}"
+    # the source Delta table never changes
+    assert {p: p.stat().st_size for p in src.rglob("*.parquet")} == src_bytes
+    assert {r.id for r in DeltaTable(spark, str(src)).read().collect()} == set(ids)
