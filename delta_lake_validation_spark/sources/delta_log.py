@@ -53,9 +53,11 @@ _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "vacuumProtocolCheck",
     "columnMapping",  # name mode implemented; id mode rejected at snapshot
-    # NOT listed (refused): deletionVectors (would resurrect deleted rows),
-    # v2Checkpoint (UUID-named manifests we never parse — after JSON log
-    # cleanup such a table would look empty/unreadable, so refuse up front)
+    "deletionVectors",  # sources/dv.py codec; applied per-scan in
+    # _read_snapshot via _metadata.row_index membership filtering
+    # NOT listed (refused): v2Checkpoint (UUID-named manifests we never
+    # parse — after JSON log cleanup such a table would look
+    # empty/unreadable, so refuse up front)
 }
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
@@ -266,18 +268,25 @@ class DeltaTable:
             start = ckpt_version + 1
 
         for v in range(start, version + 1):
-            for action in self._commit_actions(v):
+            actions = self._commit_actions(v)
+            for action in actions:
                 if "protocol" in action:
                     self._check_protocol(action["protocol"])
                 elif "metaData" in action:
                     schema, part_cols, props, meta_id, name = self._apply_meta(
                         action["metaData"]
                     )
-                elif "add" in action:
+            # removes before adds: a commit is atomic, and a DV-rewriting
+            # DELETE emits remove(path, old DV) + add(path, new DV) for the
+            # SAME path — path-keyed replay is only order-independent if
+            # the commit's removes never clobber its adds
+            for action in actions:
+                if "remove" in action:
+                    files.pop(action["remove"]["path"], None)
+            for action in actions:
+                if "add" in action:
                     a = action["add"]
                     files[a["path"]] = a
-                elif "remove" in action:
-                    files.pop(action["remove"]["path"], None)
 
         if schema is None:
             raise DeltaProtocolError(
@@ -370,9 +379,14 @@ class DeltaTable:
 
         if not snap.files:
             return self.spark.createDataFrame([], snap.schema)
+        dv_map = self._dv_map(snap)
         paths = [self._abs(p) for p in snap.files]
         if not snap.partition_columns:
-            return to_logical(self.spark.read.schema(phys_schema).parquet(*paths))
+            return to_logical(
+                self._dv_filter(
+                    self.spark.read.schema(phys_schema).parquet(*paths), dv_map
+                )
+            )
         if self._hive_layout(snap, phys_parts):
             # every file sits at .../col=value/... consistent with its
             # partitionValues: one partition-discovery scan, fully prunable.
@@ -385,7 +399,7 @@ class DeltaTable:
                 .option("basePath", self.location)
                 .parquet(*paths)
             )
-            return to_logical(df)
+            return to_logical(self._dv_filter(df, dv_map))
         # non-Hive layout (e.g. random file names at the root): group files
         # by their partitionValues tuple and stamp literals per group
         groups: dict[tuple, list[str]] = {}
@@ -396,7 +410,9 @@ class DeltaTable:
             groups.setdefault(key, []).append(self._abs(p))
         out = None
         for key, gpaths in groups.items():
-            df = self.spark.read.schema(data_schema).parquet(*gpaths)
+            df = self._dv_filter(
+                self.spark.read.schema(data_schema).parquet(*gpaths), dv_map
+            )
             for c, raw in zip(snap.partition_columns, key):
                 typ = snap.schema[c].dataType
                 df = df.withColumn(
@@ -405,6 +421,106 @@ class DeltaTable:
                 )
             out = to_logical(df) if out is None else out.unionByName(to_logical(df))
         return out
+
+    # ------------------------------------------------------ deletion vectors
+    def _dv_map(self, snap: DeltaSnapshot) -> dict[str, bytes]:
+        """{normalized data-file path: serialized DV bitmap} for every live
+        file carrying a deletion vector.  DV blobs are log-scale metadata
+        (like the file list itself): loaded once on the driver, shipped to
+        executors via broadcast, decoded lazily per worker."""
+        from delta_lake_validation_spark.sources.dv import load_dv_bytes
+
+        out: dict[str, bytes] = {}
+        for p, a in snap.files.items():
+            d = a.get("deletionVector")
+            if d and int(d.get("cardinality") or 0) != 0:
+                out[strip_scheme(self._abs(p))] = load_dv_bytes(
+                    d, self.location, self.fs
+                )
+        return out
+
+    def _dv_blob(self, action: dict) -> bytes:
+        """Serialized bitmap bytes of an add/remove action's DV."""
+        from delta_lake_validation_spark.sources.dv import load_dv_bytes
+
+        return load_dv_bytes(
+            action["deletionVector"], self.location, self.fs
+        )
+
+    def _dv_indices(self, action: dict):
+        """Deleted row indices of an add/remove action (empty if no DV)."""
+        import numpy as np
+
+        from delta_lake_validation_spark.sources.dv import deserialize_bitmap
+
+        d = action.get("deletionVector")
+        if not d or int(d.get("cardinality") or 0) == 0:
+            return np.empty(0, dtype=np.int64)
+        return deserialize_bitmap(self._dv_blob(action))
+
+    def _dv_filter(
+        self,
+        df: DataFrame,
+        dv_map: dict[str, bytes],
+        keep_member: bool = False,
+    ) -> DataFrame:
+        """Bitmap membership filter on ``_metadata.row_index``,
+        Arrow-batched against the broadcast per-file bitmaps.
+
+        ``keep_member=False`` (the read path) drops DV-deleted rows;
+        ``keep_member=True`` (the CDF diff path) keeps exactly the rows
+        whose index is IN the bitmap — rows of files absent from
+        ``dv_map`` are dropped in that mode.  Decoded index arrays are
+        cached per Python worker so each file's bitmap is decoded once per
+        executor, not once per batch."""
+        if not dv_map and not keep_member:
+            return df
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        bc = self.spark.sparkContext.broadcast(dv_map)
+        decoded: dict[str, object] = {}  # worker-local cache
+
+        def _dv_member_fn(file_path, row_index):
+            import numpy as np
+
+            from delta_lake_validation_spark.sources.dv import (
+                deserialize_bitmap,
+            )
+            from delta_lake_validation_spark.sources.fs import strip_scheme
+
+            blobs = bc.value
+            member = np.zeros(len(file_path), dtype=bool)
+            frame = pd.DataFrame(
+                {"p": file_path.map(strip_scheme), "i": row_index}
+            )
+            for path, grp in frame.groupby("p", sort=False):
+                blob = blobs.get(path)
+                if blob is None:
+                    continue
+                deleted = decoded.get(path)
+                if deleted is None:
+                    deleted = deserialize_bitmap(blob)
+                    decoded[path] = deleted
+                if len(deleted) == 0:
+                    continue
+                idx = grp["i"].to_numpy(dtype=np.int64)
+                pos = np.clip(
+                    np.searchsorted(deleted, idx), 0, len(deleted) - 1
+                )
+                member[grp.index.to_numpy()] = deleted[pos] == idx
+            return pd.Series(member)
+
+        _dv_member = pandas_udf(_dv_member_fn, "boolean")
+        pred = _dv_member(F.col("__dv_fp"), F.col("__dv_ri"))
+        if not keep_member:
+            pred = ~pred
+        return (
+            df.withColumn("__dv_fp", F.col("_metadata.file_path"))
+            .withColumn("__dv_ri", F.col("_metadata.row_index"))
+            .filter(pred)
+            .drop("__dv_fp", "__dv_ri")
+        )
 
     def _abs(self, path: str) -> str:
         if path.startswith("/") or "://" in path:
@@ -558,16 +674,65 @@ class DeltaTable:
                     )
                     vparts.append(_with_parts(df, c.get("partitionValues") or {}))
             elif adds and removes:
-                raise DeltaProtocolError(
-                    f"commit {v} rewrites files without cdc actions: its "
-                    "row-level changes were never recorded (CDF not enabled "
-                    "at write time)"
+                # a DV-rewriting DELETE/RESTORE re-adds the same file with a
+                # different deletion vector; its row-level changes are
+                # EXACTLY the bitmap diff (newly-set bits = deletes,
+                # newly-cleared bits = restored inserts) — derivable without
+                # cdc files.  Anything else (a real file rewrite) was never
+                # recorded row-level and must raise.
+                import numpy as np
+
+                from delta_lake_validation_spark.sources.dv import (
+                    serialize_bitmap,
                 )
+
+                r_by_path = {r["path"]: r for r in removes}
+                same_path = [
+                    (a, r_by_path.get(a["path"]))
+                    for a in adds
+                    if a["path"] in r_by_path
+                ]
+                if len(same_path) != len(adds) or len(adds) != len(removes):
+                    raise DeltaProtocolError(
+                        f"commit {v} rewrites files without cdc actions: its "
+                        "row-level changes were never recorded (CDF not "
+                        "enabled at write time)"
+                    )
+                for a, r in same_path:
+                    new_idx = self._dv_indices(a)
+                    old_idx = self._dv_indices(r)
+                    apath = self._abs(a["path"])
+                    for idxs, kind in (
+                        (np.setdiff1d(new_idx, old_idx), "delete"),
+                        (np.setdiff1d(old_idx, new_idx), "insert"),
+                    ):
+                        if idxs.size == 0:
+                            continue
+                        df = self._dv_filter(
+                            self.spark.read.schema(data_schema).parquet(apath),
+                            {strip_scheme(apath): serialize_bitmap(idxs)},
+                            keep_member=True,
+                        )
+                        vparts.append(
+                            _with_parts(
+                                df, a.get("partitionValues") or {}
+                            ).withColumn("_change_type", F.lit(kind))
+                        )
             else:
                 for a in adds:
                     df = self.spark.read.schema(data_schema).parquet(
                         self._abs(a["path"])
                     )
+                    if a.get("deletionVector"):
+                        # a file added WITH a DV contributes only its live rows
+                        df = self._dv_filter(
+                            df,
+                            {
+                                strip_scheme(self._abs(a["path"])): (
+                                    self._dv_blob(a)
+                                )
+                            },
+                        )
                     vparts.append(
                         _with_parts(df, a.get("partitionValues") or {}).withColumn(
                             "_change_type", F.lit("insert")
@@ -577,6 +742,16 @@ class DeltaTable:
                     df = self.spark.read.schema(data_schema).parquet(
                         self._abs(r["path"])
                     )
+                    if r.get("deletionVector"):
+                        # rows deleted by dropping the file = its live rows
+                        df = self._dv_filter(
+                            df,
+                            {
+                                strip_scheme(self._abs(r["path"])): (
+                                    self._dv_blob(r)
+                                )
+                            },
+                        )
                     vparts.append(
                         _with_parts(df, r.get("partitionValues") or {}).withColumn(
                             "_change_type", F.lit("delete")
@@ -894,6 +1069,19 @@ def import_delta(
             "import_delta requires Hive partition layout for partitioned "
             "sources (partition discovery recovers the partition columns); "
             "this table's add paths do not encode their partitionValues"
+        )
+    dv_files = [
+        p
+        for p, a in snap.files.items()
+        if a.get("deletionVector")
+        and int(a["deletionVector"].get("cardinality") or 0) > 0
+    ]
+    if dv_files:
+        raise AcidTableError(
+            f"import_delta cannot borrow {len(dv_files)} file(s) carrying "
+            "deletion vectors (the ACID layer reads referenced files whole, "
+            "which would resurrect DV-deleted rows); materialize first: "
+            "read_delta(...).write into a fresh ACID table"
         )
     adds = []
     for p, a in snap.files.items():

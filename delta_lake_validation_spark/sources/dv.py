@@ -1,0 +1,334 @@
+"""Delta deletion vectors: codec + load/store.
+
+Implements the public Delta protocol's deletion-vector format (PROTOCOL.md
+"Deletion Vectors" + the RoaringFormatSpec 64-bit "portable" extension) so
+the read path (sources/delta_log.py) can serve tables whose writers delete
+rows by DV instead of rewriting files — the modern default for Delta DELETE
+and MERGE.  Reference scope: the validation suite's DELETE/MERGE tests
+(`/root/reference/src/validation_suite.py:545-700`) run on a copy-on-write
+writer, but any current Delta writer pointed at the same tables produces
+DVs, so a reader claiming interop must honor them.
+
+Everything here derives from public specifications only:
+
+* DV descriptor (in ``add``/``remove`` actions): ``storageType`` of
+  ``"u"`` (UUID-named sidecar file relative to the table, path encoded as
+  ``<optional prefix><20-char z85 UUID>``), ``"p"`` (absolute path) or
+  ``"i"`` (bitmap inlined in the descriptor, z85-encoded);
+  ``offset`` (byte position of the data-size field inside the sidecar),
+  ``sizeInBytes`` (serialized bitmap size), ``cardinality``.
+* Sidecar file layout: 1-byte format version (=1), then per stored DV:
+  ``<dataSize: int32 BE> <bitmap: dataSize bytes> <crc32: uint32 BE>``
+  where the checksum covers exactly the bitmap bytes.
+* Bitmap = ``<magic 1681511377: int32 LE>`` + 64-bit RoaringBitmapArray in
+  the *portable* format: ``<numBuckets: int64 LE>`` then, per bucket in
+  increasing key order, ``<high32: int32 LE>`` + a standard 32-bit
+  portable roaring bitmap of the low halves (array / bitmap / run
+  containers; cookies 12346/12347).
+
+The decoder accepts all three container kinds (real writers emit runs for
+contiguous deletes); the encoder emits array/bitmap containers only, which
+is always valid, plus an opt-in run encoding used by tests to exercise the
+run-decoding path.
+"""
+
+from __future__ import annotations
+
+import struct
+import uuid as uuidlib
+import zlib
+
+import numpy as np
+
+DV_MAGIC = 1681511377
+_COOKIE_NO_RUN = 12346
+_COOKIE_RUN = 12347
+_ARRAY_MAX = 4096
+_NO_OFFSET_THRESHOLD = 4
+
+# ---------------------------------------------------------------------- z85
+# ZeroMQ base85 (RFC 32/Z85): 4 bytes <-> 5 chars, big-endian group value.
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+
+def z85_encode(data: bytes) -> str:
+    if len(data) % 4:
+        raise ValueError("z85 encodes 4-byte groups")
+    out = []
+    for i in range(0, len(data), 4):
+        (v,) = struct.unpack(">I", data[i : i + 4])
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(_Z85_ALPHABET[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError("z85 decodes 5-char groups")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        v = 0
+        for c in text[i : i + 5]:
+            try:
+                v = v * 85 + _Z85_INDEX[c]
+            except KeyError:
+                raise ValueError(f"invalid z85 character {c!r}") from None
+        if v > 0xFFFFFFFF:
+            raise ValueError("z85 group overflows 32 bits")
+        out += struct.pack(">I", v)
+    return bytes(out)
+
+
+# ------------------------------------------------------------- roaring codec
+def _split_containers(lows: np.ndarray) -> list[tuple[int, np.ndarray]]:
+    """uint32 values -> [(key16, sorted uint16 low-halves)] in key order."""
+    keys = (lows >> 16).astype(np.uint32)
+    out = []
+    for key in np.unique(keys):
+        vals = (lows[keys == key] & 0xFFFF).astype(np.uint16)
+        out.append((int(key), vals))
+    return out
+
+
+def _serialize_roaring32(lows: np.ndarray, use_runs: bool = False) -> bytes:
+    containers = _split_containers(lows)
+    n = len(containers)
+    payload = []
+    kinds = []  # 'a' | 'b' | 'r'
+    for _key, vals in containers:
+        if use_runs:
+            kinds.append("r")
+            # runs of consecutive values: (start, length-1) pairs
+            v = vals.astype(np.int64)
+            breaks = np.nonzero(np.diff(v) != 1)[0]
+            starts = np.concatenate(([0], breaks + 1))
+            ends = np.concatenate((breaks, [len(v) - 1]))
+            body = struct.pack("<H", len(starts))
+            for s, e in zip(starts, ends):
+                body += struct.pack("<HH", int(v[s]), int(v[e] - v[s]))
+            payload.append(body)
+        elif len(vals) <= _ARRAY_MAX:
+            kinds.append("a")
+            payload.append(vals.astype("<u2").tobytes())
+        else:
+            kinds.append("b")
+            bits = np.zeros(1024, dtype=np.uint64)
+            np.bitwise_or.at(
+                bits,
+                vals.astype(np.uint32) >> 6,
+                np.uint64(1) << (vals.astype(np.uint64) & np.uint64(63)),
+            )
+            payload.append(bits.astype("<u8").tobytes())
+
+    has_runs = "r" in kinds
+    out = bytearray()
+    if has_runs:
+        out += struct.pack("<I", _COOKIE_RUN | ((n - 1) << 16))
+        bitset = bytearray((n + 7) // 8)
+        for i, k in enumerate(kinds):
+            if k == "r":
+                bitset[i // 8] |= 1 << (i % 8)
+        out += bitset
+    else:
+        out += struct.pack("<I", _COOKIE_NO_RUN)
+        out += struct.pack("<I", n)
+    for key, vals in containers:
+        out += struct.pack("<HH", key, len(vals) - 1)
+    if not has_runs or n >= _NO_OFFSET_THRESHOLD:
+        pos = len(out) + 4 * n
+        for body in payload:
+            out += struct.pack("<I", pos)
+            pos += len(body)
+    for body in payload:
+        out += body
+    return bytes(out)
+
+
+def _deserialize_roaring32(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
+    """Parse one 32-bit portable roaring bitmap at buf[pos:]; return
+    (sorted uint32 values, next position)."""
+    (cookie,) = struct.unpack_from("<I", buf, pos)
+    pos += 4
+    if (cookie & 0xFFFF) == _COOKIE_RUN:
+        n = (cookie >> 16) + 1
+        bitset = buf[pos : pos + (n + 7) // 8]
+        pos += (n + 7) // 8
+        is_run = [(bitset[i // 8] >> (i % 8)) & 1 == 1 for i in range(n)]
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie == _COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        is_run = [False] * n
+        has_offsets = True
+    else:
+        raise ValueError(f"bad roaring cookie {cookie}")
+    headers = []
+    for _ in range(n):
+        key, card_m1 = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        headers.append((key, card_m1 + 1))
+    if has_offsets:
+        pos += 4 * n  # parse sequentially; offsets are redundant
+    parts = []
+    for (key, card), run in zip(headers, is_run):
+        base = np.uint32(key) << np.uint32(16)
+        if run:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            runs = np.frombuffer(buf, dtype="<u2", count=2 * n_runs, offset=pos)
+            pos += 4 * n_runs
+            vals = np.concatenate(
+                [
+                    np.arange(s, s + ln + 1, dtype=np.uint32)
+                    for s, ln in zip(runs[0::2], runs[1::2])
+                ]
+            ) if n_runs else np.empty(0, dtype=np.uint32)
+        elif card <= _ARRAY_MAX:
+            vals = np.frombuffer(
+                buf, dtype="<u2", count=card, offset=pos
+            ).astype(np.uint32)
+            pos += 2 * card
+        else:
+            words = np.frombuffer(buf, dtype="<u8", count=1024, offset=pos)
+            pos += 8192
+            bits = np.unpackbits(
+                words.view(np.uint8), bitorder="little"
+            )
+            vals = np.nonzero(bits)[0].astype(np.uint32)
+        parts.append(vals.astype(np.uint32) | np.uint32(base))
+    values = (
+        np.concatenate(parts) if parts else np.empty(0, dtype=np.uint32)
+    )
+    return values, pos
+
+
+def serialize_bitmap(indices, use_runs: bool = False) -> bytes:
+    """Sorted-unique row indices -> DV bitmap bytes (magic + portable
+    64-bit RoaringBitmapArray)."""
+    idx = np.unique(np.asarray(list(indices), dtype=np.uint64))
+    if idx.size and int(idx.max()) >> 32 > 0xFFFFFFFF:
+        raise ValueError("row index out of 64-bit roaring range")
+    highs = (idx >> np.uint64(32)).astype(np.uint32)
+    out = bytearray(struct.pack("<iQ", DV_MAGIC, len(np.unique(highs))))
+    for high in np.unique(highs):
+        lows = (idx[highs == high] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        out += struct.pack("<I", int(high))
+        out += _serialize_roaring32(lows, use_runs=use_runs)
+    return bytes(out)
+
+
+def deserialize_bitmap(data: bytes) -> np.ndarray:
+    """DV bitmap bytes -> sorted int64 row indices."""
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != DV_MAGIC:
+        raise ValueError(f"bad deletion-vector magic {magic}")
+    (n_buckets,) = struct.unpack_from("<Q", data, 4)
+    pos = 12
+    parts = []
+    for _ in range(n_buckets):
+        (high,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        lows, pos = _deserialize_roaring32(data, pos)
+        parts.append(lows.astype(np.int64) | (np.int64(high) << np.int64(32)))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(parts))
+
+
+# ----------------------------------------------------------- descriptor I/O
+def dv_relative_path(path_or_inline: str) -> str:
+    """storageType 'u': '<optional prefix><20-char z85 uuid>' ->
+    table-relative sidecar path."""
+    prefix, encoded = path_or_inline[:-20], path_or_inline[-20:]
+    uid = uuidlib.UUID(bytes=z85_decode(encoded))
+    name = f"deletion_vector_{uid}.bin"
+    return f"{prefix}/{name}" if prefix else name
+
+
+def load_dv_bytes(descriptor: dict, table_location: str, fs) -> bytes:
+    """Resolve a DV descriptor to its serialized bitmap bytes, verifying
+    size and CRC-32 for on-disk storage."""
+    storage = descriptor["storageType"]
+    size = int(descriptor["sizeInBytes"])
+    if storage == "i":
+        data = z85_decode(descriptor["pathOrInlineDv"])[:size]
+        if len(data) != size:
+            raise ValueError("inline DV shorter than sizeInBytes")
+        return data
+    if storage == "u":
+        path = f"{table_location}/{dv_relative_path(descriptor['pathOrInlineDv'])}"
+    elif storage == "p":
+        path = descriptor["pathOrInlineDv"]
+    else:
+        raise ValueError(f"unknown DV storageType {storage!r}")
+    offset = int(descriptor.get("offset") or 0)
+    blob = fs.read_bytes(path, offset=offset, length=size + 8)
+    (data_size,) = struct.unpack_from(">i", blob, 0)
+    if data_size != size:
+        raise ValueError(
+            f"DV size mismatch at {path}:{offset}: file says {data_size}, "
+            f"descriptor says {size}"
+        )
+    data = blob[4 : 4 + size]
+    (crc,) = struct.unpack_from(">I", blob, 4 + size)
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError(f"DV checksum mismatch at {path}:{offset}")
+    return data
+
+
+def write_dv_file(
+    fs, table_location: str, indices, use_runs: bool = False
+) -> dict:
+    """Write one deletion vector as a UUID-named sidecar under the table
+    and return its add-action descriptor.  (Test/export helper — the
+    engine's own DML is copy-on-write, but exported logs and fixtures need
+    protocol-true DV files.)"""
+    data = serialize_bitmap(indices, use_runs=use_runs)
+    uid = uuidlib.uuid4()
+    name = f"deletion_vector_{uid}.bin"
+    payload = (
+        b"\x01"
+        + struct.pack(">i", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    )
+    fs.write_bytes(f"{table_location}/{name}", payload)
+    card = int(deserialize_bitmap(data).size)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(uid.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": card,
+    }
+
+
+def inline_dv_descriptor(indices) -> dict:
+    """Inline ('i') descriptor for small deletion sets."""
+    data = serialize_bitmap(indices)
+    pad = (-len(data)) % 4
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
+        "sizeInBytes": len(data),
+        "cardinality": int(deserialize_bitmap(data).size),
+    }
+
+
+def dv_unique_id(descriptor: dict | None) -> tuple | None:
+    """Reconciliation identity of a DV (protocol: log replay keys file
+    entries by (path, dvId); None descriptor == no DV)."""
+    if not descriptor:
+        return None
+    return (
+        descriptor.get("storageType"),
+        descriptor.get("pathOrInlineDv"),
+        descriptor.get("offset") or 0,
+    )

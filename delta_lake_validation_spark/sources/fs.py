@@ -147,6 +147,46 @@ class FileSystem:
         finally:
             stream.close()
 
+    def read_bytes(
+        self, path: str, offset: int = 0, length: int | None = None
+    ) -> bytes:
+        """Random-access binary read (deletion-vector files are read by
+        offset/size per their add-action descriptor)."""
+        if self.local:
+            with open(strip_scheme(path), "rb") as f:
+                f.seek(offset)
+                return f.read() if length is None else f.read(length)
+        fs, jpath = self._jfs(path)
+        stream = fs.open(jpath)
+        try:
+            if offset:
+                stream.seek(offset)
+            jvm = self.spark._jvm
+            if length is None:
+                data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            else:
+                data = jvm.org.apache.commons.io.IOUtils.toByteArray(
+                    stream, length
+                )
+            return bytes(data)
+        finally:
+            stream.close()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """Overwriting binary write (used for deletion-vector sidecars)."""
+        if self.local:
+            p = strip_scheme(path)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as f:
+                f.write(data)
+            return
+        fs, jpath = self._jfs(path)
+        stream = fs.create(jpath, True)
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+
     def atomic_create(self, path: str, content: str) -> None:
         """Exclusive create: raises FileExistsError if path exists.
         This is the commit primitive for the transaction log."""

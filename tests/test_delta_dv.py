@@ -1,0 +1,332 @@
+"""Deletion-vector interop: hand-authored Delta logs whose add actions carry
+DV descriptors (protocol v3 ``deletionVectors`` feature), read back through
+DeltaTable.  The modern Delta DELETE/MERGE default writes DVs instead of
+rewriting files, so the interop reader must honor them (parity target: any
+current writer pointed at the reference's tables, ref
+src/validation_suite.py:545-700 world).
+
+The codec (sources/dv.py) is spec-derived (Delta PROTOCOL.md +
+RoaringFormatSpec 64-bit portable); tests pin the public z85 test vector,
+fuzz serialize/deserialize roundtrips incl. run containers, and drive the
+read / time-travel / CDF-diff / file-skipping paths end to end.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+from pyspark.sql import Row
+
+from delta_lake_validation_spark.sources import dv as dvmod
+from delta_lake_validation_spark.sources.delta_log import DeltaTable
+from delta_lake_validation_spark.sources.fs import FileSystem
+from tests.test_delta_log import (
+    _add,
+    _commit_info,
+    _meta,
+    _remove,
+    _write_commit,
+    _write_parquet,
+)
+
+PROTOCOL_DV = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+}
+
+
+# ------------------------------------------------------------------- codec
+def test_z85_public_vector():
+    # ZeroMQ RFC 32's reference vector
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert dvmod.z85_encode(raw) == "HelloWorld"
+    assert dvmod.z85_decode("HelloWorld") == raw
+
+
+def test_bitmap_roundtrip_shapes():
+    cases = [
+        [],
+        [0],
+        [65535, 65536],  # container boundary
+        list(range(100000, 112000)),  # > 4096 per container: bitmap kind
+        [2**32 + 5, 2**32 + 7, 3],  # multiple 32-bit buckets
+    ]
+    for c in cases:
+        for runs in (False, True):
+            got = dvmod.deserialize_bitmap(
+                dvmod.serialize_bitmap(c, use_runs=runs)
+            ).tolist()
+            assert got == sorted(set(c))
+
+
+def test_bitmap_roundtrip_fuzz():
+    rng = random.Random(42)
+    for _ in range(60):
+        n = rng.randrange(0, 2000)
+        c = [rng.randrange(0, 2**33) for _ in range(n)]
+        for runs in (False, True):
+            got = dvmod.deserialize_bitmap(
+                dvmod.serialize_bitmap(c, use_runs=runs)
+            ).tolist()
+            assert got == sorted(set(c))
+
+
+def test_bad_magic_rejected():
+    data = bytearray(dvmod.serialize_bitmap([1, 2]))
+    data[0] ^= 0xFF
+    with pytest.raises(ValueError, match="magic"):
+        dvmod.deserialize_bitmap(bytes(data))
+
+
+# ------------------------------------------------------------ table fixture
+def _dv_add(path, descriptor, size=1):
+    a = _add(path, size=size)
+    a["add"]["deletionVector"] = descriptor
+    return a
+
+
+def _dv_remove(path, descriptor):
+    r = _remove(path)
+    r["remove"]["deletionVector"] = descriptor
+    return r
+
+
+def _dv_table(spark, tmp_path):
+    """v0: A=ids 1..10, B=ids 11..15.  v1: DV on A deletes row idx {1,3}
+    (ids 2,4) via a uuid sidecar.  v2: inline DV on B deletes idx {0}
+    (id 11).  v3: RESTORE-ish shrink of A's DV to {1} (id 4 comes back)."""
+    loc = tmp_path / "dvtbl"
+    log = loc / "_delta_log"
+    fa = _write_parquet(
+        spark, [Row(id=i) for i in range(1, 11)], "id int", loc / "a"
+    )
+    fb = _write_parquet(
+        spark, [Row(id=i) for i in range(11, 16)], "id int", loc / "b"
+    )
+    fs = FileSystem(spark, str(loc))
+    dv_a = dvmod.write_dv_file(fs, str(loc), [1, 3])
+    dv_a2 = dvmod.write_dv_file(fs, str(loc), [1])
+    dv_b = dvmod.inline_dv_descriptor([0])
+    _write_commit(
+        log,
+        0,
+        [
+            _commit_info(1700000000000, "WRITE"),
+            PROTOCOL_DV,
+            _meta([("id", "integer")]),
+            _add(fa),
+            _add(fb),
+        ],
+    )
+    _write_commit(
+        log, 1, [_commit_info(1700000100000, "DELETE"), _remove(fa), _dv_add(fa, dv_a)]
+    )
+    # the remove for B carries no DV (B had none before v2)
+    _write_commit(
+        log, 2, [_commit_info(1700000200000, "DELETE"), _remove(fb), _dv_add(fb, dv_b)]
+    )
+    _write_commit(
+        log,
+        3,
+        [
+            _commit_info(1700000300000, "RESTORE"),
+            _dv_remove(fa, dv_a),
+            _dv_add(fa, dv_a2),
+        ],
+    )
+    return loc
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_dv_read_and_time_travel(spark, tmp_path):
+    t = DeltaTable(spark, str(_dv_table(spark, tmp_path)))
+    assert _ids(t.read(version=0)) == list(range(1, 16))
+    assert _ids(t.read(version=1)) == [1, 3] + list(range(5, 16))
+    assert _ids(t.read(version=2)) == [1, 3] + list(range(5, 11)) + [12, 13, 14, 15]
+    # v3 restores id 4 (DV shrank from {1,3} to {1})
+    assert _ids(t.read()) == [1, 3, 4] + list(range(5, 11)) + [12, 13, 14, 15]
+
+
+def test_dv_read_where_still_filters(spark, tmp_path):
+    t = DeltaTable(spark, str(_dv_table(spark, tmp_path)))
+    got = _ids(t.read_where({"id": (1, 6)}, version=1))
+    assert got == [1, 3, 5, 6]
+
+
+def test_dv_cdf_diff(spark, tmp_path):
+    t = DeltaTable(spark, str(_dv_table(spark, tmp_path)))
+    ch = t.read_changes(1, 3).collect()
+    by_version = {}
+    for r in ch:
+        by_version.setdefault(r["_commit_version"], []).append(
+            (r["_change_type"], r["id"])
+        )
+    assert sorted(by_version[1]) == [("delete", 2), ("delete", 4)]
+    assert sorted(by_version[2]) == [("delete", 11)]
+    assert sorted(by_version[3]) == [("insert", 4)]
+
+
+def test_dv_import_refused(spark, tmp_path):
+    from delta_lake_validation_spark.sources.acid.errors import AcidTableError
+    from delta_lake_validation_spark.sources.delta_log import import_delta
+
+    loc = _dv_table(spark, tmp_path)
+    with pytest.raises(AcidTableError, match="deletion vector"):
+        import_delta(spark, str(loc), str(tmp_path / "fork"))
+
+
+def test_dv_crc_corruption_raises(spark, tmp_path):
+    loc = tmp_path / "crc"
+    loc.mkdir()
+    fs = FileSystem(spark, str(loc))
+    desc = dvmod.write_dv_file(fs, str(loc), [0, 2, 4])
+    rel = dvmod.dv_relative_path(desc["pathOrInlineDv"])
+    p = loc / rel
+    raw = bytearray(p.read_bytes())
+    raw[7] ^= 0x01  # flip a bit inside the bitmap payload
+    p.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="checksum"):
+        dvmod.load_dv_bytes(desc, str(loc), fs)
+
+
+def test_dv_partitioned_hive_read(spark, tmp_path):
+    loc = tmp_path / "part"
+    log = loc / "_delta_log"
+    f1 = _write_parquet(
+        spark,
+        [Row(id=i) for i in range(1, 5)],
+        "id int",
+        loc / "k=x",
+    )  # returns "k=x/<file>.parquet"
+    fs = FileSystem(spark, str(loc))
+    dv = dvmod.write_dv_file(fs, str(loc), [0])  # drops id 1
+    _write_commit(
+        log,
+        0,
+        [
+            _commit_info(1700000000000, "WRITE"),
+            PROTOCOL_DV,
+            _meta([("id", "integer"), ("k", "string")], partition_cols=["k"]),
+            {
+                "add": {
+                    "path": f1,
+                    "partitionValues": {"k": "x"},
+                    "size": 1,
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                    "deletionVector": dv,
+                }
+            },
+        ],
+    )
+    t = DeltaTable(spark, str(loc))
+    rows = sorted((r["id"], r["k"]) for r in t.read().collect())
+    assert rows == [(2, "x"), (3, "x"), (4, "x")]
+
+
+def test_dv_checkpoint_add_carries_dv(spark, tmp_path):
+    """A classic checkpoint whose add rows embed DV descriptors replays with
+    the DV applied (checkpointed state, no JSON commits before it)."""
+    import json
+
+    loc = tmp_path / "ck"
+    log = loc / "_delta_log"
+    fa = _write_parquet(
+        spark, [Row(id=i) for i in range(1, 7)], "id int", loc / "a"
+    )
+    fs = FileSystem(spark, str(loc))
+    dv = dvmod.write_dv_file(fs, str(loc), [2, 4])  # drops ids 3, 5
+    _write_commit(
+        log,
+        0,
+        [
+            _commit_info(1700000000000, "WRITE"),
+            PROTOCOL_DV,
+            _meta([("id", "integer")], meta_id="ck-meta"),
+            _add(fa),
+        ],
+    )
+    _write_commit(
+        log, 1, [_commit_info(1700000100000, "DELETE"), _remove(fa), _dv_add(fa, dv)]
+    )
+    meta = _meta([("id", "integer")], meta_id="ck-meta")["metaData"]
+    rows = [
+        Row(
+            add=None,
+            remove=None,
+            metaData=None,
+            protocol=Row(
+                minReaderVersion=3,
+                minWriterVersion=7,
+                readerFeatures=["deletionVectors"],
+                writerFeatures=["deletionVectors"],
+            ),
+        ),
+        Row(
+            add=None,
+            remove=None,
+            metaData=Row(
+                id=meta["id"],
+                name=None,
+                schemaString=meta["schemaString"],
+                partitionColumns=[],
+                configuration={},
+                format=Row(provider="parquet", options={}),
+            ),
+            protocol=None,
+        ),
+        Row(
+            add=Row(
+                path=fa,
+                partitionValues={},
+                size=1,
+                modificationTime=1700000100000,
+                dataChange=True,
+                stats=None,
+                deletionVector=Row(
+                    storageType=dv["storageType"],
+                    pathOrInlineDv=dv["pathOrInlineDv"],
+                    offset=dv["offset"],
+                    sizeInBytes=dv["sizeInBytes"],
+                    cardinality=dv["cardinality"],
+                ),
+            ),
+            remove=None,
+            metaData=None,
+            protocol=None,
+        ),
+    ]
+    schema = (
+        "add struct<path:string,partitionValues:map<string,string>,size:long,"
+        "modificationTime:long,dataChange:boolean,stats:string,"
+        "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+        "offset:int,sizeInBytes:int,cardinality:long>>,"
+        "remove struct<path:string,deletionTimestamp:long,dataChange:boolean>,"
+        "metaData struct<id:string,name:string,schemaString:string,"
+        "partitionColumns:array<string>,configuration:map<string,string>,"
+        "format:struct<provider:string,options:map<string,string>>>,"
+        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "ckout"))
+    src = next(p for p in (tmp_path / "ckout").iterdir() if p.suffix == ".parquet")
+    (log / "00000000000000000001.checkpoint.parquet").write_bytes(
+        src.read_bytes()
+    )
+    (log / "_last_checkpoint").write_text(json.dumps({"version": 1, "size": 3}))
+    # drop the JSON commits the checkpoint supersedes: replay must come
+    # exclusively from the checkpoint rows
+    (log / "00000000000000000000.json").unlink()
+    t = DeltaTable(spark, str(loc))
+    assert _ids(t.read()) == [1, 2, 4, 6]

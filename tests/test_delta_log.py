@@ -255,7 +255,7 @@ def test_schema_evolution_uses_latest_metadata(spark, tmp_path):
 
 
 def test_rejects_unsupported_reader_features(spark, tmp_path):
-    loc = tmp_path / "dv"
+    loc = tmp_path / "v2ck"
     log = loc / "_delta_log"
     f1 = _write_parquet(spark, [Row(id=1)], "id int", loc / "a")
     _write_commit(
@@ -266,15 +266,15 @@ def test_rejects_unsupported_reader_features(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint"],
                 }
             },
             _meta([("id", "integer")]),
             _add(f1),
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         read_delta(spark, str(loc))
 
 
