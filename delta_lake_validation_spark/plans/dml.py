@@ -475,6 +475,133 @@ def delta_interop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_dv_read",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'live_' || lang AS step, count(*) AS n_rows
+      FROM documents WHERE doc_id < 1000 AND doc_id % 7 <> 3 GROUP BY lang
+      UNION ALL
+      SELECT 'v0_total', count(*) FROM documents WHERE doc_id < 1000
+      UNION ALL
+      SELECT 'cdf_deleted', count(*)
+      FROM documents WHERE doc_id < 1000 AND doc_id % 7 = 3
+    ) ORDER BY step
+    """,
+    tags=("acid", "delta", "interop", "dv"),
+    doc="Authors a Delta table whose second commit deletes rows by a real "
+    "deletion vector (protocol v3 deletionVectors: uuid sidecar file, "
+    "z85 path, CRC'd 64-bit portable roaring bitmap — sources/dv.py), then "
+    "grades the DV read path, DV time travel, and the bitmap-diff CDF "
+    "against plain SQL predicates.  Modern Delta writers emit DVs for "
+    "DELETE/MERGE by default, so this is the interop shape a reference "
+    "user's tables actually have (ref src/validation_suite.py:545-700).",
+)
+def delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from delta_lake_validation_spark.sources.delta_log import DeltaTable
+    from delta_lake_validation_spark.sources.dv import write_dv_file
+    from delta_lake_validation_spark.sources.fs import FileSystem
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .filter("doc_id < 1000")  # SF-capped scenario, like the nation DMLs:
+        # what is graded is the DV contract, not corpus throughput
+    )
+    with _scratch() as loc:
+        root = Path(loc)
+        out = root / "data"
+        # one file, sorted by doc_id, so row_index == rank(doc_id) and the
+        # deleted index set is derivable on both sides
+        docs.repartition(1).sortWithinPartitions("doc_id").write.mode(
+            "overwrite"
+        ).parquet(str(out))
+        fname = next(
+            p.name for p in out.iterdir() if p.name.endswith(".parquet")
+        )
+        rel = f"data/{fname}"
+        ids = [r[0] for r in docs.select("doc_id").orderBy("doc_id").collect()]
+        del_idx = [i for i, d in enumerate(ids) if d % 7 == 3]
+        dv = write_dv_file(FileSystem(spark, loc), loc, del_idx)
+
+        log = root / "_delta_log"
+        log.mkdir()
+        proto = {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        }
+        meta = {
+            "metaData": {
+                "id": "delta-dv-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(docs.schema.jsonValue()),
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        }
+
+        def _commit(v: int, ts_ms: int, op: str, actions: list) -> None:
+            head = {"commitInfo": {"timestamp": ts_ms, "operation": op}}
+            (log / f"{v:020d}.json").write_text(
+                "\n".join(_json.dumps(a) for a in [head] + actions) + "\n"
+            )
+
+        add_plain = {
+            "add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+            }
+        }
+        add_dv = {
+            "add": {**add_plain["add"], "deletionVector": dv},
+        }
+        _commit(0, 1700000000000, "WRITE", [proto, meta, add_plain])
+        _commit(
+            1,
+            1700000100000,
+            "DELETE",
+            [
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": 1700000100000,
+                        "dataChange": True,
+                    }
+                },
+                add_dv,
+            ],
+        )
+
+        t = DeltaTable(spark, loc)
+        live = (
+            t.read()
+            .groupBy("lang")
+            .count()
+            .select(
+                F.concat(F.lit("live_"), F.col("lang")).alias("step"),
+                F.col("count").alias("n_rows"),
+            )
+        )
+        rows = [(r["step"], r["n_rows"]) for r in live.collect()]
+        rows.append(("v0_total", t.read(version=0).count()))
+        rows.append(
+            (
+                "cdf_deleted",
+                t.read_changes(1, 1).filter("_change_type = 'delete'").count(),
+            )
+        )
+    return _result(spark, rows)
+
+
+@register(
     "dedup_stream_scenario",
     oracle=r"""
     WITH toks AS (SELECT doc_id, doc_id % 3 AS g,
