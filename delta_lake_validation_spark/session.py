@@ -43,6 +43,14 @@ def get_session(
     conf = {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # coalesce post-shuffle partitions by SIZE, not up to the cluster's
+        # default parallelism: multi-stage pipelines over small/medium
+        # frames (every ACID micro-batch commit, dimension shuffles) stop
+        # paying 32-task scheduling per tiny stage, while big shuffles
+        # still fan out because the advisory size governs (Spark's own
+        # guidance for small-query overhead)
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions or DEFAULT_CPUS),
         "spark.sql.session.timeZone": "UTC",
