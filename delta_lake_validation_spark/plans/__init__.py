@@ -76,6 +76,15 @@ _TIER_BY_NAME = {
     "dml_incremental_view": _reg.TIER_NEWFAM,
     "multimodal_frames": _reg.TIER_NEWFAM,
     "chars_decile": _reg.TIER_NEWFAM,
+    # round-3 session-4 families (corpus-quality text ops), past the cap by
+    # the same policy as the round-2 late families above.  NOTE: adding
+    # delta_dv_read (TIER_DML: core interop, must be driver-graded) pushed
+    # nested_groupby_avg (A3) to index 50 — first past the cap.  Nested
+    # access stays verified via nested_project (P2, in-window); grouped
+    # averages via groupby_day_revenue/global_avg.  A3 itself remains
+    # oracle-checked by the repo sweep.
+    "boilerplate_spans": _reg.TIER_NEWFAM,
+    "bigram_lm_score": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):

@@ -1595,3 +1595,149 @@ def chars_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", F.ntile(10).over(w).cast("int").alias("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-span scrubbing (CCNet/RefinedWeb-style): find word 3-grams that
+# recur across many documents (site chrome, license blurbs, templates) and
+# score each document by the share of its distinct spans that are corpus
+# boilerplate.  The downstream filter drops high-ratio docs or strips the
+# spans; the graded output is the per-doc profile.
+#
+# Scale: spans are deduped per doc BEFORE the corpus shuffle, df comes from
+# one count-window over the span shuffle (no self-join, no second scan), and
+# the doc-level rollup is a second keyed shuffle.  No driver state, no
+# all-pairs anything; span cardinality ~ tokens, so this is the same cost
+# envelope as the dedup shingle pipeline at any SF.
+# ---------------------------------------------------------------------------
+@register(
+    "boilerplate_spans",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\s+') AS t
+                  FROM documents),
+    spans AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks WHERE len(t) >= 3
+      )
+    ),
+    withdf AS (SELECT doc_id, s,
+                      count(*) OVER (PARTITION BY s) AS df
+               FROM spans)
+    SELECT doc_id,
+           count(*) AS n_spans,
+           count(*) FILTER (WHERE df >= 3) AS boiler_spans,
+           (count(*) FILTER (WHERE df >= 3)) * 1000 // count(*) AS boiler_permille
+    FROM withdf GROUP BY doc_id
+    """,
+    tags=("text", "llm", "curation", "boilerplate"),
+    doc="per-doc boilerplate profile: distinct word-3-gram spans vs spans "
+    "shared by >= 20 docs (exact corpus df via one count-window over the "
+    "span shuffle)",
+)
+def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 3)
+    spans = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), "
+                    "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
+                )
+            ).alias("s"),
+        )
+        .distinct()  # per-doc dedup BEFORE the corpus-wide span shuffle
+    )
+    w = Window.partitionBy("s")
+    withdf = spans.withColumn("df", F.count(F.lit(1)).over(w))
+    boiler = F.sum(F.when(F.col("df") >= 3, 1).otherwise(0))
+    return (
+        withdf.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            boiler.alias("boiler_spans"),
+        )
+        .withColumn(
+            "boiler_permille", F.expr("(boiler_spans * 1000) div n_spans")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality score: the classic perplexity-proxy filter
+# (KenLM-style) reduced to an exact, engine-portable integer form.  The
+# corpus itself is the LM: p(w2|w1) = c(w1 w2)/c(w1 *), expressed in parts
+# per million with integer floor-division so Spark and DuckDB agree to the
+# bit (float log-prob was measured to drift in the last ulp between JVM and
+# libm ln() — see tfidf_top_terms' linear-idf note).  Low avg_ppm = unusual
+# word transitions = likely garbage; min_ppm flags the single rarest
+# transition (OCR junk detector).
+#
+# Scale: bigrams never leave the row (built by transform/slice on the token
+# array, zero joins); the two LM count-windows are keyed shuffles on
+# (w1,w2) and (w1); the doc rollup is a third.  Counts are additive, so at
+# 100 TB the windows become pre-aggregated count tables joined broadcast-
+# or bucket-wise; semantics identical.
+# ---------------------------------------------------------------------------
+@register(
+    "bigram_lm_score",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\s+') AS t
+                  FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ),
+    scored AS (
+      SELECT doc_id,
+             (count(*) OVER (PARTITION BY bigram)) * 1000000
+             // (count(*) OVER (PARTITION BY split_part(bigram, ' ', 1)))
+             AS ppm
+      FROM bg
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           sum(ppm) // count(*) AS avg_ppm,
+           min(ppm) AS min_ppm
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "llm", "quality", "lm"),
+    doc="per-doc corpus-bigram-LM quality: integer-exact p(w2|w1) in ppm, "
+    "averaged per doc, plus the rarest transition",
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), "
+                "i -> struct(t[i] AS w1, t[i+1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+    c1 = F.count(F.lit(1)).over(Window.partitionBy("w1"))
+    scored = (
+        bg.withColumn("c2", c2)
+        .withColumn("c1", c1)
+        .withColumn("ppm", F.expr("(c2 * 1000000) div c1"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(ppm) div count(1)").alias("avg_ppm"),
+        F.min("ppm").alias("min_ppm"),
+    )

@@ -43,14 +43,13 @@ def get_session(
     conf = {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
-        # coalesce post-shuffle partitions by SIZE, not up to the cluster's
-        # default parallelism: multi-stage pipelines over small/medium
-        # frames (every ACID micro-batch commit, dimension shuffles) stop
-        # paying 32-task scheduling per tiny stage, while big shuffles
-        # still fan out because the advisory size governs (Spark's own
-        # guidance for small-query overhead)
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+        # parallelismFirst stays at its default (true): measured A/B at
+        # sf0.1/local[32] (BENCH r3s4), size-based coalescing
+        # (parallelismFirst=false, 64m advisory) cut ~2s off the tiny-stage
+        # scenario queries but serialized the mid-size shuffles
+        # (dedup_clusters/curation_pipeline +1.4s each) for a net 1.05x
+        # regression.  On a real cluster shuffles dwarf the advisory size
+        # and the flag is near-moot.
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions or DEFAULT_CPUS),
         "spark.sql.session.timeZone": "UTC",

@@ -51,6 +51,16 @@ EXPECTATIONS: dict[str, list[str]] = {
         "HashAggregate",
         "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>",
     ],
+    # corpus-quality ops: span/bigram pipelines must prune to (doc_id,text)
+    # and stay window+aggregate (no self-join resurgence)
+    "boilerplate_spans": [
+        "Window",
+        "ReadSchema: struct<doc_id:bigint,text:string>",
+    ],
+    "bigram_lm_score": [
+        "Window",
+        "ReadSchema: struct<doc_id:bigint,text:string>",
+    ],
 }
 
 # query -> callable(plan) -> list of problem strings (empty = OK)
