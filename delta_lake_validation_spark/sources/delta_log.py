@@ -13,9 +13,11 @@ Protocol coverage rationale: the reference pins delta-spark 2.3.0
 (ref pyproject.toml:8-12), so every table it can produce uses reader
 version ≤2 plus (optionally) column mapping — all fully supported here,
 including classic checkpoints, CDF, and name-mode column mapping.
-Reader-v3 features the reference can never emit (deletionVectors, id-mode
-mapping, v2 checkpoint manifests) are *detected and refused* rather than
-silently misread.
+Reader-v3 features a MODERN writer pointed at the same tables would emit
+are supported too: deletion vectors (sources/dv.py; row filtering,
+bitmap-diff CDF) and v2 checkpoint manifests (json/parquet + sidecars).
+What we cannot serve correctly (id-mode column mapping) is *detected and
+refused* rather than silently misread.
 
 Scale notes:
 - The log replay is driver-side but bounded: one checkpoint parquet read
@@ -55,13 +57,18 @@ _SUPPORTED_READER_FEATURES = {
     "columnMapping",  # name mode implemented; id mode rejected at snapshot
     "deletionVectors",  # sources/dv.py codec; applied per-scan in
     # _read_snapshot via _metadata.row_index membership filtering
-    # NOT listed (refused): v2Checkpoint (UUID-named manifests we never
-    # parse — after JSON log cleanup such a table would look
-    # empty/unreadable, so refuse up front)
+    "v2Checkpoint",  # UUID-named json/parquet manifests + _sidecars/
+    # parquet action files (_checkpoint_actions); classic checkpoints
+    # still preferred when both exist at the same version
 }
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
+# v2 checkpoints: UUID-named manifest (json or parquet) whose ``sidecar``
+# actions point at add/remove parquet files under _delta_log/_sidecars/
+_V2_CHECKPOINT_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(parquet|json)$"
+)
 
 
 class DeltaSnapshot:
@@ -181,9 +188,13 @@ class DeltaTable:
 
     def latest_version(self) -> int:
         vs = self.versions()
-        if not vs:
-            raise FileNotFoundError(f"no commit json in {self.log_dir}")
-        return vs[-1]
+        if vs:
+            return vs[-1]
+        # log cleanup may have removed every JSON at-or-before a checkpoint
+        ck = self._last_checkpoint()
+        if ck is not None:
+            return ck[0]
+        raise FileNotFoundError(f"no commit json in {self.log_dir}")
 
     # --------------------------------------------------------- raw actions
     def _read_text(self, name: str) -> str:
@@ -207,25 +218,76 @@ class DeltaTable:
         text = self._read_text(f"{version:020d}.json")
         return [json.loads(line) for line in text.splitlines() if line.strip()]
 
-    def _last_checkpoint(self) -> tuple[int, list[str]] | None:
-        """Return (version, checkpoint file names) of the newest usable
-        classic checkpoint at-or-before which replay may start."""
-        by_version: dict[int, list[str]] = {}
+    def _last_checkpoint(self) -> tuple[int, list[str], str] | None:
+        """Return (version, file names, kind) of the newest usable
+        checkpoint at-or-before which replay may start.  Kind is one of
+        ``classic`` (single or multi-part ``.parquet``), ``v2-parquet`` or
+        ``v2-json`` (UUID-named manifest + sidecars)."""
+        by_version: dict[int, dict[str, list[str]]] = {}
         for n in self._log_names:
-            m = _CHECKPOINT_RE.match(n)
-            if m:
-                by_version.setdefault(int(m.group(1)), []).append(n)
+            if _CHECKPOINT_RE.match(n):
+                v = int(_CHECKPOINT_RE.match(n).group(1))
+                by_version.setdefault(v, {}).setdefault("classic", []).append(n)
+            elif _V2_CHECKPOINT_RE.match(n):
+                v = int(_V2_CHECKPOINT_RE.match(n).group(1))
+                by_version.setdefault(v, {}).setdefault("v2", []).append(n)
         if not by_version:
             return None
         v = max(by_version)
-        parts = sorted(by_version[v])
-        multi = [n for n in parts if _CHECKPOINT_RE.match(n).group(2)]
-        if multi:
+        kinds = by_version[v]
+        if "classic" in kinds:
+            parts = sorted(kinds["classic"])
+            multi = [n for n in parts if _CHECKPOINT_RE.match(n).group(2)]
+            if not multi:
+                return v, parts, "classic"
             want = int(multi[0].rsplit(".", 2)[-2])
-            if len(multi) != want:  # incomplete multi-part checkpoint
-                return None
-            parts = multi
-        return v, parts
+            if len(multi) == want:
+                return v, multi, "classic"
+            # incomplete multi-part set: fall through to a v2 manifest at
+            # the same version if one exists, else no usable checkpoint
+        if "v2" in kinds:
+            name = sorted(kinds["v2"])[0]  # any complete manifest is valid
+            kind = "v2-json" if name.endswith(".json") else "v2-parquet"
+            return v, [name], kind
+        return None
+
+    def _checkpoint_actions(self, parts: list[str], kind: str) -> list[dict]:
+        """Flatten one checkpoint (any kind) into a list of action dicts.
+        v2 manifests contribute their own actions plus every referenced
+        sidecar's add/remove rows."""
+        wanted = ("add", "remove", "metaData", "protocol")
+        if kind == "classic":
+            paths = [f"{self.log_dir}/{n}" for n in parts]
+            df = self.spark.read.parquet(*paths)
+            cols = [c for c in wanted if c in df.columns]
+            return [r.asDict(recursive=True) for r in df.select(*cols).collect()]
+        name = parts[0]
+        if kind == "v2-json":
+            actions = [
+                json.loads(line)
+                for line in self._read_text(name).splitlines()
+                if line.strip()
+            ]
+        else:
+            df = self.spark.read.parquet(f"{self.log_dir}/{name}")
+            cols = [c for c in (*wanted, "sidecar") if c in df.columns]
+            actions = [
+                r.asDict(recursive=True) for r in df.select(*cols).collect()
+            ]
+        out = list(actions)
+        for a in actions:
+            sc = a.get("sidecar")
+            if not sc or not sc.get("path"):
+                continue
+            p = sc["path"]
+            if "://" not in p and not p.startswith("/"):
+                p = f"{self.log_dir}/_sidecars/{p}"
+            sdf = self.spark.read.parquet(p)
+            scols = [c for c in ("add", "remove") if c in sdf.columns]
+            out.extend(
+                r.asDict(recursive=True) for r in sdf.select(*scols).collect()
+            )
+        return out
 
     # ------------------------------------------------------------ snapshot
     def snapshot(self, version: int | None = None) -> DeltaSnapshot:
@@ -245,15 +307,8 @@ class DeltaTable:
 
         ckpt = self._last_checkpoint()
         if ckpt is not None and ckpt[0] <= version:
-            ckpt_version, parts = ckpt
-            paths = [f"{self.log_dir}/{n}" for n in parts]
-            rows = (
-                self.spark.read.parquet(*paths)
-                .select("add", "remove", "metaData", "protocol")
-                .collect()
-            )
-            for r in rows:
-                d = r.asDict(recursive=True)
+            ckpt_version, parts, kind = ckpt
+            for d in self._checkpoint_actions(parts, kind):
                 if d.get("protocol"):
                     self._check_protocol(d["protocol"])
                 if d.get("metaData"):

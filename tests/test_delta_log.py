@@ -255,7 +255,7 @@ def test_schema_evolution_uses_latest_metadata(spark, tmp_path):
 
 
 def test_rejects_unsupported_reader_features(spark, tmp_path):
-    loc = tmp_path / "v2ck"
+    loc = tmp_path / "future"
     log = loc / "_delta_log"
     f1 = _write_parquet(spark, [Row(id=1)], "id int", loc / "a")
     _write_commit(
@@ -266,15 +266,15 @@ def test_rejects_unsupported_reader_features(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["v2Checkpoint"],
-                    "writerFeatures": ["v2Checkpoint"],
+                    "readerFeatures": ["typeWidening"],
+                    "writerFeatures": ["typeWidening"],
                 }
             },
             _meta([("id", "integer")]),
             _add(f1),
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         read_delta(spark, str(loc))
 
 
@@ -807,3 +807,182 @@ def test_multipart_checkpoint_replay(spark, tmp_path):
     (log / "00000000000000000001.checkpoint.0000000002.0000000002.parquet").unlink()
     with pytest.raises(Exception):
         DeltaTable(spark, str(loc)).read()
+
+
+# --------------------------------------------------------------- v2 ckpts
+def _v2_fixture(spark, tmp_path, manifest_kind):
+    """Table whose only complete state source is a v2 checkpoint at v1:
+    manifest (json or parquet) + two sidecar parquet files under
+    _delta_log/_sidecars; pre-checkpoint JSON commits are deleted.
+    State: files {1,2} and {3,4}; a removed file {9} appears as a
+    tombstone in a sidecar.  v2 commit (JSON tail) adds {5}."""
+    import uuid as uuidlib
+
+    loc = tmp_path / "v2tbl"
+    log = loc / "_delta_log"
+    f1 = _write_parquet(spark, [Row(id=1), Row(id=2)], "id int", loc / "a")
+    f2 = _write_parquet(spark, [Row(id=3), Row(id=4)], "id int", loc / "b")
+    f9 = _write_parquet(spark, [Row(id=9)], "id int", loc / "junk")
+    f5 = _write_parquet(spark, [Row(id=5)], "id int", loc / "c")
+    _write_commit(
+        log,
+        0,
+        [
+            _commit_info(1700000000000, "WRITE"),
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint"],
+                }
+            },
+            _meta([("id", "integer")], meta_id="v2-meta"),
+            _add(f1),
+            _add(f9),
+        ],
+    )
+    _write_commit(
+        log, 1, [_commit_info(1700000100000, "WRITE"), _add(f2), _remove(f9)]
+    )
+
+    # sidecar parquet files: add/remove action columns only
+    sidecar_schema = (
+        "add struct<path:string,partitionValues:map<string,string>,size:long,"
+        "modificationTime:long,dataChange:boolean,stats:string>,"
+        "remove struct<path:string,deletionTimestamp:long,dataChange:boolean>"
+    )
+    sidecars_dir = log / "_sidecars"
+
+    def _sidecar(rows, name):
+        out = tmp_path / f"sc_{name}"
+        spark.createDataFrame(rows, sidecar_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(out))
+        src = next(p for p in out.iterdir() if p.suffix == ".parquet")
+        sidecars_dir.mkdir(parents=True, exist_ok=True)
+        (sidecars_dir / f"{name}.parquet").write_bytes(src.read_bytes())
+        return f"{name}.parquet"
+
+    def _add_row(path):
+        return Row(
+            add=Row(
+                path=path,
+                partitionValues={},
+                size=1,
+                modificationTime=1700000100000,
+                dataChange=True,
+                stats=None,
+            ),
+            remove=None,
+        )
+
+    sc1 = _sidecar([_add_row(f1)], "one")
+    sc2 = _sidecar(
+        [
+            _add_row(f2),
+            Row(
+                add=None,
+                remove=Row(
+                    path=f9, deletionTimestamp=1700000100000, dataChange=True
+                ),
+            ),
+        ],
+        "two",
+    )
+
+    meta = _meta([("id", "integer")], meta_id="v2-meta")["metaData"]
+    manifest_uuid = str(uuidlib.uuid4())
+    if manifest_kind == "json":
+        actions = [
+            {"checkpointMetadata": {"version": 1, "tags": {}}},
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint"],
+                }
+            },
+            {"metaData": meta},
+            {"sidecar": {"path": sc1, "sizeInBytes": 1,
+                         "modificationTime": 1700000100000}},
+            {"sidecar": {"path": sc2, "sizeInBytes": 1,
+                         "modificationTime": 1700000100000}},
+        ]
+        (log / f"00000000000000000001.checkpoint.{manifest_uuid}.json").write_text(
+            "\n".join(json.dumps(a) for a in actions) + "\n"
+        )
+    else:
+        man_schema = (
+            "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+            "readerFeatures:array<string>,writerFeatures:array<string>>,"
+            "metaData struct<id:string,name:string,schemaString:string,"
+            "partitionColumns:array<string>,configuration:map<string,string>,"
+            "format:struct<provider:string,options:map<string,string>>>,"
+            "sidecar struct<path:string,sizeInBytes:long,modificationTime:long>"
+        )
+        rows = [
+            Row(
+                protocol=Row(
+                    minReaderVersion=3,
+                    minWriterVersion=7,
+                    readerFeatures=["v2Checkpoint"],
+                    writerFeatures=["v2Checkpoint"],
+                ),
+                metaData=None,
+                sidecar=None,
+            ),
+            Row(
+                protocol=None,
+                metaData=Row(
+                    id=meta["id"],
+                    name=None,
+                    schemaString=meta["schemaString"],
+                    partitionColumns=[],
+                    configuration={},
+                    format=Row(provider="parquet", options={}),
+                ),
+                sidecar=None,
+            ),
+            Row(protocol=None, metaData=None,
+                sidecar=Row(path=sc1, sizeInBytes=1,
+                            modificationTime=1700000100000)),
+            Row(protocol=None, metaData=None,
+                sidecar=Row(path=sc2, sizeInBytes=1,
+                            modificationTime=1700000100000)),
+        ]
+        out = tmp_path / "man"
+        spark.createDataFrame(rows, man_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(out))
+        src = next(p for p in out.iterdir() if p.suffix == ".parquet")
+        (
+            log / f"00000000000000000001.checkpoint.{manifest_uuid}.parquet"
+        ).write_bytes(src.read_bytes())
+
+    (log / "_last_checkpoint").write_text(json.dumps({"version": 1}))
+    # log cleanup: v0/v1 JSON superseded by the checkpoint
+    (log / "00000000000000000000.json").unlink()
+    (log / "00000000000000000001.json").unlink()
+    _write_commit(log, 2, [_commit_info(1700000200000, "WRITE"), _add(f5)])
+    return loc
+
+
+@pytest.mark.parametrize("kind", ["json", "parquet"])
+def test_v2_checkpoint_replay(spark, tmp_path, kind):
+    t = DeltaTable(spark, str(_v2_fixture(spark, tmp_path, kind)))
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == [1, 2, 3, 4, 5]
+    # checkpoint-version read (no JSON tail needed)
+    assert sorted(r["id"] for r in t.read(version=1).collect()) == [1, 2, 3, 4]
+
+
+def test_v2_checkpoint_is_latest_version_fallback(spark, tmp_path):
+    """All JSON commits removed: latest_version falls back to the v2
+    checkpoint version and reads serve the checkpointed state."""
+    loc = _v2_fixture(spark, tmp_path, "json")
+    (loc / "_delta_log" / "00000000000000000002.json").unlink()
+    t = DeltaTable(spark, str(loc))
+    assert t.latest_version() == 1
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3, 4]
