@@ -396,6 +396,12 @@ class DeltaTable:
     def _commit_ts_ms(self, version: int) -> int | None:
         for action in self._commit_actions(version):
             info = action.get("commitInfo")
+            if info and "inCommitTimestamp" in info:
+                # inCommitTimestamp feature: the writer-recorded monotonic
+                # commit time is authoritative (survives file copies/
+                # migrations that rewrite mtimes and commitInfo.timestamp
+                # drift); per the spec it takes precedence when present
+                return int(info["inCommitTimestamp"])
             if info and "timestamp" in info:
                 return int(info["timestamp"])
         path = f"{self.log_dir}/{version:020d}.json"

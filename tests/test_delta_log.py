@@ -986,3 +986,38 @@ def test_v2_checkpoint_is_latest_version_fallback(spark, tmp_path):
     t = DeltaTable(spark, str(loc))
     assert t.latest_version() == 1
     assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3, 4]
+
+
+def test_in_commit_timestamp_precedence(spark, tmp_path):
+    """inCommitTimestamp (writer feature) overrides commitInfo.timestamp
+    for timestamp time travel when present."""
+    loc = tmp_path / "ict"
+    log = loc / "_delta_log"
+    f1 = _write_parquet(spark, [Row(id=1)], "id int", loc / "a")
+    f2 = _write_parquet(spark, [Row(id=2)], "id int", loc / "b")
+    # commitInfo.timestamp says v0 is LATER than v1; inCommitTimestamp
+    # carries the true monotonic order (v0 before v1)
+    _write_commit(
+        log,
+        0,
+        [
+            {"commitInfo": {"timestamp": 1700000900000,
+                            "inCommitTimestamp": 1700000000000}},
+            PROTOCOL,
+            _meta([("id", "integer")]),
+            _add(f1),
+        ],
+    )
+    _write_commit(
+        log,
+        1,
+        [
+            {"commitInfo": {"timestamp": 1700000100000,
+                            "inCommitTimestamp": 1700000500000}},
+            _add(f2),
+        ],
+    )
+    t = DeltaTable(spark, str(loc))
+    # 1700000200s falls between the two ICTs -> v0 only
+    got = {r["id"] for r in t.read(timestamp="2023-11-14T22:16:40+00:00").collect()}
+    assert got == {1}
