@@ -1707,7 +1707,7 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            count(*) AS n_bigrams,
-           sum(ppm) // count(*) AS avg_ppm,
+           CAST(sum(ppm) // count(*) AS BIGINT) AS avg_ppm,
            min(ppm) AS min_ppm
     FROM scored GROUP BY doc_id
     """,

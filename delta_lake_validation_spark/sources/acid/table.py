@@ -354,7 +354,26 @@ class AcidTable:
             return path
         return f"{self.location}/{path}"
 
-    def _read_files(self, snap: Snapshot, rel_paths: list[str]) -> DataFrame:
+    def _dv_map(self, snap: Snapshot, rel_paths: list[str]) -> dict[str, bytes]:
+        """{normalized abs data-file path: serialized DV bitmap} for the
+        given files (deletion-vector DELETE, sources/dv.py).  ``u``-stored
+        sidecars resolve against the entry's basePath (shallow clones keep
+        their source's sidecars), inline descriptors decode directly."""
+        from delta_lake_validation_spark.sources.dv import load_dv_bytes
+
+        out: dict[str, bytes] = {}
+        for p in rel_paths:
+            meta = snap.files.get(p) or {}
+            d = meta.get("deletionVector")
+            if not d or int(d.get("cardinality") or 0) == 0:
+                continue
+            base = meta.get("basePath", self.location)
+            out[strip_scheme(self._abs(p))] = load_dv_bytes(d, base, self.fs)
+        return out
+
+    def _read_files(
+        self, snap: Snapshot, rel_paths: list[str], apply_dv: bool = True
+    ) -> DataFrame:
         schema = self.schema(snap)
         if not rel_paths:
             return self.spark.createDataFrame([], schema)
@@ -369,12 +388,19 @@ class AcidTable:
                 groups.setdefault(base, []).append(p)
             else:
                 groups.setdefault(self.location, []).append(f"{self.location}/{p}")
+        dv_map = self._dv_map(snap, rel_paths) if apply_dv else {}
         out = None
         for base, paths in groups.items():
             reader = self.spark.read.schema(schema)
             if snap.partition_columns:
                 reader = reader.option("basePath", base)
             df = reader.parquet(*paths)
+            if dv_map:
+                from delta_lake_validation_spark.sources.dv import (
+                    apply_dv_filter,
+                )
+
+                df = apply_dv_filter(self.spark, df, dv_map)
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -448,8 +474,31 @@ class AcidTable:
             # Absolute add references (shallow clones) were never staged by
             # this table: resolve via _abs and only delete under our root,
             # so a lost clone race can never reach into the source table.
+            # Paths the BASE snapshot already references (deletion-vector
+            # re-adds, restore re-references) were never staged either —
+            # deleting them would destroy live data.
             root = strip_scheme(self.location).rstrip("/") + "/"
             for a in entry.get("add", []):
+                if a["path"] in snap.files:
+                    # re-referenced live file; but a NEW DV sidecar staged
+                    # for it by this writer is ours to clean
+                    from delta_lake_validation_spark.sources.dv import (
+                        dv_relative_path,
+                        dv_unique_id,
+                    )
+
+                    new_dv = a.get("deletionVector")
+                    old_dv = snap.files[a["path"]].get("deletionVector")
+                    if (
+                        new_dv
+                        and new_dv.get("storageType") == "u"
+                        and dv_unique_id(new_dv) != dv_unique_id(old_dv)
+                    ):
+                        self.fs.delete(
+                            f"{self.location}/"
+                            f"{dv_relative_path(new_dv['pathOrInlineDv'])}"
+                        )
+                    continue
                 p = self._abs(a["path"])
                 if strip_scheme(p).startswith(root):
                     self.fs.delete(p)
@@ -609,14 +658,30 @@ class AcidTable:
         ]
 
     # ------------------------------------------------------------------ DML
-    def delete(self, condition: str | Column | None = None) -> int:
+    def delete(
+        self,
+        condition: str | Column | None = None,
+        use_dv: bool | None = None,
+    ) -> int:
         """DELETE FROM … WHERE (ref: src/validation_suite.py:738-740 partition
         predicate; :816-820 range form; :341 all-rows seed wipe).
 
         Partition-pruned fast path: when the predicate only references
         partition columns, matching files are dropped as a metadata-only
-        commit — no data read, exactly like Delta's partition delete."""
+        commit — no data read, exactly like Delta's partition delete.
+
+        ``use_dv=True`` (or table property ``delete.mode=dv``) deletes by
+        DELETION VECTOR instead of copy-on-write: each touched file is
+        re-added with a protocol-true DV sidecar (sources/dv.py) marking
+        the deleted row indices — no data rewritten, so deleting 100 rows
+        from a 100 TB table is O(matched rows), not O(touched files).
+        Reads, time travel, CDF, RESTORE, OPTIMIZE (which materializes
+        DVs away) and VACUUM (which reclaims orphaned sidecars) all honor
+        it.  Copy-on-write remains the default — DVs accumulate read-side
+        filter cost, the same trade Delta documents."""
         snap = self.log.snapshot()
+        if use_dv is None:
+            use_dv = snap.properties.get("delete.mode") == "dv"
         if condition is None:
             remove = list(snap.files)
             cdf = (
@@ -660,6 +725,9 @@ class AcidTable:
         # not plain ~cond — ~NULL is NULL and filter() drops it.
         cond_true = F.coalesce(cond, F.lit(False))
 
+        if use_dv:
+            return self._delete_by_dv(snap, condition, cond_true)
+
         # copy-on-write: rewrite only files that contain matching rows
         touched = self._files_matching(snap, cond_true)
         if not touched:
@@ -687,6 +755,120 @@ class AcidTable:
             "operationParameters": {"predicate": str(condition)},
             "add": adds,
             "remove": [{"path": p} for p in touched],
+            "cdf": cdf,
+        }
+        return self._commit_strict(entry, snap)
+
+    def _matching_indices(
+        self, snap: Snapshot, rel_paths: list[str], cond: Column
+    ) -> dict[str, list[int]]:
+        """{add-entry path: physical row indices of LIVE rows matching
+        ``cond``} — the deletion-vector targeting scan.  One distributed
+        pass; only the matched (file, row_index) pairs come back to the
+        driver, the same order of bytes the DV sidecars must serialize
+        anyway.  (At cluster scale the bitmap build itself would move
+        executor-side via mapPartitions; the scan shape is identical.)"""
+        from delta_lake_validation_spark.sources.dv import apply_dv_filter
+
+        if not rel_paths:
+            return {}
+        schema = self.schema(snap)
+        groups: dict[str, list[str]] = {}
+        for p in rel_paths:
+            meta = snap.files.get(p) or {}
+            if p.startswith("/") or "://" in p:
+                base = meta.get("basePath", self.location)
+                groups.setdefault(base, []).append(p)
+            else:
+                groups.setdefault(self.location, []).append(f"{self.location}/{p}")
+        out_df = None
+        for base, paths in groups.items():
+            reader = self.spark.read.schema(schema)
+            if snap.partition_columns:
+                reader = reader.option("basePath", base)
+            df = (
+                reader.parquet(*paths)
+                .withColumn("__fp", F.col("_metadata.file_path"))
+                .withColumn("__ri", F.col("_metadata.row_index"))
+            )
+            out_df = df if out_df is None else out_df.unionByName(df)
+        dv_map = self._dv_map(snap, rel_paths)
+        if dv_map:
+            # rows already deleted by an existing DV can't be deleted again
+            out_df = apply_dv_filter(
+                self.spark, out_df, dv_map, file_col="__fp", idx_col="__ri"
+            )
+        rows = out_df.filter(cond).select("__fp", "__ri").collect()
+        out: dict[str, list[int]] = {}
+        for r in rows:
+            out.setdefault(self._rel_of(r[0]), []).append(int(r[1]))
+        return out
+
+    def _delete_by_dv(
+        self, snap: Snapshot, condition, cond_true: Column
+    ) -> int:
+        """Deletion-vector DELETE: re-add each touched file with a merged
+        (old ∪ new) DV sidecar; no data files rewritten."""
+        from delta_lake_validation_spark.sources.dv import (
+            deserialize_bitmap,
+            dv_relative_path,
+            load_dv_bytes,
+            write_dv_file,
+        )
+
+        per_file = self._matching_indices(snap, list(snap.files), cond_true)
+        if not per_file:
+            entry = {
+                "operation": "DELETE",
+                "operationParameters": {"predicate": str(condition), "mode": "dv"},
+                "add": [],
+                "remove": [],
+                "cdf": [],
+            }
+            return self._commit_strict(entry, snap)
+        adds: list[dict] = []
+        for rel, new_idx in sorted(per_file.items()):
+            meta = dict(snap.files[rel])
+            old_desc = meta.get("deletionVector")
+            merged = set(new_idx)
+            if old_desc and int(old_desc.get("cardinality") or 0) > 0:
+                base = meta.get("basePath", self.location)
+                merged |= set(
+                    int(i)
+                    for i in deserialize_bitmap(
+                        load_dv_bytes(old_desc, base, self.fs)
+                    )
+                )
+            desc = write_dv_file(self.fs, self.location, sorted(merged))
+            if "basePath" in meta:
+                # cloned (absolute) data file: its basePath points at the
+                # SOURCE table, but the new sidecar lives HERE — store the
+                # descriptor as an absolute 'p' reference so resolution
+                # never depends on the data file's base
+                desc = {
+                    **desc,
+                    "storageType": "p",
+                    "pathOrInlineDv": (
+                        f"{self.location}/"
+                        f"{dv_relative_path(desc['pathOrInlineDv'])}"
+                    ),
+                }
+            meta["deletionVector"] = desc
+            adds.append(meta)
+        cdf = (
+            self._write_cdf(
+                self._read_files(snap, list(per_file))
+                .filter(cond_true)
+                .withColumn(CDF_TYPE, F.lit("delete"))
+            )
+            if self._cdf_enabled(snap)
+            else []
+        )
+        entry = {
+            "operation": "DELETE",
+            "operationParameters": {"predicate": str(condition), "mode": "dv"},
+            "add": adds,
+            "remove": [{"path": p} for p in per_file],
             "cdf": cdf,
         }
         return self._commit_strict(entry, snap)
@@ -911,12 +1093,27 @@ class AcidTable:
         race leaves orphans that the CDF stream must never see."""
         import time as _t
 
+        from delta_lake_validation_spark.sources.dv import dv_relative_path
+
         snap = self.log.snapshot()
         root = strip_scheme(self.location)
         active = {f"{root}/{p}" for p in snap.files}
         committed_cdf = {
             f"{root}/{p}" for e in self.log.entries() for p in e.get("cdf", [])
         }
+        # DV sidecars referenced by the LIVE snapshot must survive; older
+        # versions' sidecars are protected by the same mtime retention as
+        # their data files
+        active_dv = set()
+        for meta in snap.files.values():
+            d = meta.get("deletionVector")
+            if not d:
+                continue
+            if d.get("storageType") == "u":
+                base = strip_scheme(meta.get("basePath", self.location))
+                active_dv.add(f"{base}/{dv_relative_path(d['pathOrInlineDv'])}")
+            elif d.get("storageType") == "p":
+                active_dv.add(strip_scheme(d["pathOrInlineDv"]))
         cutoff = _t.time() - retain_hours * 3600
         doomed = []
         for f_abs in self.fs.list_files(self.location):
@@ -929,7 +1126,11 @@ class AcidTable:
                 continue
             elif strip_scheme(f_abs) in active:
                 continue
-            if not rel.endswith(".parquet"):
+            name = rel.rsplit("/", 1)[-1]
+            if name.startswith("deletion_vector_") and name.endswith(".bin"):
+                if strip_scheme(f_abs) in active_dv:
+                    continue
+            elif not rel.endswith(".parquet"):
                 continue
             if self.fs.mtime(f_abs) > cutoff:
                 continue
@@ -978,7 +1179,14 @@ class AcidTable:
         remove: list[str] = []
         adds: list[dict] = []
         for _key, rels in by_part.items():
-            if len(rels) <= target_files:
+            has_dv = any(
+                snap.files[r].get("deletionVector") for r in rels
+            )
+            # a partition already at target file count still rewrites when
+            # any file carries a deletion vector: OPTIMIZE materializes DVs
+            # away (Delta's REORG ... APPLY (PURGE) semantics), ending the
+            # read-side filter cost
+            if len(rels) <= target_files and not has_dv:
                 continue
             df = self._read_files(snap, rels)
             if zorder_by:
@@ -1042,7 +1250,10 @@ class AcidTable:
         for rel, meta in snap.files.items():
             m = dict(meta)
             m["path"] = self._abs(rel)  # absolutize (idempotent for clones)
-            if snap.partition_columns and "basePath" not in m:
+            if "basePath" not in m:
+                # always recorded: partition discovery needs it on
+                # partitioned clones, and 'u'-stored deletion vectors
+                # resolve their sidecars against it on any clone
                 m["basePath"] = self.location
             adds.append(m)
         # ONE commit carrying both the table metadata and the cloned file
@@ -1083,15 +1294,42 @@ class AcidTable:
         file-level deletes (files leaving the snapshot) and inserts (files
         re-entering) — the same provenance granularity Delta's RESTORE uses.
         """
+        from delta_lake_validation_spark.sources.dv import (
+            dv_relative_path,
+            dv_unique_id,
+        )
+
         cur = self.log.snapshot()
         old = self.log.snapshot(version)  # raises VersionNotFoundError
-        re_add = [old.files[p] for p in old.files if p not in cur.files]
-        remove = [p for p in cur.files if p not in old.files]
+
+        def _sig(meta: dict) -> tuple | None:
+            return dv_unique_id(meta.get("deletionVector"))
+
+        # an entry differing only by deletion vector must be replaced too:
+        # remove(path) + re-add(old entry) nets to the old DV state because
+        # log replay applies a commit's removes before its adds
+        re_add = [
+            old.files[p]
+            for p in old.files
+            if p not in cur.files or _sig(cur.files[p]) != _sig(old.files[p])
+        ]
+        remove = [
+            p
+            for p in cur.files
+            if p not in old.files or _sig(cur.files[p]) != _sig(old.files[p])
+        ]
         missing = [
             a["path"]
             for a in re_add
             if not self.fs.exists(self._abs(a["path"]))
         ]
+        for a in re_add:
+            d = a.get("deletionVector")
+            if d and d.get("storageType") == "u":
+                base = a.get("basePath", self.location)
+                sidecar = f"{base}/{dv_relative_path(d['pathOrInlineDv'])}"
+                if not self.fs.exists(sidecar):
+                    missing.append(sidecar)
         if missing:
             raise AcidTableError(
                 f"cannot restore to version {version}: data files were "
@@ -1111,8 +1349,10 @@ class AcidTable:
                     )
                 )
             if re_add:
+                # read re-added files under the OLD snapshot's view: its
+                # deletion vectors define which rows the restore brings back
                 parts.append(
-                    self._read_files(cur, [a["path"] for a in re_add]).withColumn(
+                    self._read_files(old, [a["path"] for a in re_add]).withColumn(
                         CDF_TYPE, F.lit("insert")
                     )
                 )
@@ -1166,7 +1406,11 @@ class AcidTable:
             # merge add-files mix updated+inserted rows and its stored cdf
             # already covers both, so only APPEND/OVERWRITE synthesize inserts
             if adds and e["operation"] in ("APPEND", "OVERWRITE"):
-                ins = self._read_files(snap, adds).withColumn(CDF_TYPE, F.lit("insert"))
+                # historical inserts are the files AS COMMITTED: never apply
+                # the LATEST snapshot's deletion vectors to them
+                ins = self._read_files(snap, adds, apply_dv=False).withColumn(
+                    CDF_TYPE, F.lit("insert")
+                )
                 piece = ins if piece is None else piece.unionByName(ins)
             if piece is None:
                 continue

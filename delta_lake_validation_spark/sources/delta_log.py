@@ -525,63 +525,13 @@ class DeltaTable:
         dv_map: dict[str, bytes],
         keep_member: bool = False,
     ) -> DataFrame:
-        """Bitmap membership filter on ``_metadata.row_index``,
-        Arrow-batched against the broadcast per-file bitmaps.
+        """Shared bitmap filter (sources/dv.py apply_dv_filter):
+        ``keep_member=False`` (read path) drops DV-deleted rows;
+        ``keep_member=True`` (CDF diff path) keeps exactly the bitmap
+        rows."""
+        from delta_lake_validation_spark.sources.dv import apply_dv_filter
 
-        ``keep_member=False`` (the read path) drops DV-deleted rows;
-        ``keep_member=True`` (the CDF diff path) keeps exactly the rows
-        whose index is IN the bitmap — rows of files absent from
-        ``dv_map`` are dropped in that mode.  Decoded index arrays are
-        cached per Python worker so each file's bitmap is decoded once per
-        executor, not once per batch."""
-        if not dv_map and not keep_member:
-            return df
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
-
-        bc = self.spark.sparkContext.broadcast(dv_map)
-        decoded: dict[str, object] = {}  # worker-local cache
-
-        def _dv_member_fn(file_path, row_index):
-            import numpy as np
-
-            from delta_lake_validation_spark.sources.dv import (
-                deserialize_bitmap,
-            )
-            from delta_lake_validation_spark.sources.fs import strip_scheme
-
-            blobs = bc.value
-            member = np.zeros(len(file_path), dtype=bool)
-            frame = pd.DataFrame(
-                {"p": file_path.map(strip_scheme), "i": row_index}
-            )
-            for path, grp in frame.groupby("p", sort=False):
-                blob = blobs.get(path)
-                if blob is None:
-                    continue
-                deleted = decoded.get(path)
-                if deleted is None:
-                    deleted = deserialize_bitmap(blob)
-                    decoded[path] = deleted
-                if len(deleted) == 0:
-                    continue
-                idx = grp["i"].to_numpy(dtype=np.int64)
-                pos = np.clip(
-                    np.searchsorted(deleted, idx), 0, len(deleted) - 1
-                )
-                member[grp.index.to_numpy()] = deleted[pos] == idx
-            return pd.Series(member)
-
-        _dv_member = pandas_udf(_dv_member_fn, "boolean")
-        pred = _dv_member(F.col("__dv_fp"), F.col("__dv_ri"))
-        if not keep_member:
-            pred = ~pred
-        return (
-            df.withColumn("__dv_fp", F.col("_metadata.file_path"))
-            .withColumn("__dv_ri", F.col("_metadata.row_index"))
-            .filter(pred)
-            .drop("__dv_fp", "__dv_ri")
-        )
+        return apply_dv_filter(self.spark, df, dv_map, keep_member=keep_member)
 
     def _abs(self, path: str) -> str:
         if path.startswith("/") or "://" in path:
@@ -944,7 +894,21 @@ def export_delta(table, version: int | None = None) -> int:
             }
         }
     ]
-    if next_v == 0:
+    dv_export = any(m.get("deletionVector") for m in current.values())
+    if dv_export:
+        # any file carrying a deletion vector needs the v3 reader contract;
+        # re-emitting the protocol action on later exports is idempotent
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        )
+    elif next_v == 0:
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
     schema = StructType.fromJson(json.loads(snap.schema_json))
     actions.append(
@@ -966,19 +930,32 @@ def export_delta(table, version: int | None = None) -> int:
             }
         }
     )
-    for p in prev_files:
-        if p not in current:
+    from delta_lake_validation_spark.sources.dv import dv_unique_id
+
+    def _dv_of(files: dict, p: str):
+        return dv_unique_id((files.get(p) or {}).get("deletionVector"))
+
+    for p, m in prev_files.items():
+        # dropped paths AND paths whose deletion vector changed: the
+        # replaced entry is removed (carrying its old DV, per the protocol)
+        # and re-added below with the new one
+        if p not in current or _dv_of(prev_files, p) != _dv_of(current, p):
             actions.append(
                 {
                     "remove": {
                         "path": p,
                         "deletionTimestamp": now_ms,
                         "dataChange": True,
+                        **(
+                            {"deletionVector": m["deletionVector"]}
+                            if m.get("deletionVector")
+                            else {}
+                        ),
                     }
                 }
             )
     for rel, meta in current.items():
-        if rel in prev_files:
+        if rel in prev_files and _dv_of(prev_files, rel) == _dv_of(current, rel):
             continue
         stats = None
         if meta.get("numRecords") is not None:
@@ -992,6 +969,11 @@ def export_delta(table, version: int | None = None) -> int:
                     "modificationTime": now_ms,
                     "dataChange": True,
                     **({"stats": stats} if stats else {}),
+                    **(
+                        {"deletionVector": meta["deletionVector"]}
+                        if meta.get("deletionVector")
+                        else {}
+                    ),
                 }
             }
         )

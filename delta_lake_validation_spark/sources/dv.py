@@ -322,6 +322,75 @@ def inline_dv_descriptor(indices) -> dict:
     }
 
 
+def apply_dv_filter(
+    spark,
+    df,
+    dv_map: dict[str, bytes],
+    keep_member: bool = False,
+    file_col: str | None = None,
+    idx_col: str | None = None,
+):
+    """Bitmap membership filter on ``_metadata.row_index``, Arrow-batched
+    against the broadcast per-file bitmaps (shared by the Delta-interop
+    reader and the ACID layer's DV reads).
+
+    ``keep_member=False`` drops DV-deleted rows; ``keep_member=True``
+    keeps exactly the rows whose index IS in the bitmap (rows of files
+    absent from ``dv_map`` are dropped in that mode).  Decoded index
+    arrays are cached per Python worker, so each file's bitmap is decoded
+    once per executor, not once per Arrow batch.  DV blobs are log-scale
+    metadata (like the add-file list itself): broadcast whole, decoded
+    lazily."""
+    if not dv_map and not keep_member:
+        return df
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(dv_map)
+    decoded: dict[str, object] = {}  # worker-local cache
+
+    def _member_fn(file_path, row_index):
+        import numpy as np
+        import pandas as pd
+
+        from delta_lake_validation_spark.sources.dv import deserialize_bitmap
+        from delta_lake_validation_spark.sources.fs import strip_scheme
+
+        blobs = bc.value
+        member = np.zeros(len(file_path), dtype=bool)
+        frame = pd.DataFrame({"p": file_path.map(strip_scheme), "i": row_index})
+        for path, grp in frame.groupby("p", sort=False):
+            blob = blobs.get(path)
+            if blob is None:
+                continue
+            deleted = decoded.get(path)
+            if deleted is None:
+                deleted = deserialize_bitmap(blob)
+                decoded[path] = deleted
+            if len(deleted) == 0:
+                continue
+            idx = grp["i"].to_numpy(dtype=np.int64)
+            pos = np.clip(np.searchsorted(deleted, idx), 0, len(deleted) - 1)
+            member[grp.index.to_numpy()] = deleted[pos] == idx
+        return pd.Series(member)
+
+    _member = pandas_udf(_member_fn, "boolean")
+    if file_col is not None:
+        # caller already extracted file-path/row-index columns (and wants
+        # to keep them): filter in place
+        pred = _member(F.col(file_col), F.col(idx_col))
+        return df.filter(pred if keep_member else ~pred)
+    pred = _member(F.col("__dv_fp"), F.col("__dv_ri"))
+    if not keep_member:
+        pred = ~pred
+    return (
+        df.withColumn("__dv_fp", F.col("_metadata.file_path"))
+        .withColumn("__dv_ri", F.col("_metadata.row_index"))
+        .filter(pred)
+        .drop("__dv_fp", "__dv_ri")
+    )
+
+
 def dv_unique_id(descriptor: dict | None) -> tuple | None:
     """Reconciliation identity of a DV (protocol: log replay keys file
     entries by (path, dvId); None descriptor == no DV)."""
