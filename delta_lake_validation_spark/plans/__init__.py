@@ -84,6 +84,7 @@ _TIER_BY_NAME = {
     # averages via groupby_day_revenue/global_avg.  A3 itself remains
     # oracle-checked by the repo sweep.
     "boilerplate_spans": _reg.TIER_NEWFAM,
+    "dml_dv_delete": _reg.TIER_NEWFAM,
     "bigram_lm_score": _reg.TIER_NEWFAM,
 }
 

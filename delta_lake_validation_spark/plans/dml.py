@@ -122,6 +122,59 @@ def dml_delete_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_dv_delete",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'after_dv_delete' AS step,
+             (SELECT count(*) FROM nation WHERE n_nationkey % 5 <> 1) AS n_rows
+      UNION ALL
+      SELECT 'cdf_dv_deletes',
+             (SELECT count(*) FROM nation WHERE n_nationkey % 5 = 1)
+      UNION ALL
+      SELECT 'pre_delete_total', (SELECT count(*) FROM nation)
+      UNION ALL
+      SELECT 'after_second_dv_delete',
+             (SELECT count(*) FROM nation
+              WHERE n_nationkey % 5 <> 1 AND n_nationkey % 7 <> 3)
+      UNION ALL
+      SELECT 'files_rewritten', 0
+    ) ORDER BY step
+    """,
+    tags=("acid", "dml", "dv", "cdf"),
+    doc="Deletion-vector DELETE scenario (sources/acid/table.py "
+    "_delete_by_dv): two DV deletes with merged sidecars, zero files "
+    "rewritten (asserted as a graded row), time travel to the pre-delete "
+    "snapshot, and row-accurate CDF.  The no-rewrite contract is what "
+    "makes small deletes O(matched rows) at 100 TB.",
+)
+def dml_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    with _scratch() as loc:
+        t = AcidTable.create(
+            spark,
+            loc,
+            nation.schema,
+            properties={"enableChangeDataFeed": "true", "delete.mode": "dv"},
+        )
+        t.append(nation.coalesce(2))
+        files_before = set(t.snapshot().files)
+        t.delete("n_nationkey % 5 = 1")  # property routes to DV path
+        t.delete("n_nationkey % 7 = 3")  # merges into existing sidecars
+        files_after = set(t.snapshot().files)
+        deletes = t.read_changes(start_version=0).filter(
+            F.col("_change_type") == "delete"
+        )
+        rows = [
+            ("after_dv_delete", t.read(version=2).count()),
+            ("after_second_dv_delete", t.read().count()),
+            ("pre_delete_total", t.read(version=1).count()),
+            ("cdf_dv_deletes", deletes.filter("n_nationkey % 5 = 1").count()),
+            ("files_rewritten", len(files_after ^ files_before)),
+        ]
+    return _result(spark, rows)
+
+
+@register(
     "dml_merge_upsert",
     oracle="""
     SELECT * FROM (
