@@ -1741,3 +1741,200 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(ppm) div count(1)").alias("avg_ppm"),
         F.min("ppm").alias("min_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup (CCNet-style): split each document into
+# fixed-size token chunks, hash each chunk, mark every non-first global
+# occurrence as duplicated, report the per-doc duplicated-chunk fraction.
+# At 100 TB: the shuffle key is the 128-bit chunk digest (16 bytes), the
+# chunk text itself never shuffles (first-occurrence choice needs only
+# (digest, doc_id, chunk_idx)); per-digest groups are tiny, so the two
+# window functions over the digest partitioning stay skew-free.
+# ---------------------------------------------------------------------------
+@register(
+    "chunk_dedup",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             md5(list_aggregate(list_slice(t, i * 10 + 1, i * 10 + 10),
+                                'string_agg', ' ')) AS h
+      FROM toks, UNNEST(range(CAST(ceil(len(t) / 10.0) AS BIGINT))) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, chunk_idx,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx)
+               AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(floor(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 10000.0
+                      / count(*) + 0.5) / 10000.0 AS DOUBLE) AS dup_frac
+    FROM marked GROUP BY doc_id
+    """,
+    tags=("dedup", "text", "llm"),
+    doc="passage-level exact dedup: 10-token chunks, global first-occurrence "
+    "wins, per-doc duplicated-chunk fraction (CCNet paragraph-dedup shape)",
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.functions.aggregates import round_half_up
+
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(ceil(size(t) / 10.0) AS INT) - 1), "
+                "i -> struct(i AS chunk_idx, "
+                "md5(concat_ws(' ', slice(t, i * 10 + 1, 10))) AS h))"
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_idx", "c.h")
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    )
+    marked = chunks.withColumn("rn", rn)
+    dup = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        dup.alias("n_dup_chunks"),
+        round_half_up(
+            dup / F.count(F.lit(1)), 4
+        ).alias("dup_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps' law curve): cumulative distinct vocabulary vs
+# cumulative token volume over the corpus in doc-id order, bucketed.
+# At 100 TB: first-occurrence per type is a min() hash-agg keyed by the
+# token (bounded by vocabulary size, not corpus size); bucket totals are a
+# hash-agg keyed by bucket; the final cumulative window runs over a few
+# hundred bucket rows on one partition — driver-scale by construction.
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_growth",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, doc_id // 100 AS bucket, u.tok
+      FROM documents,
+           UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(tok)
+    ),
+    firsts AS (
+      SELECT tok, min(doc_id) // 100 AS first_bucket
+      FROM toks GROUP BY tok
+    ),
+    per_bucket AS (
+      SELECT bucket, count(*) AS n_tokens FROM toks GROUP BY bucket
+    ),
+    new_types AS (
+      SELECT first_bucket AS bucket, count(*) AS n_new
+      FROM firsts GROUP BY first_bucket
+    )
+    SELECT p.bucket,
+           CAST(sum(p.n_tokens) OVER (ORDER BY p.bucket) AS BIGINT)
+             AS cum_tokens,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY p.bucket) AS BIGINT)
+             AS cum_types
+    FROM per_bucket p LEFT JOIN new_types n ON p.bucket = n.bucket
+    """,
+    tags=("text", "llm", "stats"),
+    doc="Heaps'-law vocabulary growth: cumulative distinct types vs "
+    "cumulative tokens per 100-doc bucket in doc-id order",
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(
+        (F.col("doc_id") / 100).cast("long").alias("bucket"),
+        F.col("doc_id"),
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    )
+    firsts = toks.groupBy("tok").agg(
+        (F.min("doc_id") / 100).cast("long").alias("bucket")
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    new_types = firsts.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_new"))
+    joined = per_bucket.join(new_types, "bucket", "left").select(
+        "bucket",
+        "n_tokens",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "bucket",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("n_new").over(w).cast("long").alias("cum_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit: slope/intercept of ln(freq) ~ ln(rank) over the
+# term frequency table (the standard corpus-health diagnostic: natural text
+# sits near slope -1; synthetic or templated corpora flatten).
+# At 100 TB: term frequencies are a vocabulary-bounded hash-agg; ranking a
+# vocabulary-sized table is one modest sort; the regression is a single
+# scalar aggregate.  Nothing scales with corpus volume except the first agg.
+# ---------------------------------------------------------------------------
+@register(
+    "zipf_fit",
+    oracle=r"""
+    WITH tf AS (
+      SELECT u.tok, count(*) AS freq
+      FROM documents,
+           UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(tok)
+      GROUP BY u.tok
+    ),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+      FROM tf
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(floor(regr_slope(ln(freq), ln(rank)) * 10000.0 + 0.5)
+                / 10000.0 AS DOUBLE) AS zipf_slope,
+           CAST(floor(regr_intercept(ln(freq), ln(rank)) * 10000.0 + 0.5)
+                / 10000.0 AS DOUBLE) AS zipf_intercept
+    FROM ranked
+    """,
+    tags=("text", "llm", "stats"),
+    doc="Zipf rank-frequency regression over the corpus term table "
+    "(regr_slope/regr_intercept of ln freq ~ ln rank)",
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.functions.aggregates import round_half_up
+
+    docs = Tables(spark, sf_dir).documents
+    tf = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = tf.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("tok")))
+        .alias("rank"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        round_half_up(
+            F.expr("regr_slope(ln(freq), ln(rank))"), 4
+        ).alias("zipf_slope"),
+        round_half_up(
+            F.expr("regr_intercept(ln(freq), ln(rank))"), 4
+        ).alias("zipf_intercept"),
+    )

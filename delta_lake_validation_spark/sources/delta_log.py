@@ -91,22 +91,37 @@ class DeltaSnapshot:
         self.properties = properties
         self.metadata_id = metadata_id
         self.name = name
-        # column mapping (name mode): logical -> physical top-level names;
-        # identity mapping when the table has no mapping
+        # column mapping: logical -> physical top-level names; identity
+        # mapping when the table has no mapping.  Both 'name' and 'id' modes
+        # record delta.columnMapping.physicalName per field (protocol
+        # requirement), so resolution is by physical name in both; 'id' mode
+        # additionally requires the data files' parquet field-ids to agree
+        # with columnMapping.id — verified against sampled footers at read
+        # time (DeltaTable._verify_field_ids), refusing foreign-written
+        # files whose ids point at differently-named columns.
         mode = (properties or {}).get("delta.columnMapping.mode", "none")
-        if mode == "name":
+        self.mapping_mode = mode
+        if mode in ("name", "id"):
             self.physical = {
                 f.name: (f.metadata or {}).get(
                     "delta.columnMapping.physicalName", f.name
                 )
                 for f in schema.fields
             }
+            self.column_ids = {
+                (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                ): int((f.metadata or {}).get("delta.columnMapping.id"))
+                for f in schema.fields
+                if (f.metadata or {}).get("delta.columnMapping.id") is not None
+            }
         elif mode in ("none", ""):
             self.physical = {f.name: f.name for f in schema.fields}
+            self.column_ids = {}
         else:
             raise DeltaProtocolError(
-                f"columnMapping mode {mode!r} not supported (id mode needs "
-                "parquet field-id resolution); refusing to read incorrectly"
+                f"columnMapping mode {mode!r} not supported; "
+                "refusing to read incorrectly"
             )
 
     def phys(self, logical: str) -> str:
@@ -169,6 +184,7 @@ class DeltaTable:
         self._log_names = self._list_log()
         if not self._log_names:
             raise FileNotFoundError(f"no _delta_log at {self.location}")
+        self._idmode_verified: set[int] = set()
 
     # ------------------------------------------------------------- listing
     def _list_log(self) -> list[str]:
@@ -424,6 +440,8 @@ class DeltaTable:
         # all on-disk structure (file schema, partition dirs, partitionValues
         # keys) speaks PHYSICAL names; logical names are restored at the end
         # with a positional struct cast (identity when no mapping)
+        if snap.mapping_mode == "id":
+            self._verify_field_ids(snap)
         phys_schema = snap.physical_schema()
         phys_parts = [snap.phys(c) for c in snap.partition_columns]
         data_schema = StructType(
@@ -482,6 +500,68 @@ class DeltaTable:
                 )
             out = to_logical(df) if out is None else out.unionByName(to_logical(df))
         return out
+
+    # ----------------------------------------------- column mapping (id mode)
+    def _verify_field_ids(self, snap: DeltaSnapshot) -> None:
+        """id-mode read guard.  In ``columnMapping.mode = 'id'`` the
+        authoritative column resolution is the parquet field-id, not the
+        name; delta-spark writers emit files whose field-ids AND physical
+        names both agree with the table metadata, which lets us resolve by
+        ``columnMapping.physicalName`` exactly as in name mode — but a
+        foreign-written file (e.g. an Iceberg convert) may carry matching
+        ids under different physical names, which name resolution would
+        silently misread.  So before the first read of an id-mode snapshot
+        we open a bounded sample of data-file footers (driver-side, via the
+        Hadoop parquet reader so every supported filesystem works) and
+        refuse loudly unless each sampled file's field-ids are consistent
+        with the physicalName mapping."""
+        if snap.version in self._idmode_verified:
+            return
+        phys_parts = {snap.phys(c) for c in snap.partition_columns}
+        expect = {
+            p: i for p, i in snap.column_ids.items() if p not in phys_parts
+        }
+        if not expect:
+            raise DeltaProtocolError(
+                "columnMapping id mode requires delta.columnMapping.id on "
+                "every field; metadata carries none — refusing to read"
+            )
+        paths = sorted(snap.files)
+        sample = paths if len(paths) <= 16 else paths[:8] + paths[-8:]
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        for p in sample:
+            jpath = jvm.org.apache.hadoop.fs.Path(self._abs(p))
+            infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                jpath, hconf
+            )
+            reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+            try:
+                ms = reader.getFooter().getFileMetaData().getSchema()
+                ids: dict[int, str] = {}
+                for i in range(ms.getFieldCount()):
+                    f = ms.getType(i)
+                    fid = f.getId()
+                    if fid is not None:
+                        ids[int(fid.intValue())] = f.getName()
+            finally:
+                reader.close()
+            if not ids:
+                raise DeltaProtocolError(
+                    f"columnMapping id mode: data file {p} carries no "
+                    "parquet field-ids; id-based resolution is impossible "
+                    "— refusing to read incorrectly"
+                )
+            for phys, want in expect.items():
+                got = ids.get(want)
+                if got is not None and got != phys:
+                    raise DeltaProtocolError(
+                        f"columnMapping id mode: data file {p} stores field "
+                        f"id {want} as {got!r} but table metadata names it "
+                        f"{phys!r}; physical-name resolution would misread "
+                        "— refusing"
+                    )
+        self._idmode_verified.add(snap.version)
 
     # ------------------------------------------------------ deletion vectors
     def _dv_map(self, snap: DeltaSnapshot) -> dict[str, bytes]:
@@ -647,6 +727,8 @@ class DeltaTable:
         snap = self.snapshot(end_version)
         # change/data files speak physical names (column mapping); logical
         # names are restored in the final select
+        if snap.mapping_mode == "id":
+            self._verify_field_ids(snap)
         phys_schema = snap.physical_schema()
         phys_parts = [snap.phys(c) for c in snap.partition_columns]
         data_schema = StructType(

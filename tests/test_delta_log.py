@@ -718,6 +718,8 @@ def test_column_mapping_name_mode_read(spark, tmp_path):
 
 
 def test_column_mapping_id_mode_rejected(spark, tmp_path):
+    """id mode over files WITHOUT parquet field-ids (a plain Spark write):
+    id-based resolution is impossible, the read must refuse."""
     loc = tmp_path / "cmid"
     log = loc / "_delta_log"
     f = _write_parquet(spark, [Row(**{"col-aaaa": 1})], "`col-aaaa` int", loc / "d")
@@ -729,6 +731,86 @@ def test_column_mapping_id_mode_rejected(spark, tmp_path):
          meta, _add(f, partition_values={"col-bbbb": "x"})],
     )
     with pytest.raises(DeltaProtocolError, match="id mode"):
+        DeltaTable(spark, str(loc)).read()
+
+
+def _write_parquet_with_ids(path, rows, name_id_type):
+    """One parquet file whose footer carries PARQUET field-ids (the id-mode
+    writer contract), via pyarrow field metadata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = [
+        pa.field(n, t, metadata={b"PARQUET:field_id": str(i).encode()})
+        for n, i, t in name_id_type
+    ]
+    cols = {
+        n: [r.get(n) for r in rows] for n, _, _ in name_id_type
+    }
+    table = pa.table(cols, schema=pa.schema(fields))
+    path.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(table, str(path))
+
+
+def test_column_mapping_id_mode_read(spark, tmp_path):
+    """id mode over delta-writer-shaped files (field-ids agree with
+    columnMapping.id): full read restores logical names/types; partition
+    pruning and CDF inserts work like name mode."""
+    import pyarrow as pa
+
+    loc = tmp_path / "cmidok"
+    log = loc / "_delta_log"
+    _write_parquet_with_ids(
+        loc / "col-bbbb=x" / "part-0.parquet",
+        [{"col-aaaa": 1}, {"col-aaaa": 2}],
+        [("col-aaaa", 1, pa.int32())],
+    )
+    _write_parquet_with_ids(
+        loc / "col-bbbb=y" / "part-1.parquet",
+        [{"col-aaaa": 3}],
+        [("col-aaaa", 1, pa.int32())],
+    )
+    meta = _mapped_meta()
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    _write_commit(
+        log, 0,
+        [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+         meta,
+         _add("col-bbbb=x/part-0.parquet", partition_values={"col-bbbb": "x"}),
+         _add("col-bbbb=y/part-1.parquet", partition_values={"col-bbbb": "y"})],
+    )
+    t = DeltaTable(spark, str(loc))
+    df = t.read()
+    assert df.columns == ["v", "k"]
+    assert {(r.v, r.k) for r in df.collect()} == {(1, "x"), (2, "x"), (3, "y")}
+    ch = t.read_changes(0)
+    assert {(r.v, r.k, r._change_type) for r in ch.collect()} == {
+        (1, "x", "insert"), (2, "x", "insert"), (3, "y", "insert")
+    }
+
+
+def test_column_mapping_id_mode_foreign_names_rejected(spark, tmp_path):
+    """id mode over a foreign-written file whose field-id 1 lives under a
+    DIFFERENT physical name (the Iceberg-convert shape): physical-name
+    resolution would silently misread, so the reader must refuse."""
+    import pyarrow as pa
+
+    loc = tmp_path / "cmidbad"
+    log = loc / "_delta_log"
+    _write_parquet_with_ids(
+        loc / "col-bbbb=x" / "part-0.parquet",
+        [{"other-name": 1}],
+        [("other-name", 1, pa.int32())],
+    )
+    meta = _mapped_meta()
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    _write_commit(
+        log, 0,
+        [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+         meta,
+         _add("col-bbbb=x/part-0.parquet", partition_values={"col-bbbb": "x"})],
+    )
+    with pytest.raises(DeltaProtocolError, match="misread"):
         DeltaTable(spark, str(loc)).read()
 
 

@@ -61,6 +61,22 @@ EXPECTATIONS: dict[str, list[str]] = {
         "Window",
         "ReadSchema: struct<doc_id:bigint,text:string>",
     ],
+    # corpus-stat ops: all three must prune the scan to (doc_id, text) and
+    # stay aggregate/window pipelines
+    "chunk_dedup": [
+        "Window",
+        "HashAggregate",
+        "ReadSchema: struct<doc_id:bigint,text:string>",
+    ],
+    "vocab_growth": [
+        "HashAggregate",
+        "ReadSchema: struct<doc_id:bigint,text:string>",
+    ],
+    "zipf_fit": [
+        "Window",
+        "HashAggregate",
+        "ReadSchema: struct<text:string>",
+    ],
 }
 
 # query -> callable(plan) -> list of problem strings (empty = OK)
