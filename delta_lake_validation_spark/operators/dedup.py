@@ -134,6 +134,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     scale: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (left < right) with k-gram Jaccard ≥ threshold — EXACT, via
     distributed prefix filtering (PPJoin family).
@@ -170,7 +171,15 @@ def ngram_jaccard_pairs(
     # Lifecycle note: the cache entry lives until the session clears it
     # (bench.py and the grading driver clearCache() between queries); a
     # long-lived interactive session should clearCache() periodically.
-    sh = shingle_hashes(docs, id_col, text_col, k).persist()
+    # A caller that already holds the batch's shingles (the streaming sink
+    # runs batch-vs-index AND within-batch dedup over the same batch)
+    # passes them via ``shingles`` and keeps cache ownership.
+    own_sh = shingles is None
+    sh = (
+        shingle_hashes(docs, id_col, text_col, k).persist()
+        if own_sh
+        else shingles
+    )
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     prefix = _prefix_filter(_rank_positions(sh, dfreq), t_num, t_den)
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -220,7 +229,9 @@ def ngram_jaccard_pairs(
         )
     )
     out = verified.select("left_doc", "right_doc", "jaccard")
-    out._graft_caches = [sh]  # released by streaming callers after materializing
+    # released by streaming callers after materializing (empty when the
+    # caller owns the shingle cache)
+    out._graft_caches = [sh] if own_sh else []
     return out
 
 
@@ -567,6 +578,7 @@ def incremental_jaccard_pairs(
     k: int = 3,
     scale: int = 4,
     hash_mode: str = "xxhash64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT k-gram Jaccard pairs between a new batch and an indexed corpus
     (batch × corpus only — the incremental-ingestion shape): same lossless
@@ -589,7 +601,12 @@ def incremental_jaccard_pairs(
     frac = Fraction(threshold).limit_denominator(1_000_000)
     t_num, t_den = frac.numerator, frac.denominator
 
-    sh_b = shingle_hashes(batch, id_col, text_col, k, hash_mode).persist()
+    own_sh = shingles is None
+    sh_b = (
+        shingle_hashes(batch, id_col, text_col, k, hash_mode).persist()
+        if own_sh
+        else shingles
+    )
     pos_b = _rank_positions(sh_b, index["dfreq"].select("h", "df"), outer=True)
     a = _prefix_filter(pos_b, t_num, t_den).alias("a")  # batch
     b = _prefix_filter(index["pos"], t_num, t_den).alias("b")  # corpus
@@ -630,5 +647,112 @@ def incremental_jaccard_pairs(
         .withColumn("jaccard", round_half_up(F.col("inter") / F.col("uni"), scale))
     )
     out = verified.select("new_doc", "corpus_doc", "jaccard")
-    out._graft_caches = [sh_b]  # released by streaming callers after materializing
+    # released by streaming callers after materializing (empty when the
+    # caller owns the shingle cache)
+    out._graft_caches = [sh_b] if own_sh else []
+    return out
+
+
+def batch_dedup_pairs(
+    spark: SparkSession,
+    batch: DataFrame,
+    index: dict[str, DataFrame],
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    scale: int = 4,
+    hash_mode: str = "xxhash64",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Batch-vs-index AND within-batch exact Jaccard pairs in ONE plan:
+    the streaming sink needs both verdicts per micro-batch, and running
+    :func:`incremental_jaccard_pairs` + :func:`ngram_jaccard_pairs`
+    separately re-ranks and re-aggregates the same batch shingles twice.
+    Here a single corpus-frozen rank/prefix frame feeds both candidate
+    joins (the prefix theorem needs only *a* shared total order, so the
+    within-batch pairs rank by the corpus dfreq too — candidates differ,
+    the verified exact pairs do not), and one sorted-set aggregate serves
+    all verifications.
+
+    Returns (new_doc, match_doc, jaccard, within_batch): index matches have
+    within_batch=false; batch-internal pairs (new_doc < match_doc) true.
+    """
+    from fractions import Fraction
+
+    from delta_lake_validation_spark.functions.aggregates import round_half_up
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    t_num, t_den = frac.numerator, frac.denominator
+
+    own_sh = shingles is None
+    sh_b = (
+        shingle_hashes(batch, id_col, text_col, k, hash_mode).persist()
+        if own_sh
+        else shingles
+    )
+    pos_b = _rank_positions(sh_b, index["dfreq"].select("h", "df"), outer=True)
+    # the batch prefix frame feeds three joins (vs-corpus + both sides of
+    # within-batch): persist it, sized O(batch shingles)
+    pref_b = _prefix_filter(pos_b, t_num, t_den).persist()
+    pref_c = _prefix_filter(index["pos"], t_num, t_den)
+    sets_b = sh_b.groupBy("id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+
+    def cand(a, b, within: bool):
+        overlap_ub = (
+            F.least(
+                F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+            )
+            + 1
+        )
+        cond = (
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.sz") * t_num <= F.col("b.sz") * t_den)
+            & (F.col("b.sz") * t_num <= F.col("a.sz") * t_den)
+            & (
+                overlap_ub * F.lit(t_den + t_num)
+                >= F.lit(t_num) * (F.col("a.sz") + F.col("b.sz"))
+            )
+        )
+        if within:
+            cond = cond & (F.col("a.id") < F.col("b.id"))
+        return (
+            a.alias("a")
+            .join(b.alias("b"), cond)
+            .select(
+                F.col("a.id").alias("new_doc"), F.col("b.id").alias("match_doc")
+            )
+            .distinct()
+        )
+
+    def verify(cands, sets_right):
+        return (
+            cands.join(
+                sets_b.withColumnRenamed("id", "new_doc").withColumnRenamed(
+                    "hs", "hs_a"
+                ),
+                "new_doc",
+            )
+            .join(
+                sets_right.withColumnRenamed("id", "match_doc")
+                .withColumnRenamed("hs", "hs_b"),
+                "match_doc",
+            )
+            .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+            .withColumn("uni", F.size("hs_a") + F.size("hs_b") - F.col("inter"))
+            .filter(F.col("inter") * t_den >= F.col("uni") * t_num)
+            .withColumn(
+                "jaccard", round_half_up(F.col("inter") / F.col("uni"), scale)
+            )
+            .select("new_doc", "match_doc", "jaccard")
+        )
+
+    vs_index = verify(cand(pref_b, pref_c, within=False), index["sets"]).withColumn(
+        "within_batch", F.lit(False)
+    )
+    within = verify(cand(pref_b, pref_b, within=True), sets_b).withColumn(
+        "within_batch", F.lit(True)
+    )
+    out = vs_index.unionByName(within)
+    out._graft_caches = ([sh_b] if own_sh else []) + [pref_b]
     return out

@@ -56,9 +56,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from delta_lake_validation_spark.operators.dedup import (
+    batch_dedup_pairs,
     build_shingle_index,
-    incremental_jaccard_pairs,
-    ngram_jaccard_pairs,
     shingle_hashes,
 )
 from delta_lake_validation_spark.sources.acid.errors import AcidTableError
@@ -104,14 +103,37 @@ class DedupIndex:
             "sets": "id long, hs array<long>, src_batch long",
         }
         self_ = cls(spark, root)
-        for name in _INDEX_TABLES:
-            t = AcidTable.create(
-                spark,
-                f"{self_.root}/{name}",
-                schemas[name],
-                properties={_K_PROP: str(k)},
-            )
-            t.append(idx[name].withColumn("src_batch", F.lit(-1).cast("long")))
+        # three independent tables: seed them in parallel threads so the
+        # write jobs overlap (the first materializes the shared persisted
+        # shingle scan inside build_shingle_index; the others reuse it)
+        from pyspark import InheritableThread
+
+        errors: list[BaseException] = []
+
+        def _seed(name: str) -> None:
+            try:
+                t = AcidTable.create(
+                    spark,
+                    f"{self_.root}/{name}",
+                    schemas[name],
+                    properties={_K_PROP: str(k)},
+                )
+                t.append(
+                    idx[name].withColumn("src_batch", F.lit(-1).cast("long"))
+                )
+            except BaseException as e:  # re-raised on the driver thread
+                errors.append(e)
+
+        threads = [
+            InheritableThread(target=_seed, args=(name,))
+            for name in _INDEX_TABLES
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
         return self_
 
     def _check_k(self, k: int) -> None:
@@ -165,20 +187,30 @@ class DedupIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         k: int = 3,
+        shingles: DataFrame | None = None,
     ) -> None:
         """Fold a batch into the index under the FROZEN rarity order: the
         batch's prefix positions are computed against the stored dfreq (df=0
         for unseen shingles), its own shingles append to dfreq as new rows
         (frozen means we deliberately do NOT update existing counts).
-        Ids already present in the index are NOT re-folded (write-once)."""
+        Ids already present in the index are NOT re-folded (write-once).
+        ``shingles`` (the batch's full shingle_hashes frame, cache owned by
+        the caller) skips re-tokenizing the batch — the write-once filter
+        then applies as an id anti-join on the shingle rows."""
         from pyspark.sql import functions as F
 
         self._check_k(k)
         existing_ids = self._table("sets").read().select("id")
-        fresh = batch.join(
-            existing_ids, batch[id_col] == existing_ids.id, "left_anti"
-        )
-        sh = shingle_hashes(fresh, id_col, text_col, k).persist()
+        own_sh = shingles is None
+        if own_sh:
+            fresh = batch.join(
+                existing_ids, batch[id_col] == existing_ids.id, "left_anti"
+            )
+            sh = shingle_hashes(fresh, id_col, text_col, k).persist()
+        else:
+            sh = shingles.join(
+                existing_ids, shingles["id"] == existing_ids.id, "left_anti"
+            )
         try:
             from delta_lake_validation_spark.operators.dedup import _rank_positions
 
@@ -202,13 +234,54 @@ class DedupIndex:
                 .withColumn("src_batch", tag)
             )
             params = {"streamQueryId": query_id, "streamBatchId": int(batch_id)}
-            for name, df in (("pos", pos), ("sets", sets), ("dfreq", new_h)):
-                if batch_id <= self._floor(name, query_id):
-                    continue  # replay after restart: already folded
-                self._table(name).append(df, operation_parameters=params)
+            # the three index tables are independent — append in parallel
+            # threads so their jobs overlap (the first to run materializes
+            # the shared persisted shingles; the others reuse the cache).
+            # Floors are primed before the threads and updated after join:
+            # the dict mutation stays on the driver thread.
+            from pyspark import InheritableThread
+
+            todo = [
+                (name, df)
+                for name, df in (("pos", pos), ("sets", sets), ("dfreq", new_h))
+                if batch_id > self._floor(name, query_id)
+            ]
+            errors: list[BaseException] = []
+            done: list[str] = []
+
+            def _append(name: str, df: DataFrame) -> None:
+                try:
+                    if name == "dfreq" and df.isEmpty():
+                        # saturated vocabulary (the steady state): no new
+                        # shingles — skip the empty commit entirely rather
+                        # than lengthen the dfreq log every batch.  Safe for
+                        # replay: an empty fold is idempotent whether or not
+                        # a floor records it.
+                        done.append(name)
+                        return
+                    self._table(name).append(df, operation_parameters=params)
+                    done.append(name)
+                except BaseException as e:  # re-raised on the driver thread
+                    errors.append(e)
+
+            threads = [
+                InheritableThread(target=_append, args=(name, df))
+                for name, df in todo
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            # committed tables advance their floor even when a sibling
+            # failed: an in-process retry of this batch must not re-append
+            # what already landed (list.append is GIL-atomic)
+            for name in done:
                 self._floors[(name, query_id)] = int(batch_id)
+            if errors:
+                raise errors[0]
         finally:
-            sh.unpersist()
+            if own_sh:
+                sh.unpersist()
 
 
 def dedup_stream_sink(
@@ -251,13 +324,18 @@ def dedup_stream_sink(
             # so a committed result implies the index commits landed too)
             return
         batch = batch.persist()
+        # one shingle scan serves the index lookup, the within-batch dedup,
+        # AND the index fold (three tokenize+persist chains collapse to one)
+        sh_b = shingle_hashes(batch, id_col, text_col, k).persist()
         try:
             # exclude exactly the index rows THIS batch folded (if any):
             # after a crash between the index and results commits, replay
             # then reproduces the pre-batch lookup bit-for-bit.  Rows from
             # other batches — including older copies of re-sent ids — stay
-            # visible, so legitimate matches are never dropped.
-            vs_raw = incremental_jaccard_pairs(
+            # visible, so legitimate matches are never dropped.  One
+            # combined plan emits index matches AND within-batch pairs from
+            # a single rank/prefix frame over the shared shingles.
+            pairs_raw = batch_dedup_pairs(
                 spark,
                 batch,
                 index.frames(exclude_batch=batch_id),
@@ -265,37 +343,22 @@ def dedup_stream_sink(
                 id_col,
                 text_col,
                 k,
+                shingles=sh_b,
             )
-            within_raw = ngram_jaccard_pairs(
-                spark, batch, threshold, id_col, text_col, k
-            )
-            vs_index = vs_raw.select(
-                F.col("new_doc"),
-                F.col("corpus_doc").alias("match_doc"),
-                "jaccard",
-                F.lit(False).alias("within_batch"),
-            )
-            within = within_raw.select(
-                F.col("left_doc").alias("new_doc"),
-                F.col("right_doc").alias("match_doc"),
-                "jaccard",
-                F.lit(True).alias("within_batch"),
-            )
-            verdicts = vs_index.unionByName(within).withColumn(
-                "batch_id", F.lit(int(batch_id))
-            )
+            verdicts = pairs_raw.withColumn("batch_id", F.lit(int(batch_id)))
             # materialize verdicts BEFORE mutating the index (executor-side
             # — localCheckpoint cuts the lineage so the later write cannot
             # re-evaluate against the post-append index state; never a
             # driver collect, so verdict volume doesn't bound batch size)
             verdicts = verdicts.localCheckpoint(eager=True)
-            # verdicts are materialized: release the operators' internal
-            # shingle caches NOW, or a long-running stream pins one cached
-            # RDD per operator per micro-batch until storage pressure
-            for src in (vs_raw, within_raw):
-                for cached in getattr(src, "_graft_caches", []):
-                    cached.unpersist()
-            index.append_batch(batch, batch_id, query_id, id_col, text_col, k)
+            # verdicts are materialized: release the operator's internal
+            # caches NOW, or a long-running stream pins one cached RDD per
+            # operator per micro-batch until storage pressure
+            for cached in getattr(pairs_raw, "_graft_caches", []):
+                cached.unpersist()
+            index.append_batch(
+                batch, batch_id, query_id, id_col, text_col, k, shingles=sh_b
+            )
             results.append(
                 verdicts,
                 operation_parameters={
@@ -305,6 +368,7 @@ def dedup_stream_sink(
             )
             results_floor["floor"] = int(batch_id)
         finally:
+            sh_b.unpersist()
             batch.unpersist()
 
     return write_batch
