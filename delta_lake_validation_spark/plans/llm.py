@@ -1938,3 +1938,123 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regr_intercept(ln(freq), ln(rank))"), 4
         ).alias("zipf_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding k-means (Lloyd's algorithm, fixed 2 iterations, deterministic):
+# the clustering member of the similarity family.  All distance/centroid
+# math runs in SHIFTED INTEGER MICRO-SPACE (floor(x·1e6 + 0.5) + 1e6 ≥ 0):
+# integer sums are associative, so assignments and updated centroids are
+# bit-identical on any engine and any partitioning — which is what lets a
+# genuinely iterative algorithm be value-hash graded against DuckDB.
+# At 100 TB: assignment is a broadcast-k flat map (no shuffle); the update
+# is one partial-aggregated shuffle keyed by (cluster, dim) — k·64 cells
+# regardless of corpus size; two bounded centroid collects (k rows each).
+# ---------------------------------------------------------------------------
+@register(
+    "kmeans_clusters",
+    oracle=r"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                    + 1000000) AS iv
+      FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cid, iv AS c FROM emb WHERE vec_id < 8),
+    -- list_sum accumulates through floating point; the per-dim UNNEST sum
+    -- stays integer-exact end to end
+    d1 AS (
+      SELECT e.vec_id, s.cid,
+             CAST(sum((e.iv[u.i] - s.c[u.i]) * (e.iv[u.i] - s.c[u.i]))
+                  AS BIGINT) AS dist
+      FROM emb e CROSS JOIN seeds s, UNNEST(range(1, 65)) u(i)
+      GROUP BY e.vec_id, s.cid
+    ),
+    a1 AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn FROM d1
+      ) WHERE rn = 1
+    ),
+    cells AS (
+      SELECT a1.cid, u.i AS dim, e.iv[u.i] AS val
+      FROM a1 JOIN emb e USING (vec_id), UNNEST(range(1, 65)) u(i)
+    ),
+    upd AS (
+      SELECT cid, list((2 * s + n) // (2 * n) ORDER BY dim) AS c
+      FROM (SELECT cid, dim, sum(val) AS s, count(*) AS n
+            FROM cells GROUP BY cid, dim)
+      GROUP BY cid
+    ),
+    c1 AS (
+      SELECT s.cid, coalesce(u.c, s.c) AS c
+      FROM seeds s LEFT JOIN upd u ON s.cid = u.cid
+    ),
+    d2 AS (
+      SELECT e.vec_id, c1.cid,
+             CAST(sum((e.iv[u.i] - c1.c[u.i]) * (e.iv[u.i] - c1.c[u.i]))
+                  AS BIGINT) AS dist
+      FROM emb e CROSS JOIN c1, UNNEST(range(1, 65)) u(i)
+      GROUP BY e.vec_id, c1.cid
+    )
+    SELECT vec_id, cid AS cluster, dist AS dist_micro FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) AS rn FROM d2
+    ) WHERE rn = 1
+    """,
+    tags=("similarity", "clustering", "llm"),
+    doc="k-means over embeddings (k=8, 2 Lloyd iterations, seeds = vec_id "
+    "< 8): broadcast-centroid integer-exact assignment, (cluster, dim) "
+    "partial-agg centroid update, empty clusters keep their seed",
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Tables(spark, sf_dir).embeddings.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+            "* 1000000 + 0.5) AS BIGINT) + 1000000)"
+        ).alias("iv"),
+    )
+    seeds = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("cid"), F.col("iv").alias("c")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        dist = F.expr(
+            "aggregate(zip_with(iv, c, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        scored = emb.crossJoin(F.broadcast(cents)).withColumn("dist", dist)
+        best = scored.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cid")).alias("b")
+        )
+        return best.select(
+            "vec_id", F.col("b.cid").alias("cid"), F.col("b.dist").alias("dist")
+        )
+
+    a1 = assign(seeds)
+    cells = (
+        a1.join(emb, "vec_id")
+        .select("cid", F.posexplode("iv").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    upd = (
+        cells.select(
+            "cid", "dim", F.expr("(2 * s + n) div (2 * n)").alias("m")
+        )
+        .groupBy("cid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), "
+                "x -> x.m)"
+            ).alias("c")
+        )
+    )
+    c1 = seeds.select("cid", F.col("c").alias("c0")).join(
+        upd, "cid", "left"
+    ).select("cid", F.coalesce("c", "c0").alias("c"))
+    return assign(c1).select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("dist").alias("dist_micro")
+    )

@@ -1103,3 +1103,45 @@ def test_in_commit_timestamp_precedence(spark, tmp_path):
     # 1700000200s falls between the two ICTs -> v0 only
     got = {r["id"] for r in t.read(timestamp="2023-11-14T22:16:40+00:00").collect()}
     assert got == {1}
+
+
+def test_timestamp_ntz_read(spark, tmp_path):
+    """timestampNtz reader feature (protocol v3): a timestamp_ntz column
+    round-trips with no timezone shift and time travel sees it."""
+    import datetime
+
+    loc = tmp_path / "ntz"
+    log = loc / "_delta_log"
+    ts = datetime.datetime(2024, 3, 1, 12, 30, 0)
+    f = _write_parquet(
+        spark, [Row(id=1, ts=ts)], "id int, ts timestamp_ntz", loc / "d"
+    )
+    fields = [
+        {"name": "id", "type": "integer", "nullable": True, "metadata": {}},
+        {"name": "ts", "type": "timestamp_ntz", "nullable": True, "metadata": {}},
+    ]
+    meta = {
+        "metaData": {
+            "id": "ntz",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz"],
+            "writerFeatures": ["timestampNtz"],
+        }
+    }
+    _write_commit(log, 0, [proto, meta, _add(f)])
+    t = DeltaTable(spark, str(loc))
+    df = t.read()
+    assert [f.dataType.typeName() for f in df.schema.fields] == [
+        "integer", "timestamp_ntz"
+    ]
+    assert df.collect()[0].ts == ts
+    assert t.read(version=0).count() == 1
