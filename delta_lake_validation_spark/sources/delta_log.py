@@ -60,6 +60,10 @@ _SUPPORTED_READER_FEATURES = {
     "v2Checkpoint",  # UUID-named json/parquet manifests + _sidecars/
     # parquet action files (_checkpoint_actions); classic checkpoints
     # still preferred when both exist at the same version
+    "typeWidening",  # read with the snapshot's (widened) schema: Spark's
+    # parquet reader performs every spec promotion (int->long/double/
+    # decimal, float->double, date->timestamp_ntz) on narrower files
+    "typeWidening-preview",  # same mechanism, pre-GA feature name
 }
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")

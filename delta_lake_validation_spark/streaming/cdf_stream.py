@@ -113,3 +113,32 @@ class CommittedChangeFeed:
         df = table.read_changes(self.position, latest)
         self.position = latest + 1
         return df
+
+
+class DeltaCommittedChangeFeed:
+    """:class:`CommittedChangeFeed` over a REAL Delta table (`_delta_log`):
+    poll-driven incremental consumption of a table other engines write.
+    Each ``next_batch`` walks only the new log entries and serves their
+    changes through ``DeltaTable.read_changes`` (cdc files when present,
+    synthesized insert/delete rows otherwise, DV bitmap diffs for
+    deletion-vector commits) with the standard CDF contract columns.
+
+    The cursor is caller-persistable state (``feed.position``), exactly as
+    the ACID feed documents; a fresh :class:`DeltaTable` per poll re-lists
+    the log, so commits landed by any writer become visible."""
+
+    def __init__(self, spark: SparkSession, location: str, start_version: int = 0):
+        self.spark = spark
+        self.location = location
+        self.position = start_version  # next version to serve
+
+    def next_batch(self) -> DataFrame | None:
+        from delta_lake_validation_spark.sources.delta_log import DeltaTable
+
+        table = DeltaTable(self.spark, self.location)
+        latest = table.latest_version()
+        if latest < self.position:
+            return None
+        df = table.read_changes(self.position, latest)
+        self.position = latest + 1
+        return df

@@ -266,15 +266,15 @@ def test_rejects_unsupported_reader_features(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["typeWidening"],
-                    "writerFeatures": ["typeWidening"],
+                    "readerFeatures": ["variantType"],
+                    "writerFeatures": ["variantType"],
                 }
             },
             _meta([("id", "integer")]),
             _add(f1),
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="typeWidening"):
+    with pytest.raises(DeltaProtocolError, match="variantType"):
         read_delta(spark, str(loc))
 
 
@@ -1145,3 +1145,34 @@ def test_timestamp_ntz_read(spark, tmp_path):
     ]
     assert df.collect()[0].ts == ts
     assert t.read(version=0).count() == 1
+
+
+def test_type_widening_read(spark, tmp_path):
+    """typeWidening reader feature: files written before the widen keep the
+    narrow physical type (int32); the snapshot schema says long, and the
+    read serves BOTH generations as long.  Time travel to the pre-widen
+    version reads the old (narrow) schema."""
+    loc = tmp_path / "widen"
+    log = loc / "_delta_log"
+    f0 = _write_parquet(spark, [Row(a=1)], "a int", loc / "g0")
+    f1 = _write_parquet(spark, [Row(a=5_000_000_000)], "a long", loc / "g1")
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"],
+        }
+    }
+    _write_commit(
+        log, 0,
+        [proto, _meta([("a", "integer")], meta_id="w"), _add(f0)],
+    )
+    _write_commit(log, 1, [_meta([("a", "long")], meta_id="w"), _add(f1)])
+    t = DeltaTable(spark, str(loc))
+    df = t.read()
+    assert df.schema.fields[0].dataType.typeName() == "long"
+    assert {r.a for r in df.collect()} == {1, 5_000_000_000}
+    old = t.read(version=0)
+    assert old.schema.fields[0].dataType.typeName() == "integer"
+    assert {r.a for r in old.collect()} == {1}

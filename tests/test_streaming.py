@@ -371,3 +371,78 @@ def test_committed_change_feed_ignores_uncommitted_files(spark, tmp_path):
     rows = {(r.id, r._change_type) for r in b2.collect()}
     assert (1, "delete") in rows
     assert all(r[0] != 99 for r in rows)  # stray file never surfaces
+
+
+def test_delta_committed_change_feed(spark, tmp_path):
+    """DeltaCommittedChangeFeed consumes a REAL `_delta_log` incrementally:
+    appends surface as inserts, a whole-file delete as deletes, and a new
+    feed instance resumes exactly-once from the persisted cursor."""
+    import json as _json
+
+    from delta_lake_validation_spark.streaming.cdf_stream import (
+        DeltaCommittedChangeFeed,
+    )
+
+    loc = tmp_path / "dt"
+    log = loc / "_delta_log"
+
+    def _wp(rows, sub):
+        spark.createDataFrame(rows, "id int").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(loc / sub))
+        f = next(
+            p.name for p in (loc / sub).iterdir() if p.name.endswith(".parquet")
+        )
+        return f"{sub}/{f}"
+
+    def _commit(v, actions):
+        log.mkdir(parents=True, exist_ok=True)
+        (log / f"{v:020d}.json").write_text(
+            "\n".join(_json.dumps(a) for a in actions) + "\n"
+        )
+
+    meta = {
+        "metaData": {
+            "id": "feed",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "id", "type": "integer",
+                         "nullable": True, "metadata": {}}
+                    ],
+                }
+            ),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    f0 = _wp([(1,), (2,)], "g0")
+    _commit(0, [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                meta,
+                {"add": {"path": f0, "partitionValues": {}, "size": 1,
+                         "modificationTime": 1700000000000,
+                         "dataChange": True}}])
+    feed = DeltaCommittedChangeFeed(spark, str(loc))
+    b0 = feed.next_batch()
+    assert {(r.id, r._change_type) for r in b0.collect()} == {
+        (1, "insert"), (2, "insert")
+    }
+    assert feed.next_batch() is None
+
+    # another writer lands two more commits: append + whole-file delete
+    f1 = _wp([(3,)], "g1")
+    _commit(1, [{"add": {"path": f1, "partitionValues": {}, "size": 1,
+                         "modificationTime": 1700000001000,
+                         "dataChange": True}}])
+    _commit(2, [{"remove": {"path": f0,
+                            "deletionTimestamp": 1700000002000,
+                            "dataChange": True}}])
+    feed2 = DeltaCommittedChangeFeed(
+        spark, str(loc), start_version=feed.position
+    )
+    b1 = feed2.next_batch()
+    rows = {(r.id, r._change_type, r._commit_version) for r in b1.collect()}
+    assert rows == {(3, "insert", 1), (1, "delete", 2), (2, "delete", 2)}
+    assert feed2.next_batch() is None
