@@ -123,6 +123,80 @@ def _prefix_filter(pos_df: DataFrame, t_num: int, t_den: int) -> DataFrame:
     return pos_df.filter(F.col("pos") <= F.col("sz") - F.floor(ceil_t_sz) + 1)
 
 
+def _ppjoin_candidates(
+    a_pref: DataFrame,
+    b_pref: DataFrame,
+    t_num: int,
+    t_den: int,
+    left: str,
+    right: str,
+    require_lt: bool = False,
+) -> DataFrame:
+    """The ONE implementation of the lossless PPJoin candidate join between
+    two prefix frames (each (id, h, pos, sz)): shared-prefix-shingle equality
+    + the size-ratio bound (J ≥ t ⟹ t·|A| ≤ |B| ∧ t·|B| ≤ |A|) + the
+    positional overlap upper bound (at shared shingle positions (pa, pb),
+    overlap ≤ min(|A|−pa, |B|−pb)+1, and J ≥ t ⟺ overlap ≥
+    ceil(t·(|A|+|B|)/(1+t)); integer form of x ≥ ceil(y/d): x·d ≥ y).
+    ``require_lt`` adds a.id < b.id for self-joins.  A bound-math fix lands
+    here once, for every PPJoin-family operator."""
+    overlap_ub = (
+        F.least(F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos"))
+        + 1
+    )
+    cond = (
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.sz") * t_num <= F.col("b.sz") * t_den)
+        & (F.col("b.sz") * t_num <= F.col("a.sz") * t_den)
+        & (
+            overlap_ub * F.lit(t_den + t_num)
+            >= F.lit(t_num) * (F.col("a.sz") + F.col("b.sz"))
+        )
+    )
+    if require_lt:
+        cond = cond & (F.col("a.id") < F.col("b.id"))
+    return (
+        a_pref.alias("a")
+        .join(b_pref.alias("b"), cond)
+        .select(F.col("a.id").alias(left), F.col("b.id").alias(right))
+        .distinct()
+    )
+
+
+def _verify_pairs(
+    cand: DataFrame,
+    sets_a: DataFrame,
+    sets_b: DataFrame,
+    t_num: int,
+    t_den: int,
+    scale: int,
+    left: str,
+    right: str,
+) -> DataFrame:
+    """The ONE exact-Jaccard verification: join candidates to both (id, hs)
+    sorted-set frames, intersect JVM-side, threshold on the unrounded ratio
+    via exact cross-multiplication (float-rounded thresholds and engine
+    round() ties both produced off-by-one row counts at sf0.1), display
+    value in explicit half-up rounding."""
+    from delta_lake_validation_spark.functions.aggregates import round_half_up
+
+    return (
+        cand.join(
+            sets_a.withColumnRenamed("id", left).withColumnRenamed("hs", "hs_a"),
+            left,
+        )
+        .join(
+            sets_b.withColumnRenamed("id", right).withColumnRenamed("hs", "hs_b"),
+            right,
+        )
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn("uni", F.size("hs_a") + F.size("hs_b") - F.col("inter"))
+        .filter(F.col("inter") * t_den >= F.col("uni") * t_num)
+        .withColumn("jaccard", round_half_up(F.col("inter") / F.col("uni"), scale))
+        .select(left, right, "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard self-join
 # ---------------------------------------------------------------------------
@@ -134,12 +208,12 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     scale: int = 4,
-    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (left < right) with k-gram Jaccard ≥ threshold — EXACT, via
     distributed prefix filtering (PPJoin family).
 
-    Two provably lossless candidate filters compose:
+    Two provably lossless candidate filters compose (both live in
+    :func:`_ppjoin_candidates`):
 
     1. *Prefix filter*: order each document's shingles by global rarity
        (document frequency, tie-broken by hash — a total order).  For
@@ -150,19 +224,17 @@ def ngram_jaccard_pairs(
     2. *Size-ratio filter*: J ≥ t ⟹ t ≤ |A|/|B| ≤ 1/t, applied inside the
        join condition.
 
-    Verification computes true Jaccard with native array_intersect on the
-    (sorted) hash sets — JVM-side, only for surviving candidates.  Every
-    stage is a DataFrame op: no driver collect, no broadcast of the corpus;
-    shuffles are by shingle hash (candidates) and doc id (sets) — the shape
-    that scales to billions of documents.
+    Verification (:func:`_verify_pairs`) computes true Jaccard with native
+    array_intersect on the (sorted) hash sets — JVM-side, only for surviving
+    candidates.  Every stage is a DataFrame op: no driver collect, no
+    broadcast of the corpus; shuffles are by shingle hash (candidates) and
+    doc id (sets) — the shape that scales to billions of documents.
     """
     from fractions import Fraction
 
-    from pyspark.sql import Window
-
     # exact rational threshold: float 0.8 is 0.8000000000000000444…, which
     # silently breaks the "lossless" bounds exactly at J == t (a 35/28-sized
-    # pair was pruned at sf0.1).  All bound math below is integer.
+    # pair was pruned at sf0.1).  All bound math is integer.
     frac = Fraction(threshold).limit_denominator(1_000_000)
     t_num, t_den = frac.numerator, frac.denominator
 
@@ -171,67 +243,17 @@ def ngram_jaccard_pairs(
     # Lifecycle note: the cache entry lives until the session clears it
     # (bench.py and the grading driver clearCache() between queries); a
     # long-lived interactive session should clearCache() periodically.
-    # A caller that already holds the batch's shingles (the streaming sink
-    # runs batch-vs-index AND within-batch dedup over the same batch)
-    # passes them via ``shingles`` and keeps cache ownership.
-    own_sh = shingles is None
-    sh = (
-        shingle_hashes(docs, id_col, text_col, k).persist()
-        if own_sh
-        else shingles
-    )
+    sh = shingle_hashes(docs, id_col, text_col, k).persist()
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     prefix = _prefix_filter(_rank_positions(sh, dfreq), t_num, t_den)
-    a, b = prefix.alias("a"), prefix.alias("b")
-    # positional upper bound (PPJoin proper): at a shared prefix shingle at
-    # positions (pa, pb), overlap can't exceed min(|A|-pa, |B|-pb)+1, and
-    # J >= t ⟺ overlap >= ceil(t·(|A|+|B|)/(1+t)).  A true pair always
-    # passes at its first shared prefix shingle, so keeping pairs where ANY
-    # shared shingle passes is lossless (verification below is exact anyway
-    # — this only prunes candidates).  Integer form of x >= ceil(y/d): x·d >= y.
-    overlap_ub = (
-        F.least(
-            F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
-        )
-        + 1
+    cand = _ppjoin_candidates(
+        prefix, prefix, t_num, t_den, "left_doc", "right_doc", require_lt=True
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.id") < F.col("b.id"))
-            # size-ratio bound J >= t ⟹ t·|A| <= |B|, as exact integers
-            & (F.col("a.sz") * t_num <= F.col("b.sz") * t_den)
-            & (F.col("b.sz") * t_num <= F.col("a.sz") * t_den)
-            & (
-                overlap_ub * F.lit(t_den + t_num)
-                >= F.lit(t_num) * (F.col("a.sz") + F.col("b.sz"))
-            ),
-        )
-        .select(F.col("a.id").alias("left_doc"), F.col("b.id").alias("right_doc"))
-        .distinct()
-    )
-    from delta_lake_validation_spark.functions.aggregates import round_half_up
-
     sets = sh.groupBy("id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
-    verified = (
-        cand.join(sets.withColumnRenamed("id", "left_doc").withColumnRenamed("hs", "hs_a"), "left_doc")
-        .join(sets.withColumnRenamed("id", "right_doc").withColumnRenamed("hs", "hs_b"), "right_doc")
-        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
-        .withColumn("uni", F.size("hs_a") + F.size("hs_b") - F.col("inter"))
-        # threshold on the UNROUNDED ratio via exact cross-multiplication —
-        # float-rounded thresholds and engine round() ties both produced
-        # off-by-one row counts at sf0.1.  Display value uses explicit
-        # half-up.
-        .filter(F.col("inter") * t_den >= F.col("uni") * t_num)
-        .withColumn(
-            "jaccard", round_half_up(F.col("inter") / F.col("uni"), scale)
-        )
+    out = _verify_pairs(
+        cand, sets, sets, t_num, t_den, scale, "left_doc", "right_doc"
     )
-    out = verified.select("left_doc", "right_doc", "jaccard")
-    # released by streaming callers after materializing (empty when the
-    # caller owns the shingle cache)
-    out._graft_caches = [sh] if own_sh else []
+    out._graft_caches = [sh]  # released by streaming callers after materializing
     return out
 
 
@@ -578,12 +600,11 @@ def incremental_jaccard_pairs(
     k: int = 3,
     scale: int = 4,
     hash_mode: str = "xxhash64",
-    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT k-gram Jaccard pairs between a new batch and an indexed corpus
     (batch × corpus only — the incremental-ingestion shape): same lossless
-    PPJoin prefix + size-ratio + positional bounds as
-    :func:`ngram_jaccard_pairs`, but the corpus side comes entirely from the
+    bounds as :func:`ngram_jaccard_pairs` (shared :func:`_ppjoin_candidates`
+    / :func:`_verify_pairs`), but the corpus side comes entirely from the
     prebuilt index — corpus text is never re-shingled or re-scanned.
 
     Ordering consistency: BOTH sides rank shingles by the *corpus* document
@@ -594,62 +615,21 @@ def incremental_jaccard_pairs(
     """
     from fractions import Fraction
 
-    from pyspark.sql import Window
-
-    from delta_lake_validation_spark.functions.aggregates import round_half_up
-
     frac = Fraction(threshold).limit_denominator(1_000_000)
     t_num, t_den = frac.numerator, frac.denominator
 
-    own_sh = shingles is None
-    sh_b = (
-        shingle_hashes(batch, id_col, text_col, k, hash_mode).persist()
-        if own_sh
-        else shingles
-    )
+    sh_b = shingle_hashes(batch, id_col, text_col, k, hash_mode).persist()
     pos_b = _rank_positions(sh_b, index["dfreq"].select("h", "df"), outer=True)
-    a = _prefix_filter(pos_b, t_num, t_den).alias("a")  # batch
-    b = _prefix_filter(index["pos"], t_num, t_den).alias("b")  # corpus
-    overlap_ub = (
-        F.least(F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")) + 1
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.sz") * t_num <= F.col("b.sz") * t_den)
-            & (F.col("b.sz") * t_num <= F.col("a.sz") * t_den)
-            & (
-                overlap_ub * F.lit(t_den + t_num)
-                >= F.lit(t_num) * (F.col("a.sz") + F.col("b.sz"))
-            ),
-        )
-        .select(F.col("a.id").alias("new_doc"), F.col("b.id").alias("corpus_doc"))
-        .distinct()
+    pref_b = _prefix_filter(pos_b, t_num, t_den)  # batch
+    pref_c = _prefix_filter(index["pos"], t_num, t_den)  # corpus
+    cand = _ppjoin_candidates(
+        pref_b, pref_c, t_num, t_den, "new_doc", "corpus_doc"
     )
     sets_b = sh_b.groupBy("id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
-    verified = (
-        cand.join(
-            sets_b.withColumnRenamed("id", "new_doc").withColumnRenamed(
-                "hs", "hs_a"
-            ),
-            "new_doc",
-        )
-        .join(
-            index["sets"]
-            .withColumnRenamed("id", "corpus_doc")
-            .withColumnRenamed("hs", "hs_b"),
-            "corpus_doc",
-        )
-        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
-        .withColumn("uni", F.size("hs_a") + F.size("hs_b") - F.col("inter"))
-        .filter(F.col("inter") * t_den >= F.col("uni") * t_num)
-        .withColumn("jaccard", round_half_up(F.col("inter") / F.col("uni"), scale))
+    out = _verify_pairs(
+        cand, sets_b, index["sets"], t_num, t_den, scale, "new_doc", "corpus_doc"
     )
-    out = verified.select("new_doc", "corpus_doc", "jaccard")
-    # released by streaming callers after materializing (empty when the
-    # caller owns the shingle cache)
-    out._graft_caches = [sh_b] if own_sh else []
+    out._graft_caches = [sh_b]  # released by streaming callers after materializing
     return out
 
 
@@ -673,14 +653,13 @@ def batch_dedup_pairs(
     joins (the prefix theorem needs only *a* shared total order, so the
     within-batch pairs rank by the corpus dfreq too — candidates differ,
     the verified exact pairs do not), and one sorted-set aggregate serves
-    all verifications.
+    all verifications.  ``shingles`` (the batch's full shingle_hashes
+    frame, cache owned by the caller) skips re-tokenizing the batch.
 
     Returns (new_doc, match_doc, jaccard, within_batch): index matches have
     within_batch=false; batch-internal pairs (new_doc < match_doc) true.
     """
     from fractions import Fraction
-
-    from delta_lake_validation_spark.functions.aggregates import round_half_up
 
     frac = Fraction(threshold).limit_denominator(1_000_000)
     t_num, t_den = frac.numerator, frac.denominator
@@ -698,61 +677,28 @@ def batch_dedup_pairs(
     pref_c = _prefix_filter(index["pos"], t_num, t_den)
     sets_b = sh_b.groupBy("id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
 
-    def cand(a, b, within: bool):
-        overlap_ub = (
-            F.least(
-                F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
-            )
-            + 1
-        )
-        cond = (
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.sz") * t_num <= F.col("b.sz") * t_den)
-            & (F.col("b.sz") * t_num <= F.col("a.sz") * t_den)
-            & (
-                overlap_ub * F.lit(t_den + t_num)
-                >= F.lit(t_num) * (F.col("a.sz") + F.col("b.sz"))
-            )
-        )
-        if within:
-            cond = cond & (F.col("a.id") < F.col("b.id"))
-        return (
-            a.alias("a")
-            .join(b.alias("b"), cond)
-            .select(
-                F.col("a.id").alias("new_doc"), F.col("b.id").alias("match_doc")
-            )
-            .distinct()
-        )
-
-    def verify(cands, sets_right):
-        return (
-            cands.join(
-                sets_b.withColumnRenamed("id", "new_doc").withColumnRenamed(
-                    "hs", "hs_a"
-                ),
-                "new_doc",
-            )
-            .join(
-                sets_right.withColumnRenamed("id", "match_doc")
-                .withColumnRenamed("hs", "hs_b"),
-                "match_doc",
-            )
-            .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
-            .withColumn("uni", F.size("hs_a") + F.size("hs_b") - F.col("inter"))
-            .filter(F.col("inter") * t_den >= F.col("uni") * t_num)
-            .withColumn(
-                "jaccard", round_half_up(F.col("inter") / F.col("uni"), scale)
-            )
-            .select("new_doc", "match_doc", "jaccard")
-        )
-
-    vs_index = verify(cand(pref_b, pref_c, within=False), index["sets"]).withColumn(
-        "within_batch", F.lit(False)
-    )
-    within = verify(cand(pref_b, pref_b, within=True), sets_b).withColumn(
-        "within_batch", F.lit(True)
-    )
+    vs_index = _verify_pairs(
+        _ppjoin_candidates(pref_b, pref_c, t_num, t_den, "new_doc", "match_doc"),
+        sets_b,
+        index["sets"],
+        t_num,
+        t_den,
+        scale,
+        "new_doc",
+        "match_doc",
+    ).withColumn("within_batch", F.lit(False))
+    within = _verify_pairs(
+        _ppjoin_candidates(
+            pref_b, pref_b, t_num, t_den, "new_doc", "match_doc", require_lt=True
+        ),
+        sets_b,
+        sets_b,
+        t_num,
+        t_den,
+        scale,
+        "new_doc",
+        "match_doc",
+    ).withColumn("within_batch", F.lit(True))
     out = vs_index.unionByName(within)
     out._graft_caches = ([sh_b] if own_sh else []) + [pref_b]
     return out

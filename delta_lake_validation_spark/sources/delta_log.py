@@ -521,6 +521,19 @@ class DeltaTable:
         with the physicalName mapping."""
         if snap.version in self._idmode_verified:
             return
+        self._verify_footer_paths(sorted(snap.files), snap)
+        self._idmode_verified.add(snap.version)
+
+    def _verify_footer_paths(self, paths: list[str], snap: DeltaSnapshot) -> None:
+        """Core of the id-mode guard over an explicit path list (the
+        snapshot's live files for reads; every referenced add/remove/cdc
+        file for CDF, which serves files no longer in the end snapshot).
+        Checks BOTH directions per sampled footer: the expected field-id
+        must not live under a different name (id-resolution disagrees), and
+        the expected physical name must not carry a different id or none
+        (name-resolution unverifiable).  A file missing the column entirely
+        is legal (written before the column existed — reads as null in both
+        resolutions)."""
         phys_parts = {snap.phys(c) for c in snap.partition_columns}
         expect = {
             p: i for p, i in snap.column_ids.items() if p not in phys_parts
@@ -530,7 +543,6 @@ class DeltaTable:
                 "columnMapping id mode requires delta.columnMapping.id on "
                 "every field; metadata carries none — refusing to read"
             )
-        paths = sorted(snap.files)
         sample = paths if len(paths) <= 16 else paths[:8] + paths[-8:]
         jvm = self.spark._jvm
         hconf = self.spark._jsc.hadoopConfiguration()
@@ -542,22 +554,26 @@ class DeltaTable:
             reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
             try:
                 ms = reader.getFooter().getFileMetaData().getSchema()
-                ids: dict[int, str] = {}
+                by_id: dict[int, str] = {}
+                by_name: dict[str, int | None] = {}
                 for i in range(ms.getFieldCount()):
                     f = ms.getType(i)
                     fid = f.getId()
+                    by_name[f.getName()] = (
+                        int(fid.intValue()) if fid is not None else None
+                    )
                     if fid is not None:
-                        ids[int(fid.intValue())] = f.getName()
+                        by_id[int(fid.intValue())] = f.getName()
             finally:
                 reader.close()
-            if not ids:
+            if not by_id:
                 raise DeltaProtocolError(
                     f"columnMapping id mode: data file {p} carries no "
                     "parquet field-ids; id-based resolution is impossible "
                     "— refusing to read incorrectly"
                 )
             for phys, want in expect.items():
-                got = ids.get(want)
+                got = by_id.get(want)
                 if got is not None and got != phys:
                     raise DeltaProtocolError(
                         f"columnMapping id mode: data file {p} stores field "
@@ -565,7 +581,13 @@ class DeltaTable:
                         f"{phys!r}; physical-name resolution would misread "
                         "— refusing"
                     )
-        self._idmode_verified.add(snap.version)
+                if phys in by_name and by_name[phys] != want:
+                    raise DeltaProtocolError(
+                        f"columnMapping id mode: data file {p} has a column "
+                        f"named {phys!r} with field id {by_name[phys]!r}, "
+                        f"but table metadata assigns it id {want}; "
+                        "name-resolution would misread — refusing"
+                    )
 
     # ------------------------------------------------------ deletion vectors
     def _dv_map(self, snap: DeltaSnapshot) -> dict[str, bytes]:
@@ -730,9 +752,18 @@ class DeltaTable:
             end_version = self.latest_version()
         snap = self.snapshot(end_version)
         # change/data files speak physical names (column mapping); logical
-        # names are restored in the final select
+        # names are restored in the final select.  The id-mode guard must
+        # cover every file the range REFERENCES (adds, removes, cdc) — a
+        # foreign-named file added then removed inside the range is absent
+        # from the end snapshot but still read here.
         if snap.mapping_mode == "id":
-            self._verify_field_ids(snap)
+            referenced: set[str] = set()
+            for v in range(start_version, end_version + 1):
+                for a in self._commit_actions(v):
+                    for kind in ("add", "remove", "cdc"):
+                        if kind in a and a[kind].get("path"):
+                            referenced.add(a[kind]["path"])
+            self._verify_footer_paths(sorted(referenced), snap)
         phys_schema = snap.physical_schema()
         phys_parts = [snap.phys(c) for c in snap.partition_columns]
         data_schema = StructType(

@@ -103,11 +103,16 @@ class CommittedChangeFeed:
         self.location = location
         self.position = start_version  # next version to serve
 
+    def _open(self):
+        """(table, latest_version) for this poll — a fresh handle each time
+        so commits landed by any writer become visible."""
+        table = AcidTable(self.spark, self.location)
+        return table, table.version()
+
     def next_batch(self) -> DataFrame | None:
         """Changes of all commits in [position, latest], or None if the log
         has nothing new.  Advances the cursor past what it returned."""
-        table = AcidTable(self.spark, self.location)
-        latest = table.version()
+        table, latest = self._open()
         if latest < self.position:
             return None
         df = table.read_changes(self.position, latest)
@@ -115,30 +120,17 @@ class CommittedChangeFeed:
         return df
 
 
-class DeltaCommittedChangeFeed:
+class DeltaCommittedChangeFeed(CommittedChangeFeed):
     """:class:`CommittedChangeFeed` over a REAL Delta table (`_delta_log`):
     poll-driven incremental consumption of a table other engines write.
     Each ``next_batch`` walks only the new log entries and serves their
     changes through ``DeltaTable.read_changes`` (cdc files when present,
     synthesized insert/delete rows otherwise, DV bitmap diffs for
     deletion-vector commits) with the standard CDF contract columns.
+    Cursor/poll semantics are inherited — only the table handle differs."""
 
-    The cursor is caller-persistable state (``feed.position``), exactly as
-    the ACID feed documents; a fresh :class:`DeltaTable` per poll re-lists
-    the log, so commits landed by any writer become visible."""
-
-    def __init__(self, spark: SparkSession, location: str, start_version: int = 0):
-        self.spark = spark
-        self.location = location
-        self.position = start_version  # next version to serve
-
-    def next_batch(self) -> DataFrame | None:
+    def _open(self):
         from delta_lake_validation_spark.sources.delta_log import DeltaTable
 
         table = DeltaTable(self.spark, self.location)
-        latest = table.latest_version()
-        if latest < self.position:
-            return None
-        df = table.read_changes(self.position, latest)
-        self.position = latest + 1
-        return df
+        return table, table.latest_version()

@@ -201,16 +201,18 @@ class DedupIndex:
 
         self._check_k(k)
         existing_ids = self._table("sets").read().select("id")
-        own_sh = shingles is None
-        if own_sh:
+        if shingles is None:
             fresh = batch.join(
                 existing_ids, batch[id_col] == existing_ids.id, "left_anti"
             )
             sh = shingle_hashes(fresh, id_col, text_col, k).persist()
         else:
+            # the anti-join result feeds three append plans — persist it so
+            # the corpus-sized sets-id scan runs once, not per append (the
+            # caller's base cache doesn't cover the join)
             sh = shingles.join(
                 existing_ids, shingles["id"] == existing_ids.id, "left_anti"
-            )
+            ).persist()
         try:
             from delta_lake_validation_spark.operators.dedup import _rank_positions
 
@@ -234,19 +236,24 @@ class DedupIndex:
                 .withColumn("src_batch", tag)
             )
             params = {"streamQueryId": query_id, "streamBatchId": int(batch_id)}
-            # the three index tables are independent — append in parallel
-            # threads so their jobs overlap (the first to run materializes
-            # the shared persisted shingles; the others reuse the cache).
-            # Floors are primed before the threads and updated after join:
-            # the dict mutation stays on the driver thread.
+            # ORDERING INVARIANT: ``sets`` commits LAST.  The write-once
+            # filter anti-joins against the sets table, so "sets committed
+            # for batch N" must imply "pos committed for batch N" — were
+            # sets alone committed and the batch retried, the retry's
+            # anti-join would empty the shingle frame and pos would commit
+            # an empty fold, permanently losing the batch's prefix rows.
+            # pos and dfreq are independent of each other (and dfreq loss is
+            # self-healing: a later batch re-adds the df=0 placeholder), so
+            # those two run in parallel threads; sets follows only after
+            # pos succeeded.
             from pyspark import InheritableThread
 
             todo = [
                 (name, df)
-                for name, df in (("pos", pos), ("sets", sets), ("dfreq", new_h))
+                for name, df in (("pos", pos), ("dfreq", new_h))
                 if batch_id > self._floor(name, query_id)
             ]
-            errors: list[BaseException] = []
+            errors: list[tuple[str, BaseException]] = []
             done: list[str] = []
 
             def _append(name: str, df: DataFrame) -> None:
@@ -262,7 +269,7 @@ class DedupIndex:
                     self._table(name).append(df, operation_parameters=params)
                     done.append(name)
                 except BaseException as e:  # re-raised on the driver thread
-                    errors.append(e)
+                    errors.append((name, e))
 
             threads = [
                 InheritableThread(target=_append, args=(name, df))
@@ -278,10 +285,12 @@ class DedupIndex:
             for name in done:
                 self._floors[(name, query_id)] = int(batch_id)
             if errors:
-                raise errors[0]
+                raise errors[0][1]
+            if batch_id > self._floor("sets", query_id):
+                self._table("sets").append(sets, operation_parameters=params)
+                self._floors[("sets", query_id)] = int(batch_id)
         finally:
-            if own_sh:
-                sh.unpersist()
+            sh.unpersist()
 
 
 def dedup_stream_sink(

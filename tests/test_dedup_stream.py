@@ -188,3 +188,48 @@ def test_resent_id_still_matches_old_copy_and_k_pinned(spark, tmp_path):
         dedup_stream_sink(spark, index, res, threshold=0.8, query_id="q5", k=5)(
             _mk(spark, [(99, "anything at all here")]), 0
         )
+
+
+def test_partial_index_commit_retry_keeps_pos_rows(spark, tmp_path, monkeypatch):
+    """Ordering invariant under partial failure: if the pos append fails,
+    sets must NOT have committed (it is the write-once marker), and an
+    in-process retry folds the batch completely — pos rows survive."""
+    import delta_lake_validation_spark.sources.acid.table as table_mod
+
+    root = str(tmp_path / "idx")
+    res = str(tmp_path / "res")
+    index = DedupIndex.create(spark, root, _mk(spark, CORPUS))
+    sink = dedup_stream_sink(spark, index, res, threshold=0.8, query_id="qf")
+
+    real_append = table_mod.AcidTable.append
+    state = {"fail": True}
+
+    def flaky_append(self, df, **kw):
+        if state["fail"] and self.location.endswith("/pos"):
+            state["fail"] = False
+            raise RuntimeError("injected pos write failure")
+        return real_append(self, df, **kw)
+
+    monkeypatch.setattr(table_mod.AcidTable, "append", flaky_append)
+    b0 = _mk(
+        spark,
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            (11, "a totally novel document with fresh unseen words inside"),
+        ],
+    )
+    try:
+        sink(b0, 0)
+        raise AssertionError("expected injected failure to propagate")
+    except RuntimeError:
+        pass
+    # sets must not contain the batch (pos failed; sets commits last)
+    assert AcidTable(spark, f"{root}/sets").read().filter("id >= 10").count() == 0
+    # retry the same batch: full fold + verdicts land
+    sink(b0, 0)
+    assert AcidTable(spark, f"{root}/pos").read().filter("id = 10").count() > 0
+    assert AcidTable(spark, f"{root}/sets").read().filter("id >= 10").count() == 2
+    assert _results(spark, res) == {(10, 1, False, 0)}
+    # and a later batch still finds batch 0's novel doc through the index
+    sink(_mk(spark, [(20, "a totally novel document with fresh unseen words inside")]), 1)
+    assert (20, 11, False, 1) in _results(spark, res)

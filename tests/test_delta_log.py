@@ -1176,3 +1176,69 @@ def test_type_widening_read(spark, tmp_path):
     old = t.read(version=0)
     assert old.schema.fields[0].dataType.typeName() == "integer"
     assert {r.a for r in old.collect()} == {1}
+
+
+def test_column_mapping_id_mode_wrong_id_under_expected_name(spark, tmp_path):
+    """id mode: a foreign file whose column NAMED col-aaaa carries a
+    DIFFERENT field id (7) — and no field carries the expected id 1.
+    Name-resolution would read field 7's values as the logical column while
+    id-resolution would yield nulls; the reader must refuse."""
+    import pyarrow as pa
+
+    loc = tmp_path / "cmidwrongid"
+    log = loc / "_delta_log"
+    _write_parquet_with_ids(
+        loc / "col-bbbb=x" / "part-0.parquet",
+        [{"col-aaaa": 1}],
+        [("col-aaaa", 7, pa.int32())],
+    )
+    meta = _mapped_meta()
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    _write_commit(
+        log, 0,
+        [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+         meta,
+         _add("col-bbbb=x/part-0.parquet", partition_values={"col-bbbb": "x"})],
+    )
+    with pytest.raises(DeltaProtocolError, match="misread"):
+        DeltaTable(spark, str(loc)).read()
+
+
+def test_column_mapping_id_mode_cdf_checks_removed_files(spark, tmp_path):
+    """id mode CDF: a foreign-named file added at v1 and removed at v2 is
+    absent from the end snapshot but still read by read_changes — the guard
+    must cover it and refuse, even though read() of the latest version
+    succeeds."""
+    import pyarrow as pa
+
+    loc = tmp_path / "cmidcdf"
+    log = loc / "_delta_log"
+    _write_parquet_with_ids(
+        loc / "col-bbbb=x" / "good.parquet",
+        [{"col-aaaa": 1}],
+        [("col-aaaa", 1, pa.int32())],
+    )
+    _write_parquet_with_ids(
+        loc / "col-bbbb=x" / "foreign.parquet",
+        [{"other-name": 2}],
+        [("other-name", 1, pa.int32())],
+    )
+    meta = _mapped_meta()
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    proto = {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+    _write_commit(
+        log, 0,
+        [proto, meta,
+         _add("col-bbbb=x/good.parquet", partition_values={"col-bbbb": "x"})],
+    )
+    _write_commit(
+        log, 1,
+        [_add("col-bbbb=x/foreign.parquet",
+              partition_values={"col-bbbb": "x"})],
+    )
+    _write_commit(log, 2, [_remove("col-bbbb=x/foreign.parquet")])
+    t = DeltaTable(spark, str(loc))
+    # latest snapshot holds only the good file: plain read is fine
+    assert {(r.v, r.k) for r in t.read().collect()} == {(1, "x")}
+    with pytest.raises(DeltaProtocolError, match="misread"):
+        t.read_changes(0, 2).collect()
