@@ -723,3 +723,85 @@ def dedup_stream_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_doc long, match_doc long, jaccard double, "
         "within_batch boolean, batch_id long",
     )
+
+
+@register(
+    "delta_write_roundtrip",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'after_append' AS step,
+             (SELECT count(*) FROM nation) AS n_rows
+      UNION ALL
+      SELECT 'append_cdf_inserts',
+             (SELECT count(*) FROM nation WHERE n_regionkey >= 2)
+      UNION ALL
+      SELECT 'overwrite_total',
+             (SELECT count(*) FROM nation WHERE n_regionkey = 0)
+      UNION ALL
+      SELECT 'v0_total',
+             (SELECT count(*) FROM nation WHERE n_regionkey < 2)
+    ) ORDER BY step
+    """,
+    tags=("acid", "delta", "interop", "dml"),
+    doc="Writer half of Delta interop: author a real _delta_log at v0, "
+    "APPEND through DeltaTable.append (staged hive parquet + atomic JSON "
+    "commit), verify CDF derives the appended rows as inserts, OVERWRITE "
+    "through DeltaTable.overwrite (add+remove in one commit), and time-"
+    "travel back to v0 — the full write/read interop loop on one table.",
+)
+def delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from delta_lake_validation_spark.sources.delta_log import DeltaTable
+
+    nation = load_table(spark, sf_dir, "nation")
+    with _scratch() as loc:
+        root = Path(loc)
+        sub = root / "part-v0"
+        nation.filter("n_regionkey < 2").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(sub))
+        f0 = "part-v0/" + next(
+            p.name for p in sub.iterdir() if p.name.endswith(".parquet")
+        )
+        log = root / "_delta_log"
+        log.mkdir()
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "delta-write-fixture",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _json.dumps(nation.schema.jsonValue()),
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+            {
+                "add": {
+                    "path": f0,
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                }
+            },
+        ]
+        (log / f"{0:020d}.json").write_text(
+            "\n".join(_json.dumps(a) for a in actions) + "\n"
+        )
+        t = DeltaTable(spark, str(root))
+        v1 = t.append(nation.filter("n_regionkey >= 2"))
+        after_append = t.read().count()
+        cdf_inserts = (
+            t.read_changes(v1, v1).filter("_change_type = 'insert'").count()
+        )
+        t.overwrite(nation.filter("n_regionkey = 0"))
+        fresh = DeltaTable(spark, str(root))
+        rows = [
+            ("after_append", after_append),
+            ("append_cdf_inserts", cdf_inserts),
+            ("overwrite_total", fresh.read().count()),
+            ("v0_total", fresh.read(version=0).count()),
+        ]
+    return _result(spark, rows)

@@ -589,6 +589,241 @@ class DeltaTable:
                         "name-resolution would misread — refusing"
                     )
 
+    # -------------------------------------------------------------- writing
+    #: Writer features we can honor (or that require nothing of an
+    #: append/overwrite writer).  Everything else refuses loudly — writing
+    #: into a table whose invariants we'd silently skip corrupts it.
+    _SUPPORTED_WRITER_FEATURES = {
+        "appendOnly",  # honored: overwrite refuses when delta.appendOnly
+        "invariants",  # OK only when no field declares delta.invariants
+        "checkConstraints",  # OK only when no delta.constraints.* property
+        "timestampNtz",
+        "typeWidening",
+        "typeWidening-preview",
+        "deletionVectors",  # appends never touch existing files' DVs
+        "v2Checkpoint",
+        "vacuumProtocolCheck",
+        "columnMapping",  # writes use physical names (+ field ids, id mode)
+        "changeDataFeed",  # appends are add-only: inserts derive from add[]
+    }
+
+    def _check_writable(self, snap: DeltaSnapshot, op: str) -> None:
+        proto = self._checkpoint_and_commits_protocol()
+        writer = int(proto.get("minWriterVersion", 2))
+        feats = set(proto.get("writerFeatures") or [])
+        if writer >= 7:
+            unsupported = feats - self._SUPPORTED_WRITER_FEATURES
+            if unsupported:
+                raise DeltaProtocolError(
+                    f"table requires writer features {sorted(unsupported)}; "
+                    "refusing to write incorrectly"
+                )
+        # legacy writer versions ≤6 bundle capabilities; what actually
+        # blocks a correct append is DECLARED in metadata, so gate on that:
+        # invariants/constraints we don't enforce, generated/identity
+        # columns we don't compute
+        for f in snap.schema.fields:
+            meta = f.metadata or {}
+            if meta.get("delta.invariants"):
+                raise DeltaProtocolError(
+                    f"column {f.name!r} declares a delta.invariants "
+                    "expression this writer does not enforce — refusing"
+                )
+            if meta.get("delta.generationExpression"):
+                raise DeltaProtocolError(
+                    f"column {f.name!r} is a generated column this writer "
+                    "does not compute — refusing"
+                )
+            if any(k.startswith("delta.identity.") for k in meta):
+                raise DeltaProtocolError(
+                    f"column {f.name!r} is an identity column this writer "
+                    "does not assign — refusing"
+                )
+        if any(k.startswith("delta.constraints.") for k in snap.properties):
+            raise DeltaProtocolError(
+                "table declares CHECK constraints this writer does not "
+                "enforce — refusing"
+            )
+        if op != "append" and (
+            str(snap.properties.get("delta.appendOnly", "")).lower() == "true"
+        ):
+            raise DeltaProtocolError("delta.appendOnly table: only appends allowed")
+
+    def _checkpoint_and_commits_protocol(self) -> dict:
+        """Latest protocol action across the replayed log (checkpoint base,
+        then the JSON chain — mirrors snapshot()'s replay)."""
+        proto: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
+        latest = self.latest_version()
+        start = 0
+        ckpt = self._last_checkpoint()
+        if ckpt is not None and ckpt[0] <= latest:
+            ckpt_version, parts, kind = ckpt
+            for d in self._checkpoint_actions(parts, kind):
+                if d.get("protocol"):
+                    proto = dict(d["protocol"])
+            start = ckpt_version + 1
+        for v in range(start, latest + 1):
+            for a in self._commit_actions(v):
+                if "protocol" in a:
+                    proto = dict(a["protocol"])
+        return proto
+
+    def _stage_files(self, df: DataFrame, snap: DeltaSnapshot) -> list[dict]:
+        """Write df (LOGICAL columns) as hive-laid parquet under the table
+        root using PHYSICAL names (+ parquet field ids when column mapping
+        assigns them, so id-mode readers resolve our files), returning Delta
+        add actions with partitionValues keyed by physical name and
+        numRecords stats."""
+        import uuid as _uuid
+
+        cols = set(f.name for f in snap.schema.fields)
+        if set(df.columns) != cols:
+            raise DeltaProtocolError(
+                f"schema mismatch: table has {sorted(cols)}, "
+                f"data has {sorted(df.columns)}"
+            )
+        out_cols = []
+        for f in snap.schema.fields:
+            meta = {}
+            fid = (f.metadata or {}).get("delta.columnMapping.id")
+            if snap.mapping_mode in ("name", "id") and fid is not None:
+                meta["parquet.field.id"] = int(fid)
+            out_cols.append(
+                F.col(f.name).cast(f.dataType).alias(snap.phys(f.name), metadata=meta)
+            )
+        phys_parts = [snap.phys(c) for c in snap.partition_columns]
+        staging = f"{self.location}/_staging-{_uuid.uuid4().hex}"
+        writer = df.select(*out_cols).write.mode("overwrite")
+        if phys_parts:
+            writer = writer.partitionBy(*phys_parts)
+        writer.parquet(staging)
+
+        counts = {
+            r["f"]: r["n"]
+            for r in self.spark.read.parquet(staging)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_by_name = {f.rsplit("/", 1)[-1]: n for f, n in counts.items()}
+        sizes = {
+            strip_scheme(p): sz
+            for p, sz in self.fs.list_files_with_size(staging)
+            if p.endswith(".parquet")
+        }
+        from delta_lake_validation_spark.sources.acid.table import (
+            _partition_values,
+        )
+
+        adds: list[dict] = []
+        base = strip_scheme(staging)
+        now_ms = int(__import__("time").time() * 1000)
+        for f_abs in sorted(sizes):
+            rel_dir = f_abs[len(base):].rsplit("/", 1)[0].strip("/")
+            pv = _partition_values(rel_dir)
+            new_rel = (
+                (rel_dir + "/" if rel_dir else "")
+                + f"part-{_uuid.uuid4().hex}.parquet"
+            )
+            self.fs.rename(f_abs, f"{self.location}/{new_rel}")
+            adds.append(
+                {
+                    "path": new_rel,
+                    "partitionValues": pv,
+                    "size": sizes[f_abs],
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {"numRecords": int(n_by_name.get(f_abs.rsplit("/", 1)[-1], 0))}
+                    ),
+                }
+            )
+        self.fs.delete(staging, recursive=True)
+        return adds
+
+    def _try_commit(self, version: int, actions: list[dict]) -> bool:
+        body = "\n".join(json.dumps(a) for a in actions) + "\n"
+        try:
+            self.fs.atomic_create(
+                f"{self.log_dir}/{version:020d}.json", body
+            )
+        except FileExistsError:
+            return False
+        self._log_names = self._list_log()
+        return True
+
+    def append(self, df: DataFrame) -> int:
+        """Append-commit to a REAL Delta table: stage hive-laid parquet,
+        then atomically create the next ``NNN.json`` with the add actions
+        (the outbound write half of interop — any Delta reader sees the new
+        rows).  Blind appends rebase on a lost race and retry, the same
+        liveness Delta's ConcurrentAppend rules give."""
+        import time as _time
+
+        snap = self.snapshot()
+        self._check_writable(snap, "append")
+        adds = self._stage_files(df, snap)
+        for _ in range(50):
+            actions = [
+                {
+                    "commitInfo": {
+                        "timestamp": int(_time.time() * 1000),
+                        "operation": "WRITE",
+                        "operationParameters": {"mode": "Append"},
+                    }
+                },
+                *({"add": a} for a in adds),
+            ]
+            v = self.latest_version() + 1
+            if self._try_commit(v, actions):
+                return v
+            self._log_names = self._list_log()
+        raise DeltaProtocolError("append could not commit after 50 attempts")
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Overwrite-commit to a REAL Delta table: the staged files replace
+        the whole snapshot (add + remove in one commit).  A concurrent
+        commit between snapshot and write loses the race and raises —
+        overwrites read table state, so rebasing would drop the racer's
+        rows (Delta's ProtocolChanged/ConcurrentWrite semantics).  Note:
+        like delta-spark's plain mode=overwrite, no cdc files are written;
+        this engine's own conservative CDF reader refuses mixed add+remove
+        commits, while Delta's synthesizes both sides."""
+        import time as _time
+
+        snap = self.snapshot()
+        self._check_writable(snap, "overwrite")
+        adds = self._stage_files(df, snap)
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(_time.time() * 1000),
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": "Overwrite"},
+                }
+            },
+            *({"add": a} for a in adds),
+            *(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": int(_time.time() * 1000),
+                        "dataChange": True,
+                        "partitionValues": (a.get("partitionValues") or {}),
+                        "size": a.get("size"),
+                    }
+                }
+                for p, a in snap.files.items()
+            ),
+        ]
+        v = snap.version + 1
+        if not self._try_commit(v, actions):
+            raise DeltaProtocolError(
+                f"overwrite lost the race for version {v}: a concurrent "
+                "writer committed first; re-read and retry"
+            )
+        return v
+
     # ------------------------------------------------------ deletion vectors
     def _dv_map(self, snap: DeltaSnapshot) -> dict[str, bytes]:
         """{normalized data-file path: serialized DV bitmap} for every live

@@ -185,3 +185,25 @@ def read_delta(
     from delta_lake_validation_spark.sources.delta_log import read_delta as _rd
 
     return _rd(spark, location, version=version, timestamp=timestamp)
+
+
+def write_delta(
+    spark: SparkSession,
+    df: DataFrame,
+    location: str,
+    mode: str = "append",
+) -> int:
+    """Write into a real Delta Lake table (``_delta_log`` protocol): stage
+    hive-laid parquet and commit add (+ remove for overwrite) actions, with
+    writer-feature gating (unenforceable invariants/constraints/generated
+    columns refuse loudly).  Returns the committed Delta version.  The
+    outbound half of interop — see sources/delta_log.py DeltaTable.append/
+    overwrite."""
+    from delta_lake_validation_spark.sources.delta_log import DeltaTable
+
+    t = DeltaTable(spark, location)
+    if mode == "append":
+        return t.append(df)
+    if mode == "overwrite":
+        return t.overwrite(df)
+    raise ValueError(f"mode must be append|overwrite, got {mode!r}")

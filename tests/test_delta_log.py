@@ -1242,3 +1242,184 @@ def test_column_mapping_id_mode_cdf_checks_removed_files(spark, tmp_path):
     assert {(r.v, r.k) for r in t.read().collect()} == {(1, "x")}
     with pytest.raises(DeltaProtocolError, match="misread"):
         t.read_changes(0, 2).collect()
+
+
+# ------------------------------------------------------------- delta writer
+
+
+def test_delta_append_roundtrip(spark, tmp_path):
+    """DeltaTable.append commits real add actions: new rows visible to a
+    fresh reader, history grows, stats carry numRecords, partition dirs are
+    hive-laid on the partition column."""
+    loc = tmp_path / "w"
+    log = loc / "_delta_log"
+    f = _write_parquet(spark, [Row(v=1)], "v int", loc / "k=a")
+    _write_commit(
+        log, 0,
+        [PROTOCOL,
+         _meta([("v", "integer"), ("k", "string")], partition_cols=["k"]),
+         _add(f, partition_values={"k": "a"})],
+    )
+    t = DeltaTable(spark, str(loc))
+    v = t.append(spark.createDataFrame([(2, "a"), (3, "b")], "v int, k string"))
+    assert v == 1
+    fresh = DeltaTable(spark, str(loc))
+    assert {(r.v, r.k) for r in fresh.read().collect()} == {
+        (1, "a"), (2, "a"), (3, "b")
+    }
+    # time travel still serves the pre-append snapshot
+    assert {(r.v, r.k) for r in fresh.read(version=0).collect()} == {(1, "a")}
+    snap = fresh.snapshot()
+    news = [a for p, a in snap.files.items() if p != f]
+    assert news and all(
+        json.loads(a["stats"])["numRecords"] >= 1 for a in news
+    )
+    assert all(
+        a["partitionValues"].get("k") in ("a", "b") for a in news
+    )
+    # CDF sees the append as inserts
+    ch = fresh.read_changes(1, 1)
+    assert {(r.v, r.k, r._change_type) for r in ch.collect()} == {
+        (2, "a", "insert"), (3, "b", "insert")
+    }
+
+
+def test_delta_overwrite_and_append_only_refusal(spark, tmp_path):
+    loc = tmp_path / "w2"
+    log = loc / "_delta_log"
+    f = _write_parquet(spark, [Row(v=1)], "v int", loc / "d")
+    _write_commit(log, 0, [PROTOCOL, _meta([("v", "integer")]), _add(f)])
+    t = DeltaTable(spark, str(loc))
+    v = t.overwrite(spark.createDataFrame([(9,)], "v int"))
+    assert v == 1
+    fresh = DeltaTable(spark, str(loc))
+    assert {r.v for r in fresh.read().collect()} == {9}
+    assert {r.v for r in fresh.read(version=0).collect()} == {1}
+
+    # appendOnly table: overwrite refuses, append still works
+    loc2 = tmp_path / "w3"
+    log2 = loc2 / "_delta_log"
+    f2 = _write_parquet(spark, [Row(v=1)], "v int", loc2 / "d")
+    _write_commit(
+        log2, 0,
+        [PROTOCOL,
+         _meta([("v", "integer")],
+               configuration={"delta.appendOnly": "true"}),
+         _add(f2)],
+    )
+    t2 = DeltaTable(spark, str(loc2))
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        t2.overwrite(spark.createDataFrame([(5,)], "v int"))
+    t2.append(spark.createDataFrame([(5,)], "v int"))
+    assert {r.v for r in DeltaTable(spark, str(loc2)).read().collect()} == {1, 5}
+
+
+def test_delta_write_refuses_unenforceable_tables(spark, tmp_path):
+    """Invariants / CHECK constraints we cannot enforce refuse the write."""
+    loc = tmp_path / "w4"
+    log = loc / "_delta_log"
+    f = _write_parquet(spark, [Row(v=1)], "v int", loc / "d")
+    fields = [{
+        "name": "v", "type": "integer", "nullable": True,
+        "metadata": {"delta.invariants":
+                     '{"expression":{"expression":"v > 0"}}'},
+    }]
+    meta = {
+        "metaData": {
+            "id": "inv",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    _write_commit(log, 0, [PROTOCOL, meta, _add(f)])
+    with pytest.raises(DeltaProtocolError, match="invariants"):
+        DeltaTable(spark, str(loc)).append(
+            spark.createDataFrame([(2,)], "v int")
+        )
+
+    loc2 = tmp_path / "w5"
+    log2 = loc2 / "_delta_log"
+    f2 = _write_parquet(spark, [Row(v=1)], "v int", loc2 / "d")
+    _write_commit(
+        log2, 0,
+        [PROTOCOL,
+         _meta([("v", "integer")],
+               configuration={"delta.constraints.pos": "v > 0"}),
+         _add(f2)],
+    )
+    with pytest.raises(DeltaProtocolError, match="constraints"):
+        DeltaTable(spark, str(loc2)).append(
+            spark.createDataFrame([(2,)], "v int")
+        )
+
+
+def test_delta_write_column_mapping_physical_names(spark, tmp_path):
+    """Writes into a name-mode table land under PHYSICAL names (columns and
+    partition dirs), so delta readers resolve them; id-mode writes stamp
+    parquet field ids, passing our own id-mode verification."""
+    import pyarrow.parquet as pq
+
+    loc = tmp_path / "wcm"
+    log = loc / "_delta_log"
+    fa = _write_parquet(
+        spark, [Row(**{"col-aaaa": 1})], "`col-aaaa` int", loc / "col-bbbb=x"
+    )
+    _write_commit(
+        log, 0,
+        [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+         _mapped_meta(), _add(fa, partition_values={"col-bbbb": "x"})],
+    )
+    t = DeltaTable(spark, str(loc))
+    t.append(spark.createDataFrame([(7, "y")], "v int, k string"))
+    fresh = DeltaTable(spark, str(loc))
+    assert {(r.v, r.k) for r in fresh.read().collect()} == {(1, "x"), (7, "y")}
+    new_rel = next(p for p in fresh.snapshot().files if "col-bbbb=y" in p)
+    sch = pq.read_schema(str(loc / new_rel))
+    assert sch.names == ["col-aaaa"]
+
+    # id mode: our own strict field-id verification must accept our files
+    loc2 = tmp_path / "wcmid"
+    log2 = loc2 / "_delta_log"
+    _write_parquet_with_ids(
+        loc2 / "col-bbbb=x" / "part-0.parquet",
+        [{"col-aaaa": 1}],
+        [("col-aaaa", 1, __import__("pyarrow").int32())],
+    )
+    meta = _mapped_meta()
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    _write_commit(
+        log2, 0,
+        [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+         meta,
+         _add("col-bbbb=x/part-0.parquet",
+              partition_values={"col-bbbb": "x"})],
+    )
+    t2 = DeltaTable(spark, str(loc2))
+    t2.append(spark.createDataFrame([(8, "z")], "v int, k string"))
+    fresh2 = DeltaTable(spark, str(loc2))
+    assert {(r.v, r.k) for r in fresh2.read().collect()} == {(1, "x"), (8, "z")}
+
+
+def test_delta_concurrent_appends_both_land(spark, tmp_path):
+    from pyspark import InheritableThread
+
+    loc = tmp_path / "wc"
+    log = loc / "_delta_log"
+    f = _write_parquet(spark, [Row(v=0)], "v int", loc / "d")
+    _write_commit(log, 0, [PROTOCOL, _meta([("v", "integer")]), _add(f)])
+
+    def w(n):
+        DeltaTable(spark, str(loc)).append(
+            spark.createDataFrame([(n,)], "v int")
+        )
+
+    threads = [InheritableThread(target=w, args=(i,)) for i in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    fresh = DeltaTable(spark, str(loc))
+    assert fresh.latest_version() == 2
+    assert {r.v for r in fresh.read().collect()} == {0, 1, 2}
