@@ -735,6 +735,12 @@ def dedup_stream_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'append_cdf_inserts',
              (SELECT count(*) FROM nation WHERE n_regionkey >= 2)
       UNION ALL
+      SELECT 'after_delete',
+             (SELECT count(*) FROM nation WHERE n_regionkey <> 1)
+      UNION ALL
+      SELECT 'updated_rows',
+             (SELECT count(*) FROM nation WHERE n_regionkey = 3)
+      UNION ALL
       SELECT 'overwrite_total',
              (SELECT count(*) FROM nation WHERE n_regionkey = 0)
       UNION ALL
@@ -743,11 +749,12 @@ def dedup_stream_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) ORDER BY step
     """,
     tags=("acid", "delta", "interop", "dml"),
-    doc="Writer half of Delta interop: author a real _delta_log at v0, "
-    "APPEND through DeltaTable.append (staged hive parquet + atomic JSON "
-    "commit), verify CDF derives the appended rows as inserts, OVERWRITE "
-    "through DeltaTable.overwrite (add+remove in one commit), and time-"
-    "travel back to v0 — the full write/read interop loop on one table.",
+    doc="Writer half of Delta interop on one table: author a real "
+    "_delta_log at v0, APPEND (staged hive parquet + atomic JSON commit, "
+    "CDF-derived inserts), row-level DELETE (copy-on-write rewrite of "
+    "touched files), row-level UPDATE (arithmetic assignment), OVERWRITE "
+    "(add+remove in one commit), then time-travel back to v0 — every DML "
+    "a reference user runs on a Delta table, through this engine's writer.",
 )
 def delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
@@ -796,11 +803,19 @@ def delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdf_inserts = (
             t.read_changes(v1, v1).filter("_change_type = 'insert'").count()
         )
-        t.overwrite(nation.filter("n_regionkey = 0"))
+        t.delete("n_regionkey = 1")
+        t2 = DeltaTable(spark, str(root))
+        after_delete = t2.read().count()
+        t2.update({"n_nationkey": "n_nationkey + 1000"}, "n_regionkey = 3")
+        t3 = DeltaTable(spark, str(root))
+        updated_rows = t3.read().filter("n_nationkey >= 1000").count()
+        t3.overwrite(nation.filter("n_regionkey = 0"))
         fresh = DeltaTable(spark, str(root))
         rows = [
             ("after_append", after_append),
             ("append_cdf_inserts", cdf_inserts),
+            ("after_delete", after_delete),
+            ("updated_rows", updated_rows),
             ("overwrite_total", fresh.read().count()),
             ("v0_total", fresh.read(version=0).count()),
         ]

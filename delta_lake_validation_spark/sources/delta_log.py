@@ -824,6 +824,362 @@ class DeltaTable:
             )
         return v
 
+    def _read_with_pos(self, snap: DeltaSnapshot) -> DataFrame:
+        """LOGICAL columns + ``__fp`` (absolute file path) + ``__ri``
+        (physical row index), live rows only (existing DVs applied) — the
+        targeting scan for row-level DML on a real Delta table."""
+        phys_schema = snap.physical_schema()
+        phys_parts = [snap.phys(c) for c in snap.partition_columns]
+        data_schema = StructType(
+            [f for f in phys_schema.fields if f.name not in phys_parts]
+        )
+        dv_map = self._dv_map(snap)
+
+        def sel(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(snap.phys(f.name)).cast(f.dataType).alias(f.name)
+                    for f in snap.schema.fields
+                ],
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+
+        paths = [self._abs(p) for p in snap.files]
+        if not snap.partition_columns:
+            df = self.spark.read.schema(phys_schema).parquet(*paths)
+            return sel(self._dv_filter(df, dv_map))
+        if self._hive_layout(snap, phys_parts):
+            df = (
+                self.spark.read.schema(phys_schema)
+                .option("basePath", self.location)
+                .parquet(*paths)
+            )
+            return sel(self._dv_filter(df, dv_map))
+        groups: dict[tuple, list[str]] = {}
+        for p, a in snap.files.items():
+            key = tuple(
+                (a.get("partitionValues") or {}).get(c) for c in phys_parts
+            )
+            groups.setdefault(key, []).append(self._abs(p))
+        out = None
+        for key, gpaths in groups.items():
+            df = self._dv_filter(
+                self.spark.read.schema(data_schema).parquet(*gpaths), dv_map
+            )
+            for c, raw in zip(snap.partition_columns, key):
+                typ = snap.schema[c].dataType
+                df = df.withColumn(
+                    snap.phys(c),
+                    F.lit(raw).cast(typ) if raw is not None else F.lit(None).cast(typ),
+                )
+            out = sel(df) if out is None else out.unionByName(sel(df))
+        return out
+
+    def _rel_from_abs(self, abs_path: str) -> str:
+        base = strip_scheme(self.location).rstrip("/") + "/"
+        p = strip_scheme(abs_path)
+        return p[len(base):] if p.startswith(base) else p
+
+    def _write_cdc(self, df_logical: DataFrame, snap: DeltaSnapshot) -> list[dict]:
+        """Stage ``_change_data`` files (physical data columns +
+        ``_change_type``; partition values live in the cdc actions, not the
+        file) and return the cdc actions."""
+        import uuid as _uuid
+
+        phys_parts = [snap.phys(c) for c in snap.partition_columns]
+        out_cols = [
+            F.col(f.name).cast(f.dataType).alias(snap.phys(f.name))
+            for f in snap.schema.fields
+        ] + [F.col("_change_type")]
+        staging = f"{self.location}/_staging-cdc-{_uuid.uuid4().hex}"
+        writer = df_logical.select(*out_cols).write.mode("overwrite")
+        if phys_parts:
+            writer = writer.partitionBy(*phys_parts)
+        writer.parquet(staging)
+        from delta_lake_validation_spark.sources.acid.table import (
+            _partition_values,
+        )
+
+        sizes = {
+            strip_scheme(p): sz
+            for p, sz in self.fs.list_files_with_size(staging)
+            if p.endswith(".parquet")
+        }
+        base = strip_scheme(staging)
+        actions: list[dict] = []
+        for f_abs in sorted(sizes):
+            rel_dir = f_abs[len(base):].rsplit("/", 1)[0].strip("/")
+            pv = _partition_values(rel_dir)
+            new_rel = (
+                "_change_data/"
+                + (rel_dir + "/" if rel_dir else "")
+                + f"cdc-{_uuid.uuid4().hex}.parquet"
+            )
+            self.fs.rename(f_abs, f"{self.location}/{new_rel}")
+            actions.append(
+                {
+                    "cdc": {
+                        "path": new_rel,
+                        "partitionValues": pv,
+                        "size": sizes[f_abs],
+                        "dataChange": False,
+                    }
+                }
+            )
+        self.fs.delete(staging, recursive=True)
+        return actions
+
+    def delete(self, predicate: str) -> int:
+        """Row-level DELETE on a REAL Delta table.  When the table already
+        carries the deletionVectors feature (and has it enabled), touched
+        files are re-added with merged protocol-true DV sidecars — no data
+        rewritten, O(matched rows).  Otherwise the touched files are
+        rewritten copy-on-write, minus the matching rows (NULL-predicate
+        rows are kept, as Delta does).  With CDF enabled the commit carries
+        ``_change_data`` files of the deleted rows, so any Delta CDF reader
+        (this engine's included) serves the changes row-accurately."""
+        import time as _time
+        import uuid as _uuid
+
+        snap = self.snapshot()
+        self._check_writable(snap, "delete")
+        proto = self._checkpoint_and_commits_protocol()
+        dv_ok = "deletionVectors" in set(proto.get("writerFeatures") or []) and (
+            str(snap.properties.get("delta.enableDeletionVectors", "")).lower()
+            == "true"
+        )
+        cond = F.expr(predicate)
+        live = self._read_with_pos(snap)
+        matched = live.filter(cond)
+        rows = matched.select("__fp", "__ri").collect()
+        per_file: dict[str, list[int]] = {}
+        for r in rows:
+            per_file.setdefault(self._rel_from_abs(r[0]), []).append(int(r[1]))
+        ts = int(_time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "DELETE",
+                    "operationParameters": {"predicate": predicate},
+                }
+            }
+        ]
+        v = snap.version + 1
+        if not per_file:
+            if not self._try_commit(v, actions):
+                raise DeltaProtocolError(
+                    f"delete lost the race for version {v}; re-read and retry"
+                )
+            return v
+        cdf_on = (
+            str(snap.properties.get("delta.enableChangeDataFeed", "")).lower()
+            == "true"
+        )
+        if cdf_on:
+            actions += self._write_cdc(
+                matched.drop("__fp", "__ri").withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                snap,
+            )
+        if dv_ok:
+            from delta_lake_validation_spark.sources.dv import (
+                deserialize_bitmap,
+                write_dv_file,
+            )
+            from delta_lake_validation_spark.sources.dv import (
+                load_dv_bytes as _load,
+            )
+
+            for rel, new_idx in sorted(per_file.items()):
+                meta = dict(snap.files[rel])
+                merged = set(int(i) for i in new_idx)
+                old = meta.get("deletionVector")
+                if old and int(old.get("cardinality") or 0) > 0:
+                    merged |= {
+                        int(i)
+                        for i in deserialize_bitmap(
+                            _load(old, self.location, self.fs)
+                        )
+                    }
+                desc = write_dv_file(self.fs, self.location, sorted(merged))
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": ts,
+                            "dataChange": True,
+                            "partitionValues": meta.get("partitionValues") or {},
+                            **(
+                                {"deletionVector": old} if old else {}
+                            ),
+                        }
+                    }
+                )
+                meta["deletionVector"] = desc
+                meta["dataChange"] = True
+                actions.append({"add": meta})
+        else:
+            # match on the exact _metadata.file_path strings the targeting
+            # scan returned (URI scheme/slash forms vary by filesystem)
+            touched_fps = sorted({r[0] for r in rows})
+            keep = (
+                live.filter(F.col("__fp").isin(touched_fps))
+                .filter(~F.coalesce(cond, F.lit(False)))
+                .drop("__fp", "__ri")
+            )
+            adds = self._stage_files(keep, snap)
+            actions += [{"add": a} for a in adds]
+            actions += [
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                        "partitionValues": (
+                            snap.files[rel].get("partitionValues") or {}
+                        ),
+                        "size": snap.files[rel].get("size"),
+                    }
+                }
+                for rel in per_file
+            ]
+        if not self._try_commit(v, actions):
+            raise DeltaProtocolError(
+                f"delete lost the race for version {v}: a concurrent writer "
+                "committed first; re-read and retry"
+            )
+        return v
+
+    def update(self, assignments: dict[str, str], predicate: str) -> int:
+        """Row-level UPDATE on a REAL Delta table: copy-on-write rewrite of
+        the touched files (non-matching rows unchanged, matching rows with
+        the assignment expressions applied); on a deletionVectors-enabled
+        table the old rows are DV-masked instead and only the updated rows
+        land in a new file.  With CDF enabled the commit carries
+        ``_change_data`` update_preimage/update_postimage rows."""
+        import time as _time
+
+        snap = self.snapshot()
+        self._check_writable(snap, "update")
+        logical = [f.name for f in snap.schema.fields]
+        unknown = set(assignments) - set(logical)
+        if unknown:
+            raise DeltaProtocolError(
+                f"UPDATE assigns unknown columns {sorted(unknown)}"
+            )
+        proto = self._checkpoint_and_commits_protocol()
+        dv_ok = "deletionVectors" in set(proto.get("writerFeatures") or []) and (
+            str(snap.properties.get("delta.enableDeletionVectors", "")).lower()
+            == "true"
+        )
+        cond = F.expr(predicate)
+        sets = {c: F.expr(e) for c, e in assignments.items()}
+        live = self._read_with_pos(snap)
+        matched = live.filter(cond)
+        rows = matched.select("__fp", "__ri").collect()
+        per_file: dict[str, list[int]] = {}
+        for r in rows:
+            per_file.setdefault(self._rel_from_abs(r[0]), []).append(int(r[1]))
+        ts = int(_time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "UPDATE",
+                    "operationParameters": {"predicate": predicate},
+                }
+            }
+        ]
+        v = snap.version + 1
+        if not per_file:
+            if not self._try_commit(v, actions):
+                raise DeltaProtocolError(
+                    f"update lost the race for version {v}; re-read and retry"
+                )
+            return v
+        updated = matched.select(
+            *[(sets[c] if c in sets else F.col(c)).alias(c) for c in logical]
+        )
+        if (
+            str(snap.properties.get("delta.enableChangeDataFeed", "")).lower()
+            == "true"
+        ):
+            pre = matched.drop("__fp", "__ri").withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = updated.withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            actions += self._write_cdc(pre.unionByName(post), snap)
+        if dv_ok:
+            from delta_lake_validation_spark.sources.dv import (
+                deserialize_bitmap,
+                write_dv_file,
+            )
+            from delta_lake_validation_spark.sources.dv import (
+                load_dv_bytes as _load,
+            )
+
+            for rel, new_idx in sorted(per_file.items()):
+                meta = dict(snap.files[rel])
+                merged = set(int(i) for i in new_idx)
+                old = meta.get("deletionVector")
+                if old and int(old.get("cardinality") or 0) > 0:
+                    merged |= {
+                        int(i)
+                        for i in deserialize_bitmap(
+                            _load(old, self.location, self.fs)
+                        )
+                    }
+                desc = write_dv_file(self.fs, self.location, sorted(merged))
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": ts,
+                            "dataChange": True,
+                            "partitionValues": meta.get("partitionValues") or {},
+                            **({"deletionVector": old} if old else {}),
+                        }
+                    }
+                )
+                meta["deletionVector"] = desc
+                meta["dataChange"] = True
+                actions.append({"add": meta})
+            actions += [{"add": a} for a in self._stage_files(updated, snap)]
+        else:
+            touched_fps = sorted({r[0] for r in rows})
+            keep = (
+                live.filter(F.col("__fp").isin(touched_fps))
+                .filter(~F.coalesce(cond, F.lit(False)))
+                .drop("__fp", "__ri")
+            )
+            rewritten = keep.unionByName(updated)
+            actions += [{"add": a} for a in self._stage_files(rewritten, snap)]
+            actions += [
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                        "partitionValues": (
+                            snap.files[rel].get("partitionValues") or {}
+                        ),
+                        "size": snap.files[rel].get("size"),
+                    }
+                }
+                for rel in per_file
+            ]
+        if not self._try_commit(v, actions):
+            raise DeltaProtocolError(
+                f"update lost the race for version {v}: a concurrent writer "
+                "committed first; re-read and retry"
+            )
+        return v
+
     # ------------------------------------------------------ deletion vectors
     def _dv_map(self, snap: DeltaSnapshot) -> dict[str, bytes]:
         """{normalized data-file path: serialized DV bitmap} for every live

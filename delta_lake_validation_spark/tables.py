@@ -207,3 +207,25 @@ def write_delta(
     if mode == "overwrite":
         return t.overwrite(df)
     raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+
+
+def delete_delta(spark: SparkSession, location: str, predicate: str) -> int:
+    """Row-level DELETE on a real Delta table (DV-masked when the table has
+    deletionVectors enabled, copy-on-write otherwise; cdc files when CDF is
+    on).  Returns the committed Delta version."""
+    from delta_lake_validation_spark.sources.delta_log import DeltaTable
+
+    return DeltaTable(spark, location).delete(predicate)
+
+
+def update_delta(
+    spark: SparkSession,
+    location: str,
+    assignments: dict[str, str],
+    predicate: str,
+) -> int:
+    """Row-level UPDATE on a real Delta table (same write strategies as
+    :func:`delete_delta`).  Returns the committed Delta version."""
+    from delta_lake_validation_spark.sources.delta_log import DeltaTable
+
+    return DeltaTable(spark, location).update(assignments, predicate)

@@ -1423,3 +1423,156 @@ def test_delta_concurrent_appends_both_land(spark, tmp_path):
     fresh = DeltaTable(spark, str(loc))
     assert fresh.latest_version() == 2
     assert {r.v for r in fresh.read().collect()} == {0, 1, 2}
+
+
+def test_delta_delete_copy_on_write(spark, tmp_path):
+    """DELETE on a plain Delta table rewrites only touched files, keeps
+    NULL-predicate rows, and time travel preserves the pre-delete view."""
+    loc = tmp_path / "dd"
+    log = loc / "_delta_log"
+    f1 = _write_parquet(
+        spark, [Row(v=1, s="a"), Row(v=2, s=None)], "v int, s string", loc / "g1"
+    )
+    f2 = _write_parquet(spark, [Row(v=9, s="z")], "v int, s string", loc / "g2")
+    _write_commit(
+        log, 0,
+        [PROTOCOL, _meta([("v", "integer"), ("s", "string")]),
+         _add(f1), _add(f2)],
+    )
+    t = DeltaTable(spark, str(loc))
+    v = t.delete("s = 'a'")
+    assert v == 1
+    fresh = DeltaTable(spark, str(loc))
+    # null-predicate row (s IS NULL) survives; untouched file f2 untouched
+    assert {(r.v, r.s) for r in fresh.read().collect()} == {(2, None), (9, "z")}
+    assert f2 in fresh.snapshot().files and f1 not in fresh.snapshot().files
+    assert {(r.v, r.s) for r in fresh.read(version=0).collect()} == {
+        (1, "a"), (2, None), (9, "z")
+    }
+    # no-match delete commits an empty (commitInfo-only) version
+    assert fresh.delete("v = 12345") == 2
+    assert DeltaTable(spark, str(loc)).read().count() == 2
+
+
+def test_delta_delete_with_dv_and_cdf(spark, tmp_path):
+    """DELETE on a deletionVectors-enabled table writes merged DV sidecars
+    (same data file paths, no rewrite) and, with CDF on, protocol cdc files
+    that read_changes serves row-accurately."""
+    loc = tmp_path / "ddv"
+    log = loc / "_delta_log"
+    f = _write_parquet(
+        spark, [Row(v=i) for i in range(6)], "v int", loc / "g"
+    )
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors", "changeDataFeed"],
+        }
+    }
+    _write_commit(
+        log, 0,
+        [proto,
+         _meta([("v", "integer")],
+               configuration={"delta.enableDeletionVectors": "true",
+                              "delta.enableChangeDataFeed": "true"}),
+         _add(f)],
+    )
+    t = DeltaTable(spark, str(loc))
+    v1 = t.delete("v >= 4")
+    fresh = DeltaTable(spark, str(loc))
+    snap = fresh.snapshot()
+    assert set(snap.files) == {f}  # same path, no rewrite
+    assert int(snap.files[f]["deletionVector"]["cardinality"]) == 2
+    assert {r.v for r in fresh.read().collect()} == {0, 1, 2, 3}
+    # second delete merges into the existing DV
+    t2 = DeltaTable(spark, str(loc))
+    t2.delete("v = 0")
+    fresh2 = DeltaTable(spark, str(loc))
+    assert int(fresh2.snapshot().files[f]["deletionVector"]["cardinality"]) == 3
+    assert {r.v for r in fresh2.read().collect()} == {1, 2, 3}
+    # CDF: the delete commit's changes come from its cdc files
+    ch = fresh2.read_changes(v1, v1)
+    assert {(r.v, r._change_type) for r in ch.collect()} == {
+        (4, "delete"), (5, "delete")
+    }
+
+
+def test_delta_delete_cdc_partitioned_copy_on_write(spark, tmp_path):
+    """Copy-on-write DELETE with CDF on a partitioned table: cdc actions
+    carry partitionValues (files hold only data columns + _change_type) and
+    read_changes restores the partition column."""
+    loc = tmp_path / "ddp"
+    log = loc / "_delta_log"
+    fa = _write_parquet(spark, [Row(v=1), Row(v=2)], "v int", loc / "k=a")
+    fb = _write_parquet(spark, [Row(v=3)], "v int", loc / "k=b")
+    _write_commit(
+        log, 0,
+        [PROTOCOL,
+         _meta([("v", "integer"), ("k", "string")], partition_cols=["k"],
+               configuration={"delta.enableChangeDataFeed": "true"}),
+         _add(fa, partition_values={"k": "a"}),
+         _add(fb, partition_values={"k": "b"})],
+    )
+    t = DeltaTable(spark, str(loc))
+    v = t.delete("v = 1")
+    fresh = DeltaTable(spark, str(loc))
+    assert {(r.v, r.k) for r in fresh.read().collect()} == {(2, "a"), (3, "b")}
+    ch = fresh.read_changes(v, v)
+    assert {(r.v, r.k, r._change_type) for r in ch.collect()} == {
+        (1, "a", "delete")
+    }
+
+
+def test_delta_update_copy_on_write_and_dv(spark, tmp_path):
+    """UPDATE interop: copy-on-write on a plain table (arithmetic
+    assignment, untouched files untouched, CDF pre/post images); DV-masked
+    old rows + new file on a deletionVectors table."""
+    loc = tmp_path / "du"
+    log = loc / "_delta_log"
+    f1 = _write_parquet(spark, [Row(v=1), Row(v=2)], "v int", loc / "g1")
+    f2 = _write_parquet(spark, [Row(v=9)], "v int", loc / "g2")
+    _write_commit(
+        log, 0,
+        [PROTOCOL,
+         _meta([("v", "integer")],
+               configuration={"delta.enableChangeDataFeed": "true"}),
+         _add(f1), _add(f2)],
+    )
+    t = DeltaTable(spark, str(loc))
+    v = t.update({"v": "v * 10"}, "v % 2 = 0")
+    fresh = DeltaTable(spark, str(loc))
+    assert {r.v for r in fresh.read().collect()} == {1, 20, 9}
+    assert f2 in fresh.snapshot().files and f1 not in fresh.snapshot().files
+    ch = fresh.read_changes(v, v)
+    assert {(r.v, r._change_type) for r in ch.collect()} == {
+        (2, "update_preimage"), (20, "update_postimage")
+    }
+
+    # DV table: old row masked, updated row in a fresh file
+    loc2 = tmp_path / "du2"
+    log2 = loc2 / "_delta_log"
+    f = _write_parquet(spark, [Row(v=i) for i in range(4)], "v int", loc2 / "g")
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+    }
+    _write_commit(
+        log2, 0,
+        [proto,
+         _meta([("v", "integer")],
+               configuration={"delta.enableDeletionVectors": "true"}),
+         _add(f)],
+    )
+    t2 = DeltaTable(spark, str(loc2))
+    t2.update({"v": "v + 100"}, "v = 3")
+    fresh2 = DeltaTable(spark, str(loc2))
+    snap = fresh2.snapshot()
+    assert f in snap.files  # original path kept, DV-masked
+    assert int(snap.files[f]["deletionVector"]["cardinality"]) == 1
+    assert {r.v for r in fresh2.read().collect()} == {0, 1, 2, 103}
