@@ -1180,6 +1180,137 @@ class DeltaTable:
             )
         return v
 
+    def merge_upsert(self, source: DataFrame, keys: list[str]) -> int:
+        """MERGE upsert on a REAL Delta table (the reference's J4 shape:
+        WHEN MATCHED UPDATE SET all columns, WHEN NOT MATCHED INSERT all —
+        updates win).  Matched target rows are DV-masked (deletionVectors
+        tables) or their files rewritten copy-on-write; every source row
+        lands in fresh files.  Source keys must be unique, as Delta's MERGE
+        demands (multiple matches are ambiguous).  CDF commits carry
+        update_preimage/update_postimage for matched keys and insert rows
+        for new keys."""
+        import time as _time
+
+        snap = self.snapshot()
+        self._check_writable(snap, "merge")
+        logical = [f.name for f in snap.schema.fields]
+        if set(source.columns) != set(logical):
+            raise DeltaProtocolError(
+                f"MERGE source schema mismatch: table has {sorted(logical)}, "
+                f"source has {sorted(source.columns)}"
+            )
+        if source.count() != source.select(*keys).distinct().count():
+            raise DeltaProtocolError(
+                "MERGE source has duplicate keys — multiple matches per "
+                "target row are ambiguous (Delta raises here too)"
+            )
+        proto = self._checkpoint_and_commits_protocol()
+        dv_ok = "deletionVectors" in set(proto.get("writerFeatures") or []) and (
+            str(snap.properties.get("delta.enableDeletionVectors", "")).lower()
+            == "true"
+        )
+        live = self._read_with_pos(snap)
+        src_keys = source.select(*keys).distinct()
+        matched = live.join(src_keys, keys, "inner")
+        rows = matched.select("__fp", "__ri").collect()
+        per_file: dict[str, list[int]] = {}
+        for r in rows:
+            per_file.setdefault(self._rel_from_abs(r[0]), []).append(int(r[1]))
+        ts = int(_time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "MERGE",
+                    "operationParameters": {"matchedPredicates": "update",
+                                            "notMatchedPredicates": "insert"},
+                }
+            }
+        ]
+        if (
+            str(snap.properties.get("delta.enableChangeDataFeed", "")).lower()
+            == "true"
+        ):
+            tgt_keys = live.select(*keys).distinct()
+            pre = matched.drop("__fp", "__ri").withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = source.join(tgt_keys, keys, "semi").select(*logical).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            ins = source.join(tgt_keys, keys, "anti").select(*logical).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            actions += self._write_cdc(pre.unionByName(post).unionByName(ins), snap)
+        if dv_ok and per_file:
+            from delta_lake_validation_spark.sources.dv import (
+                deserialize_bitmap,
+                write_dv_file,
+            )
+            from delta_lake_validation_spark.sources.dv import (
+                load_dv_bytes as _load,
+            )
+
+            for rel, new_idx in sorted(per_file.items()):
+                meta = dict(snap.files[rel])
+                merged = set(int(i) for i in new_idx)
+                old = meta.get("deletionVector")
+                if old and int(old.get("cardinality") or 0) > 0:
+                    merged |= {
+                        int(i)
+                        for i in deserialize_bitmap(
+                            _load(old, self.location, self.fs)
+                        )
+                    }
+                desc = write_dv_file(self.fs, self.location, sorted(merged))
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": ts,
+                            "dataChange": True,
+                            "partitionValues": meta.get("partitionValues") or {},
+                            **({"deletionVector": old} if old else {}),
+                        }
+                    }
+                )
+                meta["deletionVector"] = desc
+                meta["dataChange"] = True
+                actions.append({"add": meta})
+            actions += [
+                {"add": a} for a in self._stage_files(source.select(*logical), snap)
+            ]
+        else:
+            touched_fps = sorted({r[0] for r in rows})
+            keep = (
+                live.filter(F.col("__fp").isin(touched_fps))
+                .join(src_keys, keys, "anti")
+                .drop("__fp", "__ri")
+            )
+            rewritten = keep.unionByName(source.select(*logical))
+            actions += [{"add": a} for a in self._stage_files(rewritten, snap)]
+            actions += [
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                        "partitionValues": (
+                            snap.files[rel].get("partitionValues") or {}
+                        ),
+                        "size": snap.files[rel].get("size"),
+                    }
+                }
+                for rel in per_file
+            ]
+        v = snap.version + 1
+        if not self._try_commit(v, actions):
+            raise DeltaProtocolError(
+                f"merge lost the race for version {v}: a concurrent writer "
+                "committed first; re-read and retry"
+            )
+        return v
+
     # ------------------------------------------------------ deletion vectors
     def _dv_map(self, snap: DeltaSnapshot) -> dict[str, bytes]:
         """{normalized data-file path: serialized DV bitmap} for every live

@@ -229,3 +229,17 @@ def update_delta(
     from delta_lake_validation_spark.sources.delta_log import DeltaTable
 
     return DeltaTable(spark, location).update(assignments, predicate)
+
+
+def merge_delta(
+    spark: SparkSession,
+    source: DataFrame,
+    location: str,
+    keys: list[str],
+) -> int:
+    """MERGE upsert into a real Delta table (WHEN MATCHED UPDATE all /
+    WHEN NOT MATCHED INSERT all, ref src/validation_suite.py:489-524
+    semantics).  Returns the committed Delta version."""
+    from delta_lake_validation_spark.sources.delta_log import DeltaTable
+
+    return DeltaTable(spark, location).merge_upsert(source, keys)

@@ -1576,3 +1576,74 @@ def test_delta_update_copy_on_write_and_dv(spark, tmp_path):
     assert f in snap.files  # original path kept, DV-masked
     assert int(snap.files[f]["deletionVector"]["cardinality"]) == 1
     assert {r.v for r in fresh2.read().collect()} == {0, 1, 2, 103}
+
+
+def test_delta_merge_upsert(spark, tmp_path):
+    """MERGE interop (ref J4 semantics, updates win): matched keys take the
+    source row, unmatched insert; CDF carries pre/post images + inserts;
+    duplicate source keys refuse; DV tables mask instead of rewriting."""
+    loc = tmp_path / "dm"
+    log = loc / "_delta_log"
+    f = _write_parquet(
+        spark, [Row(k=1, v="old1"), Row(k=2, v="old2")], "k int, v string",
+        loc / "g",
+    )
+    _write_commit(
+        log, 0,
+        [PROTOCOL,
+         _meta([("k", "integer"), ("v", "string")],
+               configuration={"delta.enableChangeDataFeed": "true"}),
+         _add(f)],
+    )
+    t = DeltaTable(spark, str(loc))
+    src = spark.createDataFrame([(2, "NEW2"), (3, "NEW3")], "k int, v string")
+    v = t.merge_upsert(src, ["k"])
+    fresh = DeltaTable(spark, str(loc))
+    assert {(r.k, r.v) for r in fresh.read().collect()} == {
+        (1, "old1"), (2, "NEW2"), (3, "NEW3")
+    }
+    ch = fresh.read_changes(v, v)
+    assert {(r.k, r.v, r._change_type) for r in ch.collect()} == {
+        (2, "old2", "update_preimage"),
+        (2, "NEW2", "update_postimage"),
+        (3, "NEW3", "insert"),
+    }
+    with pytest.raises(DeltaProtocolError, match="duplicate keys"):
+        fresh.merge_upsert(
+            spark.createDataFrame([(5, "a"), (5, "b")], "k int, v string"),
+            ["k"],
+        )
+
+    # DV table: matched row masked, all source rows in fresh files
+    loc2 = tmp_path / "dm2"
+    log2 = loc2 / "_delta_log"
+    f2 = _write_parquet(
+        spark, [Row(k=1, v="a"), Row(k=2, v="b")], "k int, v string", loc2 / "g"
+    )
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+    }
+    _write_commit(
+        log2, 0,
+        [proto,
+         _meta([("k", "integer"), ("v", "string")],
+               configuration={"delta.enableDeletionVectors": "true"}),
+         _add(f2)],
+    )
+    t2 = DeltaTable(spark, str(loc2))
+    t2.merge_upsert(
+        spark.createDataFrame([(2, "B2"), (9, "NEW")], "k int, v string"),
+        ["k"],
+    )
+    fresh2 = DeltaTable(spark, str(loc2))
+    snap = fresh2.snapshot()
+    assert f2 in snap.files
+    assert int(snap.files[f2]["deletionVector"]["cardinality"]) == 1
+    assert {(r.k, r.v) for r in fresh2.read().collect()} == {
+        (1, "a"), (2, "B2"), (9, "NEW")
+    }
