@@ -1311,6 +1311,110 @@ class DeltaTable:
             )
         return v
 
+    def optimize(self, target_files: int = 1) -> int:
+        """Bin-packing compaction on a REAL Delta table (ref: OPTIMIZE,
+        src/validation_suite.py:466-477): rewrite the live rows into
+        ``target_files`` files per partition (one by default), committing
+        adds+removes with ``dataChange: false`` so streaming readers skip
+        the commit.  Deletion vectors are purged — compaction materializes
+        the masked deletes, exactly as Delta's OPTIMIZE does."""
+        import time as _time
+
+        snap = self.snapshot()
+        self._check_writable(snap, "optimize")
+        live = self._read_snapshot(snap)
+        if snap.partition_columns:
+            live = live.repartition(
+                *[F.col(c) for c in snap.partition_columns]
+            )
+        else:
+            live = live.coalesce(max(1, int(target_files)))
+        adds = self._stage_files(live, snap)
+        ts = int(_time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {"targetFiles": int(target_files)},
+                }
+            }
+        ]
+        for a in adds:
+            a["dataChange"] = False
+            actions.append({"add": a})
+        actions += [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": ts,
+                    "dataChange": False,
+                    "partitionValues": (a.get("partitionValues") or {}),
+                    "size": a.get("size"),
+                }
+            }
+            for p, a in snap.files.items()
+        ]
+        v = snap.version + 1
+        if not self._try_commit(v, actions):
+            raise DeltaProtocolError(
+                f"optimize lost the race for version {v}; re-read and retry"
+            )
+        return v
+
+    def vacuum(
+        self, retain_hours: float = 168.0, dry_run: bool = False
+    ) -> list[str]:
+        """VACUUM a REAL Delta table (ref: VACUUM RETAIN 0 HOURS,
+        src/validation_suite.py:456-463): delete files under the table dir
+        that the LATEST snapshot does not reference (data parquet, stale DV
+        sidecars, ``_change_data`` files) and that are older than the
+        retention cutoff.  ``retain_hours=0`` reclaims immediately and
+        breaks time travel to older versions, exactly as in Delta; the
+        mtime check protects in-flight writers' staged files.  Dirs whose
+        top segment starts with ``_`` are skipped (protocol: readers ignore
+        them) except ``_change_data``."""
+        import time as _t
+
+        from delta_lake_validation_spark.sources.dv import dv_relative_path
+
+        snap = self.snapshot()
+        root = strip_scheme(self.location)
+        active = {f"{root}/{p}" for p in snap.files}
+        active_dv = set()
+        for meta in snap.files.values():
+            d = meta.get("deletionVector")
+            if not d:
+                continue
+            if d.get("storageType") == "u":
+                active_dv.add(
+                    f"{root}/{dv_relative_path(d['pathOrInlineDv'])}"
+                )
+            elif d.get("storageType") == "p":
+                active_dv.add(strip_scheme(d["pathOrInlineDv"]))
+        cutoff = _t.time() - retain_hours * 3600
+        doomed: list[str] = []
+        for f_abs in self.fs.list_files(self.location):
+            rel = strip_scheme(f_abs)[len(root):].lstrip("/")
+            top = rel.split("/", 1)[0]
+            if top.startswith("_") and top != "_change_data":
+                continue  # _delta_log, _staging-*, _SUCCESS markers …
+            if strip_scheme(f_abs) in active:
+                continue
+            name = rel.rsplit("/", 1)[-1]
+            if name.startswith("deletion_vector_") and name.endswith(".bin"):
+                if strip_scheme(f_abs) in active_dv:
+                    continue
+            elif not rel.endswith(".parquet"):
+                continue
+            if self.fs.mtime(f_abs) > cutoff:
+                continue
+            doomed.append(rel)
+        if not dry_run:
+            for rel in doomed:
+                self.fs.delete(f"{self.location}/{rel}")
+        return sorted(doomed)
+
     # ------------------------------------------------------ deletion vectors
     def _dv_map(self, snap: DeltaSnapshot) -> dict[str, bytes]:
         """{normalized data-file path: serialized DV bitmap} for every live

@@ -1647,3 +1647,51 @@ def test_delta_merge_upsert(spark, tmp_path):
     assert {(r.k, r.v) for r in fresh2.read().collect()} == {
         (1, "a"), (2, "B2"), (9, "NEW")
     }
+
+
+def test_delta_optimize_and_vacuum(spark, tmp_path):
+    """OPTIMIZE compacts a real Delta table's live rows into one file per
+    partition (dataChange=false commit, DVs purged); VACUUM retain-0 then
+    reclaims the superseded files while the compacted snapshot still reads."""
+    loc = tmp_path / "dov"
+    log = loc / "_delta_log"
+
+    def _wp_nested(rows, sub):
+        rel = _write_parquet(spark, rows, "v int", loc / sub)
+        return f"{sub.rsplit('/', 1)[0]}/{rel}"
+
+    fa1 = _wp_nested([Row(v=1)], "k=a/s1")
+    fa2 = _wp_nested([Row(v=2)], "k=a/s2")
+    fb = _wp_nested([Row(v=3)], "k=b/s1")
+    # files are nested one level deeper than hive (k=a/s1/...), exercising
+    # the non-hive stamped-read path too
+    _write_commit(
+        log, 0,
+        [PROTOCOL,
+         _meta([("v", "integer"), ("k", "string")], partition_cols=["k"]),
+         _add(fa1, partition_values={"k": "a"}),
+         _add(fa2, partition_values={"k": "a"}),
+         _add(fb, partition_values={"k": "b"})],
+    )
+    t = DeltaTable(spark, str(loc))
+    v = t.optimize()
+    fresh = DeltaTable(spark, str(loc))
+    snap = fresh.snapshot()
+    per_part: dict = {}
+    for p, a in snap.files.items():
+        per_part.setdefault(a["partitionValues"]["k"], []).append(p)
+    assert all(len(ps) == 1 for ps in per_part.values())
+    assert {(r.v, r.k) for r in fresh.read().collect()} == {
+        (1, "a"), (2, "a"), (3, "b")
+    }
+    # dataChange=false everywhere in the optimize commit
+    acts = fresh._commit_actions(v)
+    assert all(
+        not a[k].get("dataChange", True)
+        for a in acts for k in ("add", "remove") if k in a
+    )
+    doomed = DeltaTable(spark, str(loc)).vacuum(retain_hours=0)
+    assert set(doomed) == {fa1, fa2, fb}
+    assert {(r.v, r.k) for r in DeltaTable(spark, str(loc)).read().collect()} == {
+        (1, "a"), (2, "a"), (3, "b")
+    }
