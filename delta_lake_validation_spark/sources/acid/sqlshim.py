@@ -128,6 +128,70 @@ def _sub_outside_quotes(pattern: re.Pattern, repl, text: str) -> str:
             return text
 
 
+class _DeltaSqlTable:
+    """Adapter exposing a REAL Delta table (`_delta_log`) through the
+    method surface :class:`AcidSqlContext` drives, so the reference's SQL
+    statements run verbatim against genuine Delta tables too.  Every
+    operation opens a fresh :class:`DeltaTable` handle — commits landed by
+    other writers between statements are always visible.  Operations the
+    Delta writer doesn't implement (RESTORE, constraints, Z-order /
+    partition-scoped OPTIMIZE) raise rather than guess."""
+
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = location
+
+    def _t(self):
+        from delta_lake_validation_spark.sources.delta_log import DeltaTable
+
+        return DeltaTable(self.spark, self.location)
+
+    def schema(self):
+        return self._t().snapshot().schema
+
+    def read(self, version=None, timestamp=None):
+        return self._t().read(version=version, timestamp=timestamp)
+
+    def read_changes(self, start_version, end_version=None):
+        return self._t().read_changes(start_version, end_version)
+
+    def history(self):
+        return self._t().history()
+
+    def detail(self):
+        return self._t().detail()
+
+    def append(self, df: DataFrame) -> int:
+        return self._t().append(df)
+
+    def delete(self, predicate: str | None) -> int:
+        return self._t().delete(predicate if predicate else "true")
+
+    def update(self, assignments: dict[str, str], condition: str) -> int:
+        return self._t().update(assignments, condition)
+
+    def merge(self, source: DataFrame, keys: list[str]) -> int:
+        return self._t().merge_upsert(source, keys)
+
+    def optimize(self, zorder_by=None, where=None, target_files: int = 1) -> int:
+        if zorder_by or where:
+            raise AcidSqlError(
+                "OPTIMIZE ZORDER BY / WHERE is not implemented for Delta "
+                "interop tables (plain compaction is)"
+            )
+        return self._t().optimize(target_files=target_files)
+
+    def vacuum(self, retain_hours: float = 168.0, dry_run: bool = False):
+        return self._t().vacuum(retain_hours=retain_hours, dry_run=dry_run)
+
+    def __getattr__(self, name):
+        if name.startswith("_"):  # dunder/protocol probes stay AttributeError
+            raise AttributeError(name)
+        raise AcidSqlError(
+            f"operation {name!r} is not implemented for Delta interop tables"
+        )
+
+
 class AcidSqlContext:
     """Name → AcidTable registry plus the ``sql()`` dispatcher."""
 
@@ -137,6 +201,13 @@ class AcidSqlContext:
 
     def register(self, name: str, table: AcidTable) -> None:
         self._tables[name] = table
+
+    def register_delta(self, name: str, location: str) -> None:
+        """Expose a REAL Delta table (`_delta_log` at ``location``) under
+        ``name`` — the reference's SQL DML/lifecycle statements then run
+        against it verbatim (INSERT/DELETE/UPDATE/MERGE/OPTIMIZE/VACUUM/
+        DESCRIBE/table_changes/time travel)."""
+        self._tables[name] = _DeltaSqlTable(self.spark, location)
 
     def table(self, name: str) -> AcidTable:
         if name not in self._tables:

