@@ -184,6 +184,20 @@ class _DeltaSqlTable:
     def vacuum(self, retain_hours: float = 168.0, dry_run: bool = False):
         return self._t().vacuum(retain_hours=retain_hours, dry_run=dry_run)
 
+    def restore(self, version: int) -> int:
+        return self._t().restore(version)
+
+    @property
+    def log(self):
+        """Minimal log facade: RESTORE … TIMESTAMP AS OF resolves its
+        version through ``log.version_for_timestamp`` on the ACID path."""
+        table = self._t()
+
+        class _Log:
+            version_for_timestamp = staticmethod(table.version_for_timestamp)
+
+        return _Log()
+
     def __getattr__(self, name):
         if name.startswith("_"):  # dunder/protocol probes stay AttributeError
             raise AttributeError(name)

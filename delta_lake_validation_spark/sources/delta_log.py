@@ -1420,6 +1420,87 @@ class DeltaTable:
                 self.fs.delete(f"{self.location}/{rel}")
         return sorted(doomed)
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE … TO VERSION AS OF n on a REAL Delta table: one
+        commit re-adding the target snapshot's files and removing the
+        current ones (Delta's own RESTORE shape — history is preserved,
+        the restore is itself a new version).  Files vacuumed since the
+        target version fail the restore up front."""
+        import time as _time
+
+        snap = self.snapshot()
+        self._check_writable(snap, "restore")
+        target = self.snapshot(version)
+        missing = [
+            p for p in target.files
+            if not self.fs.exists(self._abs(p))
+        ]
+        if missing:
+            raise DeltaProtocolError(
+                f"cannot RESTORE to version {version}: {len(missing)} data "
+                f"file(s) were vacuumed (e.g. {missing[0]!r})"
+            )
+        ts = int(_time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "RESTORE",
+                    "operationParameters": {"version": int(version)},
+                }
+            }
+        ]
+        if target.metadata_id != snap.metadata_id or (
+            target.schema != snap.schema
+            or target.properties != snap.properties
+        ):
+            # schema/properties changed since the target: restore them too
+            actions.append(
+                {
+                    "metaData": {
+                        "id": target.metadata_id,
+                        "name": target.name,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": json.dumps(target.schema.jsonValue()),
+                        "partitionColumns": list(target.partition_columns),
+                        "configuration": dict(target.properties),
+                    }
+                }
+            )
+        from delta_lake_validation_spark.sources.dv import dv_unique_id
+
+        def _changed(p: str) -> bool:
+            # same path in both snapshots, but the deletion vector differs
+            # (rows deleted/restored since the target) — needs remove+add
+            return dv_unique_id(
+                snap.files[p].get("deletionVector")
+            ) != dv_unique_id(target.files[p].get("deletionVector"))
+
+        actions += [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                    "partitionValues": (a.get("partitionValues") or {}),
+                    "size": a.get("size"),
+                }
+            }
+            for p, a in snap.files.items()
+            if p not in target.files or _changed(p)
+        ]
+        actions += [
+            {"add": {**a, "dataChange": True}}
+            for p, a in target.files.items()
+            if p not in snap.files or _changed(p)
+        ]
+        v = snap.version + 1
+        if not self._try_commit(v, actions):
+            raise DeltaProtocolError(
+                f"restore lost the race for version {v}; re-read and retry"
+            )
+        return v
+
     # ------------------------------------------------------ deletion vectors
     def _dv_map(self, snap: DeltaSnapshot) -> dict[str, bytes]:
         """{normalized data-file path: serialized DV bitmap} for every live
@@ -2111,3 +2192,57 @@ def import_delta(
     if not target.log.try_commit(0, entry):
         raise ConcurrentWriteException(f"concurrent create at {target_location}")
     return target
+
+
+def create_delta(
+    spark: SparkSession,
+    location: str,
+    schema: StructType | str,
+    partition_by: list[str] | None = None,
+    properties: dict[str, str] | None = None,
+    name: str | None = None,
+) -> "DeltaTable":
+    """Author a BRAND-NEW Delta table at ``location`` (protocol + metaData
+    at version 0, no data) — the writer-side counterpart of the reference's
+    ``CREATE TABLE … USING DELTA`` (src/validation_suite.py:268-286).
+    Raises if a ``_delta_log`` already exists there.  CDF and appendOnly
+    arrive through ``properties`` exactly as TBLPROPERTIES would."""
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    if isinstance(schema, str):
+        schema = _parse_datatype_string(schema)
+    fs = FileSystem(spark, location)
+    log_dir = f"{location.rstrip('/')}/_delta_log"
+    if fs.exists(f"{log_dir}/{0:020d}.json"):
+        raise DeltaProtocolError(f"a Delta table already exists at {location}")
+    part = list(partition_by or [])
+    unknown = set(part) - {f.name for f in schema.fields}
+    if unknown:
+        raise DeltaProtocolError(f"partition columns not in schema: {sorted(unknown)}")
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(_time.time() * 1000),
+                "operation": "CREATE TABLE",
+                "operationParameters": {"partitionBy": json.dumps(part)},
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(_uuid.uuid4()),
+                "name": name,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema.jsonValue()),
+                "partitionColumns": part,
+                "configuration": dict(properties or {}),
+                "createdTime": int(_time.time() * 1000),
+            }
+        },
+    ]
+    body = "\n".join(json.dumps(a) for a in actions) + "\n"
+    fs.atomic_create(f"{log_dir}/{0:020d}.json", body)
+    return DeltaTable(spark, location)

@@ -1695,3 +1695,31 @@ def test_delta_optimize_and_vacuum(spark, tmp_path):
     assert {(r.v, r.k) for r in DeltaTable(spark, str(loc)).read().collect()} == {
         (1, "a"), (2, "a"), (3, "b")
     }
+
+
+def test_create_delta_and_restore(spark, tmp_path):
+    """create_delta authors a fresh table (v0 protocol+metaData, empty
+    read); the writer drives it end to end; RESTORE rolls the table back
+    to an earlier version as a NEW commit with history preserved."""
+    from delta_lake_validation_spark.sources.delta_log import create_delta
+
+    loc = str(tmp_path / "new")
+    t = create_delta(
+        spark, loc, "v int, k string", partition_by=["k"],
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    assert t.read().count() == 0
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "v int, k string"))
+    t2 = DeltaTable(spark, loc)
+    t2.delete("k = 'a'")
+    t3 = DeltaTable(spark, loc)
+    assert {(r.v, r.k) for r in t3.read().collect()} == {(2, "b")}
+    rv = t3.restore(1)
+    fresh = DeltaTable(spark, loc)
+    assert {(r.v, r.k) for r in fresh.read().collect()} == {(1, "a"), (2, "b")}
+    assert fresh.latest_version() == rv == 3
+    # history preserved: the deleted state is still time-travelable
+    assert {(r.v, r.k) for r in fresh.read(version=2).collect()} == {(2, "b")}
+    assert fresh.history()[0]["operation"] == "RESTORE"
+    with pytest.raises(DeltaProtocolError, match="already exists"):
+        create_delta(spark, loc, "v int")
