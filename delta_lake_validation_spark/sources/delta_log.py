@@ -87,7 +87,11 @@ class DeltaSnapshot:
         properties: dict[str, str],
         metadata_id: str | None,
         name: str | None,
+        protocol: dict | None = None,
     ):
+        #: last protocol action seen during replay (reader/writer gating
+        #: uses this — one replay, not one per check)
+        self.protocol = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
         self.version = version
         self.schema = schema
         self.partition_columns = partition_columns
@@ -323,6 +327,7 @@ class DeltaTable:
         props: dict[str, str] = {}
         meta_id: str | None = None
         name: str | None = None
+        proto: dict | None = None
         start = 0
 
         ckpt = self._last_checkpoint()
@@ -331,6 +336,7 @@ class DeltaTable:
             for d in self._checkpoint_actions(parts, kind):
                 if d.get("protocol"):
                     self._check_protocol(d["protocol"])
+                    proto = dict(d["protocol"])
                 if d.get("metaData"):
                     schema, part_cols, props, meta_id, name = self._apply_meta(
                         d["metaData"]
@@ -347,6 +353,7 @@ class DeltaTable:
             for action in actions:
                 if "protocol" in action:
                     self._check_protocol(action["protocol"])
+                    proto = dict(action["protocol"])
                 elif "metaData" in action:
                     schema, part_cols, props, meta_id, name = self._apply_meta(
                         action["metaData"]
@@ -367,7 +374,9 @@ class DeltaTable:
             raise DeltaProtocolError(
                 f"no metaData action found replaying {self.location} to v{version}"
             )
-        return DeltaSnapshot(version, schema, part_cols, files, props, meta_id, name)
+        return DeltaSnapshot(
+            version, schema, part_cols, files, props, meta_id, name, proto
+        )
 
     @staticmethod
     def _check_protocol(p: dict) -> None:
@@ -594,7 +603,7 @@ class DeltaTable:
     #: append/overwrite writer).  Everything else refuses loudly — writing
     #: into a table whose invariants we'd silently skip corrupts it.
     _SUPPORTED_WRITER_FEATURES = {
-        "appendOnly",  # honored: overwrite refuses when delta.appendOnly
+        "appendOnly",  # honored: data-changing rewrites refuse
         "invariants",  # OK only when no field declares delta.invariants
         "checkConstraints",  # OK only when no delta.constraints.* property
         "timestampNtz",
@@ -604,24 +613,31 @@ class DeltaTable:
         "v2Checkpoint",
         "vacuumProtocolCheck",
         "columnMapping",  # writes use physical names (+ field ids, id mode)
-        "changeDataFeed",  # appends are add-only: inserts derive from add[]
+        "changeDataFeed",  # DML commits write protocol _change_data files
     }
 
-    def _check_writable(self, snap: DeltaSnapshot, op: str) -> None:
-        proto = self._checkpoint_and_commits_protocol()
+    def _check_writer_protocol(self, snap: DeltaSnapshot) -> None:
+        """Feature-level write gate (applies to EVERY mutating operation,
+        including vacuum — deleting files under a table whose commits may
+        live outside `_delta_log` would corrupt it)."""
+        proto = snap.protocol
         writer = int(proto.get("minWriterVersion", 2))
-        feats = set(proto.get("writerFeatures") or [])
         if writer >= 7:
+            feats = set(proto.get("writerFeatures") or [])
             unsupported = feats - self._SUPPORTED_WRITER_FEATURES
             if unsupported:
                 raise DeltaProtocolError(
                     f"table requires writer features {sorted(unsupported)}; "
                     "refusing to write incorrectly"
                 )
-        # legacy writer versions ≤6 bundle capabilities; what actually
-        # blocks a correct append is DECLARED in metadata, so gate on that:
-        # invariants/constraints we don't enforce, generated/identity
-        # columns we don't compute
+
+    def _check_writable(self, snap: DeltaSnapshot, op: str) -> None:
+        """Data-write gate: protocol features, plus the blockers DECLARED
+        in metadata (legacy writer versions ≤6 bundle capabilities, so the
+        declarations are what actually matter): invariants/constraints we
+        don't enforce, generated/identity columns we don't compute, and
+        appendOnly for operations that change or remove existing rows."""
+        self._check_writer_protocol(snap)
         for f in snap.schema.fields:
             meta = f.metadata or {}
             if meta.get("delta.invariants"):
@@ -644,37 +660,42 @@ class DeltaTable:
                 "table declares CHECK constraints this writer does not "
                 "enforce — refusing"
             )
-        if op != "append" and (
+        if op in ("overwrite", "delete", "update", "merge", "restore") and (
             str(snap.properties.get("delta.appendOnly", "")).lower() == "true"
         ):
-            raise DeltaProtocolError("delta.appendOnly table: only appends allowed")
+            raise DeltaProtocolError(
+                f"delta.appendOnly table: {op} would change existing rows"
+            )
 
-    def _checkpoint_and_commits_protocol(self) -> dict:
-        """Latest protocol action across the replayed log (checkpoint base,
-        then the JSON chain — mirrors snapshot()'s replay)."""
-        proto: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
-        latest = self.latest_version()
-        start = 0
-        ckpt = self._last_checkpoint()
-        if ckpt is not None and ckpt[0] <= latest:
-            ckpt_version, parts, kind = ckpt
-            for d in self._checkpoint_actions(parts, kind):
-                if d.get("protocol"):
-                    proto = dict(d["protocol"])
-            start = ckpt_version + 1
-        for v in range(start, latest + 1):
-            for a in self._commit_actions(v):
-                if "protocol" in a:
-                    proto = dict(a["protocol"])
-        return proto
+    def _dv_enabled(self, snap: DeltaSnapshot) -> bool:
+        return "deletionVectors" in set(
+            snap.protocol.get("writerFeatures") or []
+        ) and (
+            str(snap.properties.get("delta.enableDeletionVectors", "")).lower()
+            == "true"
+        )
+
+    def _cdf_enabled(self, snap: DeltaSnapshot) -> bool:
+        return (
+            str(snap.properties.get("delta.enableChangeDataFeed", "")).lower()
+            == "true"
+        )
+
+    def _rel_by_disk_path(self, snap: DeltaSnapshot) -> dict[str, str]:
+        """{on-disk absolute path (scheme-stripped): log add-path} — the
+        ONLY safe way to key targeting-scan results back to snap.files
+        (log paths are percent-encoded; re-encoding a decoded path is not
+        guaranteed to reproduce the original encoding)."""
+        return {strip_scheme(self._abs(p)): p for p in snap.files}
 
     def _stage_files(self, df: DataFrame, snap: DeltaSnapshot) -> list[dict]:
         """Write df (LOGICAL columns) as hive-laid parquet under the table
         root using PHYSICAL names (+ parquet field ids when column mapping
         assigns them, so id-mode readers resolve our files), returning Delta
-        add actions with partitionValues keyed by physical name and
-        numRecords stats."""
+        add actions (paths percent-encoded per the protocol) with
+        partitionValues keyed by physical name and numRecords stats."""
         import uuid as _uuid
+        from urllib.parse import quote
 
         cols = set(f.name for f in snap.schema.fields)
         if set(df.columns) != cols:
@@ -708,14 +729,16 @@ class DeltaTable:
             # parquet at all — nothing to add
             self.fs.delete(staging, recursive=True)
             return []
+        # per-file row counts keyed by the FULL staged path: basenames
+        # collide across partition dirs (Spark names one task's file
+        # identically in every partition dir it writes)
         counts = {
-            r["f"]: r["n"]
+            strip_scheme(r["f"]): r["n"]
             for r in self.spark.read.parquet(staging)
             .groupBy(F.input_file_name().alias("f"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        n_by_name = {f.rsplit("/", 1)[-1]: n for f, n in counts.items()}
         from delta_lake_validation_spark.sources.acid.table import (
             _partition_values,
         )
@@ -733,13 +756,18 @@ class DeltaTable:
             self.fs.rename(f_abs, f"{self.location}/{new_rel}")
             adds.append(
                 {
-                    "path": new_rel,
+                    # the log path is a percent-encoded relative URI (RFC 3986
+                    # pchar-safe, matching delta-spark's minimal encoding) — the
+                    # inverse of the unquote every reader (incl. our _abs)
+                    # applies; without it a partition value like 'a:b'
+                    # (hive-escaped on disk) never round-trips
+                    "path": quote(new_rel, safe="/!$&'()*+,;=:@"),
                     "partitionValues": pv,
                     "size": sizes[f_abs],
                     "modificationTime": now_ms,
                     "dataChange": True,
                     "stats": json.dumps(
-                        {"numRecords": int(n_by_name.get(f_abs.rsplit("/", 1)[-1], 0))}
+                        {"numRecords": int(counts.get(f_abs, 0))}
                     ),
                 }
             )
@@ -757,16 +785,29 @@ class DeltaTable:
         self._log_names = self._list_log()
         return True
 
+    @staticmethod
+    def _meta_fingerprint(snap: DeltaSnapshot) -> tuple:
+        return (
+            snap.metadata_id,
+            json.dumps(snap.schema.jsonValue(), sort_keys=True),
+            tuple(snap.partition_columns),
+            tuple(sorted(snap.properties.items())),
+            json.dumps(snap.protocol, sort_keys=True),
+        )
+
     def append(self, df: DataFrame) -> int:
         """Append-commit to a REAL Delta table: stage hive-laid parquet,
         then atomically create the next ``NNN.json`` with the add actions
         (the outbound write half of interop — any Delta reader sees the new
-        rows).  Blind appends rebase on a lost race and retry, the same
-        liveness Delta's ConcurrentAppend rules give."""
+        rows).  Blind appends rebase on a lost race and retry — but only
+        after verifying the racing commit changed no metadata/protocol
+        (Delta aborts appends on metadata conflicts: the staged files were
+        validated and laid out against the OLD table shape)."""
         import time as _time
 
         snap = self.snapshot()
         self._check_writable(snap, "append")
+        fingerprint = self._meta_fingerprint(snap)
         adds = self._stage_files(df, snap)
         for _ in range(50):
             actions = [
@@ -783,7 +824,70 @@ class DeltaTable:
             if self._try_commit(v, actions):
                 return v
             self._log_names = self._list_log()
+            fresh = self.snapshot()
+            if self._meta_fingerprint(fresh) != fingerprint:
+                raise DeltaProtocolError(
+                    "append lost a race to a commit that changed table "
+                    "metadata or protocol; the staged files were validated "
+                    "against the old shape — re-read and retry"
+                )
         raise DeltaProtocolError("append could not commit after 50 attempts")
+
+    def _remove_actions(
+        self,
+        snap: DeltaSnapshot,
+        rel_paths,
+        ts: int,
+        data_change: bool = True,
+    ) -> list[dict]:
+        """remove actions for existing snapshot files, carrying their
+        partitionValues/size (and DV, so readers can identify the exact
+        file version being superseded)."""
+        out = []
+        for p in rel_paths:
+            a = snap.files[p]
+            r = {
+                "path": p,
+                "deletionTimestamp": ts,
+                "dataChange": data_change,
+                "partitionValues": (a.get("partitionValues") or {}),
+                "size": a.get("size"),
+            }
+            if a.get("deletionVector"):
+                r["deletionVector"] = a["deletionVector"]
+            out.append({"remove": r})
+        return out
+
+    def _dv_mask_actions(
+        self, snap: DeltaSnapshot, per_file: dict[str, list[int]], ts: int
+    ) -> list[dict]:
+        """One remove+add pair per touched file, the add carrying a merged
+        (old ∪ new) protocol-true DV sidecar — the shared core of DV-path
+        DELETE/UPDATE/MERGE."""
+        from delta_lake_validation_spark.sources.dv import (
+            deserialize_bitmap,
+            load_dv_bytes,
+            write_dv_file,
+        )
+
+        actions: list[dict] = []
+        for rel, new_idx in sorted(per_file.items()):
+            meta = dict(snap.files[rel])
+            merged = set(int(i) for i in new_idx)
+            old = meta.get("deletionVector")
+            if old and int(old.get("cardinality") or 0) > 0:
+                merged |= {
+                    int(i)
+                    for i in deserialize_bitmap(
+                        load_dv_bytes(old, self.location, self.fs)
+                    )
+                }
+            desc = write_dv_file(self.fs, self.location, sorted(merged))
+            actions += self._remove_actions(snap, [rel], ts)
+            meta["deletionVector"] = desc
+            meta["dataChange"] = True
+            actions.append({"add": meta})
+        return actions
 
     def overwrite(self, df: DataFrame) -> int:
         """Overwrite-commit to a REAL Delta table: the staged files replace
@@ -799,27 +903,17 @@ class DeltaTable:
         snap = self.snapshot()
         self._check_writable(snap, "overwrite")
         adds = self._stage_files(df, snap)
+        ts = int(_time.time() * 1000)
         actions = [
             {
                 "commitInfo": {
-                    "timestamp": int(_time.time() * 1000),
+                    "timestamp": ts,
                     "operation": "WRITE",
                     "operationParameters": {"mode": "Overwrite"},
                 }
             },
             *({"add": a} for a in adds),
-            *(
-                {
-                    "remove": {
-                        "path": p,
-                        "deletionTimestamp": int(_time.time() * 1000),
-                        "dataChange": True,
-                        "partitionValues": (a.get("partitionValues") or {}),
-                        "size": a.get("size"),
-                    }
-                }
-                for p, a in snap.files.items()
-            ),
+            *self._remove_actions(snap, list(snap.files), ts),
         ]
         v = snap.version + 1
         if not self._try_commit(v, actions):
@@ -881,16 +975,30 @@ class DeltaTable:
             out = sel(df) if out is None else out.unionByName(sel(df))
         return out
 
-    def _rel_from_abs(self, abs_path: str) -> str:
-        base = strip_scheme(self.location).rstrip("/") + "/"
-        p = strip_scheme(abs_path)
-        return p[len(base):] if p.startswith(base) else p
+    def _per_file_indices(
+        self, snap: DeltaSnapshot, rows
+    ) -> dict[str, list[int]]:
+        """Group targeting-scan (file_path, row_index) rows by LOG add-path
+        (resolved through the disk-path map — never by re-encoding)."""
+        from urllib.parse import unquote
+
+        rel_of = self._rel_by_disk_path(snap)
+        out: dict[str, list[int]] = {}
+        for r in rows:
+            # _metadata.file_path is a URI: a '%' in the ON-DISK name (e.g.
+            # hive-escaped ':' -> %3A) arrives re-escaped as %253A — unquote
+            # once to recover the disk path the map is keyed by
+            out.setdefault(
+                rel_of[strip_scheme(unquote(r[0]))], []
+            ).append(int(r[1]))
+        return out
 
     def _write_cdc(self, df_logical: DataFrame, snap: DeltaSnapshot) -> list[dict]:
         """Stage ``_change_data`` files (physical data columns +
         ``_change_type``; partition values live in the cdc actions, not the
         file) and return the cdc actions."""
         import uuid as _uuid
+        from urllib.parse import quote
 
         phys_parts = [snap.phys(c) for c in snap.partition_columns]
         out_cols = [
@@ -925,7 +1033,7 @@ class DeltaTable:
             actions.append(
                 {
                     "cdc": {
-                        "path": new_rel,
+                        "path": quote(new_rel, safe="/!$&'()*+,;=:@"),
                         "partitionValues": pv,
                         "size": sizes[f_abs],
                         "dataChange": False,
@@ -945,22 +1053,14 @@ class DeltaTable:
         ``_change_data`` files of the deleted rows, so any Delta CDF reader
         (this engine's included) serves the changes row-accurately."""
         import time as _time
-        import uuid as _uuid
 
         snap = self.snapshot()
         self._check_writable(snap, "delete")
-        proto = self._checkpoint_and_commits_protocol()
-        dv_ok = "deletionVectors" in set(proto.get("writerFeatures") or []) and (
-            str(snap.properties.get("delta.enableDeletionVectors", "")).lower()
-            == "true"
-        )
         cond = F.expr(predicate)
         live = self._read_with_pos(snap)
         matched = live.filter(cond)
         rows = matched.select("__fp", "__ri").collect()
-        per_file: dict[str, list[int]] = {}
-        for r in rows:
-            per_file.setdefault(self._rel_from_abs(r[0]), []).append(int(r[1]))
+        per_file = self._per_file_indices(snap, rows)
         ts = int(_time.time() * 1000)
         actions: list[dict] = [
             {
@@ -978,54 +1078,15 @@ class DeltaTable:
                     f"delete lost the race for version {v}; re-read and retry"
                 )
             return v
-        cdf_on = (
-            str(snap.properties.get("delta.enableChangeDataFeed", "")).lower()
-            == "true"
-        )
-        if cdf_on:
+        if self._cdf_enabled(snap):
             actions += self._write_cdc(
                 matched.drop("__fp", "__ri").withColumn(
                     "_change_type", F.lit("delete")
                 ),
                 snap,
             )
-        if dv_ok:
-            from delta_lake_validation_spark.sources.dv import (
-                deserialize_bitmap,
-                write_dv_file,
-            )
-            from delta_lake_validation_spark.sources.dv import (
-                load_dv_bytes as _load,
-            )
-
-            for rel, new_idx in sorted(per_file.items()):
-                meta = dict(snap.files[rel])
-                merged = set(int(i) for i in new_idx)
-                old = meta.get("deletionVector")
-                if old and int(old.get("cardinality") or 0) > 0:
-                    merged |= {
-                        int(i)
-                        for i in deserialize_bitmap(
-                            _load(old, self.location, self.fs)
-                        )
-                    }
-                desc = write_dv_file(self.fs, self.location, sorted(merged))
-                actions.append(
-                    {
-                        "remove": {
-                            "path": rel,
-                            "deletionTimestamp": ts,
-                            "dataChange": True,
-                            "partitionValues": meta.get("partitionValues") or {},
-                            **(
-                                {"deletionVector": old} if old else {}
-                            ),
-                        }
-                    }
-                )
-                meta["deletionVector"] = desc
-                meta["dataChange"] = True
-                actions.append({"add": meta})
+        if self._dv_enabled(snap):
+            actions += self._dv_mask_actions(snap, per_file, ts)
         else:
             # match on the exact _metadata.file_path strings the targeting
             # scan returned (URI scheme/slash forms vary by filesystem)
@@ -1035,22 +1096,8 @@ class DeltaTable:
                 .filter(~F.coalesce(cond, F.lit(False)))
                 .drop("__fp", "__ri")
             )
-            adds = self._stage_files(keep, snap)
-            actions += [{"add": a} for a in adds]
-            actions += [
-                {
-                    "remove": {
-                        "path": rel,
-                        "deletionTimestamp": ts,
-                        "dataChange": True,
-                        "partitionValues": (
-                            snap.files[rel].get("partitionValues") or {}
-                        ),
-                        "size": snap.files[rel].get("size"),
-                    }
-                }
-                for rel in per_file
-            ]
+            actions += [{"add": a} for a in self._stage_files(keep, snap)]
+            actions += self._remove_actions(snap, list(per_file), ts)
         if not self._try_commit(v, actions):
             raise DeltaProtocolError(
                 f"delete lost the race for version {v}: a concurrent writer "
@@ -1075,19 +1122,12 @@ class DeltaTable:
             raise DeltaProtocolError(
                 f"UPDATE assigns unknown columns {sorted(unknown)}"
             )
-        proto = self._checkpoint_and_commits_protocol()
-        dv_ok = "deletionVectors" in set(proto.get("writerFeatures") or []) and (
-            str(snap.properties.get("delta.enableDeletionVectors", "")).lower()
-            == "true"
-        )
         cond = F.expr(predicate)
         sets = {c: F.expr(e) for c, e in assignments.items()}
         live = self._read_with_pos(snap)
         matched = live.filter(cond)
         rows = matched.select("__fp", "__ri").collect()
-        per_file: dict[str, list[int]] = {}
-        for r in rows:
-            per_file.setdefault(self._rel_from_abs(r[0]), []).append(int(r[1]))
+        per_file = self._per_file_indices(snap, rows)
         ts = int(_time.time() * 1000)
         actions: list[dict] = [
             {
@@ -1108,10 +1148,7 @@ class DeltaTable:
         updated = matched.select(
             *[(sets[c] if c in sets else F.col(c)).alias(c) for c in logical]
         )
-        if (
-            str(snap.properties.get("delta.enableChangeDataFeed", "")).lower()
-            == "true"
-        ):
+        if self._cdf_enabled(snap):
             pre = matched.drop("__fp", "__ri").withColumn(
                 "_change_type", F.lit("update_preimage")
             )
@@ -1119,41 +1156,8 @@ class DeltaTable:
                 "_change_type", F.lit("update_postimage")
             )
             actions += self._write_cdc(pre.unionByName(post), snap)
-        if dv_ok:
-            from delta_lake_validation_spark.sources.dv import (
-                deserialize_bitmap,
-                write_dv_file,
-            )
-            from delta_lake_validation_spark.sources.dv import (
-                load_dv_bytes as _load,
-            )
-
-            for rel, new_idx in sorted(per_file.items()):
-                meta = dict(snap.files[rel])
-                merged = set(int(i) for i in new_idx)
-                old = meta.get("deletionVector")
-                if old and int(old.get("cardinality") or 0) > 0:
-                    merged |= {
-                        int(i)
-                        for i in deserialize_bitmap(
-                            _load(old, self.location, self.fs)
-                        )
-                    }
-                desc = write_dv_file(self.fs, self.location, sorted(merged))
-                actions.append(
-                    {
-                        "remove": {
-                            "path": rel,
-                            "deletionTimestamp": ts,
-                            "dataChange": True,
-                            "partitionValues": meta.get("partitionValues") or {},
-                            **({"deletionVector": old} if old else {}),
-                        }
-                    }
-                )
-                meta["deletionVector"] = desc
-                meta["dataChange"] = True
-                actions.append({"add": meta})
+        if self._dv_enabled(snap):
+            actions += self._dv_mask_actions(snap, per_file, ts)
             actions += [{"add": a} for a in self._stage_files(updated, snap)]
         else:
             touched_fps = sorted({r[0] for r in rows})
@@ -1164,20 +1168,7 @@ class DeltaTable:
             )
             rewritten = keep.unionByName(updated)
             actions += [{"add": a} for a in self._stage_files(rewritten, snap)]
-            actions += [
-                {
-                    "remove": {
-                        "path": rel,
-                        "deletionTimestamp": ts,
-                        "dataChange": True,
-                        "partitionValues": (
-                            snap.files[rel].get("partitionValues") or {}
-                        ),
-                        "size": snap.files[rel].get("size"),
-                    }
-                }
-                for rel in per_file
-            ]
+            actions += self._remove_actions(snap, list(per_file), ts)
         if not self._try_commit(v, actions):
             raise DeltaProtocolError(
                 f"update lost the race for version {v}: a concurrent writer "
@@ -1188,12 +1179,14 @@ class DeltaTable:
     def merge_upsert(self, source: DataFrame, keys: list[str]) -> int:
         """MERGE upsert on a REAL Delta table (the reference's J4 shape:
         WHEN MATCHED UPDATE SET all columns, WHEN NOT MATCHED INSERT all —
-        updates win).  Matched target rows are DV-masked (deletionVectors
-        tables) or their files rewritten copy-on-write; every source row
-        lands in fresh files.  Source keys must be unique, as Delta's MERGE
-        demands (multiple matches are ambiguous).  CDF commits carry
-        update_preimage/update_postimage for matched keys and insert rows
-        for new keys."""
+        updates win).  EVERY matched target row takes the source row's
+        values (duplicate-key target rows each update, preserving their
+        multiplicity, as Delta does); matched rows are DV-masked
+        (deletionVectors tables) or their files rewritten copy-on-write.
+        Source keys must be unique, as Delta's MERGE demands (multiple
+        matches are ambiguous).  CDF commits carry update_preimage/
+        update_postimage per matched target row and insert rows for new
+        keys."""
         import time as _time
 
         snap = self.snapshot()
@@ -1209,18 +1202,11 @@ class DeltaTable:
                 "MERGE source has duplicate keys — multiple matches per "
                 "target row are ambiguous (Delta raises here too)"
             )
-        proto = self._checkpoint_and_commits_protocol()
-        dv_ok = "deletionVectors" in set(proto.get("writerFeatures") or []) and (
-            str(snap.properties.get("delta.enableDeletionVectors", "")).lower()
-            == "true"
-        )
         live = self._read_with_pos(snap)
         src_keys = source.select(*keys).distinct()
         matched = live.join(src_keys, keys, "inner")
         rows = matched.select("__fp", "__ri").collect()
-        per_file: dict[str, list[int]] = {}
-        for r in rows:
-            per_file.setdefault(self._rel_from_abs(r[0]), []).append(int(r[1]))
+        per_file = self._per_file_indices(snap, rows)
         ts = int(_time.time() * 1000)
         actions: list[dict] = [
             {
@@ -1232,59 +1218,29 @@ class DeltaTable:
                 }
             }
         ]
-        if (
-            str(snap.properties.get("delta.enableChangeDataFeed", "")).lower()
-            == "true"
-        ):
-            tgt_keys = live.select(*keys).distinct()
+        # one updated row PER MATCHED TARGET ROW (multiplicity preserved),
+        # plus the source rows matching nothing
+        post = (
+            matched.select(*keys)
+            .join(source, keys, "inner")
+            .select(*logical)
+        )
+        tgt_keys = live.select(*keys).distinct()
+        ins = source.join(tgt_keys, keys, "anti").select(*logical)
+        if self._cdf_enabled(snap):
             pre = matched.drop("__fp", "__ri").withColumn(
                 "_change_type", F.lit("update_preimage")
             )
-            post = source.join(tgt_keys, keys, "semi").select(*logical).withColumn(
-                "_change_type", F.lit("update_postimage")
+            cdc = (
+                pre.unionByName(
+                    post.withColumn("_change_type", F.lit("update_postimage"))
+                ).unionByName(ins.withColumn("_change_type", F.lit("insert")))
             )
-            ins = source.join(tgt_keys, keys, "anti").select(*logical).withColumn(
-                "_change_type", F.lit("insert")
-            )
-            actions += self._write_cdc(pre.unionByName(post).unionByName(ins), snap)
-        if dv_ok and per_file:
-            from delta_lake_validation_spark.sources.dv import (
-                deserialize_bitmap,
-                write_dv_file,
-            )
-            from delta_lake_validation_spark.sources.dv import (
-                load_dv_bytes as _load,
-            )
-
-            for rel, new_idx in sorted(per_file.items()):
-                meta = dict(snap.files[rel])
-                merged = set(int(i) for i in new_idx)
-                old = meta.get("deletionVector")
-                if old and int(old.get("cardinality") or 0) > 0:
-                    merged |= {
-                        int(i)
-                        for i in deserialize_bitmap(
-                            _load(old, self.location, self.fs)
-                        )
-                    }
-                desc = write_dv_file(self.fs, self.location, sorted(merged))
-                actions.append(
-                    {
-                        "remove": {
-                            "path": rel,
-                            "deletionTimestamp": ts,
-                            "dataChange": True,
-                            "partitionValues": meta.get("partitionValues") or {},
-                            **({"deletionVector": old} if old else {}),
-                        }
-                    }
-                )
-                meta["deletionVector"] = desc
-                meta["dataChange"] = True
-                actions.append({"add": meta})
-            actions += [
-                {"add": a} for a in self._stage_files(source.select(*logical), snap)
-            ]
+            actions += self._write_cdc(cdc, snap)
+        new_rows = post.unionByName(ins)
+        if self._dv_enabled(snap) and per_file:
+            actions += self._dv_mask_actions(snap, per_file, ts)
+            actions += [{"add": a} for a in self._stage_files(new_rows, snap)]
         else:
             touched_fps = sorted({r[0] for r in rows})
             keep = (
@@ -1292,22 +1248,9 @@ class DeltaTable:
                 .join(src_keys, keys, "anti")
                 .drop("__fp", "__ri")
             )
-            rewritten = keep.unionByName(source.select(*logical))
+            rewritten = keep.unionByName(new_rows)
             actions += [{"add": a} for a in self._stage_files(rewritten, snap)]
-            actions += [
-                {
-                    "remove": {
-                        "path": rel,
-                        "deletionTimestamp": ts,
-                        "dataChange": True,
-                        "partitionValues": (
-                            snap.files[rel].get("partitionValues") or {}
-                        ),
-                        "size": snap.files[rel].get("size"),
-                    }
-                }
-                for rel in per_file
-            ]
+            actions += self._remove_actions(snap, list(per_file), ts)
         v = snap.version + 1
         if not self._try_commit(v, actions):
             raise DeltaProtocolError(
@@ -1322,11 +1265,12 @@ class DeltaTable:
         ``target_files`` files per partition (one by default), committing
         adds+removes with ``dataChange: false`` so streaming readers skip
         the commit.  Deletion vectors are purged — compaction materializes
-        the masked deletes, exactly as Delta's OPTIMIZE does."""
+        the masked deletes, exactly as Delta's OPTIMIZE does.  Allowed on
+        appendOnly tables (no row changes), like Delta."""
         import time as _time
 
         snap = self.snapshot()
-        self._check_writable(snap, "optimize")
+        self._check_writer_protocol(snap)
         live = self._read_snapshot(snap)
         if snap.partition_columns:
             live = live.repartition(
@@ -1348,18 +1292,9 @@ class DeltaTable:
         for a in adds:
             a["dataChange"] = False
             actions.append({"add": a})
-        actions += [
-            {
-                "remove": {
-                    "path": p,
-                    "deletionTimestamp": ts,
-                    "dataChange": False,
-                    "partitionValues": (a.get("partitionValues") or {}),
-                    "size": a.get("size"),
-                }
-            }
-            for p, a in snap.files.items()
-        ]
+        actions += self._remove_actions(
+            snap, list(snap.files), ts, data_change=False
+        )
         v = snap.version + 1
         if not self._try_commit(v, actions):
             raise DeltaProtocolError(
@@ -1378,14 +1313,18 @@ class DeltaTable:
         breaks time travel to older versions, exactly as in Delta; the
         mtime check protects in-flight writers' staged files.  Dirs whose
         top segment starts with ``_`` are skipped (protocol: readers ignore
-        them) except ``_change_data``."""
+        them) except ``_change_data``.  Writer-feature gated: deleting
+        files under a table whose commits we might not see (unsupported
+        writer features) would corrupt it."""
         import time as _t
 
         from delta_lake_validation_spark.sources.dv import dv_relative_path
 
         snap = self.snapshot()
+        self._check_writer_protocol(snap)
         root = strip_scheme(self.location)
-        active = {f"{root}/{p}" for p in snap.files}
+        # compare DECODED on-disk paths: log add-paths are percent-encoded
+        active = {strip_scheme(self._abs(p)) for p in snap.files}
         active_dv = set()
         for meta in snap.files.values():
             d = meta.get("deletionVector")
@@ -1476,19 +1415,11 @@ class DeltaTable:
                 snap.files[p].get("deletionVector")
             ) != dv_unique_id(target.files[p].get("deletionVector"))
 
-        actions += [
-            {
-                "remove": {
-                    "path": p,
-                    "deletionTimestamp": ts,
-                    "dataChange": True,
-                    "partitionValues": (a.get("partitionValues") or {}),
-                    "size": a.get("size"),
-                }
-            }
-            for p, a in snap.files.items()
-            if p not in target.files or _changed(p)
-        ]
+        actions += self._remove_actions(
+            snap,
+            [p for p in snap.files if p not in target.files or _changed(p)],
+            ts,
+        )
         actions += [
             {"add": {**a, "dataChange": True}}
             for p, a in target.files.items()
@@ -1858,6 +1789,7 @@ class DeltaTable:
             "format": "delta",
             "id": snap.metadata_id,
             "name": snap.name,
+            "version": snap.version,
             "location": self.location,
             "partitionColumns": snap.partition_columns,
             "numFiles": snap.num_files,
@@ -2222,6 +2154,31 @@ def create_delta(
     unknown = set(part) - {f.name for f in schema.fields}
     if unknown:
         raise DeltaProtocolError(f"partition columns not in schema: {sorted(unknown)}")
+    props = dict(properties or {})
+    # the protocol must DECLARE what the properties enable, or legacy
+    # third-party writers will mutate the table without honoring them
+    # (e.g. DML without cdc files on a CDF table)
+    protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
+    if str(props.get("delta.enableChangeDataFeed", "")).lower() == "true":
+        protocol["minWriterVersion"] = 4
+    if str(props.get("delta.appendOnly", "")).lower() == "true":
+        protocol["minWriterVersion"] = max(protocol["minWriterVersion"], 2)
+    if props.get("delta.columnMapping.mode") in ("name", "id"):
+        protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+    if str(props.get("delta.enableDeletionVectors", "")).lower() == "true":
+        feats_r = {"deletionVectors"}
+        feats_w = {"deletionVectors"}
+        if protocol["minWriterVersion"] >= 4:
+            feats_w.add("changeDataFeed")
+        if props.get("delta.columnMapping.mode") in ("name", "id"):
+            feats_r.add("columnMapping")
+            feats_w.add("columnMapping")
+        protocol = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(feats_r),
+            "writerFeatures": sorted(feats_w),
+        }
     actions = [
         {
             "commitInfo": {
@@ -2230,7 +2187,7 @@ def create_delta(
                 "operationParameters": {"partitionBy": json.dumps(part)},
             }
         },
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": protocol},
         {
             "metaData": {
                 "id": str(_uuid.uuid4()),
@@ -2238,7 +2195,7 @@ def create_delta(
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": json.dumps(schema.jsonValue()),
                 "partitionColumns": part,
-                "configuration": dict(properties or {}),
+                "configuration": props,
                 "createdTime": int(_time.time() * 1000),
             }
         },

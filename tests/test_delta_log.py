@@ -1723,3 +1723,140 @@ def test_create_delta_and_restore(spark, tmp_path):
     assert fresh.history()[0]["operation"] == "RESTORE"
     with pytest.raises(DeltaProtocolError, match="already exists"):
         create_delta(spark, loc, "v int")
+
+
+def test_delta_append_stats_per_partition_file(spark, tmp_path):
+    """numRecords stats are keyed per staged FILE, not basename: one task
+    writing several partition dirs names its files identically, and the
+    counts must not collide."""
+    from delta_lake_validation_spark.sources.delta_log import create_delta
+
+    loc = str(tmp_path / "st")
+    t = create_delta(spark, loc, "v int, k string", partition_by=["k"])
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b")], "v int, k string"
+    ).coalesce(1)  # one task -> same basename in k=a/ and k=b/
+    t.append(df)
+    snap = DeltaTable(spark, loc).snapshot()
+    by_part = {
+        a["partitionValues"]["k"]: json.loads(a["stats"])["numRecords"]
+        for a in snap.files.values()
+    }
+    assert by_part == {"a": 3, "b": 1}
+
+
+def test_delta_special_char_partition_roundtrip(spark, tmp_path):
+    """A partition value with a ':' (hive-escaped on disk, percent-encoded
+    in the log) survives append -> read -> DELETE -> VACUUM: the log path
+    encoding inverts _abs's unquote, DML keys files through the disk-path
+    map, and vacuum never reclaims the live file."""
+    from delta_lake_validation_spark.sources.delta_log import create_delta
+
+    loc = str(tmp_path / "sp")
+    t = create_delta(spark, loc, "v int, k string", partition_by=["k"])
+    t.append(
+        spark.createDataFrame([(1, "a:b"), (2, "c d")], "v int, k string")
+    )
+    fresh = DeltaTable(spark, loc)
+    assert {(r.v, r.k) for r in fresh.read().collect()} == {
+        (1, "a:b"), (2, "c d")
+    }
+    # vacuum finds nothing to reclaim (all files live, encoded or not)
+    assert DeltaTable(spark, loc).vacuum(retain_hours=0) == []
+    fresh.delete("k = 'a:b'")
+    after = DeltaTable(spark, loc)
+    assert {(r.v, r.k) for r in after.read().collect()} == {(2, "c d")}
+    # now the old k=a:b file is reclaimable, the live one is not
+    doomed = after.vacuum(retain_hours=0)
+    assert len(doomed) == 1 and "a%3Ab" in doomed[0]
+    assert {(r.v, r.k) for r in DeltaTable(spark, loc).read().collect()} == {
+        (2, "c d")
+    }
+
+
+def test_delta_merge_updates_every_duplicate_target_row(spark, tmp_path):
+    """Delta MERGE updates EVERY matched target row; duplicate-key target
+    rows keep their multiplicity (each takes the source values)."""
+    from delta_lake_validation_spark.sources.delta_log import create_delta
+
+    loc = str(tmp_path / "md")
+    t = create_delta(spark, loc, "k int, v string")
+    t.append(
+        spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, "z")], "k int, v string"
+        )
+    )
+    DeltaTable(spark, loc).merge_upsert(
+        spark.createDataFrame([(1, "NEW")], "k int, v string"), ["k"]
+    )
+    rows = [
+        (r.k, r.v) for r in DeltaTable(spark, loc).read().collect()
+    ]
+    assert sorted(rows) == [(1, "NEW"), (1, "NEW"), (2, "z")]
+
+
+def test_delta_append_rebase_refuses_metadata_conflict(spark, tmp_path, monkeypatch):
+    """An append that loses its race to a commit CHANGING table metadata
+    must abort (the staged files were validated against the old shape)
+    instead of blindly rebasing."""
+    from delta_lake_validation_spark.sources.delta_log import create_delta
+
+    loc = tmp_path / "rc"
+    t = create_delta(spark, str(loc), "v int")
+    t.append(spark.createDataFrame([(1,)], "v int"))
+    w = DeltaTable(spark, str(loc))
+    orig = w._try_commit
+    state = {"raced": False}
+
+    def racing_commit(version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent writer wins this version with a metaData change
+            meta = _meta(
+                [("v", "integer")],
+                configuration={"delta.constraints.pos": "v > 0"},
+                meta_id="changed",
+            )
+            _write_commit(loc / "_delta_log", version, [meta])
+            return False
+        return orig(version, actions)
+
+    monkeypatch.setattr(w, "_try_commit", racing_commit)
+    with pytest.raises(DeltaProtocolError, match="metadata"):
+        w.append(spark.createDataFrame([(2,)], "v int"))
+
+
+def test_delta_vacuum_refuses_unsupported_writer_features(spark, tmp_path):
+    """vacuum is a write: a table demanding writer features we don't
+    implement (its newest state may live outside what we replay) must
+    refuse instead of deleting files."""
+    loc = tmp_path / "vf"
+    log = loc / "_delta_log"
+    f = _write_parquet(spark, [Row(v=1)], "v int", loc / "d")
+    proto = {
+        "protocol": {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking"],
+        }
+    }
+    _write_commit(log, 0, [proto, _meta([("v", "integer")]), _add(f)])
+    t = DeltaTable(spark, str(loc))
+    assert t.read().count() == 1  # reading is fine
+    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+        t.vacuum(retain_hours=0)
+    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+        t.append(spark.createDataFrame([(2,)], "v int"))
+
+
+def test_delta_describe_detail_via_shim(spark, tmp_path):
+    from delta_lake_validation_spark.sources.acid.sqlshim import AcidSqlContext
+    from delta_lake_validation_spark.sources.delta_log import create_delta
+
+    loc = str(tmp_path / "dd2")
+    t = create_delta(spark, loc, "v int")
+    t.append(spark.createDataFrame([(1,)], "v int").coalesce(1))
+    ctx = AcidSqlContext(spark)
+    ctx.register_delta("t", loc)
+    row = ctx.sql("DESCRIBE DETAIL t").collect()[0]
+    assert row.numFiles == 1 and row.version == 1
