@@ -174,12 +174,9 @@ class _DeltaSqlTable:
         return self._t().merge_upsert(source, keys)
 
     def optimize(self, zorder_by=None, where=None, target_files: int = 1) -> int:
-        if zorder_by or where:
-            raise AcidSqlError(
-                "OPTIMIZE ZORDER BY / WHERE is not implemented for Delta "
-                "interop tables (plain compaction is)"
-            )
-        return self._t().optimize(target_files=target_files)
+        return self._t().optimize(
+            target_files=target_files, zorder_by=zorder_by, where=where
+        )
 
     def vacuum(self, retain_hours: float = 168.0, dry_run: bool = False):
         return self._t().vacuum(retain_hours=retain_hours, dry_run=dry_run)

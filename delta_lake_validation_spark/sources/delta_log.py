@@ -1259,20 +1259,102 @@ class DeltaTable:
             )
         return v
 
-    def optimize(self, target_files: int = 1) -> int:
-        """Bin-packing compaction on a REAL Delta table (ref: OPTIMIZE,
-        src/validation_suite.py:466-477): rewrite the live rows into
+    def _partition_prune(self, snap: DeltaSnapshot, where: str):
+        """Files whose partitionValues satisfy ``where`` (partition columns
+        only), or None when the predicate references anything else —
+        evaluated by Spark on a tiny local frame of partition tuples."""
+        if not snap.partition_columns:
+            return None
+        part_fields = [
+            f for f in snap.schema.fields if f.name in snap.partition_columns
+        ]
+        rows = []
+        for rel, meta in snap.files.items():
+            pv = meta.get("partitionValues", {})
+            rows.append(
+                (rel, *[pv.get(snap.phys(f.name)) for f in part_fields])
+            )
+        if not rows:
+            return []
+        pdf = self.spark.createDataFrame(
+            rows, ["__path"] + [f.name for f in part_fields]
+        )
+        for f in part_fields:
+            pdf = pdf.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        try:
+            return sorted(
+                r[0] for r in pdf.filter(F.expr(where)).select("__path").collect()
+            )
+        except Exception:
+            return None  # predicate references non-partition columns
+
+    def optimize(
+        self,
+        target_files: int = 1,
+        zorder_by: list[str] | None = None,
+        where: str | None = None,
+    ) -> int:
+        """Bin-packing compaction on a REAL Delta table (ref: OPTIMIZE and
+        its documented WHERE / ZORDER BY forms,
+        src/validation_suite.py:466-477): rewrite the scoped live rows into
         ``target_files`` files per partition (one by default), committing
         adds+removes with ``dataChange: false`` so streaming readers skip
-        the commit.  Deletion vectors are purged — compaction materializes
-        the masked deletes, exactly as Delta's OPTIMIZE does.  Allowed on
-        appendOnly tables (no row changes), like Delta."""
+        the commit.  ``where`` scopes to partitions (partition columns
+        only, as Delta requires); ``zorder_by`` clusters the rewritten
+        files by the columns' interleaved Morton code.  Partitions already
+        at/below the target file count are skipped unless a file carries a
+        deletion vector — OPTIMIZE materializes DVs away, exactly as
+        Delta's does.  Allowed on appendOnly tables (no row changes)."""
         import time as _time
 
         snap = self.snapshot()
         self._check_writer_protocol(snap)
-        live = self._read_snapshot(snap)
-        if snap.partition_columns:
+        in_scope = set(snap.files)
+        if where is not None:
+            pruned = self._partition_prune(snap, where)
+            if pruned is None:
+                raise DeltaProtocolError(
+                    "OPTIMIZE ... WHERE must reference partition columns "
+                    f"only ({list(snap.partition_columns)}); got {where!r}"
+                )
+            in_scope = set(pruned)
+        by_part: dict[tuple, list[str]] = {}
+        for rel in in_scope:
+            meta = snap.files[rel]
+            key = tuple(sorted((meta.get("partitionValues") or {}).items()))
+            by_part.setdefault(key, []).append(rel)
+        rewrite: list[str] = []
+        for rels in by_part.values():
+            has_dv = any(snap.files[r].get("deletionVector") for r in rels)
+            if len(rels) > target_files or has_dv:
+                rewrite.extend(rels)
+        if not rewrite:
+            return snap.version  # nothing to compact: no empty commit
+        scoped = DeltaSnapshot(
+            snap.version,
+            snap.schema,
+            snap.partition_columns,
+            {p: snap.files[p] for p in rewrite},
+            snap.properties,
+            snap.metadata_id,
+            snap.name,
+            snap.protocol,
+        )
+        live = self._read_snapshot(scoped)
+        if zorder_by:
+            from delta_lake_validation_spark.functions.zorder import zorder_key
+
+            live = live.withColumn("__z", zorder_key(live, zorder_by))
+            if snap.partition_columns:
+                live = live.repartition(
+                    *[F.col(c) for c in snap.partition_columns]
+                ).sortWithinPartitions("__z")
+            else:
+                live = live.repartitionByRange(
+                    max(1, int(target_files)), "__z"
+                ).sortWithinPartitions("__z")
+            live = live.drop("__z")
+        elif snap.partition_columns:
             live = live.repartition(
                 *[F.col(c) for c in snap.partition_columns]
             )
@@ -1285,16 +1367,18 @@ class DeltaTable:
                 "commitInfo": {
                     "timestamp": ts,
                     "operation": "OPTIMIZE",
-                    "operationParameters": {"targetFiles": int(target_files)},
+                    "operationParameters": {
+                        "targetFiles": int(target_files),
+                        **({"zOrderBy": json.dumps(zorder_by)} if zorder_by else {}),
+                        **({"predicate": where} if where else {}),
+                    },
                 }
             }
         ]
         for a in adds:
             a["dataChange"] = False
             actions.append({"add": a})
-        actions += self._remove_actions(
-            snap, list(snap.files), ts, data_change=False
-        )
+        actions += self._remove_actions(snap, rewrite, ts, data_change=False)
         v = snap.version + 1
         if not self._try_commit(v, actions):
             raise DeltaProtocolError(

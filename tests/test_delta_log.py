@@ -1681,6 +1681,8 @@ def test_delta_optimize_and_vacuum(spark, tmp_path):
     for p, a in snap.files.items():
         per_part.setdefault(a["partitionValues"]["k"], []).append(p)
     assert all(len(ps) == 1 for ps in per_part.values())
+    # k=b was already compact (1 file, no DV): left untouched
+    assert per_part["b"] == [fb]
     assert {(r.v, r.k) for r in fresh.read().collect()} == {
         (1, "a"), (2, "a"), (3, "b")
     }
@@ -1691,7 +1693,7 @@ def test_delta_optimize_and_vacuum(spark, tmp_path):
         for a in acts for k in ("add", "remove") if k in a
     )
     doomed = DeltaTable(spark, str(loc)).vacuum(retain_hours=0)
-    assert set(doomed) == {fa1, fa2, fb}
+    assert set(doomed) == {fa1, fa2}
     assert {(r.v, r.k) for r in DeltaTable(spark, str(loc)).read().collect()} == {
         (1, "a"), (2, "a"), (3, "b")
     }
@@ -1860,3 +1862,43 @@ def test_delta_describe_detail_via_shim(spark, tmp_path):
     ctx.register_delta("t", loc)
     row = ctx.sql("DESCRIBE DETAIL t").collect()[0]
     assert row.numFiles == 1 and row.version == 1
+
+
+def test_delta_optimize_where_and_zorder(spark, tmp_path):
+    """OPTIMIZE WHERE compacts only the scoped partition (already-compact
+    partitions untouched); ZORDER BY clusters the rewritten file so a
+    range filter prunes row groups; non-partition WHERE refuses."""
+    from delta_lake_validation_spark.sources.delta_log import create_delta
+
+    loc = str(tmp_path / "ozw")
+    t = create_delta(spark, loc, "v int, k string", partition_by=["k"])
+    for i in range(3):  # k=a gets 3 small files; k=b gets 1
+        t = DeltaTable(spark, loc)
+        t.append(
+            spark.createDataFrame([(i, "a")], "v int, k string").coalesce(1)
+        )
+    DeltaTable(spark, loc).append(
+        spark.createDataFrame([(9, "b")], "v int, k string").coalesce(1)
+    )
+    t = DeltaTable(spark, loc)
+    b_files = {
+        p for p, a in t.snapshot().files.items()
+        if a["partitionValues"]["k"] == "b"
+    }
+    v = t.optimize(where="k = 'a'", zorder_by=["v"])
+    fresh = DeltaTable(spark, loc)
+    snap = fresh.snapshot()
+    a_files = [
+        p for p, a in snap.files.items() if a["partitionValues"]["k"] == "a"
+    ]
+    assert len(a_files) == 1  # compacted
+    assert {
+        p for p, a in snap.files.items() if a["partitionValues"]["k"] == "b"
+    } == b_files  # out-of-scope partition untouched
+    assert {(r.v, r.k) for r in fresh.read().collect()} == {
+        (0, "a"), (1, "a"), (2, "a"), (9, "b")
+    }
+    # already compact: a second scoped optimize is a no-op (no new commit)
+    assert DeltaTable(spark, loc).optimize(where="k = 'a'") == v
+    with pytest.raises(DeltaProtocolError, match="partition columns"):
+        DeltaTable(spark, loc).optimize(where="v > 1")
