@@ -77,6 +77,10 @@ EXPECTATIONS: dict[str, list[str]] = {
         "HashAggregate",
         "ReadSchema: struct<text:string>",
     ],
+    # k-means: the k=8 centroid side arrives via an explicit broadcast
+    # (BroadcastNestedLoopJoin IS the intended plan for a keyless
+    # broadcast-k cross); the update is a partial hash agg
+    "kmeans_clusters": ["BroadcastNestedLoopJoin", "HashAggregate"],
 }
 
 # query -> callable(plan) -> list of problem strings (empty = OK)
