@@ -86,6 +86,21 @@ _TIER_BY_NAME = {
     "boilerplate_spans": _reg.TIER_NEWFAM,
     "dml_dv_delete": _reg.TIER_NEWFAM,
     "bigram_lm_score": _reg.TIER_NEWFAM,
+    # round-3 session-5 families: same past-the-cap policy (they must not
+    # displace verified reference families J3/W1/A4/A5 from the window).
+    # delta_write_roundtrip stays TIER_DML (module default): the write half
+    # of Delta interop belongs next to delta_interop_read/delta_dv_read in
+    # the driver-graded window — it displaces self_join_events (J2), which
+    # stays covered by the sweep and by the in-window join family (J1 via
+    # dim_union_join, J3 via bucket_band_join).
+    "chunk_dedup": _reg.TIER_NEWFAM,
+    "vocab_growth": _reg.TIER_NEWFAM,
+    "zipf_fit": _reg.TIER_NEWFAM,
+    "kmeans_clusters": _reg.TIER_NEWFAM,
+    # text-quality family variant (window keeps token_counts, text_quality,
+    # doc_fingerprint): demoted so nested_project (P2) keeps its driver
+    # slot after delta_write_roundtrip entered the window
+    "doc_repetition": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):
