@@ -774,6 +774,11 @@ class DeltaTable:
         self.fs.delete(staging, recursive=True)
         return adds
 
+    #: write a classic checkpoint every N successful commits (delta-spark's
+    #: own cadence) so long-lived tables replay one columnar file + a short
+    #: JSON tail instead of the whole chain
+    CHECKPOINT_INTERVAL = 10
+
     def _try_commit(self, version: int, actions: list[dict]) -> bool:
         body = "\n".join(json.dumps(a) for a in actions) + "\n"
         try:
@@ -783,6 +788,13 @@ class DeltaTable:
         except FileExistsError:
             return False
         self._log_names = self._list_log()
+        if version > 0 and version % self.CHECKPOINT_INTERVAL == 0:
+            try:
+                write_delta_checkpoint(self.spark, self.location)
+            except Exception:  # pragma: no cover - checkpointing is an
+                # optimization; a failure (remote fs, concurrent cleanup)
+                # must never fail the already-durable commit
+                pass
         return True
 
     @staticmethod
@@ -2068,6 +2080,31 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
                 stats=a.get("stats")
                 if isinstance(a.get("stats"), str)
                 else (json.dumps(a["stats"]) if a.get("stats") else None),
+                # the DV descriptor MUST ride into the checkpoint — a
+                # checkpoint that drops it resurrects every masked row on
+                # replay (caught by the writer fuzz)
+                deletionVector=(
+                    Row(
+                        storageType=d.get("storageType"),
+                        pathOrInlineDv=d.get("pathOrInlineDv"),
+                        offset=(
+                            int(d["offset"]) if d.get("offset") is not None
+                            else None
+                        ),
+                        sizeInBytes=(
+                            int(d["sizeInBytes"])
+                            if d.get("sizeInBytes") is not None
+                            else None
+                        ),
+                        cardinality=(
+                            int(d["cardinality"])
+                            if d.get("cardinality") is not None
+                            else None
+                        ),
+                    )
+                    if (d := a.get("deletionVector"))
+                    else None
+                ),
             ),
             metaData=None,
             protocol=None,
@@ -2085,17 +2122,29 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
                 partitionColumns=list(snap.partition_columns),
                 configuration=dict(snap.properties),
             ),
-            protocol=Row(minReaderVersion=1, minWriterVersion=2),
+            protocol=Row(
+                minReaderVersion=int(
+                    snap.protocol.get("minReaderVersion", 1)
+                ),
+                minWriterVersion=int(
+                    snap.protocol.get("minWriterVersion", 2)
+                ),
+                readerFeatures=snap.protocol.get("readerFeatures"),
+                writerFeatures=snap.protocol.get("writerFeatures"),
+            ),
             remove=None,
         )
     )
     schema = (
         "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
-        "modificationTime:bigint,dataChange:boolean,stats:string>,"
+        "modificationTime:bigint,dataChange:boolean,stats:string,"
+        "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+        "offset:int,sizeInBytes:int,cardinality:bigint>>,"
         "metaData struct<id:string,format:struct<provider:string,"
         "options:map<string,string>>,schemaString:string,"
         "partitionColumns:array<string>,configuration:map<string,string>>,"
-        "protocol struct<minReaderVersion:int,minWriterVersion:int>,"
+        "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+        "readerFeatures:array<string>,writerFeatures:array<string>>,"
         "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
     )
     log_dir = f"{location.rstrip('/')}/_delta_log"

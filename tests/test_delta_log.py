@@ -1902,3 +1902,86 @@ def test_delta_optimize_where_and_zorder(spark, tmp_path):
     assert DeltaTable(spark, loc).optimize(where="k = 'a'") == v
     with pytest.raises(DeltaProtocolError, match="partition columns"):
         DeltaTable(spark, loc).optimize(where="v > 1")
+
+
+def test_delta_writer_fuzz_against_model(spark, tmp_path):
+    """Randomized DML sequences through the Delta writer vs an in-memory
+    row model: after every operation the table reads back exactly the
+    model (on plain AND deletion-vector tables), every historical version
+    stays reproducible at the end, and the every-10-commits checkpoint
+    replays identically with the pre-checkpoint JSON deleted."""
+    import random
+
+    from delta_lake_validation_spark.sources.delta_log import create_delta
+
+    rng = random.Random(20260814)
+    for dv in (False, True):
+        loc = str(tmp_path / f"fz{int(dv)}")
+        props = (
+            {"delta.enableDeletionVectors": "true"} if dv else {}
+        )
+        t = create_delta(spark, loc, "id int, v int", properties=props)
+        model: list[tuple[int, int]] = []
+        history: dict[int, list[tuple[int, int]]] = {0: []}
+        next_id = 0
+        vmax = 0
+        for _ in range(14):
+            op = rng.choice(["append", "delete", "update", "merge", "optimize"])
+            t = DeltaTable(spark, loc)
+            if op == "append":
+                rows = [(next_id + i, rng.randint(0, 9)) for i in range(3)]
+                next_id += 3
+                v = t.append(
+                    spark.createDataFrame(rows, "id int, v int").coalesce(1)
+                )
+                model.extend(rows)
+            elif op == "delete":
+                cut = rng.randint(0, 9)
+                v = t.delete(f"v = {cut}")
+                model = [r for r in model if r[1] != cut]
+            elif op == "update":
+                cut = rng.randint(0, 9)
+                v = t.update({"v": "v + 100"}, f"v = {cut}")
+                model = [
+                    (i, vv + 100) if vv == cut else (i, vv) for i, vv in model
+                ]
+            elif op == "merge":
+                ids = [i for i, _ in model]
+                keys = (rng.sample(ids, min(2, len(ids))) if ids else []) + [
+                    next_id
+                ]
+                next_id += 1
+                rows = [(k, rng.randint(200, 299)) for k in keys]
+                v = t.merge_upsert(
+                    spark.createDataFrame(rows, "id int, v int"), ["id"]
+                )
+                by_key = dict(rows)
+                model = [
+                    (i, by_key.get(i, vv)) for i, vv in model
+                ] + [(k, by_key[k]) for k in keys if k not in ids]
+            else:
+                v = t.optimize()
+            got = sorted(
+                (r.id, r.v) for r in DeltaTable(spark, loc).read().collect()
+            )
+            assert got == sorted(model), f"divergence after {op} at v{v}"
+            vmax = max(vmax, v)
+            history[v] = list(model)
+        # every recorded version replays exactly (checkpoint-era included)
+        fresh = DeltaTable(spark, loc)
+        for v, rows in history.items():
+            got = sorted((r.id, r.v) for r in fresh.read(version=v).collect())
+            assert got == sorted(rows), f"time travel to v{v} diverged"
+        # the auto-checkpoint stands in for the early JSON commits
+        import os
+
+        log = os.path.join(loc, "_delta_log")
+        if any(n.endswith(".checkpoint.parquet") for n in os.listdir(log)):
+            for n in sorted(os.listdir(log))[:3]:
+                if n.endswith(".json") and int(n.split(".")[0]) < 10:
+                    os.unlink(os.path.join(log, n))
+            got = sorted(
+                (r.id, r.v)
+                for r in DeltaTable(spark, loc).read().collect()
+            )
+            assert got == sorted(model)
