@@ -131,11 +131,13 @@ def _sub_outside_quotes(pattern: re.Pattern, repl, text: str) -> str:
 class _DeltaSqlTable:
     """Adapter exposing a REAL Delta table (`_delta_log`) through the
     method surface :class:`AcidSqlContext` drives, so the reference's SQL
-    statements run verbatim against genuine Delta tables too.  Every
-    operation opens a fresh :class:`DeltaTable` handle — commits landed by
-    other writers between statements are always visible.  Operations the
-    Delta writer doesn't implement (RESTORE, constraints, Z-order /
-    partition-scoped OPTIMIZE) raise rather than guess."""
+    statements run verbatim against genuine Delta tables too (INSERT,
+    DELETE, UPDATE, MERGE, OPTIMIZE [WHERE] [ZORDER BY], VACUUM, RESTORE,
+    DESCRIBE, time travel, table_changes).  Every operation opens a fresh
+    :class:`DeltaTable` handle — commits landed by other writers between
+    statements are always visible.  Operations the Delta writer doesn't
+    implement (CHECK constraints, schema-altering DDL) raise rather than
+    guess."""
 
     def __init__(self, spark: SparkSession, location: str):
         self.spark = spark

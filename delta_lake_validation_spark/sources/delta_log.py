@@ -731,9 +731,13 @@ class DeltaTable:
             return []
         # per-file row counts keyed by the FULL staged path: basenames
         # collide across partition dirs (Spark names one task's file
-        # identically in every partition dir it writes)
+        # identically in every partition dir it writes).  input_file_name
+        # returns a percent-encoded URI while the listing is raw on-disk —
+        # decode once, or special-char partition dirs get numRecords 0
+        from urllib.parse import unquote as _unq
+
         counts = {
-            strip_scheme(r["f"]): r["n"]
+            strip_scheme(_unq(r["f"])): r["n"]
             for r in self.spark.read.parquet(staging)
             .groupBy(F.input_file_name().alias("f"))
             .agg(F.count(F.lit(1)).alias("n"))
@@ -1288,8 +1292,12 @@ class DeltaTable:
             )
         if not rows:
             return []
+        # explicit all-string schema: an all-null partition column (legal)
+        # would otherwise fail type inference before the try below
         pdf = self.spark.createDataFrame(
-            rows, ["__path"] + [f.name for f in part_fields]
+            rows,
+            "__path string, "
+            + ", ".join(f"`{f.name}` string" for f in part_fields),
         )
         for f in part_fields:
             pdf = pdf.withColumn(f.name, F.col(f.name).cast(f.dataType))
@@ -1330,6 +1338,12 @@ class DeltaTable:
                     f"only ({list(snap.partition_columns)}); got {where!r}"
                 )
             in_scope = set(pruned)
+        if zorder_by:
+            unknown = set(zorder_by) - {f.name for f in snap.schema.fields}
+            if unknown:
+                raise DeltaProtocolError(
+                    f"ZORDER BY references unknown columns {sorted(unknown)}"
+                )
         by_part: dict[tuple, list[str]] = {}
         for rel in in_scope:
             meta = snap.files[rel]
@@ -1338,7 +1352,11 @@ class DeltaTable:
         rewrite: list[str] = []
         for rels in by_part.values():
             has_dv = any(snap.files[r].get("deletionVector") for r in rels)
-            if len(rels) > target_files or has_dv:
+            # ZORDER always rewrites its scope (the point is the row
+            # ordering, not the file count — Delta does the same); plain
+            # compaction skips already-compact partitions unless a DV
+            # needs materializing away
+            if zorder_by or len(rels) > target_files or has_dv:
                 rewrite.extend(rels)
         if not rewrite:
             return snap.version  # nothing to compact: no empty commit
@@ -1354,18 +1372,25 @@ class DeltaTable:
         )
         live = self._read_snapshot(scoped)
         if zorder_by:
-            from delta_lake_validation_spark.functions.zorder import zorder_key
-
-            live = live.withColumn("__z", zorder_key(live, zorder_by))
             if snap.partition_columns:
-                live = live.repartition(
-                    *[F.col(c) for c in snap.partition_columns]
-                ).sortWithinPartitions("__z")
+                from delta_lake_validation_spark.functions.zorder import (
+                    zorder_key,
+                )
+
+                live = (
+                    live.withColumn("__z", zorder_key(live, zorder_by))
+                    .repartition(*[F.col(c) for c in snap.partition_columns])
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
             else:
-                live = live.repartitionByRange(
-                    max(1, int(target_files)), "__z"
-                ).sortWithinPartitions("__z")
-            live = live.drop("__z")
+                from delta_lake_validation_spark.functions.zorder import (
+                    zorder_sort,
+                )
+
+                live = zorder_sort(
+                    live, zorder_by, num_partitions=max(1, int(target_files))
+                )
         elif snap.partition_columns:
             live = live.repartition(
                 *[F.col(c) for c in snap.partition_columns]
@@ -1466,13 +1491,31 @@ class DeltaTable:
         snap = self.snapshot()
         self._check_writable(snap, "restore")
         target = self.snapshot(version)
+        from delta_lake_validation_spark.sources.dv import dv_relative_path
+
         missing = [
             p for p in target.files
             if not self.fs.exists(self._abs(p))
         ]
+        # DV sidecars the target references must exist too — an add
+        # carrying a vacuumed deletion_vector_*.bin makes every later read
+        # crash in load_dv_bytes
+        for p, a in target.files.items():
+            d = a.get("deletionVector")
+            if not d or int(d.get("cardinality") or 0) == 0:
+                continue
+            st = d.get("storageType")
+            if st == "u":
+                dv_path = f"{self.location}/{dv_relative_path(d['pathOrInlineDv'])}"
+            elif st == "p":
+                dv_path = d["pathOrInlineDv"]
+            else:
+                continue  # inline: nothing on disk
+            if not self.fs.exists(dv_path):
+                missing.append(f"{p} (deletion vector {dv_path})")
         if missing:
             raise DeltaProtocolError(
-                f"cannot RESTORE to version {version}: {len(missing)} data "
+                f"cannot RESTORE to version {version}: {len(missing)} "
                 f"file(s) were vacuumed (e.g. {missing[0]!r})"
             )
         ts = int(_time.time() * 1000)
@@ -2147,8 +2190,12 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
         "readerFeatures:array<string>,writerFeatures:array<string>>,"
         "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
     )
+    import uuid as _uuid
+
     log_dir = f"{location.rstrip('/')}/_delta_log"
-    tmp = f"{log_dir}/.ckpt-tmp"
+    # uuid-suffixed tmp dir: two writers auto-checkpointing concurrently
+    # must never rename each other's half-written parquet into place
+    tmp = f"{log_dir}/.ckpt-tmp-{_uuid.uuid4().hex}"
     spark.createDataFrame(rows, schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(tmp)
@@ -2290,20 +2337,30 @@ def create_delta(
     props = dict(properties or {})
     # the protocol must DECLARE what the properties enable, or legacy
     # third-party writers will mutate the table without honoring them
-    # (e.g. DML without cdc files on a CDF table)
+    # (e.g. DML without cdc files on a CDF table, DELETEs on an
+    # append-only one)
+    cdf_on = str(props.get("delta.enableChangeDataFeed", "")).lower() == "true"
+    append_only = str(props.get("delta.appendOnly", "")).lower() == "true"
+    mapped = props.get("delta.columnMapping.mode") in ("name", "id")
+    dv_on = str(props.get("delta.enableDeletionVectors", "")).lower() == "true"
     protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
-    if str(props.get("delta.enableChangeDataFeed", "")).lower() == "true":
+    if cdf_on:
         protocol["minWriterVersion"] = 4
-    if str(props.get("delta.appendOnly", "")).lower() == "true":
-        protocol["minWriterVersion"] = max(protocol["minWriterVersion"], 2)
-    if props.get("delta.columnMapping.mode") in ("name", "id"):
-        protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
-    if str(props.get("delta.enableDeletionVectors", "")).lower() == "true":
+    if mapped:
+        protocol = {
+            "minReaderVersion": 2,
+            "minWriterVersion": max(5, protocol["minWriterVersion"]),
+        }
+    if dv_on:
         feats_r = {"deletionVectors"}
         feats_w = {"deletionVectors"}
-        if protocol["minWriterVersion"] >= 4:
+        # a v7 protocol enforces ONLY listed features: every enabled
+        # legacy capability must be restated as a feature
+        if cdf_on:
             feats_w.add("changeDataFeed")
-        if props.get("delta.columnMapping.mode") in ("name", "id"):
+        if append_only:
+            feats_w.add("appendOnly")
+        if mapped:
             feats_r.add("columnMapping")
             feats_w.add("columnMapping")
         protocol = {

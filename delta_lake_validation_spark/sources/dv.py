@@ -350,6 +350,8 @@ def apply_dv_filter(
     decoded: dict[str, object] = {}  # worker-local cache
 
     def _member_fn(file_path, row_index):
+        from urllib.parse import unquote
+
         import numpy as np
         import pandas as pd
 
@@ -358,7 +360,16 @@ def apply_dv_filter(
 
         blobs = bc.value
         member = np.zeros(len(file_path), dtype=bool)
-        frame = pd.DataFrame({"p": file_path.map(strip_scheme), "i": row_index})
+        # _metadata.file_path is a percent-encoded URI while dv_map keys
+        # are decoded on-disk paths (a special-char partition dir like
+        # k=a%3Ab arrives as k=a%253Ab) — decode once before matching, or
+        # the bitmap silently never applies
+        frame = pd.DataFrame(
+            {
+                "p": file_path.map(lambda s: strip_scheme(unquote(s))),
+                "i": row_index,
+            }
+        )
         for path, grp in frame.groupby("p", sort=False):
             blob = blobs.get(path)
             if blob is None:

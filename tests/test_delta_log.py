@@ -1985,3 +1985,94 @@ def test_delta_writer_fuzz_against_model(spark, tmp_path):
                 for r in DeltaTable(spark, loc).read().collect()
             )
             assert got == sorted(model)
+
+
+def test_delta_special_char_partition_dv_and_stats(spark, tmp_path):
+    """Special-char partition values through the DV path: the bitmap
+    applies (deleted rows stay gone) and the staged stats carry real
+    numRecords despite the encoded staging URIs."""
+    from delta_lake_validation_spark.sources.delta_log import create_delta
+
+    loc = str(tmp_path / "spdv")
+    t = create_delta(
+        spark, loc, "v int, k string", partition_by=["k"],
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "a:b"), (2, "a:b"), (3, "c d")], "v int, k string"
+        ).coalesce(1)
+    )
+    snap = DeltaTable(spark, loc).snapshot()
+    stats = sorted(
+        json.loads(a["stats"])["numRecords"] for a in snap.files.values()
+    )
+    assert stats == [1, 2]  # real counts, not 0
+    DeltaTable(spark, loc).delete("v = 1")
+    fresh = DeltaTable(spark, loc)
+    assert any(
+        a.get("deletionVector") for a in fresh.snapshot().files.values()
+    )
+    assert {(r.v, r.k) for r in fresh.read().collect()} == {
+        (2, "a:b"), (3, "c d")
+    }
+
+
+def test_delta_zorder_rewrites_compact_scope_and_validates(spark, tmp_path):
+    """ZORDER always rewrites its scope even when already compact (the
+    point is row order); unknown columns refuse cleanly."""
+    from delta_lake_validation_spark.sources.delta_log import create_delta
+
+    loc = str(tmp_path / "zc")
+    t = create_delta(spark, loc, "v int")
+    t.append(
+        spark.createDataFrame([(3,), (1,), (2,)], "v int").coalesce(1)
+    )
+    t2 = DeltaTable(spark, loc)
+    old_files = set(t2.snapshot().files)
+    v = t2.optimize(zorder_by=["v"])
+    fresh = DeltaTable(spark, loc)
+    assert v == 2 and set(fresh.snapshot().files) != old_files
+    assert {r.v for r in fresh.read().collect()} == {1, 2, 3}
+    with pytest.raises(DeltaProtocolError, match="unknown columns"):
+        DeltaTable(spark, loc).optimize(zorder_by=["nope"])
+
+
+def test_delta_restore_refuses_vacuumed_dv(spark, tmp_path):
+    """RESTORE to a version whose DV sidecar was vacuumed refuses up front
+    instead of committing an unreadable table."""
+    from delta_lake_validation_spark.sources.delta_log import create_delta
+
+    loc = str(tmp_path / "rdv")
+    t = create_delta(
+        spark, loc, "v int",
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    t.append(spark.createDataFrame([(i,) for i in range(4)], "v int").coalesce(1))
+    DeltaTable(spark, loc).delete("v = 0")  # v2: DV mask
+    DeltaTable(spark, loc).optimize()       # v3: DV materialized away
+    DeltaTable(spark, loc).vacuum(retain_hours=0)  # reclaims sidecar + olds
+    with pytest.raises(DeltaProtocolError, match="vacuumed"):
+        DeltaTable(spark, loc).restore(2)
+    # v1's data file was also superseded by the optimize and reclaimed
+    with pytest.raises(DeltaProtocolError, match="vacuumed"):
+        DeltaTable(spark, loc).restore(1)
+    # the live snapshot is untouched by the refused restores
+    assert {r.v for r in DeltaTable(spark, loc).read().collect()} == {1, 2, 3}
+
+
+def test_create_delta_protocol_declares_enabled_features(spark, tmp_path):
+    from delta_lake_validation_spark.sources.delta_log import create_delta
+
+    loc = str(tmp_path / "feat")
+    t = create_delta(
+        spark, loc, "v int",
+        properties={
+            "delta.enableDeletionVectors": "true",
+            "delta.appendOnly": "true",
+        },
+    )
+    proto = t.snapshot().protocol
+    assert proto["minWriterVersion"] == 7
+    assert set(proto["writerFeatures"]) == {"deletionVectors", "appendOnly"}
+    assert "changeDataFeed" not in proto["writerFeatures"]
