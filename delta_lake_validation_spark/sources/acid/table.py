@@ -565,7 +565,8 @@ class AcidTable:
             pv = _partition_values(rel_dir)
             new_rel = (rel_dir + "/" if rel_dir else "") + f"{prefix}-{uuid.uuid4().hex}.parquet"
             self.fs.rename(f_abs, f"{self.location}/{new_rel}")
-            n_records, st = stats_by_file.get(f_abs.rsplit("/", 1)[-1], (0, None))
+            staged_rel = f_abs[len(base):].lstrip("/")
+            n_records, st = stats_by_file.get(staged_rel, (0, None))
             adds.append(
                 {
                     "path": new_rel,
@@ -637,12 +638,17 @@ class AcidTable:
             maxs = {c: r[f"__mx_{c}"] for c in stat_cols if r[f"__mx_{c}"] is not None}
             nulls = {c: r[f"__nl_{c}"] for c in stat_cols}
             st = {"minValues": mins, "maxValues": maxs, "nullCounts": nulls} if mins else None
-            # key by basename: input_file_name is a full URI whose
-            # scheme/authority rendering differs from the listing's on
-            # remote filesystems, but one staged write's filenames are
-            # unique, so the basename is a safe join key
-            name = unquote(urlparse(r["__file"]).path).rsplit("/", 1)[-1]
-            out[name] = (r["__n"], st)
+            # key by the staging-RELATIVE subpath (partition dirs included):
+            # basenames are NOT unique across partition dirs — one task
+            # writes an identically-named part file into every partition it
+            # owns, and a basename key silently assigns one file's stats to
+            # all of them (observed: read_where then skips live rows).
+            # The decoded URI path is scheme/authority-independent, so the
+            # suffix after the staging root is a safe join key everywhere.
+            p = unquote(urlparse(r["__file"]).path)
+            base = strip_scheme(staging).rstrip("/")
+            rel = p[len(base):].lstrip("/") if p.startswith(base) else p.rsplit("/", 1)[-1]
+            out[rel] = (r["__n"], st)
         return out
 
     def _cdf_enabled(self, snap: Snapshot) -> bool:

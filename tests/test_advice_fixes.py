@@ -348,3 +348,33 @@ def test_incremental_refresh_raises_on_genuine_bug(spark, tmp_path, monkeypatch)
     assert view.refresh() == "full"
     got = {(r.k, r.sum_value) for r in view.read().collect()}
     assert got == {(1, 15), (2, 20)}
+
+
+def test_staged_stats_keyed_per_partition_file(spark, tmp_path):
+    """Per-file stats must key on the staging-relative subpath: one task
+    writing several partition dirs names its files identically, and a
+    basename key assigns one file's stats to all of them — observed as
+    read_where silently dropping live rows."""
+    from delta_lake_validation_spark.sources.acid.table import AcidTable
+
+    loc = str(tmp_path / "stk")
+    t = AcidTable.create(spark, loc, "v int, k string", partition_by=["k"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (100, "b")], "v int, k string"
+        ).coalesce(1)  # one task -> identical basenames under k=a/ and k=b/
+    )
+    snap = t.log.snapshot()
+    by_part = {
+        a["partitionValues"]["k"]: (
+            a["numRecords"], (a.get("stats") or {}).get("maxValues", {}).get("v")
+        )
+        for a in snap.files.values()
+    }
+    assert by_part == {"a": (2, 2), "b": (1, 100)}
+    assert {(r.v, r.k) for r in t.read_where({"v": (None, 10)}).collect()} == {
+        (1, "a"), (2, "a")
+    }
+    assert {(r.v, r.k) for r in t.read_where({"v": (50, None)}).collect()} == {
+        (100, "b")
+    }
