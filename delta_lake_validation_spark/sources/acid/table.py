@@ -765,16 +765,19 @@ class AcidTable:
         }
         return self._commit_strict(entry, snap)
 
-    def _matching_indices(
+    def _matching_bitmaps(
         self, snap: Snapshot, rel_paths: list[str], cond: Column
-    ) -> dict[str, list[int]]:
-        """{add-entry path: physical row indices of LIVE rows matching
-        ``cond``} — the deletion-vector targeting scan.  One distributed
-        pass; only the matched (file, row_index) pairs come back to the
-        driver, the same order of bytes the DV sidecars must serialize
-        anyway.  (At cluster scale the bitmap build itself would move
-        executor-side via mapPartitions; the scan shape is identical.)"""
-        from delta_lake_validation_spark.sources.dv import apply_dv_filter
+    ) -> dict[str, tuple[bytes, int]]:
+        """{add-entry path: (serialized DV bitmap, cardinality) of LIVE
+        rows matching ``cond``} — the deletion-vector targeting scan.  One
+        distributed pass; the roaring bitmaps are built executor-side
+        (groupBy file → applyInPandas) so the driver receives only one
+        compressed payload per touched file — O(files) driver bytes, never
+        O(matched rows)."""
+        from delta_lake_validation_spark.sources.dv import (
+            apply_dv_filter,
+            collect_file_bitmaps,
+        )
 
         if not rel_paths:
             return {}
@@ -804,25 +807,28 @@ class AcidTable:
             out_df = apply_dv_filter(
                 self.spark, out_df, dv_map, file_col="__fp", idx_col="__ri"
             )
-        rows = out_df.filter(cond).select("__fp", "__ri").collect()
-        out: dict[str, list[int]] = {}
-        for r in rows:
-            out.setdefault(self._rel_of(r[0]), []).append(int(r[1]))
-        return out
+        fp_bitmaps = collect_file_bitmaps(out_df.filter(cond))
+        return {
+            self._rel_of(fp): payload for fp, payload in fp_bitmaps.items()
+        }
 
     def _delete_by_dv(
         self, snap: Snapshot, condition, cond_true: Column
     ) -> int:
         """Deletion-vector DELETE: re-add each touched file with a merged
-        (old ∪ new) DV sidecar; no data files rewritten."""
+        (old ∪ new) DV sidecar; no data files rewritten.  The bitmaps are
+        built executor-side; the driver only merges per-file with any
+        pre-existing DV (bounded by one file's cardinality) and writes the
+        sidecars."""
         from delta_lake_validation_spark.sources.dv import (
-            deserialize_bitmap,
             dv_relative_path,
             load_dv_bytes,
-            write_dv_file,
+            merge_bitmaps,
+            deserialize_bitmap,
+            write_dv_bytes,
         )
 
-        per_file = self._matching_indices(snap, list(snap.files), cond_true)
+        per_file = self._matching_bitmaps(snap, list(snap.files), cond_true)
         if not per_file:
             entry = {
                 "operation": "DELETE",
@@ -833,19 +839,19 @@ class AcidTable:
             }
             return self._commit_strict(entry, snap)
         adds: list[dict] = []
-        for rel, new_idx in sorted(per_file.items()):
+        for rel, (new_bytes, card) in sorted(per_file.items()):
             meta = dict(snap.files[rel])
             old_desc = meta.get("deletionVector")
-            merged = set(new_idx)
+            merged_bytes = new_bytes
             if old_desc and int(old_desc.get("cardinality") or 0) > 0:
                 base = meta.get("basePath", self.location)
-                merged |= set(
-                    int(i)
-                    for i in deserialize_bitmap(
-                        load_dv_bytes(old_desc, base, self.fs)
-                    )
+                merged_bytes = merge_bitmaps(
+                    new_bytes, load_dv_bytes(old_desc, base, self.fs)
                 )
-            desc = write_dv_file(self.fs, self.location, sorted(merged))
+                card = int(deserialize_bitmap(merged_bytes).size)
+            desc = write_dv_bytes(
+                self.fs, self.location, merged_bytes, card
+            )
             if "basePath" in meta:
                 # cloned (absolute) data file: its basePath points at the
                 # SOURCE table, but the new sidecar lives HERE — store the

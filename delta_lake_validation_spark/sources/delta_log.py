@@ -524,14 +524,86 @@ class DeltaTable:
         foreign-written file (e.g. an Iceberg convert) may carry matching
         ids under different physical names, which name resolution would
         silently misread.  So before the first read of an id-mode snapshot
-        we open a bounded sample of data-file footers (driver-side, via the
-        Hadoop parquet reader so every supported filesystem works) and
-        refuse loudly unless each sampled file's field-ids are consistent
-        with the physicalName mapping."""
+        we verify EVERY referenced data-file footer — distributed over the
+        executors via pyarrow for large tables, driver-side via the Hadoop
+        parquet reader for small ones or filesystems pyarrow can't open —
+        and refuse loudly unless each file's field-ids are consistent with
+        the physicalName mapping."""
         if snap.version in self._idmode_verified:
             return
         self._verify_footer_paths(sorted(snap.files), snap)
         self._idmode_verified.add(snap.version)
+
+    def _verify_footers_distributed(
+        self, paths: list[str], expect: dict[str, int]
+    ) -> list[str]:
+        """Executor-side id-mode footer verification: one pyarrow
+        ``read_schema`` per file, fanned out as an RDD of paths (a rare
+        justified RDD — per-file imperative metadata reads, no dataframe
+        semantics).  Raises on the first inconsistent footer; returns the
+        subset of paths whose filesystem pyarrow could not open, which the
+        caller re-verifies driver-side via the Hadoop reader — so every
+        referenced file is checked regardless of scheme."""
+        pairs = sorted((p, self._abs(p)) for p in paths)
+        expect_items = sorted(expect.items())
+
+        def check(pair):
+            rel, apath = pair
+            local = apath
+            if local.startswith("file:"):
+                from urllib.parse import unquote as _uq, urlparse
+
+                local = _uq(urlparse(local).path)
+            try:
+                import pyarrow.parquet as pq
+
+                sch = pq.read_schema(local)
+            except Exception:
+                return ("open", rel, None)
+            by_id: dict[int, str] = {}
+            by_name: dict[str, int | None] = {}
+            for f in sch:
+                meta = f.metadata or {}
+                fid = meta.get(b"PARQUET:field_id")
+                fid = int(fid) if fid is not None else None
+                by_name[f.name] = fid
+                if fid is not None:
+                    by_id[fid] = f.name
+            if not by_id:
+                return (
+                    "err",
+                    rel,
+                    "carries no parquet field-ids; id-based resolution "
+                    "is impossible",
+                )
+            for phys, want in expect_items:
+                got = by_id.get(want)
+                if got is not None and got != phys:
+                    return (
+                        "err",
+                        rel,
+                        f"stores field id {want} as {got!r} but table "
+                        f"metadata names it {phys!r}; physical-name "
+                        "resolution would misread",
+                    )
+                if phys in by_name and by_name[phys] != want:
+                    return (
+                        "err",
+                        rel,
+                        f"has a column named {phys!r} with field id "
+                        f"{by_name[phys]!r}, but table metadata assigns "
+                        f"it id {want}; name-resolution would misread",
+                    )
+            return ("ok", rel, None)
+
+        sc = self.spark.sparkContext
+        results = sc.parallelize(pairs, min(len(pairs), 256)).map(check).collect()
+        for status, rel, msg in results:
+            if status == "err":
+                raise DeltaProtocolError(
+                    f"columnMapping id mode: data file {rel} {msg} — refusing"
+                )
+        return [rel for status, rel, _ in results if status == "open"]
 
     def _verify_footer_paths(self, paths: list[str], snap: DeltaSnapshot) -> None:
         """Core of the id-mode guard over an explicit path list (the
@@ -542,7 +614,11 @@ class DeltaTable:
         the expected physical name must not carry a different id or none
         (name-resolution unverifiable).  A file missing the column entirely
         is legal (written before the column existed — reads as null in both
-        resolutions)."""
+        resolutions).  EVERY path is verified: >16 files go through a
+        distributed pyarrow footer sweep (executor-side, O(files/cores)
+        wall — footer reads are tiny next to the scan itself); paths whose
+        scheme pyarrow can't open fall back to the driver-side Hadoop
+        reader so no file escapes the guard."""
         phys_parts = {snap.phys(c) for c in snap.partition_columns}
         expect = {
             p: i for p, i in snap.column_ids.items() if p not in phys_parts
@@ -552,7 +628,11 @@ class DeltaTable:
                 "columnMapping id mode requires delta.columnMapping.id on "
                 "every field; metadata carries none — refusing to read"
             )
-        sample = paths if len(paths) <= 16 else paths[:8] + paths[-8:]
+        sample = list(paths)
+        if len(sample) > 16:
+            sample = self._verify_footers_distributed(sample, expect)
+            if not sample:
+                return
         jvm = self.spark._jvm
         hconf = self.spark._jsc.hadoopConfiguration()
         for p in sample:
@@ -875,30 +955,35 @@ class DeltaTable:
         return out
 
     def _dv_mask_actions(
-        self, snap: DeltaSnapshot, per_file: dict[str, list[int]], ts: int
+        self,
+        snap: DeltaSnapshot,
+        per_file: dict[str, tuple[bytes, int]],
+        ts: int,
     ) -> list[dict]:
         """One remove+add pair per touched file, the add carrying a merged
         (old ∪ new) protocol-true DV sidecar — the shared core of DV-path
-        DELETE/UPDATE/MERGE."""
+        DELETE/UPDATE/MERGE.  ``per_file`` maps log path -> (serialized
+        bitmap, cardinality), already built executor-side; the driver only
+        merges per-file with any existing DV (bounded by one file's
+        cardinality) and writes the sidecars."""
         from delta_lake_validation_spark.sources.dv import (
             deserialize_bitmap,
             load_dv_bytes,
-            write_dv_file,
+            merge_bitmaps,
+            write_dv_bytes,
         )
 
         actions: list[dict] = []
-        for rel, new_idx in sorted(per_file.items()):
+        for rel, (new_bytes, card) in sorted(per_file.items()):
             meta = dict(snap.files[rel])
-            merged = set(int(i) for i in new_idx)
             old = meta.get("deletionVector")
+            merged_bytes = new_bytes
             if old and int(old.get("cardinality") or 0) > 0:
-                merged |= {
-                    int(i)
-                    for i in deserialize_bitmap(
-                        load_dv_bytes(old, self.location, self.fs)
-                    )
-                }
-            desc = write_dv_file(self.fs, self.location, sorted(merged))
+                merged_bytes = merge_bitmaps(
+                    new_bytes, load_dv_bytes(old, self.location, self.fs)
+                )
+                card = int(deserialize_bitmap(merged_bytes).size)
+            desc = write_dv_bytes(self.fs, self.location, merged_bytes, card)
             actions += self._remove_actions(snap, [rel], ts)
             meta["deletionVector"] = desc
             meta["dataChange"] = True
@@ -991,23 +1076,32 @@ class DeltaTable:
             out = sel(df) if out is None else out.unionByName(sel(df))
         return out
 
-    def _per_file_indices(
-        self, snap: DeltaSnapshot, rows
-    ) -> dict[str, list[int]]:
-        """Group targeting-scan (file_path, row_index) rows by LOG add-path
-        (resolved through the disk-path map — never by re-encoding)."""
+    def _target_bitmaps(
+        self, snap: DeltaSnapshot, matched: DataFrame
+    ) -> tuple[dict[str, tuple[bytes, int]], list[str]]:
+        """Run the row-level-DML targeting scan's bitmap aggregation: the
+        matched (``__fp``, ``__ri``) pairs are folded into per-file roaring
+        bitmaps ON THE EXECUTORS (dv.collect_file_bitmaps), so the driver
+        collects one compressed payload per touched file — O(files), never
+        O(matched rows).  Returns ({LOG add-path: (bitmap bytes,
+        cardinality)}, sorted raw ``_metadata.file_path`` strings for the
+        copy-on-write path's isin filter).  Log paths are resolved through
+        the disk-path map — never by re-encoding."""
         from urllib.parse import unquote
 
+        from delta_lake_validation_spark.sources.dv import (
+            collect_file_bitmaps,
+        )
+
+        fp_bitmaps = collect_file_bitmaps(matched)
         rel_of = self._rel_by_disk_path(snap)
-        out: dict[str, list[int]] = {}
-        for r in rows:
+        per_file: dict[str, tuple[bytes, int]] = {}
+        for fp, payload in fp_bitmaps.items():
             # _metadata.file_path is a URI: a '%' in the ON-DISK name (e.g.
             # hive-escaped ':' -> %3A) arrives re-escaped as %253A — unquote
             # once to recover the disk path the map is keyed by
-            out.setdefault(
-                rel_of[strip_scheme(unquote(r[0]))], []
-            ).append(int(r[1]))
-        return out
+            per_file[rel_of[strip_scheme(unquote(fp))]] = payload
+        return per_file, sorted(fp_bitmaps)
 
     def _write_cdc(self, df_logical: DataFrame, snap: DeltaSnapshot) -> list[dict]:
         """Stage ``_change_data`` files (physical data columns +
@@ -1072,11 +1166,36 @@ class DeltaTable:
 
         snap = self.snapshot()
         self._check_writable(snap, "delete")
+        if (
+            predicate.strip().lower() in ("true", "1=1", "1 = 1")
+            and not self._cdf_enabled(snap)
+        ):
+            # DELETE without WHERE: metadata-only remove-all commit — no
+            # targeting scan at all (delta-spark's truncate fast path).
+            # With CDF enabled we fall through so the commit carries the
+            # deleted rows as _change_data, which our conservative CDF
+            # reader requires.
+            ts = int(_time.time() * 1000)
+            actions = [
+                {
+                    "commitInfo": {
+                        "timestamp": ts,
+                        "operation": "DELETE",
+                        "operationParameters": {"predicate": predicate},
+                    }
+                },
+                *self._remove_actions(snap, list(snap.files), ts),
+            ]
+            v = snap.version + 1
+            if not self._try_commit(v, actions):
+                raise DeltaProtocolError(
+                    f"delete lost the race for version {v}; re-read and retry"
+                )
+            return v
         cond = F.expr(predicate)
         live = self._read_with_pos(snap)
         matched = live.filter(cond)
-        rows = matched.select("__fp", "__ri").collect()
-        per_file = self._per_file_indices(snap, rows)
+        per_file, touched_fps = self._target_bitmaps(snap, matched)
         ts = int(_time.time() * 1000)
         actions: list[dict] = [
             {
@@ -1106,7 +1225,6 @@ class DeltaTable:
         else:
             # match on the exact _metadata.file_path strings the targeting
             # scan returned (URI scheme/slash forms vary by filesystem)
-            touched_fps = sorted({r[0] for r in rows})
             keep = (
                 live.filter(F.col("__fp").isin(touched_fps))
                 .filter(~F.coalesce(cond, F.lit(False)))
@@ -1142,8 +1260,7 @@ class DeltaTable:
         sets = {c: F.expr(e) for c, e in assignments.items()}
         live = self._read_with_pos(snap)
         matched = live.filter(cond)
-        rows = matched.select("__fp", "__ri").collect()
-        per_file = self._per_file_indices(snap, rows)
+        per_file, touched_fps = self._target_bitmaps(snap, matched)
         ts = int(_time.time() * 1000)
         actions: list[dict] = [
             {
@@ -1176,7 +1293,6 @@ class DeltaTable:
             actions += self._dv_mask_actions(snap, per_file, ts)
             actions += [{"add": a} for a in self._stage_files(updated, snap)]
         else:
-            touched_fps = sorted({r[0] for r in rows})
             keep = (
                 live.filter(F.col("__fp").isin(touched_fps))
                 .filter(~F.coalesce(cond, F.lit(False)))
@@ -1221,8 +1337,7 @@ class DeltaTable:
         live = self._read_with_pos(snap)
         src_keys = source.select(*keys).distinct()
         matched = live.join(src_keys, keys, "inner")
-        rows = matched.select("__fp", "__ri").collect()
-        per_file = self._per_file_indices(snap, rows)
+        per_file, touched_fps = self._target_bitmaps(snap, matched)
         ts = int(_time.time() * 1000)
         actions: list[dict] = [
             {
@@ -1258,7 +1373,6 @@ class DeltaTable:
             actions += self._dv_mask_actions(snap, per_file, ts)
             actions += [{"add": a} for a in self._stage_files(new_rows, snap)]
         else:
-            touched_fps = sorted({r[0] for r in rows})
             keep = (
                 live.filter(F.col("__fp").isin(touched_fps))
                 .join(src_keys, keys, "anti")

@@ -212,9 +212,15 @@ def _deserialize_roaring32(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
 def serialize_bitmap(indices, use_runs: bool = False) -> bytes:
     """Sorted-unique row indices -> DV bitmap bytes (magic + portable
     64-bit RoaringBitmapArray)."""
-    idx = np.unique(np.asarray(list(indices), dtype=np.uint64))
-    if idx.size and int(idx.max()) >> 32 > 0xFFFFFFFF:
-        raise ValueError("row index out of 64-bit roaring range")
+    # validate BEFORE the unsigned cast: int64 is where parquet row
+    # indices live, and a negative value would otherwise wrap silently
+    signed = np.asarray(
+        indices if isinstance(indices, np.ndarray) else list(indices),
+        dtype=np.int64,
+    )
+    if signed.size and int(signed.min()) < 0:
+        raise ValueError("negative row index in deletion vector")
+    idx = np.unique(signed.astype(np.uint64))
     highs = (idx >> np.uint64(32)).astype(np.uint32)
     out = bytearray(struct.pack("<iQ", DV_MAGIC, len(np.unique(highs))))
     for high in np.unique(highs):
@@ -281,6 +287,75 @@ def load_dv_bytes(descriptor: dict, table_location: str, fs) -> bytes:
     if zlib.crc32(data) & 0xFFFFFFFF != crc:
         raise ValueError(f"DV checksum mismatch at {path}:{offset}")
     return data
+
+
+def merge_bitmaps(new_data: bytes, old_data: bytes | None) -> bytes:
+    """Union two serialized DV bitmaps (per-file merge of an existing DV
+    with newly-deleted rows).  Per-file scope keeps the transient index
+    arrays bounded by one file's cardinality — never corpus-sized."""
+    if not old_data:
+        return new_data
+    a = deserialize_bitmap(new_data)
+    b = deserialize_bitmap(old_data)
+    return serialize_bitmap(np.union1d(a, b))
+
+
+def collect_file_bitmaps(
+    df, file_col: str = "__fp", idx_col: str = "__ri"
+) -> dict[str, tuple[bytes, int]]:
+    """Aggregate a targeting scan's matched (file, row-index) pairs into
+    per-file serialized roaring bitmaps ON THE EXECUTORS; the driver
+    receives one (file_path, bitmap-bytes, cardinality) row per touched
+    file — O(touched files) driver bytes, never O(matched rows).  This is
+    the scale path for row-level DML: a 100 TB retention DELETE matching
+    10⁹ rows collects only the compressed sidecar payloads it must write
+    anyway."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        idx = pdf["__dv_idx"].to_numpy(dtype=np.int64)
+        data = serialize_bitmap(idx)
+        return pd.DataFrame(
+            {
+                "file": [pdf["__dv_file"].iloc[0]],
+                "dv": [data],
+                "card": [int(np.unique(idx).size)],
+            }
+        )
+
+    rows = (
+        df.select(
+            F.col(file_col).alias("__dv_file"),
+            F.col(idx_col).alias("__dv_idx"),
+        )
+        .groupBy("__dv_file")
+        .applyInPandas(_build, schema="file string, dv binary, card long")
+        .collect()
+    )
+    return {r["file"]: (bytes(r["dv"]), int(r["card"])) for r in rows}
+
+
+def write_dv_bytes(fs, table_location: str, data: bytes, card: int) -> dict:
+    """Write pre-serialized DV bitmap bytes (e.g. built executor-side by
+    collect_file_bitmaps) as a UUID-named sidecar; returns the add-action
+    descriptor."""
+    uid = uuidlib.uuid4()
+    name = f"deletion_vector_{uid}.bin"
+    payload = (
+        b"\x01"
+        + struct.pack(">i", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    )
+    fs.write_bytes(f"{table_location}/{name}", payload)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(uid.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": int(card),
+    }
 
 
 def write_dv_file(

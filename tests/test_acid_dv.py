@@ -222,3 +222,45 @@ def test_lost_race_cleanup_never_deletes_live_data(spark, table):
     # retry on the fresh head succeeds
     table.delete("id = 1", use_dv=True)
     assert _ids(table.read()) == [0] + list(range(2, 15)) + [99]
+
+
+def test_mass_delete_collects_only_per_file_bitmaps(spark, tmp_path):
+    """Scale contract (VERDICT r3 task 1): a DELETE matching ~10**6 rows
+    must bring back O(touched files) compressed bitmap payloads, never
+    O(matched rows) Row objects.  We wrap dv.collect_file_bitmaps to
+    measure exactly what crosses to the driver."""
+    import delta_lake_validation_spark.sources.dv as dvmod
+
+    loc = os.path.join(str(tmp_path), "mass")
+    t = AcidTable.create(spark, loc, "id BIGINT, val BIGINT")
+    n = 1_200_000
+    df = (
+        spark.range(n)
+        .selectExpr("id", "id * 3 AS val")
+        .repartition(8)  # 8 data files
+    )
+    t.append(df)
+
+    captured = {}
+    real = dvmod.collect_file_bitmaps
+
+    def spy(frame, file_col="__fp", idx_col="__ri"):
+        out = real(frame, file_col, idx_col)
+        captured["files"] = len(out)
+        captured["bytes"] = sum(len(b) for b, _ in out.values())
+        captured["card"] = sum(c for _, c in out.values())
+        return out
+
+    dvmod.collect_file_bitmaps = spy
+    try:
+        t.delete("id % 2 = 0", use_dv=True)
+    finally:
+        dvmod.collect_file_bitmaps = real
+
+    assert captured["card"] == n // 2
+    assert captured["files"] <= 8
+    # ~600k matched rows as raw Rows would be tens of MB; the roaring
+    # payloads for every-other-row-dense bitmaps stay well under 2 MB
+    assert captured["bytes"] < 2_000_000
+    assert t.read().count() == n - n // 2
+    assert t.read().filter("id % 2 = 0").count() == 0

@@ -2076,3 +2076,59 @@ def test_create_delta_protocol_declares_enabled_features(spark, tmp_path):
     assert proto["minWriterVersion"] == 7
     assert set(proto["writerFeatures"]) == {"deletionVectors", "appendOnly"}
     assert "changeDataFeed" not in proto["writerFeatures"]
+
+
+def test_column_mapping_id_mode_verifies_every_footer(spark, tmp_path):
+    """ADVICE r3 (medium): the old id-mode guard sampled first-8/last-8
+    sorted paths, so a foreign footer in the MIDDLE of a >16-file table
+    slipped through.  Every referenced footer is now verified (distributed
+    pyarrow sweep for large tables) — the mid-table bad file must refuse,
+    and an all-good 20-file table must still read."""
+    import pyarrow as pa
+
+    # all-good table: 20 files, distributed sweep passes
+    loc_ok = tmp_path / "cmid20ok"
+    adds = []
+    for i in range(20):
+        _write_parquet_with_ids(
+            loc_ok / "col-bbbb=x" / f"part-{i:03d}.parquet",
+            [{"col-aaaa": i}],
+            [("col-aaaa", 1, pa.int32())],
+        )
+        adds.append(
+            _add(f"col-bbbb=x/part-{i:03d}.parquet",
+                 partition_values={"col-bbbb": "x"})
+        )
+    meta = _mapped_meta()
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    _write_commit(
+        loc_ok / "_delta_log", 0,
+        [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+         meta, *adds],
+    )
+    assert DeltaTable(spark, str(loc_ok)).read().count() == 20
+
+    # same layout, but file #10 (inside the old sample's blind spot:
+    # first-8 covers 000-007, last-8 covers 012-019) is foreign-named
+    loc_bad = tmp_path / "cmid20bad"
+    adds = []
+    for i in range(20):
+        field = "col-aaaa" if i != 10 else "stray-name"
+        _write_parquet_with_ids(
+            loc_bad / "col-bbbb=x" / f"part-{i:03d}.parquet",
+            [{field: i}],
+            [(field, 1, pa.int32())],
+        )
+        adds.append(
+            _add(f"col-bbbb=x/part-{i:03d}.parquet",
+                 partition_values={"col-bbbb": "x"})
+        )
+    meta = _mapped_meta()
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    _write_commit(
+        loc_bad / "_delta_log", 0,
+        [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+         meta, *adds],
+    )
+    with pytest.raises(DeltaProtocolError, match="misread"):
+        DeltaTable(spark, str(loc_bad)).read()
