@@ -49,6 +49,13 @@ _SALT_SAFE_JOINS = (
     "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti",
 )
 
+#: joins where the REPLICATED small side can emit unmatched rows — legal
+#: since the null-stream fix below keeps exactly one replica of each
+_OUTER_SMALL_JOINS = (
+    "right", "right_outer", "rightouter",
+    "full", "outer", "full_outer", "fullouter",
+)
+
 
 def salted_join(
     big: DataFrame,
@@ -61,14 +68,37 @@ def salted_join(
     partitions and the small side replicated n_salts×.
 
     Use when the small side is too large to broadcast but small enough to
-    replicate n_salts times; result equals ``big.join(small, on, how)`` for
-    big-side-preserving joins only — replication makes right/full outer
-    emit each unmatched small-side row n_salts times, so those are rejected.
-    """
+    replicate n_salts times; result equals ``big.join(small, on, how)``
+    for EVERY equi-join type.  Big-side-preserving joins (inner/left/semi/
+    anti) need no correction.  right/full outer (VERDICT r3 task 7) use
+    the null-stream-side decomposition: the matched stream is the salted
+    big-preserving join (inner for right, left for full), and the
+    null-stream — small rows with NO match anywhere in big — comes from an
+    anti join against big's DISTINCT keys (hot keys collapse to one row,
+    so the anti join itself cannot skew), padded with typed nulls for the
+    big side.  Their union is exactly the outer join: matched
+    multiplicities untouched, each unmatched small row exactly once."""
+    if how in _OUTER_SMALL_JOINS:
+        base = (
+            "inner" if how in ("right", "right_outer", "rightouter") else "left"
+        )
+        matched = salted_join(big, small, on, n_salts, base)
+        unmatched = small.join(big.select(*on).distinct(), on, "left_anti")
+        big_types = {f.name: f.dataType for f in big.schema.fields}
+        padded = unmatched.select(
+            *on,
+            *[
+                F.lit(None).cast(big_types[c]).alias(c)
+                for c in big.columns
+                if c not in on
+            ],
+            *[c for c in small.columns if c not in on],
+        )
+        return matched.unionByName(padded)
     if how not in _SALT_SAFE_JOINS:
         raise ValueError(
-            f"salted_join supports {_SALT_SAFE_JOINS}; {how!r} would "
-            "duplicate unmatched small-side rows n_salts times"
+            f"salted_join supports equi-join types "
+            f"{_SALT_SAFE_JOINS + _OUTER_SMALL_JOINS}; got {how!r}"
         )
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))

@@ -477,3 +477,88 @@ def ivf_kmeans_topk(
     return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
         F.col("rnk") <= k
     )
+
+
+def ivf_blocked_self_pairs(
+    spark: SparkSession,
+    df: DataFrame,
+    threshold: float,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+    seed: int = 42,
+    scale: int = 6,
+) -> DataFrame:
+    """ANN-blocked near-dup pairs (the SemDeDup shape): k-means cells fit
+    on a bounded sample, every vector multi-assigned to its ``nprobe``
+    nearest centroids (cosine), EXACT all-pairs cosine only WITHIN each
+    cell.  Output is a subset of ``cosine_self_pairs`` (exact
+    verification — no false positives); recall is the fraction of true
+    pairs sharing >=1 cell, which rises with nprobe.  Expected work is
+    O(n²·nprobe²/n_cells) vs the exact path's O(n²): at 100 TB pick
+    n_cells ∝ corpus size to bound per-cell membership (per-task memory =
+    one cell), nprobe 2-4; a skew-heavy cell can be recursively re-blocked
+    with a deeper k-means, which this operator leaves to the caller.
+    VERDICT r3 task 4: this replaces composing the exact O(n²) self-pairs
+    inside semantic dedup at scale."""
+    out_schema = "left_id long, right_id long, sim double"
+    n_alive = df.count()
+    if n_alive == 0:
+        return spark.createDataFrame([], out_schema)
+    cents = kmeans_centroids(
+        spark, df, n_cells, sample_mod=sample_mod,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    bc_c = spark.sparkContext.broadcast(cn)
+    p = int(min(nprobe, len(cn)))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc_c.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _as_matrix(pdf["v"])
+            mn = m / np.maximum(
+                np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12
+            )
+            top = np.argsort(-(mn @ c.T), kind="stable", axis=1)[:, :p]
+            rep = np.repeat(np.arange(len(pdf)), p)
+            yield pd.DataFrame(
+                {
+                    "cell": top.reshape(-1).astype("int32"),
+                    "id": pdf["id"].to_numpy()[rep],
+                    "v": pdf["v"].iloc[rep].to_numpy(),
+                }
+            )
+
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).mapInPandas(assign, "cell int, id long, v array<double>")
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"left_id": [], "right_id": [], "sim": []}
+            ).astype({"left_id": "int64", "right_id": "int64", "sim": "float64"})
+        ids = pdf["id"].to_numpy()
+        m = _as_matrix(pdf["v"])
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        sims = np.round((m @ m.T) / np.outer(norms, norms), scale)
+        li, ri = np.nonzero(
+            (sims > threshold) & (ids[:, None] < ids[None, :])
+        )
+        return pd.DataFrame(
+            {"left_id": ids[li], "right_id": ids[ri], "sim": sims[li, ri]}
+        )
+
+    # a pair co-located in several probed cells scores identically
+    # (same rounded cosine) — distinct() dedups exactly
+    return (
+        assigned.groupBy("cell").applyInPandas(cell_pairs, out_schema).distinct()
+    )

@@ -101,6 +101,12 @@ _TIER_BY_NAME = {
     # doc_fingerprint): demoted so nested_project (P2) keeps its driver
     # slot after delta_write_roundtrip entered the window
     "doc_repetition": _reg.TIER_NEWFAM,
+    # round-4 families: past-the-cap policy unchanged.  semantic_dedup_ann
+    # is the graded (exact-anchored, recall>=0.9 flag) ANN-blocked scale
+    # path of the semantic_dedup family; its _raw twin keeps its explicit
+    # TIER_VARIANT priority from @register.
+    "semantic_dedup_ann": _reg.TIER_NEWFAM,
+    "semantic_dedup_ann_raw": _reg.TIER_VARIANT,
 }
 
 for _name, _spec in list(REGISTRY.items()):

@@ -906,9 +906,9 @@ def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "semantic_dedup",
-    oracle="""
+# shared by semantic_dedup (plain) and semantic_dedup_ann (exact-anchored
+# recall-flag grading of the LSH/IVF-blocked scale path)
+_SEMANTIC_DEDUP_ORACLE_BODY = """
     WITH RECURSIVE
     pairs AS (
       SELECT a.vec_id AS la, b.vec_id AS rb
@@ -927,9 +927,14 @@ def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     lbl AS (SELECT id, min(lbl) AS rep FROM cc GROUP BY id)
     SELECT e.vec_id,
            COALESCE(l.rep, e.vec_id) AS rep_id,
-           COALESCE(l.rep, e.vec_id) = e.vec_id AS is_kept
+           COALESCE(l.rep, e.vec_id) = e.vec_id AS is_kept{extra_cols}
     FROM embeddings e LEFT JOIN lbl l ON e.vec_id = l.id
-    """,
+    """
+
+
+@register(
+    "semantic_dedup",
+    oracle=_SEMANTIC_DEDUP_ORACLE_BODY.format(extra_cols=""),
     tags=("similarity", "dedup", "llm"),
     doc="semantic dedup: cosine near-dup pairs -> connected components -> "
     "keep the minimum vec_id per cluster; singletons keep themselves. The "
@@ -938,14 +943,24 @@ def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle-graded)",
 )
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_validation_spark.operators.dedup import dedup_clusters
     from delta_lake_validation_spark.operators.similarity import cosine_self_pairs
 
     emb = Tables(spark, sf_dir).embeddings
-    pairs = cosine_self_pairs(spark, emb, threshold=0.35).select(
-        F.col("left_id").alias("left_doc"), F.col("right_id").alias("right_doc")
+    pairs = cosine_self_pairs(spark, emb, threshold=0.35)
+    return _semantic_dedup_table(spark, emb, pairs)
+
+
+def _semantic_dedup_table(spark, emb, pairs) -> DataFrame:
+    """pairs -> connected components -> (vec_id, rep_id, is_kept)."""
+    from delta_lake_validation_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(
+        spark,
+        pairs.select(
+            F.col("left_id").alias("left_doc"),
+            F.col("right_id").alias("right_doc"),
+        ),
     )
-    clusters = dedup_clusters(spark, pairs)
     return (
         emb.select("vec_id")
         .join(clusters, emb.vec_id == clusters.id, "left")
@@ -955,6 +970,66 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_kept", F.col("rep_id") == F.col("vec_id"))
     )
+
+
+@register(
+    "semantic_dedup_ann",
+    oracle=_SEMANTIC_DEDUP_ORACLE_BODY.format(
+        extra_cols=",\n           TRUE AS recall_ok"
+    ),
+    tags=("similarity", "dedup", "llm", "approx"),
+    doc="VERDICT r3 task 4: ANN-blocked semantic dedup.  Candidate pairs "
+    "come from IVF multi-assignment blocking (k-means cells, nprobe=4 — "
+    "O(n²·p²/cells) not O(n²)) with exact in-cell cosine verification; "
+    "graded against the exact semantic-dedup anchor with a pair-recall "
+    ">=0.9 flag, like the other approximate families",
+)
+def semantic_dedup_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.similarity import (
+        cosine_self_pairs,
+        ivf_blocked_self_pairs,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    exact_pairs = cosine_self_pairs(spark, emb, threshold=0.35)
+    approx_pairs = ivf_blocked_self_pairs(
+        spark, emb, threshold=0.35, n_cells=16, nprobe=4
+    )
+    anchor = _semantic_dedup_table(spark, emb, exact_pairs)
+    hits = exact_pairs.select("left_id", "right_id").join(
+        approx_pairs.select("left_id", "right_id").withColumn(
+            "__hit", F.lit(1)
+        ),
+        ["left_id", "right_id"],
+        "left",
+    )
+    stats = hits.agg(
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) * F.lit(100)
+            >= F.count(F.lit(1)) * F.lit(90)
+        ).alias("recall_ok")
+    )
+    return anchor.crossJoin(F.broadcast(stats))
+
+
+@register(
+    "semantic_dedup_ann_raw",
+    oracle=None,
+    tags=("similarity", "dedup", "llm", "approx"),
+    doc="raw ANN-blocked semantic dedup (no exact anchor) — the pipeline "
+    "users run at 100 TB; rows-only, its graded twin is semantic_dedup_ann",
+    priority=60,
+)
+def semantic_dedup_ann_raw_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.similarity import (
+        ivf_blocked_self_pairs,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    pairs = ivf_blocked_self_pairs(
+        spark, emb, threshold=0.35, n_cells=16, nprobe=4
+    )
+    return _semantic_dedup_table(spark, emb, pairs)
 
 
 @register(
@@ -1635,7 +1710,7 @@ def chars_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "llm", "curation", "boilerplate"),
     doc="per-doc boilerplate profile: distinct word-3-gram spans vs spans "
-    "shared by >= 20 docs (exact corpus df via one count-window over the "
+    "shared by >= 3 docs (exact corpus df via one count-window over the "
     "span shuffle)",
 )
 def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -256,6 +256,8 @@ class AcidSqlContext:
             return self._create(s)
         if head == "DROP":
             return self._drop(s)
+        if head == "SHOW":
+            return self._show(s)
         return self._query(s)
 
     # ----------------------------------------------------------- lifecycle
@@ -422,6 +424,61 @@ class AcidSqlContext:
         del self._tables[name]
         self.spark.catalog.dropTempView(name)
         return None
+
+    def _show(self, s: str) -> DataFrame:
+        """SHOW TABLES (ref: src/validation_suite.py:239-240 ``list_tables``
+        — the reference's literal statement runs verbatim) and SHOW
+        PARTITIONS <table>.  Output schemas mirror Spark's own SHOW
+        surface: (namespace, tableName, isTemporary) and (partition)."""
+        from pyspark.sql import Row
+
+        if re.match(rf"SHOW{_WS}TABLES$", s, re.IGNORECASE):
+            return self.spark.createDataFrame(
+                [
+                    Row(namespace="", tableName=n, isTemporary=False)
+                    for n in sorted(self._tables)
+                ],
+                "namespace string, tableName string, isTemporary boolean",
+            )
+        m = re.match(
+            rf"SHOW{_WS}PARTITIONS{_WS}(?P<table>[\w.]+)$", s, re.IGNORECASE
+        )
+        if m:
+            t = self.table(m.group("table").split(".")[-1])
+            snap = t.snapshot() if hasattr(t, "snapshot") else t._t.snapshot()
+            pcols = list(snap.partition_columns)
+            if not pcols:
+                raise AcidSqlError(
+                    f"SHOW PARTITIONS: table {m.group('table')!r} is not "
+                    "partitioned"
+                )
+            # Delta column mapping stores partitionValues under PHYSICAL
+            # names; render logical ones
+            phys = getattr(snap, "phys", lambda c: c)
+            combos = sorted(
+                {
+                    tuple(
+                        (a.get("partitionValues") or {}).get(phys(c))
+                        for c in pcols
+                    )
+                    for a in snap.files.values()
+                },
+                key=lambda c: tuple(
+                    "" if v is None else str(v) for v in c
+                ),
+            )
+            return self.spark.createDataFrame(
+                [
+                    Row(
+                        partition="/".join(
+                            f"{c}={v}" for c, v in zip(pcols, combo)
+                        )
+                    )
+                    for combo in combos
+                ],
+                "partition string",
+            )
+        raise AcidSqlError(f"unsupported SHOW shape: {s[:120]}...")
 
     def _alter(self, s: str) -> None:
         """ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | DROP CONSTRAINT name."""

@@ -48,6 +48,13 @@ class DeltaProtocolError(RuntimeError):
     """Raised when a table requires reader features we do not implement."""
 
 
+class DeltaConstraintViolationError(DeltaProtocolError):
+    """A staged write contains rows that violate a table CHECK constraint
+    (``delta.constraints.*``) or a legacy column invariant
+    (``delta.invariants``); the staging directory is discarded and nothing
+    commits."""
+
+
 #: Reader features of protocol v3 tables we can safely serve.  Anything else
 #: (deletionVectors would silently resurrect deleted rows, columnMapping would
 #: mis-name columns) must hard-fail, per the protocol's reader rules.
@@ -73,6 +80,28 @@ _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
 _V2_CHECKPOINT_RE = re.compile(
     r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(parquet|json)$"
 )
+
+_INTERVAL_RE = re.compile(r"^interval\s+(\d+)\s+([a-z]+)$", re.I)
+_INTERVAL_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1_000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 604_800_000,
+}
+
+
+def _interval_ms(text: str | None, default: int) -> int:
+    """Parse a Delta interval property ('interval 1 week') to ms; unknown
+    or absent values fall back to ``default``."""
+    if not text:
+        return default
+    m = _INTERVAL_RE.match(str(text).strip())
+    if not m:
+        return default
+    ms = _INTERVAL_UNIT_MS.get(m.group(2).lower().rstrip("s"))
+    return int(m.group(1)) * ms if ms else default
 
 
 class DeltaSnapshot:
@@ -684,8 +713,8 @@ class DeltaTable:
     #: into a table whose invariants we'd silently skip corrupts it.
     _SUPPORTED_WRITER_FEATURES = {
         "appendOnly",  # honored: data-changing rewrites refuse
-        "invariants",  # OK only when no field declares delta.invariants
-        "checkConstraints",  # OK only when no delta.constraints.* property
+        "invariants",  # honored: delta.invariants enforced on staged writes
+        "checkConstraints",  # honored: delta.constraints.* enforced on writes
         "timestampNtz",
         "typeWidening",
         "typeWidening-preview",
@@ -694,6 +723,8 @@ class DeltaTable:
         "vacuumProtocolCheck",
         "columnMapping",  # writes use physical names (+ field ids, id mode)
         "changeDataFeed",  # DML commits write protocol _change_data files
+        "generatedColumns",  # honored: computed when absent, verified when
+        # provided (null-safe equality against the generation expression)
     }
 
     def _check_writer_protocol(self, snap: DeltaSnapshot) -> None:
@@ -714,37 +745,126 @@ class DeltaTable:
     def _check_writable(self, snap: DeltaSnapshot, op: str) -> None:
         """Data-write gate: protocol features, plus the blockers DECLARED
         in metadata (legacy writer versions ≤6 bundle capabilities, so the
-        declarations are what actually matter): invariants/constraints we
-        don't enforce, generated/identity columns we don't compute, and
-        appendOnly for operations that change or remove existing rows."""
+        declarations are what actually matter): identity columns we don't
+        assign, and appendOnly for operations that change or remove
+        existing rows.  CHECK constraints, column invariants, and
+        generated columns are NOT blockers — every staged write enforces
+        them (see ``_enforce_staged_constraints``; generated columns are
+        computed when absent and verified when provided); a violating row
+        raises a typed error before anything commits.  Invariant
+        expressions are parsed here so an unparseable declaration refuses
+        up front."""
         self._check_writer_protocol(snap)
+        self._constraint_exprs(snap)  # unparseable invariants refuse early
         for f in snap.schema.fields:
             meta = f.metadata or {}
-            if meta.get("delta.invariants"):
-                raise DeltaProtocolError(
-                    f"column {f.name!r} declares a delta.invariants "
-                    "expression this writer does not enforce — refusing"
-                )
-            if meta.get("delta.generationExpression"):
-                raise DeltaProtocolError(
-                    f"column {f.name!r} is a generated column this writer "
-                    "does not compute — refusing"
-                )
             if any(k.startswith("delta.identity.") for k in meta):
                 raise DeltaProtocolError(
                     f"column {f.name!r} is an identity column this writer "
                     "does not assign — refusing"
                 )
-        if any(k.startswith("delta.constraints.") for k in snap.properties):
-            raise DeltaProtocolError(
-                "table declares CHECK constraints this writer does not "
-                "enforce — refusing"
-            )
         if op in ("overwrite", "delete", "update", "merge", "restore") and (
             str(snap.properties.get("delta.appendOnly", "")).lower() == "true"
         ):
             raise DeltaProtocolError(
                 f"delta.appendOnly table: {op} would change existing rows"
+            )
+
+    def _constraint_exprs(
+        self, snap: DeltaSnapshot
+    ) -> list[tuple[str, str, bool]]:
+        """(name, SQL expression, null_violates) for every table CHECK
+        constraint (``delta.constraints.<name>`` property; NULL result
+        passes, SQL-standard CHECK semantics — delta-spark's
+        Constraints.Check agrees) and legacy column invariant
+        (``delta.invariants`` field metadata, JSON
+        ``{"expression": {"expression": "<sql>"}}``; NULL result VIOLATES,
+        matching delta-spark's CheckDeltaInvariant)."""
+        out: list[tuple[str, str, bool]] = []
+        for k, v in sorted(snap.properties.items()):
+            if k.startswith("delta.constraints."):
+                out.append((k[len("delta.constraints."):], str(v), False))
+        for f in snap.schema.fields:
+            inv = (f.metadata or {}).get("delta.invariants")
+            if not inv:
+                continue
+            try:
+                expr = json.loads(inv)["expression"]["expression"]
+            except Exception:
+                raise DeltaProtocolError(
+                    f"column {f.name!r} declares an unparseable "
+                    f"delta.invariants payload {inv!r} — refusing to write"
+                )
+            out.append((f"invariant({f.name})", expr, True))
+        for f in snap.schema.fields:
+            gen = (f.metadata or {}).get("delta.generationExpression")
+            if gen:
+                # provided values must equal the generation expression
+                # (delta-spark adds the same <=> constraint); computed-when-
+                # absent values satisfy it by construction.  Null-safe
+                # equality never yields NULL, so null_violates is moot.
+                out.append(
+                    (f"generated({f.name})", f"{f.name} <=> ({gen})", False)
+                )
+        return out
+
+    def _with_generated(self, df: DataFrame, snap: DeltaSnapshot) -> DataFrame:
+        """Compute ABSENT generated columns on an incoming append/overwrite
+        frame (delta-spark's writer contract); provided ones are verified
+        against their generation expression by the staged-constraint scan.
+        NOTE vs delta-spark: UPDATE/MERGE do not recompute — an assignment
+        that leaves a generated column inconsistent raises the constraint
+        violation instead of silently recomputing (never corrupts)."""
+        gen_fields = [
+            (f, (f.metadata or {}).get("delta.generationExpression"))
+            for f in snap.schema.fields
+        ]
+        for f, gen in gen_fields:
+            if gen and f.name not in df.columns:
+                df = df.withColumn(f.name, F.expr(gen).cast(f.dataType))
+        return df
+
+    def _enforce_staged_constraints(
+        self, staging: str, snap: DeltaSnapshot
+    ) -> None:
+        """Verify every staged row against the table's CHECK constraints
+        and invariants in ONE column-pruned scan of the staged parquet
+        (constraint expressions see LOGICAL names; staged files carry
+        physical ones).  Raises DeltaConstraintViolationError with
+        per-constraint violation counts; the caller discards staging."""
+        cons = self._constraint_exprs(snap)
+        if not cons:
+            return
+        phys_parts = [snap.phys(c) for c in snap.partition_columns]
+        reader = self.spark.read
+        if phys_parts:
+            reader = reader.option("basePath", staging)
+        df = reader.parquet(staging).select(
+            *[
+                F.col(snap.phys(f.name)).cast(f.dataType).alias(f.name)
+                for f in snap.schema.fields
+            ]
+        )
+        aggs = []
+        for i, (_name, expr, null_violates) in enumerate(cons):
+            bad = ~F.coalesce(F.expr(expr), F.lit(not null_violates))
+            aggs.append(
+                F.sum(F.when(bad, 1).otherwise(0)).alias(f"__c{i}")
+            )
+        row = df.agg(*aggs).collect()[0]
+        violated = [
+            (cons[i][0], cons[i][1], int(row[f"__c{i}"] or 0))
+            for i in range(len(cons))
+            if row[f"__c{i}"]
+        ]
+        if violated:
+            detail = "; ".join(
+                f"{name} ({expr!r}): {n} row(s)"
+                for name, expr, n in violated
+            )
+            raise DeltaConstraintViolationError(
+                f"write violates table constraints — {detail}; "
+                "nothing was committed"
             )
 
     def _dv_enabled(self, snap: DeltaSnapshot) -> bool:
@@ -809,6 +929,11 @@ class DeltaTable:
             # parquet at all — nothing to add
             self.fs.delete(staging, recursive=True)
             return []
+        try:
+            self._enforce_staged_constraints(staging, snap)
+        except Exception:
+            self.fs.delete(staging, recursive=True)
+            raise
         # per-file row counts keyed by the FULL staged path: basenames
         # collide across partition dirs (Spark names one task's file
         # identically in every partition dir it writes).  input_file_name
@@ -904,7 +1029,7 @@ class DeltaTable:
         snap = self.snapshot()
         self._check_writable(snap, "append")
         fingerprint = self._meta_fingerprint(snap)
-        adds = self._stage_files(df, snap)
+        adds = self._stage_files(self._with_generated(df, snap), snap)
         for _ in range(50):
             actions = [
                 {
@@ -1003,7 +1128,7 @@ class DeltaTable:
 
         snap = self.snapshot()
         self._check_writable(snap, "overwrite")
-        adds = self._stage_files(df, snap)
+        adds = self._stage_files(self._with_generated(df, snap), snap)
         ts = int(_time.time() * 1000)
         actions = [
             {
@@ -1536,6 +1661,50 @@ class DeltaTable:
                 f"optimize lost the race for version {v}; re-read and retry"
             )
         return v
+
+    def unexpired_tombstones(self, snap: DeltaSnapshot) -> list[dict]:
+        """Remove tombstones still inside the table's
+        ``delta.deletedFileRetentionDuration`` window (default 1 week):
+        every removed path not re-added by a later commit, newest remove
+        per path.  Checkpoints must carry these (Delta spec — after JSON
+        log cleanup they are the only record third-party engines have for
+        vacuum coordination); ADVICE r3 flagged their omission."""
+        import time as _t
+
+        retention_ms = _interval_ms(
+            snap.properties.get("delta.deletedFileRetentionDuration"),
+            7 * 24 * 3600 * 1000,
+        )
+        cutoff = int(_t.time() * 1000) - retention_ms
+        tomb: dict[str, dict] = {}
+        start = 0
+        ckpt = self._last_checkpoint()
+        if ckpt is not None:
+            v0, parts, kind = ckpt
+            for d in self._checkpoint_actions(parts, kind):
+                if d.get("remove"):
+                    r = d["remove"]
+                    tomb[r["path"]] = r
+                if d.get("add"):
+                    tomb.pop(d["add"]["path"], None)
+            start = v0 + 1
+        for v in range(start, snap.version + 1):
+            acts = self._commit_actions(v)
+            # removes first, adds clear: a DV-rewriting DELETE removes and
+            # re-adds the SAME path in one commit — that path stays live
+            for a in acts:
+                if "remove" in a:
+                    tomb[a["remove"]["path"]] = a["remove"]
+            for a in acts:
+                if "add" in a:
+                    tomb.pop(a["add"]["path"], None)
+        return sorted(
+            (
+                r for r in tomb.values()
+                if int(r.get("deletionTimestamp") or 0) >= cutoff
+            ),
+            key=lambda r: r["path"],
+        )
 
     def vacuum(
         self, retain_hours: float = 168.0, dry_run: bool = False
@@ -2208,12 +2377,47 @@ def export_delta(table, version: int | None = None) -> int:
     return next_v
 
 
-def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
-    """Write a classic checkpoint parquet (+ ``_last_checkpoint``) for the
-    latest version of a Delta log — so readers replay one columnar file
-    plus the JSON tail instead of the whole commit chain.  Complements
-    ``export_delta`` for long-lived exported tables; also valid on any
-    Delta log this module can read.  Returns the checkpointed version."""
+def _write_one_parquet(spark, rows, schema, dst: str) -> int:
+    """Write ``rows`` as EXACTLY ONE parquet file at ``dst`` (via a
+    uuid-tmp dir so concurrent checkpointers never rename each other's
+    half-written output); returns the file size in bytes."""
+    import shutil
+    import uuid as _uuid
+
+    parent = dst.rsplit("/", 1)[0]
+    tmp = f"{parent}/.ckpt-tmp-{_uuid.uuid4().hex}"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    base = strip_scheme(tmp)
+    src = next(f for f in os.listdir(base) if f.endswith(".parquet"))
+    os.makedirs(strip_scheme(parent), exist_ok=True)
+    shutil.move(f"{base}/{src}", strip_scheme(dst))
+    shutil.rmtree(base, ignore_errors=True)
+    return os.path.getsize(strip_scheme(dst))
+
+
+def write_delta_checkpoint(
+    spark: SparkSession,
+    location: str,
+    kind: str | None = None,
+    parts: int = 1,
+) -> int:
+    """Checkpoint the latest version of a Delta log — so readers replay
+    one columnar file (or manifest + sidecars) plus the JSON tail instead
+    of the whole commit chain.
+
+    ``kind``: ``"classic"`` (single-part, or multi-part with ``parts>1``),
+    ``"v2"`` (UUID-named parquet manifest whose sidecar actions point at
+    add/remove parquet under ``_delta_log/_sidecars/`` — the modern
+    delta-spark layout), or None to follow the table's
+    ``delta.checkpointPolicy`` property (v2 when it says ``v2``).
+
+    Unexpired remove tombstones (within
+    ``delta.deletedFileRetentionDuration``) ride into every checkpoint, as
+    the spec requires — after JSON log cleanup they are the only record
+    other engines have for vacuum coordination.  Returns the checkpointed
+    version."""
     from pyspark.sql import Row
 
     if not is_local(location):  # pragma: no cover
@@ -2223,7 +2427,29 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
         )
     t = DeltaTable(spark, location)
     snap = t.snapshot()
+    if kind is None:
+        kind = (
+            "v2"
+            if str(snap.properties.get("delta.checkpointPolicy", "")).lower()
+            == "v2"
+            else "classic"
+        )
+    if kind not in ("classic", "v2"):
+        raise ValueError(f"unknown checkpoint kind {kind!r}")
     v = snap.version
+    tombstones = [
+        Row(
+            add=None,
+            metaData=None,
+            protocol=None,
+            remove=Row(
+                path=r["path"],
+                deletionTimestamp=int(r.get("deletionTimestamp") or 0),
+                dataChange=False,
+            ),
+        )
+        for r in t.unexpired_tombstones(snap)
+    ]
     rows = [
         Row(
             add=Row(
@@ -2269,6 +2495,7 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
         )
         for p, a in snap.files.items()
     ]
+    rows.extend(tombstones)
     rows.append(
         Row(
             add=None,
@@ -2304,26 +2531,79 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
         "readerFeatures:array<string>,writerFeatures:array<string>>,"
         "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
     )
+    import time as _time
     import uuid as _uuid
 
     log_dir = f"{location.rstrip('/')}/_delta_log"
-    # uuid-suffixed tmp dir: two writers auto-checkpointing concurrently
-    # must never rename each other's half-written parquet into place
-    tmp = f"{log_dir}/.ckpt-tmp-{_uuid.uuid4().hex}"
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    import shutil
-
-    base = strip_scheme(tmp)
-    src = next(
-        f for f in os.listdir(base) if f.endswith(".parquet")
-    )
-    dst = f"{strip_scheme(log_dir)}/{v:020d}.checkpoint.parquet"
-    shutil.move(f"{base}/{src}", dst)
-    shutil.rmtree(base, ignore_errors=True)
+    if kind == "v2":
+        # sidecar file(s) carry the add/remove rows; the manifest carries
+        # protocol + metaData + sidecar pointers (+ checkpointMetadata,
+        # which our reader ignores but the spec requires)
+        file_rows = [r for r in rows if r.add or r.remove]
+        mp_row = next(r for r in rows if r.metaData)
+        side_schema = schema  # same action structs; metaData/protocol null
+        now_ms = int(_time.time() * 1000)
+        side_name = f"{_uuid.uuid4()}.parquet"
+        side_size = _write_one_parquet(
+            spark,
+            file_rows or [Row(add=None, metaData=None, protocol=None, remove=None)],
+            side_schema,
+            f"{log_dir}/_sidecars/{side_name}",
+        )
+        manifest_schema = (
+            schema
+            + ",sidecar struct<path:string,sizeInBytes:bigint,"
+            "modificationTime:bigint>,"
+            "checkpointMetadata struct<version:bigint>"
+        )
+        manifest_rows = [
+            Row(
+                add=None, metaData=mp_row.metaData, protocol=mp_row.protocol,
+                remove=None, sidecar=None, checkpointMetadata=None,
+            ),
+            Row(
+                add=None, metaData=None, protocol=None, remove=None,
+                sidecar=Row(
+                    path=side_name,
+                    sizeInBytes=side_size,
+                    modificationTime=now_ms,
+                ),
+                checkpointMetadata=None,
+            ),
+            Row(
+                add=None, metaData=None, protocol=None, remove=None,
+                sidecar=None, checkpointMetadata=Row(version=v),
+            ),
+        ]
+        _write_one_parquet(
+            spark,
+            manifest_rows,
+            manifest_schema,
+            f"{log_dir}/{v:020d}.checkpoint.{_uuid.uuid4()}.parquet",
+        )
+    elif parts > 1:
+        # multi-part classic: adds/removes split round-robin; the
+        # metaData+protocol row rides in part 1 (spec: exactly once)
+        file_rows = [r for r in rows if r.add or r.remove]
+        mp_row = next(r for r in rows if r.metaData)
+        for i in range(1, parts + 1):
+            chunk = [mp_row] if i == 1 else []
+            chunk += file_rows[i - 1 :: parts]
+            _write_one_parquet(
+                spark,
+                chunk or [Row(add=None, metaData=None, protocol=None, remove=None)],
+                schema,
+                f"{log_dir}/{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet",
+            )
+    else:
+        _write_one_parquet(
+            spark, rows, schema, f"{log_dir}/{v:020d}.checkpoint.parquet"
+        )
+    stanza = {"version": v, "size": len(rows)}
+    if kind == "classic" and parts > 1:
+        stanza["parts"] = parts
     with open(f"{strip_scheme(log_dir)}/_last_checkpoint", "w") as f:
-        json.dump({"version": v, "size": len(rows)}, f)
+        json.dump(stanza, f)
     return v
 
 

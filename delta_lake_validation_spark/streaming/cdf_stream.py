@@ -134,3 +134,107 @@ class DeltaCommittedChangeFeed(CommittedChangeFeed):
 
         table = DeltaTable(self.spark, self.location)
         return table, table.latest_version()
+
+
+class ChangeFeedStream:
+    """``readStream``-shaped driver over a committed change feed with a
+    CHECKPOINTED cursor (VERDICT r3 task 6).
+
+    PySpark exposes no custom Source API, so this adapter reproduces the
+    part of Structured Streaming that matters for a change-feed consumer —
+    the foreachBatch contract with the offsets/commits write-ahead log
+    Spark's own checkpointLocation keeps:
+
+    * each micro-batch is one committed version range, logged to
+      ``<checkpoint>/offsets/<batchId>`` BEFORE the batch function runs;
+    * ``<checkpoint>/commits/<batchId>`` is written after it returns;
+    * on restart, an offset without a commit is REPLAYED with the same
+      batch id and the same version range (hence identical rows) — a sink
+      that dedups on batch id (e.g. ``acid_sink``) gets exactly-once,
+      any other sink gets at-least-once, exactly Spark's semantics.
+
+    Usage::
+
+        stream = ChangeFeedStream(spark, loc, ckpt_dir, delta=True)
+        stream.process_available(batch_fn)   # trigger(availableNow=True)
+
+    Scale note: a batch is served through ``read_changes`` — a distributed
+    read of exactly the files the new commits admitted; the driver holds
+    only the cursor and the version range.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        location: str,
+        checkpoint_location: str,
+        delta: bool = False,
+        start_version: int = 0,
+    ):
+        import os
+
+        self.spark = spark
+        self.location = location
+        self.start_version = start_version
+        self._feed_cls = DeltaCommittedChangeFeed if delta else CommittedChangeFeed
+        from delta_lake_validation_spark.sources.fs import strip_scheme
+
+        self.ckpt = strip_scheme(checkpoint_location)
+        os.makedirs(f"{self.ckpt}/offsets", exist_ok=True)
+        os.makedirs(f"{self.ckpt}/commits", exist_ok=True)
+
+    # ------------------------------------------------------------- WAL state
+    def _batch_ids(self, kind: str) -> list[int]:
+        import os
+
+        return sorted(
+            int(n) for n in os.listdir(f"{self.ckpt}/{kind}") if n.isdigit()
+        )
+
+    def _offset(self, batch_id: int) -> tuple[int, int]:
+        import json as _json
+
+        with open(f"{self.ckpt}/offsets/{batch_id}") as f:
+            d = _json.load(f)
+        return int(d["start"]), int(d["end"])
+
+    def _log_offset(self, batch_id: int, start: int, end: int) -> None:
+        import json as _json
+        import os
+
+        tmp = f"{self.ckpt}/offsets/.{batch_id}.tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"start": start, "end": end}, f)
+        os.replace(tmp, f"{self.ckpt}/offsets/{batch_id}")
+
+    def _mark_committed(self, batch_id: int) -> None:
+        with open(f"{self.ckpt}/commits/{batch_id}", "w") as f:
+            f.write("{}")
+
+    # --------------------------------------------------------------- driving
+    def process_available(self, batch_fn) -> int:
+        """Serve every committed-but-unseen version as micro-batches (the
+        ``trigger(availableNow=True)`` shape): first replay the pending
+        batch if the last run died between offset-log and commit, then one
+        batch covering all new versions.  Returns batches served."""
+        feed = self._feed_cls(self.spark, self.location)
+        table, latest = feed._open()
+        served = 0
+        offsets = self._batch_ids("offsets")
+        commits = set(self._batch_ids("commits"))
+        pending = [b for b in offsets if b not in commits]
+        for bid in pending:  # replay, same id + same range = same rows
+            start, end = self._offset(bid)
+            batch_fn(table.read_changes(start, end), bid)
+            self._mark_committed(bid)
+            served += 1
+        next_start = (
+            self._offset(offsets[-1])[1] + 1 if offsets else self.start_version
+        )
+        if latest >= next_start:
+            bid = (offsets[-1] + 1) if offsets else 0
+            self._log_offset(bid, next_start, latest)
+            batch_fn(table.read_changes(next_start, latest), bid)
+            self._mark_committed(bid)
+            served += 1
+        return served

@@ -96,16 +96,35 @@ def test_vacuum_reclaims_orphan_cdf_files(spark, tmp_path):
     )
 
 
-def test_salted_join_rejects_small_side_duplicating_types(spark):
-    big = spark.createDataFrame([Row(k=1, a=1)])
-    small = spark.createDataFrame([Row(k=1, b=1), Row(k=2, b=2)])
+def test_salted_join_all_types_match_plain_join(spark):
+    """VERDICT r3 task 7: salted right/full outer joins now carry the
+    null-stream-side fix (keep exactly one replica of each unmatched
+    small-side row) — every equi-join type must equal its unsalted
+    counterpart, including duplicate keys and null-key rows."""
+    big = spark.createDataFrame(
+        [Row(k=1, a=10), Row(k=1, a=11), Row(k=3, a=30), Row(k=None, a=99)],
+        "k int, a int",
+    )
+    small = spark.createDataFrame(
+        [Row(k=1, b=100), Row(k=2, b=200), Row(k=2, b=201), Row(k=None, b=999)],
+        "k int, b int",
+    )
+
+    def rows(df):
+        return sorted(
+            ((r["k"], r["a"], r["b"]) for r in df.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    for how in ("inner", "left", "right", "full", "right_outer", "fullouter"):
+        exact = big.join(small, ["k"], how)
+        got = salted_join(big, small, on=["k"], how=how, n_salts=4)
+        assert rows(got) == rows(exact), how
+    # semi/anti (no small-side columns) still work
+    got = salted_join(big, small, on=["k"], how="semi", n_salts=4)
+    assert sorted((r.k, r.a) for r in got.collect()) == [(1, 10), (1, 11)]
     with pytest.raises(ValueError, match="salted_join supports"):
-        salted_join(big, small, on=["k"], how="right")
-    with pytest.raises(ValueError, match="salted_join supports"):
-        salted_join(big, small, on=["k"], how="full")
-    # big-side-preserving types still work and match the plain join
-    got = salted_join(big, small, on=["k"], how="left", n_salts=4).collect()
-    assert [(r.k, r.a, r.b) for r in got] == [(1, 1, 1)]
+        salted_join(big, small, on=["k"], how="cross")
 
 
 def test_stream_appends_multi_column_partitions(spark, tmp_path):

@@ -11,6 +11,7 @@ and detail.  Parity target: the reference operates on real Delta tables
 from __future__ import annotations
 
 import json
+import os
 import uuid
 
 import pytest
@@ -1314,8 +1315,17 @@ def test_delta_overwrite_and_append_only_refusal(spark, tmp_path):
     assert {r.v for r in DeltaTable(spark, str(loc2)).read().collect()} == {1, 5}
 
 
-def test_delta_write_refuses_unenforceable_tables(spark, tmp_path):
-    """Invariants / CHECK constraints we cannot enforce refuse the write."""
+def test_delta_write_enforces_constraints_and_invariants(spark, tmp_path):
+    """VERDICT r3 task 2: CHECK constraints / column invariants are
+    ENFORCED on staged writes (delta-spark parity) instead of refusing the
+    table outright.  A passing append commits; a violating one raises a
+    typed error, leaves no staged garbage, and commits nothing.  NULL
+    semantics: CHECK passes on NULL (SQL standard), legacy invariants
+    violate on NULL (CheckDeltaInvariant)."""
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaConstraintViolationError,
+    )
+
     loc = tmp_path / "w4"
     log = loc / "_delta_log"
     f = _write_parquet(spark, [Row(v=1)], "v int", loc / "d")
@@ -1334,10 +1344,19 @@ def test_delta_write_refuses_unenforceable_tables(spark, tmp_path):
         }
     }
     _write_commit(log, 0, [PROTOCOL, meta, _add(f)])
-    with pytest.raises(DeltaProtocolError, match="invariants"):
-        DeltaTable(spark, str(loc)).append(
-            spark.createDataFrame([(2,)], "v int")
+    t = DeltaTable(spark, str(loc))
+    t.append(spark.createDataFrame([(2,)], "v int"))  # passes, commits
+    assert {r.v for r in t.read().collect()} == {1, 2}
+    with pytest.raises(DeltaConstraintViolationError, match="invariant"):
+        t.append(spark.createDataFrame([(3,), (-1,)], "v int"))
+    # invariant: a NULL result violates
+    with pytest.raises(DeltaConstraintViolationError, match="invariant"):
+        t.append(
+            spark.createDataFrame([Row(v=None)], "v int")
         )
+    assert {r.v for r in DeltaTable(spark, str(loc)).read().collect()} == {1, 2}
+    # no staging directory survives a refused write
+    assert not [d for d in os.listdir(loc) if d.startswith("_staging")]
 
     loc2 = tmp_path / "w5"
     log2 = loc2 / "_delta_log"
@@ -1349,7 +1368,81 @@ def test_delta_write_refuses_unenforceable_tables(spark, tmp_path):
                configuration={"delta.constraints.pos": "v > 0"}),
          _add(f2)],
     )
-    with pytest.raises(DeltaProtocolError, match="constraints"):
+    t2 = DeltaTable(spark, str(loc2))
+    with pytest.raises(DeltaConstraintViolationError, match="pos"):
+        t2.append(spark.createDataFrame([(0,)], "v int"))
+    # CHECK constraint: NULL passes (SQL standard), and valid rows commit
+    t2.append(spark.createDataFrame([Row(v=None), Row(v=7)], "v int"))
+    assert {r.v for r in t2.read().collect()} == {1, 7, None}
+    # row-level DML through the same gate: an UPDATE writing violating
+    # rows refuses; one writing passing rows commits
+    with pytest.raises(DeltaConstraintViolationError, match="pos"):
+        t2.update({"v": "v - 100"}, "v = 7")
+    assert {r.v for r in t2.read().collect()} == {1, 7, None}
+    t2.update({"v": "v + 100"}, "v = 7")
+    assert {r.v for r in t2.read().collect()} == {1, 107, None}
+
+
+def test_delta_write_generated_columns(spark, tmp_path):
+    """Generated columns are computed when ABSENT from the incoming frame
+    and verified (null-safe equality vs the generation expression) when
+    provided — a provided-but-wrong value raises the typed constraint
+    error; identity columns remain a refusal."""
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaConstraintViolationError,
+    )
+
+    loc = tmp_path / "wgen"
+    log = loc / "_delta_log"
+    f = _write_parquet(
+        spark, [Row(id=1, twice=2)], "id int, twice int", loc / "d"
+    )
+    fields = [
+        {"name": "id", "type": "integer", "nullable": True, "metadata": {}},
+        {"name": "twice", "type": "integer", "nullable": True,
+         "metadata": {"delta.generationExpression": "id * 2"}},
+    ]
+    meta = {
+        "metaData": {
+            "id": "gen",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    _write_commit(log, 0, [PROTOCOL, meta, _add(f)])
+    t = DeltaTable(spark, str(loc))
+    # absent -> computed
+    t.append(spark.createDataFrame([(2,)], "id int"))
+    assert {(r.id, r.twice) for r in t.read().collect()} == {(1, 2), (2, 4)}
+    # provided and consistent -> accepted
+    t.append(spark.createDataFrame([(3, 6)], "id int, twice int"))
+    # provided but WRONG -> typed violation, nothing committed
+    with pytest.raises(DeltaConstraintViolationError, match="generated"):
+        t.append(spark.createDataFrame([(4, 9)], "id int, twice int"))
+    assert {(r.id, r.twice) for r in DeltaTable(spark, str(loc)).read().collect()} == {
+        (1, 2), (2, 4), (3, 6)
+    }
+
+    # identity columns still refuse
+    loc2 = tmp_path / "wident"
+    f2 = _write_parquet(spark, [Row(v=1)], "v int", loc2 / "d")
+    fields2 = [{
+        "name": "v", "type": "integer", "nullable": True,
+        "metadata": {"delta.identity.start": 1},
+    }]
+    meta2 = {
+        "metaData": {
+            "id": "ident",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields2}),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    _write_commit(loc2 / "_delta_log", 0, [PROTOCOL, meta2, _add(f2)])
+    with pytest.raises(DeltaProtocolError, match="identity"):
         DeltaTable(spark, str(loc2)).append(
             spark.createDataFrame([(2,)], "v int")
         )
@@ -2132,3 +2225,116 @@ def test_column_mapping_id_mode_verifies_every_footer(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolError, match="misread"):
         DeltaTable(spark, str(loc_bad)).read()
+
+
+def test_write_v2_checkpoint_roundtrip(spark, tmp_path):
+    """VERDICT r3 task 3: v2 checkpoint WRITE.  write_delta_checkpoint
+    (kind='v2') emits a UUID-named parquet manifest + _sidecars action
+    file; with every pre-checkpoint JSON deleted, replay off the manifest
+    equals the pre-checkpoint snapshot.  A delta.checkpointPolicy=v2 table
+    selects the v2 layout automatically (kind=None)."""
+    from delta_lake_validation_spark.sources.delta_log import (
+        create_delta,
+        write_delta_checkpoint,
+    )
+
+    loc = str(tmp_path / "v2ck")
+    t = create_delta(spark, loc, "id int, k string", partition_by=["k"])
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id int, k string"))
+    t.append(spark.createDataFrame([(3, "b")], "id int, k string"))
+    t.delete("id = 2")
+    before = {(r.id, r.k) for r in t.read().collect()}
+    v = write_delta_checkpoint(spark, loc, kind="v2")
+    assert v == 3
+    log = tmp_path / "v2ck" / "_delta_log"
+    manifests = [
+        n for n in os.listdir(log)
+        if n.startswith(f"{v:020d}.checkpoint.") and n.endswith(".parquet")
+        and len(n.split(".")) == 4
+    ]
+    assert len(manifests) == 1
+    assert (log / "_sidecars").is_dir() and os.listdir(log / "_sidecars")
+    for n in os.listdir(log):
+        if n.endswith(".json") and n != "_last_checkpoint":
+            (log / n).unlink()
+    dt = DeltaTable(spark, loc)
+    assert {(r.id, r.k) for r in dt.read().collect()} == before == {
+        (1, "a"), (3, "b")
+    }
+    # appends continue past the v2 checkpoint
+    dt.append(spark.createDataFrame([(9, "c")], "id int, k string"))
+    assert {r.id for r in DeltaTable(spark, loc).read().collect()} == {1, 3, 9}
+
+    # checkpointPolicy=v2 routes the DEFAULT call to the v2 layout
+    loc2 = str(tmp_path / "v2auto")
+    t2 = create_delta(
+        spark, loc2, "v int",
+        properties={"delta.checkpointPolicy": "v2"},
+    )
+    t2.append(spark.createDataFrame([(1,)], "v int"))
+    v2v = write_delta_checkpoint(spark, loc2)
+    log2 = tmp_path / "v2auto" / "_delta_log"
+    assert any(
+        len(n.split(".")) == 4 and n.startswith(f"{v2v:020d}.checkpoint.")
+        for n in os.listdir(log2)
+    )
+
+
+def test_write_multipart_checkpoint_roundtrip(spark, tmp_path):
+    """Multi-part classic checkpoint WRITE: parts=3 emits the
+    NN.checkpoint.i.n.parquet set the reader already understands; replay
+    with the JSON tail deleted equals the live snapshot."""
+    from delta_lake_validation_spark.sources.delta_log import (
+        create_delta,
+        write_delta_checkpoint,
+    )
+
+    loc = str(tmp_path / "mpck")
+    t = create_delta(spark, loc, "v int")
+    for i in range(4):
+        t.append(spark.createDataFrame([(i,)], "v int"))
+    v = write_delta_checkpoint(spark, loc, parts=3)
+    log = tmp_path / "mpck" / "_delta_log"
+    names = sorted(
+        n for n in os.listdir(log) if ".checkpoint." in n
+    )
+    assert names == [
+        f"{v:020d}.checkpoint.{i:010d}.{3:010d}.parquet" for i in (1, 2, 3)
+    ]
+    for n in os.listdir(log):
+        if n.endswith(".json"):
+            (log / n).unlink()
+    assert {r.v for r in DeltaTable(spark, loc).read().collect()} == {0, 1, 2, 3}
+
+
+def test_checkpoint_carries_unexpired_tombstones(spark, tmp_path):
+    """ADVICE r3: checkpoints must carry remove tombstones newer than the
+    retention window — after JSON cleanup they are the only vacuum-
+    coordination record other engines have.  An overwrite's removed files
+    must appear as remove rows in the checkpoint parquet; a table whose
+    retention is 0 ms carries none."""
+    from delta_lake_validation_spark.sources.delta_log import (
+        create_delta,
+        write_delta_checkpoint,
+    )
+
+    loc = str(tmp_path / "tomb")
+    t = create_delta(spark, loc, "v int")
+    t.append(spark.createDataFrame([(1,)], "v int"))
+    removed_paths = set(t.snapshot().files)
+    t.overwrite(spark.createDataFrame([(2,)], "v int"))
+    v = write_delta_checkpoint(spark, loc)
+    log = tmp_path / "tomb" / "_delta_log"
+    ck = spark.read.parquet(str(log / f"{v:020d}.checkpoint.parquet"))
+    removes = {
+        r["remove"]["path"]
+        for r in ck.filter("remove IS NOT NULL").collect()
+    }
+    assert removes == removed_paths
+    # tombstones survive into a post-cleanup tombstone listing too
+    for n in os.listdir(log):
+        if n.endswith(".json"):
+            (log / n).unlink()
+    dt = DeltaTable(spark, loc)
+    assert {r["path"] for r in dt.unexpired_tombstones(dt.snapshot())} == removed_paths
+    assert {r.v for r in dt.read().collect()} == {2}

@@ -472,3 +472,27 @@ def test_sql_on_real_delta_table(spark, tmp_path):
     assert {(r.v, r.k) for r in ctx.sql("SELECT * FROM orders").collect()} == {
         (0, "B2")
     }
+
+
+def test_show_tables_and_partitions(ctx, spark, tmp_path):
+    """S15 SQL head (VERDICT r3 task 5): the reference's literal
+    `SHOW TABLES` (src/validation_suite.py:239-240) sees registered names
+    in Spark's (namespace, tableName, isTemporary) shape; SHOW PARTITIONS
+    lists hive-style partition strings."""
+    _seed(ctx, dates=("2024-01-01", "2024-01-02"), per_date=1)
+    t2 = AcidTable.create(
+        spark, os.path.join(str(tmp_path), "plain"), "v INT"
+    )
+    ctx.register("plain", t2)
+    df = ctx.sql("SHOW TABLES")
+    assert df.columns == ["namespace", "tableName", "isTemporary"]
+    assert {r.tableName for r in df.collect()} == {"orders", "plain"}
+    parts = ctx.sql("SHOW PARTITIONS orders")
+    assert parts.columns == ["partition"]
+    assert {r.partition for r in parts.collect()} == {
+        "order_date=2024-01-01", "order_date=2024-01-02"
+    }
+    with pytest.raises(AcidSqlError, match="not.*partitioned"):
+        ctx.sql("SHOW PARTITIONS plain")
+    with pytest.raises(AcidSqlError, match="SHOW"):
+        ctx.sql("SHOW CREATE TABLE orders")

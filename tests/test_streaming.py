@@ -446,3 +446,61 @@ def test_delta_committed_change_feed(spark, tmp_path):
     rows = {(r.id, r._change_type, r._commit_version) for r in b1.collect()}
     assert rows == {(3, "insert", 1), (1, "delete", 2), (2, "delete", 2)}
     assert feed2.next_batch() is None
+
+
+def test_change_feed_stream_checkpointed_replay(spark, tmp_path):
+    """ChangeFeedStream (VERDICT r3 task 6): stream==batch equivalence over
+    a multi-commit REAL Delta table, restart resume from the checkpoint,
+    and crash-replay idempotence — killing the driver between offset-log
+    and commit replays the SAME batch id with the SAME rows, so a
+    batch-id-deduping sink stays exactly-once."""
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        create_delta,
+    )
+    from delta_lake_validation_spark.streaming.cdf_stream import (
+        ChangeFeedStream,
+    )
+
+    loc = os.path.join(str(tmp_path), "cfs")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    t = create_delta(
+        spark, loc, "id int, v string",
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "id int, v string"))
+    t.update({"v": "'B'"}, "id = 2")
+
+    seen: dict[int, list[tuple]] = {}
+
+    def sink(df, batch_id):
+        seen.setdefault(batch_id, []).extend(
+            sorted((r["id"], r["v"], r["_change_type"]) for r in df.collect())
+        )
+
+    s = ChangeFeedStream(spark, loc, ckpt, delta=True)
+    assert s.process_available(sink) == 1
+    batch_rows = sorted(r for rows in seen.values() for r in rows)
+    expected = sorted(
+        (r["id"], r["v"], r["_change_type"])
+        for r in DeltaTable(spark, loc).read_changes(0).collect()
+    )
+    assert batch_rows == expected  # stream == batch over all commits
+    assert s.process_available(sink) == 0  # nothing new -> no batch
+
+    # new commit, NEW driver instance (restart): resumes from checkpoint
+    t.delete("id = 1")
+    s2 = ChangeFeedStream(spark, loc, ckpt, delta=True)
+    assert s2.process_available(sink) == 1
+    assert 1 in seen and any(ct == "delete" for _, _, ct in seen[1])
+
+    # crash between offset-log and commit: remove the commit marker and
+    # re-run — batch 1 replays with the same id and identical rows
+    replay_before = list(seen[1])
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    s3 = ChangeFeedStream(spark, loc, ckpt, delta=True)
+    assert s3.process_available(sink) == 1
+    assert seen[1] == replay_before + replay_before  # same rows, same id
+    # a batch-id-deduping consumer therefore sees each change exactly once
+    assert s3.process_available(sink) == 0
