@@ -1454,7 +1454,15 @@ class DeltaTable:
                 f"MERGE source schema mismatch: table has {sorted(logical)}, "
                 f"source has {sorted(source.columns)}"
             )
-        if source.count() != source.select(*keys).distinct().count():
+        # one aggregation pass (not count + distinct-count, two full scans)
+        dup_keys = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup_keys:
             raise DeltaProtocolError(
                 "MERGE source has duplicate keys — multiple matches per "
                 "target row are ambiguous (Delta raises here too)"
@@ -2519,17 +2527,23 @@ def write_delta_checkpoint(
             remove=None,
         )
     )
-    schema = (
+    add_schema = (
         "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
         "modificationTime:bigint,dataChange:boolean,stats:string,"
         "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
-        "offset:int,sizeInBytes:int,cardinality:bigint>>,"
+        "offset:int,sizeInBytes:int,cardinality:bigint>>"
+    )
+    remove_schema = (
+        "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
+    )
+    schema = (
+        add_schema + ","
         "metaData struct<id:string,format:struct<provider:string,"
         "options:map<string,string>>,schemaString:string,"
         "partitionColumns:array<string>,configuration:map<string,string>>,"
         "protocol struct<minReaderVersion:int,minWriterVersion:int,"
         "readerFeatures:array<string>,writerFeatures:array<string>>,"
-        "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
+        + remove_schema
     )
     import time as _time
     import uuid as _uuid
@@ -2539,14 +2553,19 @@ def write_delta_checkpoint(
         # sidecar file(s) carry the add/remove rows; the manifest carries
         # protocol + metaData + sidecar pointers (+ checkpointMetadata,
         # which our reader ignores but the spec requires)
-        file_rows = [r for r in rows if r.add or r.remove]
+        file_rows = [
+            Row(add=r.add, remove=r.remove)
+            for r in rows
+            if r.add or r.remove
+        ]
         mp_row = next(r for r in rows if r.metaData)
-        side_schema = schema  # same action structs; metaData/protocol null
+        # spec: sidecar files hold ONLY add/remove columns
+        side_schema = add_schema + "," + remove_schema
         now_ms = int(_time.time() * 1000)
         side_name = f"{_uuid.uuid4()}.parquet"
         side_size = _write_one_parquet(
             spark,
-            file_rows or [Row(add=None, metaData=None, protocol=None, remove=None)],
+            file_rows or [Row(add=None, remove=None)],
             side_schema,
             f"{log_dir}/_sidecars/{side_name}",
         )
