@@ -37,7 +37,7 @@ import os
 import re
 from urllib.parse import urlparse
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -725,6 +725,11 @@ class DeltaTable:
         "changeDataFeed",  # DML commits write protocol _change_data files
         "generatedColumns",  # honored: computed when absent, verified when
         # provided (null-safe equality against the generation expression)
+        "identityColumns",  # honored: assigned on append/overwrite with
+        # high-water-mark bookkeeping; GENERATED ALWAYS rejects explicit
+        # values; UPDATE assignment and MERGE (always-explicit) refuse
+        "inCommitTimestamp",  # honored: strictly monotonic commitInfo
+        # timestamps stamped on every commit when the property enables it
     }
 
     def _check_writer_protocol(self, snap: DeltaSnapshot) -> None:
@@ -756,13 +761,15 @@ class DeltaTable:
         up front."""
         self._check_writer_protocol(snap)
         self._constraint_exprs(snap)  # unparseable invariants refuse early
-        for f in snap.schema.fields:
-            meta = f.metadata or {}
-            if any(k.startswith("delta.identity.") for k in meta):
-                raise DeltaProtocolError(
-                    f"column {f.name!r} is an identity column this writer "
-                    "does not assign — refusing"
-                )
+        if op == "merge" and any(
+            not cfg["explicit"] for _, cfg in self._identity_fields(snap)
+        ):
+            # MERGE requires source schema == table schema, so identity
+            # values always arrive explicitly — GENERATED ALWAYS forbids
+            raise DeltaProtocolError(
+                "MERGE into a table with a GENERATED ALWAYS identity "
+                "column would take the source's explicit values — refusing"
+            )
         if op in ("overwrite", "delete", "update", "merge", "restore") and (
             str(snap.properties.get("delta.appendOnly", "")).lower() == "true"
         ):
@@ -807,6 +814,137 @@ class DeltaTable:
                     (f"generated({f.name})", f"{f.name} <=> ({gen})", False)
                 )
         return out
+
+    def _identity_fields(self, snap: DeltaSnapshot) -> list[tuple]:
+        """(field, {start, step, hwm, explicit}) for every
+        ``delta.identity.*`` column."""
+        out = []
+        for f in snap.schema.fields:
+            meta = f.metadata or {}
+            if not any(k.startswith("delta.identity.") for k in meta):
+                continue
+            step = int(meta.get("delta.identity.step", 1))
+            if step == 0:
+                raise DeltaProtocolError(
+                    f"identity column {f.name!r} declares step 0"
+                )
+            hwm = meta.get("delta.identity.highWaterMark")
+            out.append(
+                (
+                    f,
+                    {
+                        "start": int(meta.get("delta.identity.start", 1)),
+                        "step": step,
+                        "hwm": int(hwm) if hwm is not None else None,
+                        "explicit": bool(
+                            meta.get("delta.identity.allowExplicitInsert", False)
+                        ),
+                    },
+                )
+            )
+        return out
+
+    def _identity_meta_action(
+        self, snap: DeltaSnapshot, new_hwm: dict[str, int]
+    ) -> dict:
+        """metaData action re-declaring the schema with updated
+        ``delta.identity.highWaterMark`` values (the spec's bookkeeping for
+        identity allocation — the commit that consumes values must also
+        raise the mark)."""
+        schema_json = snap.schema.jsonValue()
+        for fld in schema_json["fields"]:
+            if fld["name"] in new_hwm:
+                md = dict(fld.get("metadata") or {})
+                md["delta.identity.highWaterMark"] = int(new_hwm[fld["name"]])
+                fld["metadata"] = md
+        return {
+            "id": snap.metadata_id,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema_json),
+            "partitionColumns": list(snap.partition_columns),
+            "configuration": dict(snap.properties),
+        }
+
+    def _with_identity(
+        self, df: DataFrame, snap: DeltaSnapshot
+    ) -> tuple[DataFrame, dict | None]:
+        """Assign ABSENT identity columns (GENERATED ALWAYS semantics:
+        providing values refuses unless ``allowExplicitInsert``) and return
+        (df, metaData action bumping the high-water marks | None).
+
+        Assignment is distributed: the frame's partitioning is pinned with
+        localCheckpoint, per-partition row counts come back to the driver
+        (O(partitions) bytes), and each row gets
+        ``base + (partition_offset + row_number) * step`` — contiguous,
+        step-aligned, no single-partition window, no driver data."""
+        idents = self._identity_fields(snap)
+        if not idents:
+            return df, None
+        new_hwm: dict[str, int] = {}
+        for f, cfg in idents:
+            start, step = cfg["start"], cfg["step"]
+            base = start if cfg["hwm"] is None else cfg["hwm"] + step
+            if f.name in df.columns:
+                if not cfg["explicit"]:
+                    raise DeltaProtocolError(
+                        f"identity column {f.name!r} is GENERATED ALWAYS "
+                        "(allowExplicitInsert is false) — remove it from "
+                        "the incoming data"
+                    )
+                agg = F.max(f.name) if step > 0 else F.min(f.name)
+                mx = df.agg(agg).collect()[0][0]
+                if mx is not None:
+                    # smallest on-grid value >= (in step direction) mx
+                    k = max(0, -((start - int(mx)) // step))
+                    candidate = start + k * step
+                    if cfg["hwm"] is None or (
+                        (candidate - cfg["hwm"]) * (1 if step > 0 else -1) > 0
+                    ):
+                        new_hwm[f.name] = candidate
+                continue
+            tagged = df.withColumn(
+                "__pid", F.spark_partition_id()
+            ).localCheckpoint()
+            counts = dict(
+                (r["__pid"], r["n"])
+                for r in tagged.groupBy("__pid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            total = sum(counts.values())
+            if total == 0:
+                df = tagged.drop("__pid").withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+                continue
+            offsets: dict[int, int] = {}
+            acc = 0
+            for pid in sorted(counts):
+                offsets[pid] = acc
+                acc += counts[pid]
+            off_map = F.create_map(
+                *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+            )
+            w = Window.partitionBy("__pid").orderBy(
+                F.monotonically_increasing_id()
+            )
+            df = (
+                tagged.withColumn("__rn", F.row_number().over(w) - 1)
+                .withColumn(
+                    f.name,
+                    (
+                        F.lit(base)
+                        + (F.col("__rn") + off_map[F.col("__pid")])
+                        * F.lit(step)
+                    ).cast(f.dataType),
+                )
+                .drop("__pid", "__rn")
+            )
+            new_hwm[f.name] = base + (total - 1) * step
+        meta_action = (
+            self._identity_meta_action(snap, new_hwm) if new_hwm else None
+        )
+        return df, meta_action
 
     def _with_generated(self, df: DataFrame, snap: DeltaSnapshot) -> DataFrame:
         """Compute ABSENT generated columns on an incoming append/overwrite
@@ -988,7 +1126,40 @@ class DeltaTable:
     #: JSON tail instead of the whole chain
     CHECKPOINT_INTERVAL = 10
 
+    def _ict_enabled(self) -> bool:
+        cached = getattr(self, "_ict_cache", None)
+        if cached is None:
+            try:
+                snap = self.snapshot()
+            except Exception:
+                return False
+            cached = (
+                str(
+                    snap.properties.get("delta.enableInCommitTimestamps", "")
+                ).lower()
+                == "true"
+            )
+            self._ict_cache = cached
+        return cached
+
     def _try_commit(self, version: int, actions: list[dict]) -> bool:
+        if self._ict_enabled():
+            # inCommitTimestamp feature (write side — the reader already
+            # prefers it): stamp a STRICTLY MONOTONIC writer-recorded commit
+            # time into commitInfo, per the spec's clock rule
+            import time as _time
+
+            prev = self._commit_ts_ms(version - 1) if version > 0 else None
+            ict = max(int(_time.time() * 1000), (prev or 0) + 1)
+            for a in actions:
+                if "commitInfo" in a:
+                    a["commitInfo"]["inCommitTimestamp"] = ict
+                    break
+            else:
+                actions = [
+                    {"commitInfo": {"inCommitTimestamp": ict}},
+                    *actions,
+                ]
         body = "\n".join(json.dumps(a) for a in actions) + "\n"
         try:
             self.fs.atomic_create(
@@ -1029,7 +1200,8 @@ class DeltaTable:
         snap = self.snapshot()
         self._check_writable(snap, "append")
         fingerprint = self._meta_fingerprint(snap)
-        adds = self._stage_files(self._with_generated(df, snap), snap)
+        df2, id_meta = self._with_identity(self._with_generated(df, snap), snap)
+        adds = self._stage_files(df2, snap)
         for _ in range(50):
             actions = [
                 {
@@ -1039,6 +1211,7 @@ class DeltaTable:
                         "operationParameters": {"mode": "Append"},
                     }
                 },
+                *([{"metaData": id_meta}] if id_meta else []),
                 *({"add": a} for a in adds),
             ]
             v = self.latest_version() + 1
@@ -1128,7 +1301,8 @@ class DeltaTable:
 
         snap = self.snapshot()
         self._check_writable(snap, "overwrite")
-        adds = self._stage_files(self._with_generated(df, snap), snap)
+        df2, id_meta = self._with_identity(self._with_generated(df, snap), snap)
+        adds = self._stage_files(df2, snap)
         ts = int(_time.time() * 1000)
         actions = [
             {
@@ -1138,6 +1312,7 @@ class DeltaTable:
                     "operationParameters": {"mode": "Overwrite"},
                 }
             },
+            *([{"metaData": id_meta}] if id_meta else []),
             *({"add": a} for a in adds),
             *self._remove_actions(snap, list(snap.files), ts),
         ]
@@ -1381,6 +1556,14 @@ class DeltaTable:
             raise DeltaProtocolError(
                 f"UPDATE assigns unknown columns {sorted(unknown)}"
             )
+        ident_assigned = set(assignments) & {
+            f.name for f, _ in self._identity_fields(snap)
+        }
+        if ident_assigned:
+            raise DeltaProtocolError(
+                f"UPDATE assigns identity columns {sorted(ident_assigned)} "
+                "— identity values are system-generated"
+            )
         cond = F.expr(predicate)
         sets = {c: F.expr(e) for c, e in assignments.items()}
         live = self._read_with_pos(snap)
@@ -1467,6 +1650,9 @@ class DeltaTable:
                 "MERGE source has duplicate keys — multiple matches per "
                 "target row are ambiguous (Delta raises here too)"
             )
+        # allowExplicitInsert identity tables (the only kind the merge gate
+        # admits): raise the high-water mark over the source's values
+        _, id_meta = self._with_identity(source, snap)
         live = self._read_with_pos(snap)
         src_keys = source.select(*keys).distinct()
         matched = live.join(src_keys, keys, "inner")
@@ -1480,7 +1666,8 @@ class DeltaTable:
                     "operationParameters": {"matchedPredicates": "update",
                                             "notMatchedPredicates": "insert"},
                 }
-            }
+            },
+            *([{"metaData": id_meta}] if id_meta else []),
         ]
         # one updated row PER MATCHED TARGET ROW (multiplicity preserved),
         # plus the source rows matching nothing

@@ -2338,3 +2338,121 @@ def test_checkpoint_carries_unexpired_tombstones(spark, tmp_path):
     dt = DeltaTable(spark, loc)
     assert {r["path"] for r in dt.unexpired_tombstones(dt.snapshot())} == removed_paths
     assert {r.v for r in dt.read().collect()} == {2}
+
+
+def _identity_meta(allow_explicit=False, with_hwm=None, step=10):
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {
+             "delta.identity.start": 100,
+             "delta.identity.step": step,
+             **({"delta.identity.highWaterMark": with_hwm}
+                if with_hwm is not None else {}),
+             **({"delta.identity.allowExplicitInsert": True}
+                if allow_explicit else {}),
+         }},
+        {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+    ]
+    return {
+        "metaData": {
+            "id": "ident",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+
+
+def test_delta_identity_columns_assigned(spark, tmp_path):
+    """Identity columns are ASSIGNED on append (start/step grid, distributed
+    per-partition offsets), the commit bumps delta.identity.highWaterMark,
+    and a second append continues above the mark.  GENERATED ALWAYS refuses
+    explicit values; allowExplicitInsert accepts them and raises the mark;
+    UPDATE assignment refuses; DELETE works (previously the whole table
+    refused every write)."""
+    from delta_lake_validation_spark.sources.delta_log import DeltaTable
+
+    loc = tmp_path / "ident"
+    _write_commit(loc / "_delta_log", 0, [PROTOCOL, _identity_meta()])
+    t = DeltaTable(spark, str(loc))
+    t.append(
+        spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+        .repartition(2)
+    )
+    got = {(r.id, r.v) for r in t.read().collect()}
+    assert {r.v for r in t.read().collect()} == {"a", "b", "c"}
+    ids = sorted(i for i, _ in got)
+    assert ids == [100, 110, 120]  # start 100, step 10, contiguous grid
+    snap = DeltaTable(spark, str(loc)).snapshot()
+    hwm = (snap.schema["id"].metadata or {})["delta.identity.highWaterMark"]
+    assert hwm == 120
+    # second append continues past the mark
+    t2 = DeltaTable(spark, str(loc))
+    t2.append(spark.createDataFrame([("d",)], "v string"))
+    assert sorted(
+        r.id for r in DeltaTable(spark, str(loc)).read().collect()
+    ) == [100, 110, 120, 130]
+    # GENERATED ALWAYS: explicit values refuse
+    with pytest.raises(DeltaProtocolError, match="GENERATED ALWAYS"):
+        t2.append(spark.createDataFrame([(1, "x")], "id long, v string"))
+    # UPDATE may not assign an identity column (other updates fine)
+    t3 = DeltaTable(spark, str(loc))
+    with pytest.raises(DeltaProtocolError, match="identity"):
+        t3.update({"id": "id + 1"}, "v = 'a'")
+    t3.update({"v": "'A'"}, "v = 'a'")
+    # DELETE on an identity table works now
+    t4 = DeltaTable(spark, str(loc))
+    t4.delete("v = 'b'")
+    assert sorted(
+        r.v for r in DeltaTable(spark, str(loc)).read().collect()
+    ) == ["A", "c", "d"]
+
+    # allowExplicitInsert: provided values accepted, mark rises to cover
+    loc2 = tmp_path / "ident2"
+    _write_commit(
+        loc2 / "_delta_log", 0, [PROTOCOL, _identity_meta(allow_explicit=True)]
+    )
+    e = DeltaTable(spark, str(loc2))
+    e.append(spark.createDataFrame([(155, "x")], "id long, v string"))
+    snap2 = DeltaTable(spark, str(loc2)).snapshot()
+    hwm2 = (snap2.schema["id"].metadata or {})["delta.identity.highWaterMark"]
+    assert hwm2 == 160  # smallest grid value >= 155
+    e2 = DeltaTable(spark, str(loc2))
+    e2.append(spark.createDataFrame([("y",)], "v string"))  # absent -> 170
+    assert sorted(
+        r.id for r in DeltaTable(spark, str(loc2)).read().collect()
+    ) == [155, 170]
+
+
+def test_delta_write_in_commit_timestamps(spark, tmp_path):
+    """Write-side inCommitTimestamp: with delta.enableInCommitTimestamps
+    every commit's commitInfo carries a strictly monotonic writer-recorded
+    timestamp (the reader already prefers it for time travel)."""
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        create_delta,
+    )
+
+    loc = str(tmp_path / "ict")
+    t = create_delta(
+        spark, loc, "v int",
+        properties={"delta.enableInCommitTimestamps": "true"},
+    )
+    for i in range(3):
+        DeltaTable(spark, loc).append(
+            spark.createDataFrame([(i,)], "v int")
+        )
+    log = tmp_path / "ict" / "_delta_log"
+    icts = []
+    for n in sorted(os.listdir(log)):
+        if not n.endswith(".json"):
+            continue
+        for line in (log / n).read_text().splitlines():
+            a = json.loads(line)
+            if "commitInfo" in a:
+                icts.append(a["commitInfo"].get("inCommitTimestamp"))
+    assert len(icts) >= 4  # create + 3 appends
+    assert all(x is not None for x in icts[1:])  # every write commit stamped
+    stamped = [x for x in icts if x is not None]
+    assert stamped == sorted(stamped) and len(set(stamped)) == len(stamped)
