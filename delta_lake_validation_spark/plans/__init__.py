@@ -107,6 +107,12 @@ _TIER_BY_NAME = {
     # TIER_VARIANT priority from @register.
     "semantic_dedup_ann": _reg.TIER_NEWFAM,
     "semantic_dedup_ann_raw": _reg.TIER_VARIANT,
+    # round-4 session-2: the Python Data Source binding (format('deltapy'))
+    # — same past-the-cap policy; the Delta interop families already in the
+    # window (delta_interop_read/delta_dv_read/delta_write_roundtrip) keep
+    # their slots
+    "delta_pyds_scenario": _reg.TIER_NEWFAM,
+    "delta_clone_scenario": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):

@@ -820,3 +820,133 @@ def delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("v0_total", fresh.read(version=0).count()),
         ]
     return _result(spark, rows)
+
+
+@register(
+    "delta_pyds_scenario",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'write_total' AS step, (SELECT count(*) FROM nation) AS n_rows
+      UNION ALL
+      SELECT 'pruned_r2', (SELECT count(*) FROM nation WHERE n_regionkey = 2)
+      UNION ALL
+      SELECT 'time_travel_v0', (SELECT count(*) FROM nation)
+      UNION ALL
+      SELECT 'streamed_total',
+             (SELECT count(*) FROM nation)
+             + (SELECT count(*) FROM nation WHERE n_regionkey < 2)
+    ) ORDER BY step
+    """,
+    tags=("delta", "datasource", "streaming"),
+    doc="Python Data Source (format('deltapy'), SPARK-44076) end-to-end: "
+    "executor-staged partitioned write, partition-pruned batch read, "
+    "versionAsOf time travel, and an exactly-once availableNow stream of "
+    "the commit log — the native spark.read/readStream/write binding of "
+    "the engine's Delta protocol implementation (reference binds "
+    "delta-spark for the same surface, src/validation_suite.py:229-231, "
+    "reads :425-453).",
+)
+def delta_pyds_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.sources.pydatasource import (
+        register as _ds_register,
+    )
+
+    # the grading driver hands us a bare session: opt into python-source
+    # filter pushdown and register the format at runtime
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    _ds_register(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    with _scratch() as root:
+        loc = f"{root}/tbl"
+        nation.write.format("deltapy").mode("append").option(
+            "partitionBy", "n_regionkey"
+        ).save(loc)
+        write_total = spark.read.format("deltapy").load(loc).count()
+        pruned = (
+            spark.read.format("deltapy")
+            .load(loc)
+            .filter("n_regionkey = 2")
+            .count()
+        )
+        nation.filter("n_regionkey < 2").write.format("deltapy").mode(
+            "append"
+        ).save(loc)
+        v0 = (
+            spark.read.format("deltapy")
+            .option("versionAsOf", 0)
+            .load(loc)
+            .count()
+        )
+        q = (
+            spark.readStream.format("deltapy")
+            .option("startingVersion", "0")
+            .load(loc)
+            .writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        streamed = spark.read.parquet(f"{root}/out").count()
+        rows = [
+            ("write_total", write_total),
+            ("pruned_r2", pruned),
+            ("time_travel_v0", v0),
+            ("streamed_total", streamed),
+        ]
+    return _result(spark, rows)
+
+
+@register(
+    "delta_clone_scenario",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'clone_total' AS step, (SELECT count(*) FROM nation) AS n_rows
+      UNION ALL
+      SELECT 'clone_after_append', (SELECT count(*) FROM nation) + 1
+      UNION ALL
+      SELECT 'source_unchanged', (SELECT count(*) FROM nation)
+      UNION ALL
+      SELECT 'deep_after_source_gone', (SELECT count(*) FROM nation)
+    ) ORDER BY step
+    """,
+    tags=("delta", "clone"),
+    doc="CLONE table management: shallow clone (metadata-only, absolute-"
+    "path adds) reads identically, evolves independently of its source, "
+    "and a deep clone survives source deletion (CREATE TABLE … CLONE "
+    "surface; reference table-management family, "
+    "src/validation_suite.py:268-307).",
+)
+def delta_clone_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        clone_delta,
+        create_delta,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    with _scratch() as root:
+        src = f"{root}/src"
+        create_delta(spark, src, nation.schema, partition_by=["n_regionkey"])
+        DeltaTable(spark, src).append(nation)
+        shallow = f"{root}/shallow"
+        clone_delta(spark, src, shallow, shallow=True)
+        clone_total = DeltaTable(spark, shallow).read().count()
+        c = DeltaTable(spark, shallow)
+        c.append(nation.limit(1))
+        clone_after = DeltaTable(spark, shallow).read().count()
+        source_unchanged = DeltaTable(spark, src).read().count()
+        deep = f"{root}/deep"
+        clone_delta(spark, src, deep, shallow=False)
+        _shutil.rmtree(src)
+        deep_total = DeltaTable(spark, deep).read().count()
+        rows = [
+            ("clone_total", clone_total),
+            ("clone_after_append", clone_after),
+            ("source_unchanged", source_unchanged),
+            ("deep_after_source_gone", deep_total),
+        ]
+    return _result(spark, rows)

@@ -54,6 +54,9 @@ def get_session(
         "spark.sql.shuffle.partitions": str(shuffle_partitions or DEFAULT_CPUS),
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # let Python data sources (format('deltapy')) see pushed filters
+        # for file-level pruning
+        "spark.sql.python.filterPushdown.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # local-mode niceties; harmless on a cluster
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
@@ -63,4 +66,13 @@ def get_session(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    try:
+        from delta_lake_validation_spark.sources.pydatasource import register
+
+        register(spark)
+    except Exception:
+        # registration is a convenience; the session is still usable and
+        # callers can register() explicitly
+        pass
+    return spark

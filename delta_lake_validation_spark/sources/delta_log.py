@@ -104,6 +104,67 @@ def _interval_ms(text: str | None, default: int) -> int:
     return int(m.group(1)) * ms if ms else default
 
 
+def _stat_jsonable(v):
+    """Collected min/max -> the Delta stats JSON spelling (timestamps and
+    dates as ISO strings, non-finite floats dropped — JSON can't carry
+    them and a missing stat only costs pruning, never correctness)."""
+    import datetime as _dt
+    import math
+
+    if v is None:
+        return None
+    if isinstance(v, float) and not math.isfinite(v):
+        return None
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
+def _pa_fs(path: str):
+    """(pyarrow FileSystem, fs-relative path) for any URI pyarrow can
+    mount (file://, s3://, gs://, hdfs://); plain paths map to local.
+    Used only when the table handle has no SparkSession (Python Data
+    Source planning workers)."""
+    import pyarrow.fs as pafs
+
+    if is_local(path):
+        return pafs.LocalFileSystem(), strip_scheme(path)
+    fs, norm = pafs.FileSystem.from_uri(path)
+    return fs, norm
+
+
+def _map_field_paths(schema, prefix=()) -> list[tuple[str, ...]]:
+    """Dotted paths of every map-typed field in an arrow schema — the
+    fields whose ``to_pylist`` form (list of key/value pairs) must be
+    folded back to dicts to match Spark's ``asDict(recursive=True)``."""
+    import pyarrow as pa
+
+    out: list[tuple[str, ...]] = []
+    for field in schema:
+        t = field.type
+        if pa.types.is_map(t):
+            out.append(prefix + (field.name,))
+        elif pa.types.is_struct(t):
+            out.extend(_map_field_paths(t, prefix + (field.name,)))
+    return out
+
+
+def _demapped(row: dict, maps: list[tuple[str, ...]]) -> dict:
+    for path in maps:
+        node = row
+        for key in path[:-1]:
+            node = node.get(key) if isinstance(node, dict) else None
+            if node is None:
+                break
+        if isinstance(node, dict):
+            v = node.get(path[-1])
+            if isinstance(v, list):
+                node[path[-1]] = dict(v)
+    return row
+
+
 class DeltaSnapshot:
     """Materialized table state at one version: live files + metadata."""
 
@@ -211,9 +272,17 @@ class DeltaTable:
     Supports: ``read`` (latest / by version / by timestamp), ``history``,
     ``detail``, ``schema``, ``versions``.  Writes go through the engine's own
     ACID layer — converting is a read + ``AcidTable.create``/``append``.
+
+    ``spark`` may be ``None`` for **metadata-only** use (log replay,
+    ``snapshot``/``versions``/``history``/``schema``): the Python Data
+    Source API (sources/pydatasource.py) plans scans inside a sparkless
+    Python worker, so everything the planner touches — commit JSON reads,
+    checkpoint parquet reads, DV sidecar loads — falls back to plain
+    ``open``/pyarrow when no session is attached.  DataFrame-producing
+    and writing methods require a live session and raise otherwise.
     """
 
-    def __init__(self, spark: SparkSession, location: str):
+    def __init__(self, spark: SparkSession | None, location: str):
         self.spark = spark
         self.location = location.rstrip("/")
         self.log_dir = f"{self.location}/_delta_log"
@@ -230,6 +299,16 @@ class DeltaTable:
             if not os.path.isdir(base):
                 return []
             return sorted(os.listdir(base))
+        if self.spark is None:
+            import pyarrow.fs as pafs
+
+            fs, norm = _pa_fs(self.log_dir)
+            sel = pafs.FileSelector(norm, allow_not_found=True)
+            return sorted(
+                info.path.rsplit("/", 1)[-1]
+                for info in fs.get_file_info(sel)
+                if info.type == pafs.FileType.File
+            )
         return sorted(
             p.rsplit("/", 1)[-1] for p in self.fs.list_files(self.log_dir)
         )
@@ -255,6 +334,10 @@ class DeltaTable:
         if is_local(path):
             with open(strip_scheme(path), encoding="utf-8") as f:
                 return f.read()
+        if self.spark is None:
+            fs, norm = _pa_fs(path)
+            with fs.open_input_stream(norm) as stream:
+                return stream.read().decode("utf-8")
         # small control file: route through the JVM FS
         jvm = self.spark._jvm
         fs, jpath = self.fs._jfs(path)
@@ -304,6 +387,29 @@ class DeltaTable:
             return v, [name], kind
         return None
 
+    def _parquet_rows(self, paths: list[str], wanted: tuple[str, ...]) -> list[dict]:
+        """Checkpoint-parquet rows as plain nested dicts, restricted to the
+        ``wanted`` top-level action columns.  With a session, reads through
+        Spark; sparkless (Python Data Source planning worker), reads through
+        pyarrow — normalizing arrow map values (list-of-pairs) back to dicts
+        so both paths hand replay identical shapes."""
+        if self.spark is not None:
+            df = self.spark.read.parquet(*paths)
+            cols = [c for c in wanted if c in df.columns]
+            return [r.asDict(recursive=True) for r in df.select(*cols).collect()]
+        import pyarrow.parquet as pq
+
+        out: list[dict] = []
+        for p in paths:
+            fs, norm = _pa_fs(p)
+            t = pq.read_table(norm, filesystem=fs)
+            cols = [c for c in wanted if c in t.schema.names]
+            t = t.select(cols)
+            maps = _map_field_paths(t.schema)
+            for row in t.to_pylist():
+                out.append(_demapped(row, maps) if maps else row)
+        return out
+
     def _checkpoint_actions(self, parts: list[str], kind: str) -> list[dict]:
         """Flatten one checkpoint (any kind) into a list of action dicts.
         v2 manifests contribute their own actions plus every referenced
@@ -311,9 +417,7 @@ class DeltaTable:
         wanted = ("add", "remove", "metaData", "protocol")
         if kind == "classic":
             paths = [f"{self.log_dir}/{n}" for n in parts]
-            df = self.spark.read.parquet(*paths)
-            cols = [c for c in wanted if c in df.columns]
-            return [r.asDict(recursive=True) for r in df.select(*cols).collect()]
+            return self._parquet_rows(paths, wanted)
         name = parts[0]
         if kind == "v2-json":
             actions = [
@@ -322,11 +426,9 @@ class DeltaTable:
                 if line.strip()
             ]
         else:
-            df = self.spark.read.parquet(f"{self.log_dir}/{name}")
-            cols = [c for c in (*wanted, "sidecar") if c in df.columns]
-            actions = [
-                r.asDict(recursive=True) for r in df.select(*cols).collect()
-            ]
+            actions = self._parquet_rows(
+                [f"{self.log_dir}/{name}"], (*wanted, "sidecar")
+            )
         out = list(actions)
         for a in actions:
             sc = a.get("sidecar")
@@ -335,11 +437,7 @@ class DeltaTable:
             p = sc["path"]
             if "://" not in p and not p.startswith("/"):
                 p = f"{self.log_dir}/_sidecars/{p}"
-            sdf = self.spark.read.parquet(p)
-            scols = [c for c in ("add", "remove") if c in sdf.columns]
-            out.extend(
-                r.asDict(recursive=True) for r in sdf.select(*scols).collect()
-            )
+            out.extend(self._parquet_rows([p], ("add", "remove")))
         return out
 
     # ------------------------------------------------------------ snapshot
@@ -465,6 +563,10 @@ class DeltaTable:
         path = f"{self.log_dir}/{version:020d}.json"
         if is_local(path):
             return int(os.path.getmtime(strip_scheme(path)) * 1000)
+        if self.spark is None:
+            fs, norm = _pa_fs(path)
+            mtime = fs.get_file_info(norm).mtime
+            return int(mtime.timestamp() * 1000)
         fs, jpath = self.fs._jfs(path)
         return int(fs.getFileStatus(jpath).getModificationTime())
 
@@ -472,6 +574,11 @@ class DeltaTable:
     def read(
         self, version: int | None = None, timestamp: str | None = None
     ) -> DataFrame:
+        if self.spark is None:
+            raise RuntimeError(
+                "DeltaTable opened sparkless (metadata-only); use "
+                "spark.read.format('deltapy') for sparkless scans"
+            )
         if version is not None and timestamp is not None:
             raise ValueError("pass version or timestamp, not both")
         if timestamp is not None:
@@ -1072,20 +1179,76 @@ class DeltaTable:
         except Exception:
             self.fs.delete(staging, recursive=True)
             raise
-        # per-file row counts keyed by the FULL staged path: basenames
+        # per-file stats keyed by the FULL staged path: basenames
         # collide across partition dirs (Spark names one task's file
         # identically in every partition dir it writes).  input_file_name
         # returns a percent-encoded URI while the listing is raw on-disk —
-        # decode once, or special-char partition dirs get numRecords 0
+        # decode once, or special-char partition dirs get numRecords 0.
+        # One scan computes numRecords AND per-column min/max/nullCount
+        # (comparable atomic types only) — the data-skipping stats every
+        # Delta writer records, feeding read_where and the deltapy
+        # data source's file pruning.
         from urllib.parse import unquote as _unq
 
-        counts = {
-            strip_scheme(_unq(r["f"])): r["n"]
-            for r in self.spark.read.parquet(staging)
+        from pyspark.sql.types import (
+            ByteType,
+            DateType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StringType,
+            TimestampType,
+        )
+
+        _STAT_TYPES = (
+            ByteType,
+            ShortType,
+            IntegerType,
+            LongType,
+            FloatType,
+            DoubleType,
+            StringType,
+            DateType,
+            TimestampType,
+        )
+        stat_cols = [
+            f.name
+            for f in snap.schema.fields
+            if snap.phys(f.name) not in phys_parts
+            and isinstance(f.dataType, _STAT_TYPES)
+        ]
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for i, c in enumerate(stat_cols):
+            pc = snap.phys(c)
+            aggs.append(F.min(F.col(pc)).alias(f"mn{i}"))
+            aggs.append(F.max(F.col(pc)).alias(f"mx{i}"))
+            aggs.append(
+                F.sum(F.col(pc).isNull().cast("long")).alias(f"nc{i}")
+            )
+        stats_by_file: dict[str, dict] = {}
+        for r in (
+            self.spark.read.parquet(staging)
             .groupBy(F.input_file_name().alias("f"))
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(*aggs)
             .collect()
-        }
+        ):
+            mins, maxs, nulls = {}, {}, {}
+            for i, c in enumerate(stat_cols):
+                pc = snap.phys(c)
+                lo, hi = _stat_jsonable(r[f"mn{i}"]), _stat_jsonable(r[f"mx{i}"])
+                if lo is not None:
+                    mins[pc] = lo
+                if hi is not None:
+                    maxs[pc] = hi
+                nulls[pc] = int(r[f"nc{i}"] or 0)
+            stats_by_file[strip_scheme(_unq(r["f"]))] = {
+                "numRecords": int(r["n"]),
+                "minValues": mins,
+                "maxValues": maxs,
+                "nullCount": nulls,
+            }
         from delta_lake_validation_spark.sources.acid.table import (
             _partition_values,
         )
@@ -1114,7 +1277,7 @@ class DeltaTable:
                     "modificationTime": now_ms,
                     "dataChange": True,
                     "stats": json.dumps(
-                        {"numRecords": int(counts.get(f_abs, 0))}
+                        stats_by_file.get(f_abs, {"numRecords": 0})
                     ),
                 }
             )
@@ -2115,7 +2278,14 @@ class DeltaTable:
         ``part_names`` are the on-disk (physical) partition column names."""
         if part_names is None:
             part_names = [snap.phys(c) for c in snap.partition_columns]
+        root = strip_scheme(self.location).rstrip("/") + "/"
         for p, a in snap.files.items():
+            if (p.startswith("/") or "://" in p) and not strip_scheme(
+                p
+            ).startswith(root):
+                # external file (shallow clone): partition discovery with
+                # this table's basePath cannot see its hive dirs
+                return False
             pv = a.get("partitionValues") or {}
             rel = urlparse(p).path if "://" in p else p
             dirs = rel.split("/")[:-1]
@@ -2993,3 +3163,141 @@ def create_delta(
     body = "\n".join(json.dumps(a) for a in actions) + "\n"
     fs.atomic_create(f"{log_dir}/{0:020d}.json", body)
     return DeltaTable(spark, location)
+
+
+def clone_delta(
+    spark: SparkSession,
+    source: str,
+    target: str,
+    shallow: bool = True,
+    version: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> "DeltaTable":
+    """CLONE a Delta table (the ``CREATE TABLE … CLONE src`` surface).
+
+    * **shallow** — a metadata-only copy: the clone's version-0 commit
+      references the source's live data files by ABSOLUTE path (per the
+      protocol's clone shape), so it costs O(files) log writes and zero
+      data movement.  Deletion vectors are re-pointed the same way
+      (``u``-storage relative descriptors become ``p``-storage absolute
+      ones).  The clone is immediately independent: appends/DML commit to
+      the clone's own log, and ``vacuum`` on either side never touches the
+      other's files (vacuum only lists under its own table root; the
+      source's vacuum, however, CAN reclaim files a shallow clone still
+      references — same caveat as Delta itself documents).
+    * **deep** (``shallow=False``) — additionally copies every referenced
+      data file (and DV sidecar) under the target root, keeping relative
+      paths: a fully self-contained table.
+
+    Either way the clone keeps the source's schema, partitioning, table
+    properties (optionally overridden by ``properties``), per-file stats
+    — so data skipping keeps working — and records a ``CLONE`` commit with
+    the source location/version for lineage.  Time travel below the clone
+    point stays with the source; the clone starts at version 0.
+    """
+    from urllib.parse import unquote as _unq
+
+    from delta_lake_validation_spark.sources.dv import dv_relative_path
+
+    src = DeltaTable(spark, source)
+    snap = src.snapshot(version)
+    tfs = FileSystem(spark, target)
+    log_dir = f"{target.rstrip('/')}/_delta_log"
+    if tfs.exists(f"{log_dir}/{0:020d}.json"):
+        raise DeltaProtocolError(f"a Delta table already exists at {target}")
+
+    import time as _time
+    import uuid as _uuid
+
+    props = dict(snap.properties)
+    props.update(properties or {})
+    actions: list[dict] = [
+        {"protocol": dict(snap.protocol)},
+        {
+            "metaData": {
+                "id": str(_uuid.uuid4()),
+                "name": None,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema.json(),
+                "partitionColumns": list(snap.partition_columns),
+                "configuration": props,
+                "createdTime": int(_time.time() * 1000),
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": int(_time.time() * 1000),
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": source,
+                    "sourceVersion": snap.version,
+                    "isShallow": shallow,
+                },
+                "engineInfo": "delta-lake-validation-spark",
+            }
+        },
+    ]
+    now_ms = int(_time.time() * 1000)
+    for rel, a in sorted(snap.files.items()):
+        add = {
+            "partitionValues": a.get("partitionValues") or {},
+            "size": a.get("size"),
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        if a.get("stats") is not None:
+            add["stats"] = (
+                a["stats"]
+                if isinstance(a["stats"], str)
+                else json.dumps(a["stats"])
+            )
+        dv = a.get("deletionVector")
+        src_abs = src._abs(rel)
+        if shallow:
+            add["path"] = src_abs
+            if dv:
+                dv = dict(dv)
+                if dv.get("storageType") == "u":
+                    dv["pathOrInlineDv"] = (
+                        f"{source.rstrip('/')}/"
+                        f"{dv_relative_path(dv['pathOrInlineDv'])}"
+                    )
+                    dv["storageType"] = "p"
+                add["deletionVector"] = dv
+        else:
+            dst_rel = _unq(rel) if "://" not in rel else rel
+            if dst_rel.startswith("/") or "://" in dst_rel:
+                # absolute source path (e.g. cloning a shallow clone):
+                # flatten into the target root
+                dst_rel = f"part-{_uuid.uuid4().hex}.parquet"
+            _copy_file(src.fs, src_abs, tfs, f"{target.rstrip('/')}/{dst_rel}")
+            add["path"] = rel if "://" not in rel and not rel.startswith("/") else dst_rel
+            if dv:
+                dv = dict(dv)
+                if dv.get("storageType") == "u":
+                    dv_rel = dv_relative_path(dv["pathOrInlineDv"])
+                    _copy_file(
+                        src.fs,
+                        f"{source.rstrip('/')}/{dv_rel}",
+                        tfs,
+                        f"{target.rstrip('/')}/{dv_rel}",
+                    )
+                elif dv.get("storageType") == "p":
+                    dv_rel = f"deletion_vector_{_uuid.uuid4().hex}.bin"
+                    _copy_file(
+                        src.fs, dv["pathOrInlineDv"], tfs,
+                        f"{target.rstrip('/')}/{dv_rel}",
+                    )
+                    # keep it portable: absolute path into the new root
+                    dv["pathOrInlineDv"] = f"{target.rstrip('/')}/{dv_rel}"
+                add["deletionVector"] = dv
+        actions.append({"add": add})
+    body = "\n".join(json.dumps(x) for x in actions) + "\n"
+    tfs.atomic_create(f"{log_dir}/{0:020d}.json", body)
+    return DeltaTable(spark, target)
+
+
+def _copy_file(src_fs: FileSystem, src_path: str, dst_fs: FileSystem, dst_path: str) -> None:
+    data = src_fs.read_bytes(src_path)
+    dst_fs.mkdirs(dst_path.rsplit("/", 1)[0])
+    dst_fs.write_bytes(dst_path, data)

@@ -1,0 +1,132 @@
+"""CLONE (shallow + deep) over real Delta tables.
+
+Shallow = metadata-only version-0 commit with absolute-path adds (and
+re-pointed DV descriptors); deep = self-contained copy.  Independence,
+lineage, stats carry-over, and vacuum-safety are the contracts pinned
+here.  Surface parity target: ``CREATE TABLE … CLONE`` (table-management
+family of the reference suite, src/validation_suite.py:268-307).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+
+from delta_lake_validation_spark.sources.delta_log import (
+    DeltaProtocolError,
+    DeltaTable,
+    clone_delta,
+    create_delta,
+)
+
+
+def _src(spark, tmp_path, n=60, dv=False):
+    loc = str(tmp_path / "src")
+    create_delta(spark, loc, "id bigint, part string", partition_by=["part"])
+    t = DeltaTable(spark, loc)
+    t.append(
+        spark.createDataFrame(
+            [(i, "xyz"[i % 3]) for i in range(n)], "id bigint, part string"
+        )
+    )
+    if dv:
+        t = DeltaTable(spark, loc)
+        t.delete("id % 5 = 0")  # row-level -> deletion vectors
+    return loc
+
+
+def _rows(t):
+    return sorted((r.id, r.part) for r in t.read().collect())
+
+
+def test_shallow_clone_reads_and_is_independent(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    dst = str(tmp_path / "clone")
+    clone_delta(spark, src, dst, shallow=True)
+    s, c = DeltaTable(spark, src), DeltaTable(spark, dst)
+    assert _rows(c) == _rows(s)
+    # lineage + stats carried
+    h = c.history()[-1]
+    assert h["operation"] == "CLONE"
+    snap = c.snapshot()
+    assert all(p.startswith("/") or "://" in p for p in snap.files)
+    assert all(
+        json.loads(a["stats"])["numRecords"] > 0 for a in snap.files.values()
+    )
+    # append to the clone: source untouched
+    c.append(spark.createDataFrame([(999, "q")], "id bigint, part string"))
+    assert len(_rows(DeltaTable(spark, dst))) == 61
+    assert len(_rows(DeltaTable(spark, src))) == 60
+    # delete on the source after cloning: clone's v0 still time-travels
+    s.delete("part = 'x'")
+    assert len(_rows(DeltaTable(spark, src))) == 40
+    assert len(_rows(DeltaTable(spark, dst))) == 61
+
+
+def test_shallow_clone_with_deletion_vectors(spark, tmp_path):
+    src = _src(spark, tmp_path, dv=True)
+    dst = str(tmp_path / "clone")
+    clone_delta(spark, src, dst, shallow=True)
+    s, c = DeltaTable(spark, src), DeltaTable(spark, dst)
+    assert _rows(c) == _rows(s)
+    # DV descriptors were re-pointed to absolute sidecars
+    for a in c.snapshot().files.values():
+        dv = a.get("deletionVector")
+        if dv:
+            assert dv["storageType"] in ("p", "i")
+
+
+def test_clone_vacuum_never_touches_source(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    dst = str(tmp_path / "clone")
+    clone_delta(spark, src, dst, shallow=True)
+    c = DeltaTable(spark, dst)
+    # overwrite the clone so the cloned (source-owned) files become stale
+    c.overwrite(spark.createDataFrame([(1, "z")], "id bigint, part string"))
+    DeltaTable(spark, dst).vacuum(retain_hours=0)
+    # source still fully readable
+    assert len(_rows(DeltaTable(spark, src))) == 60
+
+
+def test_deep_clone_survives_source_deletion(spark, tmp_path):
+    src = _src(spark, tmp_path, dv=True)
+    dst = str(tmp_path / "deep")
+    clone_delta(spark, src, dst, shallow=False)
+    want = _rows(DeltaTable(spark, src))
+    shutil.rmtree(src)
+    got = _rows(DeltaTable(spark, dst))
+    assert got == want and len(got) == 48
+
+
+def test_clone_properties_override_and_existing_target(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    dst = str(tmp_path / "clone")
+    clone_delta(
+        spark, src, dst, properties={"delta.appendOnly": "true"}
+    )
+    c = DeltaTable(spark, dst)
+    assert c.snapshot().properties["delta.appendOnly"] == "true"
+    with pytest.raises(DeltaProtocolError, match="already exists"):
+        clone_delta(spark, src, dst)
+
+
+def test_clone_versioned_point_in_time(spark, tmp_path):
+    src = _src(spark, tmp_path)
+    t = DeltaTable(spark, src)
+    t.append(spark.createDataFrame([(1000, "late")], "id bigint, part string"))
+    dst = str(tmp_path / "v1clone")
+    clone_delta(spark, src, dst, version=1)
+    assert len(_rows(DeltaTable(spark, dst))) == 60
+
+
+def test_clone_readable_through_datasource(spark, tmp_path):
+    src = _src(spark, tmp_path, dv=True)
+    dst = str(tmp_path / "clone")
+    clone_delta(spark, src, dst, shallow=True)
+    got = sorted(
+        (r.id, r.part)
+        for r in spark.read.format("deltapy").load(dst).collect()
+    )
+    assert got == _rows(DeltaTable(spark, src))

@@ -1,0 +1,613 @@
+"""format("deltapy") — Python Data Source over the engine's Delta reader.
+
+Covers the three legs of the source (batch read, streaming read, write)
+against the same protocol features the direct DeltaTable tests pin:
+partition pruning and stats skipping from pushed filters, deletion
+vectors, time travel, column mapping (name + id, with the id-mode footer
+refusal), schema evolution, sparkless metadata access, and the
+executor-staged / driver-committed writer incl. its refusal gates.
+Reference surface: delta-spark reads at
+/root/reference/src/validation_suite.py:425-486, writes at :355-368.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from delta_lake_validation_spark.sources.delta_log import (
+    DeltaProtocolError,
+    DeltaTable,
+    create_delta,
+)
+from delta_lake_validation_spark.sources.pydatasource import (
+    DeltaPyBatchReader,
+    EqualTo,
+    GreaterThan,
+)
+
+from tests.test_delta_log import (  # noqa: F401  (shared fixture builders)
+    _add,
+    _mapped_meta,
+    _write_commit,
+    _write_parquet,
+    _write_parquet_with_ids,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("cat", StringType()),
+        StructField("price", DoubleType()),
+        StructField("ts", TimestampType()),
+        StructField("day", DateType()),
+    ]
+)
+
+
+def _rows(n, start=0):
+    return [
+        (
+            start + i,
+            "ab"[i % 2],
+            float(i) * 1.5,
+            datetime.datetime(2024, 1, 1 + i % 5, 12, 0, i % 60),
+            datetime.date(2024, 2, 1 + i % 7),
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    create_delta(spark, loc, SCHEMA, partition_by=["cat"])
+    t = DeltaTable(spark, loc)
+    t.append(spark.createDataFrame(_rows(400), SCHEMA))
+    return loc
+
+
+def _sorted(df):
+    return sorted(map(tuple, df.collect()))
+
+
+# ------------------------------------------------------------------- batch
+def test_batch_read_parity_all_types(spark, table):
+    got = spark.read.format("deltapy").load(table)
+    want = DeltaTable(spark, table).read()
+    assert got.schema == want.schema
+    assert _sorted(got) == _sorted(want)
+
+
+def test_filtered_read_matches_and_prunes(spark, table):
+    pred = (F.col("cat") == "a") & (F.col("price") > 100)
+    got = spark.read.format("deltapy").load(table).filter(pred)
+    want = DeltaTable(spark, table).read().filter(pred)
+    assert _sorted(got) == _sorted(want)
+    # unit-level: the planner drops the cat=b file(s) for an EqualTo push
+    r = DeltaPyBatchReader({"path": table})
+    all_parts = sum(len(p.files) for p in r.partitions())
+    r2 = DeltaPyBatchReader({"path": table})
+    list(r2.pushFilters([EqualTo(("cat",), "a")]))
+    kept = sum(len(p.files) for p in r2.partitions())
+    assert 0 < kept < all_parts
+
+
+def test_stats_skipping_prunes_files(spark, tmp_path):
+    loc = str(tmp_path / "skip")
+    create_delta(spark, loc, "id bigint, v double")
+    t = DeltaTable(spark, loc)
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(100)], "id bigint, v double"))
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(1000, 1100)], "id bigint, v double"
+        )
+    )
+    r = DeltaPyBatchReader({"path": loc})
+    # every row below 500 lives in the first append's file(s)
+    list(r.pushFilters([GreaterThan(("id",), 500)]))
+    parts = r.partitions()
+    full = DeltaPyBatchReader({"path": loc}).partitions()
+    assert sum(len(p.files) for p in parts) < sum(len(p.files) for p in full)
+    got = spark.read.format("deltapy").load(loc).filter("id > 500")
+    assert got.count() == 100 and got.agg(F.min("id")).head()[0] == 1000
+
+
+def test_deletion_vector_read(spark, table):
+    t = DeltaTable(spark, table)
+    t.delete("id % 10 = 3")
+    got = spark.read.format("deltapy").load(table)
+    want = DeltaTable(spark, table).read()
+    assert got.count() == 360
+    assert _sorted(got) == _sorted(want)
+
+
+def test_time_travel_options(spark, table):
+    t = DeltaTable(spark, table)
+    before = _sorted(t.read())
+    t.append(spark.createDataFrame(_rows(10, start=10_000), SCHEMA))
+    v1 = spark.read.format("deltapy").option("versionAsOf", 1).load(table)
+    assert _sorted(v1) == before
+    latest = spark.read.format("deltapy").load(table)
+    assert latest.count() == 410
+    ts = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    tts = spark.read.format("deltapy").option("timestampAsOf", ts).load(table)
+    assert tts.count() == 410
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    loc = tmp_path / "cm"
+    log = loc / "_delta_log"
+    _write_parquet(
+        spark,
+        [Row(**{"col-aaaa": 1}), Row(**{"col-aaaa": 2})],
+        "`col-aaaa` int",
+        loc / "col-bbbb=x",
+    )
+    _write_parquet(
+        spark, [Row(**{"col-aaaa": 3})], "`col-aaaa` int", loc / "col-bbbb=y"
+    )
+    import os
+
+    def rel(d):
+        base = str(loc / d)
+        (f,) = [x for x in os.listdir(base) if x.endswith(".parquet")]
+        return f"{d}/{f}"
+
+    _write_commit(
+        log,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _mapped_meta(),
+            _add(rel("col-bbbb=x"), partition_values={"col-bbbb": "x"}),
+            _add(rel("col-bbbb=y"), partition_values={"col-bbbb": "y"}),
+        ],
+    )
+    df = spark.read.format("deltapy").load(str(loc))
+    assert df.columns == ["v", "k"]
+    assert {(r.v, r.k) for r in df.collect()} == {(1, "x"), (2, "x"), (3, "y")}
+
+
+def test_column_mapping_id_mode_foreign_file_refused(spark, tmp_path):
+    """A file whose parquet field-id 1 lives under a different physical
+    name must abort the scan (executor-side footer check — every file
+    actually read is verified, no sampling window)."""
+    import pyarrow as pa
+
+    loc = tmp_path / "cmid"
+    log = loc / "_delta_log"
+    _write_parquet_with_ids(
+        loc / "col-bbbb=x" / "part-0.parquet",
+        [{"renamed": 1}],
+        [("renamed", 1, pa.int32())],
+    )
+    meta = _mapped_meta()
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    _write_commit(
+        log,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            meta,
+            _add("col-bbbb=x/part-0.parquet", partition_values={"col-bbbb": "x"}),
+        ],
+    )
+    with pytest.raises(Exception, match="id mismatch|field-id"):
+        spark.read.format("deltapy").load(str(loc)).collect()
+
+
+def test_schema_evolution_missing_column_is_null(spark, tmp_path):
+    loc = tmp_path / "evo"
+    log = loc / "_delta_log"
+    f = _write_parquet(spark, [Row(v=1), Row(v=2)], "v int", loc / "d")
+    _write_commit(
+        log,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "evo",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {
+                            "type": "struct",
+                            "fields": [
+                                {"name": "v", "type": "integer", "nullable": True, "metadata": {}},
+                                {"name": "extra", "type": "string", "nullable": True, "metadata": {}},
+                            ],
+                        }
+                    ),
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+            _add(f),
+        ],
+    )
+    rows = spark.read.format("deltapy").load(str(loc)).collect()
+    assert {(r.v, r.extra) for r in rows} == {(1, None), (2, None)}
+
+
+def test_sparkless_metadata_and_read_guard(spark, table):
+    t = DeltaTable(None, table)
+    assert t.latest_version() == 1
+    snap = t.snapshot()
+    assert snap.schema == SCHEMA and snap.partition_columns == ["cat"]
+    with pytest.raises(RuntimeError, match="sparkless"):
+        t.read()
+
+
+def test_sparkless_checkpoint_replay(spark, table):
+    """The planning worker replays parquet checkpoints through pyarrow —
+    including arrow-map normalization of partitionValues."""
+    from delta_lake_validation_spark.sources.delta_log import (
+        write_delta_checkpoint,
+    )
+
+    t = DeltaTable(spark, table)
+    t.append(spark.createDataFrame(_rows(7, start=5_000), SCHEMA))
+    write_delta_checkpoint(spark, table)
+    sparkless = DeltaTable(None, table).snapshot()
+    with_spark = DeltaTable(spark, table).snapshot()
+    assert sparkless.files.keys() == with_spark.files.keys()
+    for p, a in sparkless.files.items():
+        assert a.get("partitionValues") == with_spark.files[p].get(
+            "partitionValues"
+        )
+    got = spark.read.format("deltapy").load(table)
+    assert got.count() == 407
+
+
+# ------------------------------------------------------------------ writer
+def test_writer_creates_table(spark, tmp_path):
+    loc = str(tmp_path / "w1")
+    df = spark.createDataFrame(_rows(50), SCHEMA)
+    df.write.format("deltapy").mode("append").option("partitionBy", "cat").save(loc)
+    t = DeltaTable(spark, loc)
+    snap = t.snapshot()
+    assert snap.partition_columns == ["cat"]
+    assert _sorted(t.read()) == _sorted(df)
+    assert _sorted(spark.read.format("deltapy").load(loc)) == _sorted(df)
+    h = t.history()[0]
+    assert h["operation"] == "WRITE"
+    # executor-computed file stats are present and usable for skipping
+    for a in snap.files.values():
+        st = json.loads(a["stats"])
+        assert st["numRecords"] > 0 and "id" in st["minValues"]
+
+
+def test_writer_append_and_overwrite(spark, tmp_path):
+    loc = str(tmp_path / "w2")
+    df = spark.createDataFrame(_rows(20), SCHEMA)
+    df.write.format("deltapy").mode("append").save(loc)
+    spark.createDataFrame(_rows(5, start=100), SCHEMA).write.format(
+        "deltapy"
+    ).mode("append").save(loc)
+    assert spark.read.format("deltapy").load(loc).count() == 25
+    small = spark.createDataFrame(_rows(3, start=200), SCHEMA)
+    small.write.format("deltapy").mode("overwrite").save(loc)
+    t = DeltaTable(spark, loc)
+    assert _sorted(t.read()) == _sorted(small)
+    assert t.latest_version() == 2
+
+
+def test_writer_null_partition_roundtrip(spark, tmp_path):
+    loc = str(tmp_path / "w3")
+    df = spark.createDataFrame(
+        [(1, None), (2, "x")], "id bigint, part string"
+    )
+    df.write.format("deltapy").mode("append").option("partitionBy", "part").save(loc)
+    got = spark.read.format("deltapy").load(loc)
+    assert _sorted(got) == [(1, None), (2, "x")]
+    assert _sorted(DeltaTable(spark, loc).read()) == [(1, None), (2, "x")]
+
+
+def test_writer_schema_mismatch_refused(spark, tmp_path):
+    loc = str(tmp_path / "w4")
+    spark.createDataFrame([(1,)], "id bigint").write.format("deltapy").mode(
+        "append"
+    ).save(loc)
+    bad = spark.createDataFrame([("x",)], "id string")
+    with pytest.raises(Exception, match="does not match table schema"):
+        bad.write.format("deltapy").mode("append").save(loc)
+
+
+def test_writer_constrained_table_refused(spark, tmp_path):
+    loc = str(tmp_path / "w5")
+    create_delta(
+        spark,
+        loc,
+        "id bigint",
+        properties={"delta.constraints.pos": "id > 0"},
+    )
+    df = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(Exception, match="constraints"):
+        df.write.format("deltapy").mode("append").save(loc)
+
+
+def test_writer_cdf_overwrite_refused_append_ok(spark, tmp_path):
+    loc = str(tmp_path / "w6")
+    create_delta(
+        spark,
+        loc,
+        "id bigint",
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    df = spark.createDataFrame([(1,), (2,)], "id bigint")
+    df.write.format("deltapy").mode("append").save(loc)
+    t = DeltaTable(spark, loc)
+    ch = t.read_changes(0)
+    assert {(r.id, r._change_type) for r in ch.collect()} == {
+        (1, "insert"),
+        (2, "insert"),
+    }
+    with pytest.raises(Exception, match="CDF"):
+        df.write.format("deltapy").mode("overwrite").save(loc)
+
+
+def test_writer_concurrent_appends_both_land(spark, tmp_path):
+    from pyspark import InheritableThread
+
+    loc = str(tmp_path / "w7")
+    create_delta(spark, loc, "id bigint, src string")
+    errs = []
+
+    def run(tag):
+        try:
+            spark.createDataFrame(
+                [(i, tag) for i in range(50)], "id bigint, src string"
+            ).write.format("deltapy").mode("append").save(loc)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [InheritableThread(target=run, args=(t,)) for t in ("a", "b", "c")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    t = DeltaTable(spark, loc)
+    assert t.latest_version() == 3
+    df = t.read()
+    assert df.count() == 150
+    assert df.groupBy("src").count().count() == 3
+
+
+# --------------------------------------------------------------- streaming
+def _run_stream(spark, src, out, ckpt, **opts):
+    reader = spark.readStream.format("deltapy")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.option("startingVersion", "0")
+        .load(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_incremental_exactly_once(spark, tmp_path):
+    loc = str(tmp_path / "s1")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame(_rows(17), SCHEMA)
+    df.limit(5).write.format("deltapy").mode("append").save(loc)
+    df.write.format("deltapy").mode("append").save(loc)
+    _run_stream(spark, loc, out, ckpt)
+    assert spark.read.parquet(out).count() == 22
+    # restart: only the new commit arrives
+    spark.createDataFrame(_rows(3, start=99), SCHEMA).write.format(
+        "deltapy"
+    ).mode("append").save(loc)
+    _run_stream(spark, loc, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 25
+    # batch equivalence: streamed rows == table rows
+    assert _sorted(got) == _sorted(DeltaTable(spark, loc).read())
+
+
+def test_stream_refuses_deletes_unless_opted_in(spark, tmp_path):
+    loc = str(tmp_path / "s2")
+    create_delta(spark, loc, "id bigint, part string", partition_by=["part"])
+    t = DeltaTable(spark, loc)
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, part string")
+    )
+    t.delete("part = 'a'")
+    out, ckpt = str(tmp_path / "o2"), str(tmp_path / "c2")
+    with pytest.raises(Exception, match="ignoreDeletes|ignoreChanges"):
+        _run_stream(spark, loc, out, ckpt)
+    _run_stream(spark, loc, out, str(tmp_path / "c3"), ignoreDeletes="true")
+    assert spark.read.parquet(out).count() == 2  # both original inserts
+
+
+def test_stream_compaction_transparent(spark, tmp_path):
+    loc = str(tmp_path / "s3")
+    out, ckpt = str(tmp_path / "o3"), str(tmp_path / "c3")
+    df = spark.createDataFrame(_rows(10), SCHEMA)
+    df.limit(4).write.format("deltapy").mode("append").save(loc)
+    df.write.format("deltapy").mode("append").save(loc)
+    _run_stream(spark, loc, out, ckpt)
+    assert spark.read.parquet(out).count() == 14
+    DeltaTable(spark, loc).optimize()  # dataChange=false commit
+    spark.createDataFrame(_rows(2, start=77), SCHEMA).write.format(
+        "deltapy"
+    ).mode("append").save(loc)
+    _run_stream(spark, loc, out, ckpt)
+    assert spark.read.parquet(out).count() == 16
+
+
+# --------------------------------------------------------------------- CDF
+def _cdf_rows(df):
+    return sorted(
+        (tuple(r[c] for c in sorted(df.columns)),) for r in df.collect()
+    )
+
+
+def test_cdf_batch_matches_read_changes(spark, tmp_path):
+    loc = str(tmp_path / "cdf")
+    create_delta(
+        spark,
+        loc,
+        "id bigint, part string, v double",
+        partition_by=["part"],
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable(spark, loc)
+    t.append(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], float(i)) for i in range(40)],
+            "id bigint, part string, v double",
+        )
+    )
+    DeltaTable(spark, loc).update({"v": "v + 100"}, "id % 4 = 1")  # cdc files
+    DeltaTable(spark, loc).delete("part = 'a'")
+    want = DeltaTable(spark, loc).read_changes(0)
+    got = (
+        spark.read.format("deltapy")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .load(loc)
+    )
+    assert sorted(got.columns) == sorted(want.columns)
+    cols = [c for c in sorted(got.columns) if c != "_commit_timestamp"]
+    g = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    w = sorted(tuple(r[c] for c in cols) for r in want.collect())
+    assert g == w and len(g) > 40
+
+
+def test_cdf_batch_dv_bitmap_diff(spark, tmp_path):
+    """Non-CDF table, DV delete: changes derive from the bitmap diff of
+    the add/remove same-path pair — no cdc files on disk."""
+    loc = str(tmp_path / "dvdiff")
+    create_delta(
+        spark,
+        loc,
+        "id bigint",
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    t = DeltaTable(spark, loc)
+    t.append(spark.createDataFrame([(i,) for i in range(30)], "id bigint"))
+    DeltaTable(spark, loc).delete("id % 3 = 0")  # -> DV rewrite commit
+    want = DeltaTable(spark, loc).read_changes(2, 2)
+    got = (
+        spark.read.format("deltapy")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 2)
+        .option("endingVersion", 2)
+        .load(loc)
+    )
+    g = sorted((r.id, r._change_type) for r in got.collect())
+    w = sorted((r.id, r._change_type) for r in want.collect())
+    assert g == w and len(g) == 10 and all(c == "delete" for _, c in g)
+
+
+def test_cdf_stream_matches_batch_and_restarts(spark, tmp_path):
+    loc = str(tmp_path / "cdfs")
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    create_delta(
+        spark,
+        loc,
+        "id bigint, v double",
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable(spark, loc)
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id bigint, v double"
+        )
+    )
+    DeltaTable(spark, loc).update({"v": "v * 2"}, "id < 5")
+
+    def run():
+        q = (
+            spark.readStream.format("deltapy")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "0")
+            .load(loc)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    batch = (
+        spark.read.format("deltapy")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .load(loc)
+    )
+    cols = ["id", "v", "_change_type", "_commit_version"]
+    s1 = sorted(tuple(r[c] for c in cols) for r in spark.read.parquet(out).collect())
+    b1 = sorted(tuple(r[c] for c in cols) for r in batch.collect())
+    assert s1 == b1 and len(s1) == 30  # 20 inserts + 5 pre + 5 post images
+    # restart: only the new delete arrives
+    DeltaTable(spark, loc).delete("id >= 18")
+    run()
+    s2 = spark.read.parquet(out)
+    assert s2.count() == 32
+    assert (
+        s2.filter("_change_type = 'delete'").count() == 2
+    )
+
+
+def test_row_group_skipping(spark, tmp_path):
+    """Pushed ranges prune whole parquet row groups executor-side (the
+    intra-file tier of data skipping), with identical results."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.test_delta_log import _meta
+    from delta_lake_validation_spark.sources.pydatasource import (
+        _FileSlice,
+        _ScanExec,
+    )
+
+    loc = tmp_path / "rg"
+    loc.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"id": pa.array(range(300), pa.int64())}),
+        str(loc / "f.parquet"),
+        row_group_size=100,
+    )
+    _write_commit(
+        loc / "_delta_log",
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta([("id", "long")]),
+            _add("f.parquet"),
+        ],
+    )
+    tbl = DeltaTable(None, str(loc))
+    ex = _ScanExec(tbl.snapshot())
+    sl = _FileSlice(path=str(loc / "f.parquet"), size=1, dv=None, pv={})
+    assert sum(b.num_rows for b in ex.scan([sl])) == 300
+    ex2 = _ScanExec(tbl.snapshot())
+    ex2.ranges = {"id": (250, None)}
+    # only the last row group (200..299) survives the stats check
+    assert sum(b.num_rows for b in ex2.scan([sl])) == 100
+    got = spark.read.format("deltapy").load(str(loc)).filter("id >= 250")
+    assert got.count() == 50
