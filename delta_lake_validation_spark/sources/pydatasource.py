@@ -1065,10 +1065,12 @@ class DeltaPyWriter(DataSourceArrowWriter):
 
     # --------------------------------------------------------------- driver
     def commit(self, messages):
-        import datetime as _dt
+        adds = [a for m in messages if m for a in m.adds]
+        self._commit_adds(adds, [], op="WRITE")
+
+    def _commit_adds(self, adds: list, extra: list, op: str) -> None:
         import time
 
-        adds = [a for m in messages if m for a in m.adds]
         for attempt in range(40):
             try:
                 tbl = DeltaTable(None, self.path)
@@ -1103,7 +1105,7 @@ class DeltaPyWriter(DataSourceArrowWriter):
                 {
                     "commitInfo": {
                         "timestamp": ts,
-                        "operation": "WRITE",
+                        "operation": op,
                         "operationParameters": {
                             "mode": "Overwrite"
                             if self.overwrite
@@ -1114,6 +1116,7 @@ class DeltaPyWriter(DataSourceArrowWriter):
                     }
                 }
             )
+            actions.extend(extra)
             if self.overwrite and snap is not None:
                 for p, a in snap.files.items():
                     actions.append(
@@ -1154,6 +1157,68 @@ class DeltaPyWriter(DataSourceArrowWriter):
                     fs.delete_file(norm)
                 except OSError:
                     pass
+
+
+from pyspark.sql.datasource import DataSourceStreamArrowWriter
+
+
+class DeltaPyStreamWriter(DeltaPyWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("deltapy")`` — append-only streaming sink.
+
+    Each micro-batch stages files executor-side (inherited ``write``) and
+    lands as ONE atomic append commit.  With ``option("txnAppId", …)``
+    the commit carries the protocol's ``txn`` action
+    ``{appId, version: batchId}``, and a replayed batch (restart after a
+    commit that the checkpoint didn't record) is SKIPPED when the log
+    already holds a txn for the same appId at-or-past the batch id —
+    Delta's own idempotent-sink contract, giving exactly-once end to end.
+    The txn lookup scans commit JSONs newest-first and stops at the first
+    match; after aggressive log cleanup the lookback shrinks with the
+    log, matching the checkpoint-less fallback behavior of the spec.
+    Without ``txnAppId`` the sink is plain at-least-once on replay."""
+
+    def __init__(self, options: dict, schema: StructType):
+        super().__init__(options, schema, overwrite=False)
+        self.app_id = options.get("txnappid")
+
+    def _last_txn_version(self, tbl: DeltaTable) -> int | None:
+        for v in sorted(tbl.versions(), reverse=True):
+            for a in tbl._commit_actions(v):
+                t = a.get("txn")
+                if t and t.get("appId") == self.app_id:
+                    return int(t.get("version", -1))
+        return None
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import time
+
+        adds = [a for m in messages if m for a in m.adds]
+        extra: list[dict] = []
+        if self.app_id is not None:
+            try:
+                tbl = DeltaTable(None, self.path)
+            except FileNotFoundError:
+                tbl = None
+            if tbl is not None:
+                last = self._last_txn_version(tbl)
+                if last is not None and last >= int(batchId):
+                    # replayed batch already committed: drop the staged
+                    # files and do nothing — exactly-once
+                    self.abort(messages, batchId)
+                    return
+            extra.append(
+                {
+                    "txn": {
+                        "appId": self.app_id,
+                        "version": int(batchId),
+                        "lastUpdated": int(time.time() * 1000),
+                    }
+                }
+            )
+        self._commit_adds(adds, extra, op="STREAMING UPDATE")
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        super().abort(messages)
 
 
 def _atomic_create(path: str, content: str) -> None:
@@ -1271,6 +1336,9 @@ class DeltaPyDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DeltaPyWriter:
         return DeltaPyWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return DeltaPyStreamWriter(self.options, schema)
 
 
 def register(spark) -> None:

@@ -611,3 +611,108 @@ def test_row_group_skipping(spark, tmp_path):
     assert sum(b.num_rows for b in ex2.scan([sl])) == 100
     got = spark.read.format("deltapy").load(str(loc)).filter("id >= 250")
     assert got.count() == 50
+
+
+# ---------------------------------------------------------- streaming sink
+def test_stream_write_roundtrip_exactly_once(spark, tmp_path):
+    """rate-less end-to-end: stream OUT of one deltapy table INTO another
+    through writeStream, then re-run with the same checkpoint — no
+    duplicates (txn idempotence) and no data loss."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ck")
+    df = spark.createDataFrame(_rows(25), SCHEMA)
+    df.limit(9).write.format("deltapy").mode("append").save(src)
+    df.write.format("deltapy").mode("append").save(src)
+
+    def pump():
+        q = (
+            spark.readStream.format("deltapy")
+            .option("startingVersion", "0")
+            .load(src)
+            .writeStream.format("deltapy")
+            .option("path", dst)
+            .option("txnAppId", "test-pump")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    pump()
+    out = spark.read.format("deltapy").load(dst)
+    assert out.count() == 34
+    assert _sorted(out) == _sorted(DeltaTable(spark, src).read())
+    # no new data: re-pump is a no-op
+    pump()
+    assert spark.read.format("deltapy").load(dst).count() == 34
+    # new commit flows through incrementally
+    df.limit(2).write.format("deltapy").mode("append").save(src)
+    pump()
+    t = DeltaTable(spark, dst)
+    assert t.read().count() == 36
+    # every batch carried its txn action
+    txns = [
+        a["txn"]
+        for v in t.versions()
+        for a in t._commit_actions(v)
+        if "txn" in a
+    ]
+    assert all(x["appId"] == "test-pump" for x in txns) and len(txns) >= 2
+
+
+def test_stream_write_replayed_batch_skipped(spark, tmp_path):
+    """Direct idempotence unit: committing the same batchId twice with a
+    txnAppId lands exactly one commit's rows."""
+    from delta_lake_validation_spark.sources.pydatasource import (
+        DeltaPyStreamWriter,
+    )
+
+    loc = str(tmp_path / "t")
+    create_delta(spark, loc, "id bigint")
+    sch = StructType([StructField("id", LongType())])
+    import pyarrow as pa
+
+    def run_batch(bid):
+        w = DeltaPyStreamWriter({"path": loc, "txnappid": "app1"}, sch)
+        msg = w.write(iter([pa.record_batch({"id": pa.array([1, 2], pa.int64())})]))
+        w.commit([msg], bid)
+
+    run_batch(0)
+    run_batch(1)
+    run_batch(1)  # replay: must be skipped
+    t = DeltaTable(spark, loc)
+    assert t.read().count() == 4
+    assert t.latest_version() == 2
+
+
+def test_sparkless_v2_checkpoint_replay(spark, tmp_path):
+    """v2 checkpoints (uuid manifest + _sidecars) replay identically in
+    the sparkless planning path (pyarrow manifest + sidecar reads)."""
+    from delta_lake_validation_spark.sources.delta_log import (
+        write_delta_checkpoint,
+    )
+
+    loc = str(tmp_path / "v2")
+    create_delta(
+        spark,
+        loc,
+        "id bigint, part string",
+        partition_by=["part"],
+        properties={"delta.checkpointPolicy": "v2"},
+    )
+    t = DeltaTable(spark, loc)
+    t.append(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2]) for i in range(50)], "id bigint, part string"
+        )
+    )
+    write_delta_checkpoint(spark, loc)
+    sparkless = DeltaTable(None, loc).snapshot()
+    with_spark = DeltaTable(spark, loc).snapshot()
+    assert sparkless.files.keys() == with_spark.files.keys()
+    for p, a in sparkless.files.items():
+        assert a.get("partitionValues") == with_spark.files[p].get(
+            "partitionValues"
+        )
+    assert spark.read.format("deltapy").load(loc).count() == 50
