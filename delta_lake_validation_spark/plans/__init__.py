@@ -113,6 +113,7 @@ _TIER_BY_NAME = {
     # their slots
     "delta_pyds_scenario": _reg.TIER_NEWFAM,
     "delta_clone_scenario": _reg.TIER_NEWFAM,
+    "delta_convert_scenario": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):

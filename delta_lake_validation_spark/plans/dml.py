@@ -950,3 +950,51 @@ def delta_clone_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("deep_after_source_gone", deep_total),
         ]
     return _result(spark, rows)
+
+
+@register(
+    "delta_convert_scenario",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'converted_total' AS step, (SELECT count(*) FROM nation) AS n_rows
+      UNION ALL
+      SELECT 'skipped_read', (SELECT count(*) FROM nation WHERE n_regionkey = 3)
+      UNION ALL
+      SELECT 'after_append', (SELECT count(*) FROM nation) * 2
+      UNION ALL
+      SELECT 'evolved_nulls', (SELECT count(*) FROM nation)
+    ) ORDER BY step
+    """,
+    tags=("delta", "convert"),
+    doc="CONVERT TO DELTA in place (zero-copy adoption of a hive-"
+    "partitioned parquet directory with footer-derived skipping stats), "
+    "then mergeSchema append: the evolved column is null for every "
+    "pre-conversion row (delta-spark CONVERT + mergeSchema surface).",
+)
+def delta_convert_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        convert_to_delta,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    with _scratch() as root:
+        loc = f"{root}/plain"
+        nation.write.partitionBy("n_regionkey").parquet(loc)
+        t = convert_to_delta(
+            spark, loc, partition_schema="n_regionkey int"
+        )
+        converted = t.read().count()
+        skipped = t.read_where({"n_regionkey": (3, 3)}).count()
+        extra = nation.withColumn("note", F.lit("r2"))
+        DeltaTable(spark, loc).append(extra, merge_schema=True)
+        t2 = DeltaTable(spark, loc)
+        after_append = t2.read().count()
+        evolved_nulls = t2.read().filter("note IS NULL").count()
+        rows = [
+            ("converted_total", converted),
+            ("skipped_read", skipped),
+            ("after_append", after_append),
+            ("evolved_nulls", evolved_nulls),
+        ]
+    return _result(spark, rows)

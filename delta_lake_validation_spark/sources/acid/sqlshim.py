@@ -258,7 +258,30 @@ class AcidSqlContext:
             return self._drop(s)
         if head == "SHOW":
             return self._show(s)
+        if head == "CONVERT":
+            return self._convert(s)
         return self._query(s)
+
+    def _convert(self, s: str) -> None:
+        """``CONVERT TO DELTA parquet.`/path` [PARTITIONED BY (ddl)]`` —
+        in-place zero-copy adoption of a parquet directory (delta-spark's
+        CONVERT statement), over ``convert_to_delta``."""
+        m = re.match(
+            rf"CONVERT{_WS}TO{_WS}DELTA{_WS}parquet\s*\.\s*`(?P<loc>[^`]+)`"
+            rf"(?:{_WS}PARTITIONED{_WS}BY{_WS}\((?P<part>[^)]*)\))?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise AcidSqlError(f"unsupported CONVERT shape: {s[:120]}...")
+        from delta_lake_validation_spark.sources.delta_log import (
+            convert_to_delta,
+        )
+
+        convert_to_delta(
+            self.spark, m.group("loc"), partition_schema=m.group("part")
+        )
+        return None
 
     # ----------------------------------------------------------- lifecycle
     def _vacuum(self, s: str) -> DataFrame:

@@ -1350,20 +1350,83 @@ class DeltaTable:
             json.dumps(snap.protocol, sort_keys=True),
         )
 
-    def append(self, df: DataFrame) -> int:
+    def _evolve_schema(
+        self, df: DataFrame, snap: DeltaSnapshot
+    ) -> tuple[DataFrame, DeltaSnapshot, dict | None]:
+        """``mergeSchema`` semantics for append: NEW columns in ``df``
+        widen the table schema (appended after existing fields, recorded
+        in a metaData action this commit); columns the table has but the
+        frame lacks are null-filled.  Type CHANGES refuse — silent
+        coercion is how data gets corrupted; column-mapped tables refuse
+        (new fields need physical-name/id assignment)."""
+        have = {f.name: f for f in snap.schema.fields}
+        conflicts = [
+            f.name
+            for f in df.schema.fields
+            if f.name in have
+            and f.dataType.simpleString() != have[f.name].dataType.simpleString()
+        ]
+        if conflicts:
+            raise DeltaProtocolError(
+                f"mergeSchema cannot change existing column types: {conflicts}"
+            )
+        new_fields = [f for f in df.schema.fields if f.name not in have]
+        for f in snap.schema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        if not new_fields:
+            return df, snap, None
+        if snap.mapping_mode in ("name", "id"):
+            raise DeltaProtocolError(
+                "mergeSchema on a column-mapped table is not supported; "
+                "ALTER the table first"
+            )
+        evolved_schema = StructType(list(snap.schema.fields) + new_fields)
+        evolved = DeltaSnapshot(
+            snap.version,
+            evolved_schema,
+            snap.partition_columns,
+            snap.files,
+            snap.properties,
+            snap.metadata_id,
+            snap.name,
+            protocol=snap.protocol,
+        )
+        meta = {
+            "id": snap.metadata_id,
+            "name": snap.name,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(evolved_schema.jsonValue()),
+            "partitionColumns": list(snap.partition_columns),
+            "configuration": dict(snap.properties),
+        }
+        return df, evolved, meta
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Append-commit to a REAL Delta table: stage hive-laid parquet,
         then atomically create the next ``NNN.json`` with the add actions
         (the outbound write half of interop — any Delta reader sees the new
-        rows).  Blind appends rebase on a lost race and retry — but only
-        after verifying the racing commit changed no metadata/protocol
-        (Delta aborts appends on metadata conflicts: the staged files were
-        validated and laid out against the OLD table shape)."""
+        rows).  ``merge_schema`` adds the frame's new columns to the table
+        schema in the same commit (delta-spark's ``mergeSchema`` option)
+        and null-fills table columns the frame lacks.  Blind appends
+        rebase on a lost race and retry — but only after verifying the
+        racing commit changed no metadata/protocol (Delta aborts appends
+        on metadata conflicts: the staged files were validated and laid
+        out against the OLD table shape)."""
         import time as _time
 
         snap = self.snapshot()
         self._check_writable(snap, "append")
         fingerprint = self._meta_fingerprint(snap)
+        evolve_meta = None
+        if merge_schema:
+            df, snap, evolve_meta = self._evolve_schema(df, snap)
         df2, id_meta = self._with_identity(self._with_generated(df, snap), snap)
+        if evolve_meta is not None and id_meta is not None:
+            raise DeltaProtocolError(
+                "mergeSchema together with identity-column high-watermark "
+                "updates is not supported in one commit"
+            )
         adds = self._stage_files(df2, snap)
         for _ in range(50):
             actions = [
@@ -1375,6 +1438,7 @@ class DeltaTable:
                     }
                 },
                 *([{"metaData": id_meta}] if id_meta else []),
+                *([{"metaData": evolve_meta}] if evolve_meta else []),
                 *({"add": a} for a in adds),
             ]
             v = self.latest_version() + 1
@@ -3301,3 +3365,184 @@ def _copy_file(src_fs: FileSystem, src_path: str, dst_fs: FileSystem, dst_path: 
     data = src_fs.read_bytes(src_path)
     dst_fs.mkdirs(dst_path.rsplit("/", 1)[0])
     dst_fs.write_bytes(dst_path, data)
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    location: str,
+    partition_schema: str | None = None,
+    properties: dict[str, str] | None = None,
+    name: str | None = None,
+) -> "DeltaTable":
+    """``CONVERT TO DELTA parquet.`/path``` — in place, zero copy.
+
+    Inventories every ``*.parquet`` under ``location``, reads ONE footer
+    set distributed (numRecords + per-column min/max/nullCount aggregated
+    from row-group statistics, so data skipping works from commit 0), and
+    writes a version-0 commit that adopts the existing files where they
+    sit.  Hive-partitioned layouts require ``partition_schema`` (DDL,
+    e.g. ``"order_date date, region string"``) exactly as delta-spark's
+    CONVERT does — partition value TYPES are not inferrable from dir
+    names alone; files missing any declared partition key refuse the
+    conversion rather than guessing.  After conversion the directory is a
+    real Delta table: append/DML/time-travel/vacuum all apply, and the
+    pre-existing files are version 0.
+    """
+    import time as _time
+    import uuid as _uuid
+    from urllib.parse import quote
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from delta_lake_validation_spark.sources.acid.table import (
+        _partition_values,
+    )
+
+    location = location.rstrip("/")
+    fs = FileSystem(spark, location)
+    log_dir = f"{location}/_delta_log"
+    if fs.exists(f"{log_dir}/{0:020d}.json"):
+        raise DeltaProtocolError(f"a Delta table already exists at {location}")
+
+    root = strip_scheme(location)
+    inventory = [
+        (strip_scheme(p)[len(root):].lstrip("/"), sz)
+        for p, sz in fs.list_files_with_size(location)
+        if p.endswith(".parquet")
+        and not strip_scheme(p)[len(root):].lstrip("/").split("/")[0].startswith("_")
+    ]
+    if not inventory:
+        raise DeltaProtocolError(f"no parquet files under {location}")
+
+    part_fields = (
+        _parse_datatype_string(f"struct<{partition_schema}>").fields
+        if partition_schema
+        else []
+    )
+    part_names = [f.name for f in part_fields]
+    for rel, _sz in inventory:
+        pv = _partition_values(rel.rsplit("/", 1)[0] if "/" in rel else "")
+        if not part_names and pv:
+            raise DeltaProtocolError(
+                f"hive partition dirs found ({sorted(pv)} in {rel}) but no "
+                "partition_schema given; partition value types are not "
+                "inferrable from dir names — pass the DDL (CONVERT contract)"
+            )
+        missing = [c for c in part_names if c not in pv]
+        if missing:
+            raise DeltaProtocolError(
+                f"file {rel} lacks partition dirs for {missing}; pass the "
+                "partition_schema matching the layout (CONVERT contract)"
+            )
+
+    # data schema from the files themselves (partition cols live in dirs)
+    data_df = spark.read.parquet(*[f"{location}/{rel}" for rel, _ in inventory[:1]])
+    data_fields = [f for f in data_df.schema.fields if f.name not in part_names]
+    schema = StructType(data_fields + part_fields)
+
+    # distributed footer sweep: numRecords + rg-aggregated min/max/nulls
+    sc = spark.sparkContext
+    loc_b = location
+
+    def _footer(rel: str):
+        import pyarrow.parquet as _pq
+
+        from delta_lake_validation_spark.sources.delta_log import _pa_fs
+
+        pafs, norm = _pa_fs(f"{loc_b}/{rel}")
+        with pafs.open_input_file(norm) as fh:
+            md = _pq.ParquetFile(fh).metadata
+        # first line of the str() form is an object repr with a memory
+        # address — drop it, keep the stable schema text
+        sch_fp = "\n".join(str(md.schema).splitlines()[1:])
+        names = list(md.schema.names)
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i, col in enumerate(names):
+                st = rg.column(i).statistics
+                if st is None:
+                    continue
+                if st.null_count is not None:
+                    nulls[col] = nulls.get(col, 0) + st.null_count
+                if st.has_min_max:
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        continue  # undecoded physical bytes: skip, never wrong
+                    mins[col] = lo if col not in mins else min(mins[col], lo)
+                    maxs[col] = hi if col not in maxs else max(maxs[col], hi)
+        return rel, md.num_rows, mins, maxs, nulls, sch_fp
+
+    swept = sc.parallelize(
+        [rel for rel, _ in inventory],
+        max(1, min(len(inventory), sc.defaultParallelism)),
+    ).map(_footer).collect()
+    fingerprints = {fp for *_ignored, fp in swept}
+    if len(fingerprints) > 1:
+        raise DeltaProtocolError(
+            f"mixed parquet schemas under {location} "
+            f"({len(fingerprints)} distinct footers); CONVERT refuses to "
+            "guess a merge — normalize the files first"
+        )
+    footers = {rel: (n, mins, maxs, nulls) for rel, n, mins, maxs, nulls, _ in swept}
+
+    props = dict(properties or {})
+    now = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(_uuid.uuid4()),
+                "name": name,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema.jsonValue()),
+                "partitionColumns": part_names,
+                "configuration": props,
+                "createdTime": now,
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "CONVERT",
+                "operationParameters": {
+                    "numFiles": len(inventory),
+                    "partitionedBy": json.dumps(part_names),
+                },
+                "engineInfo": "delta-lake-validation-spark",
+            }
+        },
+    ]
+    for rel, sz in sorted(inventory):
+        pv = _partition_values(rel.rsplit("/", 1)[0] if "/" in rel else "")
+        n, mins, maxs, nulls = footers[rel]
+        actions.append(
+            {
+                "add": {
+                    "path": quote(rel, safe="/!$&'()*+,;=:@"),
+                    "partitionValues": {c: pv.get(c) for c in part_names},
+                    "size": sz,
+                    "modificationTime": now,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {
+                            "numRecords": int(n),
+                            "minValues": {
+                                k: _stat_jsonable(v) for k, v in mins.items()
+                                if _stat_jsonable(v) is not None
+                            },
+                            "maxValues": {
+                                k: _stat_jsonable(v) for k, v in maxs.items()
+                                if _stat_jsonable(v) is not None
+                            },
+                            "nullCount": {k: int(v) for k, v in nulls.items()},
+                        }
+                    ),
+                }
+            }
+        )
+    body = "\n".join(json.dumps(a) for a in actions) + "\n"
+    fs.atomic_create(f"{log_dir}/{0:020d}.json", body)
+    return DeltaTable(spark, location)

@@ -1,0 +1,133 @@
+"""CONVERT TO DELTA (in-place parquet adoption) and mergeSchema appends.
+
+Reference anchors: delta-spark's ``CONVERT TO DELTA parquet.`path``` and
+``option("mergeSchema","true")`` write surface — table-management /
+write families adjacent to src/validation_suite.py:268-307,354-368.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from delta_lake_validation_spark.sources.delta_log import (
+    DeltaProtocolError,
+    DeltaTable,
+    convert_to_delta,
+    create_delta,
+)
+
+
+def _plain_parquet(spark, path, n=60):
+    df = spark.createDataFrame(
+        [(i, float(i) * 2, "xyz"[i % 3]) for i in range(n)],
+        "id bigint, v double, part string",
+    )
+    df.write.partitionBy("part").mode("overwrite").parquet(str(path))
+    return df
+
+
+def test_convert_partitioned_in_place(spark, tmp_path):
+    loc = tmp_path / "conv"
+    df = _plain_parquet(spark, loc)
+    t = convert_to_delta(spark, str(loc), partition_schema="part string")
+    got = sorted((r.id, r.v, r.part) for r in t.read().collect())
+    want = sorted((r.id, r.v, r.part) for r in df.collect())
+    assert got == want
+    snap = t.snapshot()
+    assert snap.partition_columns == ["part"]
+    # footer-derived stats make skipping work from commit 0
+    for a in snap.files.values():
+        st = json.loads(a["stats"])
+        assert st["numRecords"] > 0 and "id" in st["minValues"]
+    assert t.history()[-1]["operation"] == "CONVERT"
+    # it's a real table now: DML applies to the adopted files
+    t.delete("part = 'x'")
+    assert DeltaTable(spark, str(loc)).read().count() == 40
+    # and the native source reads it
+    assert spark.read.format("deltapy").load(str(loc)).count() == 40
+
+
+def test_convert_unpartitioned_and_existing_refusal(spark, tmp_path):
+    loc = tmp_path / "flat"
+    spark.createDataFrame([(1,), (2,)], "id bigint").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(loc))
+    t = convert_to_delta(spark, str(loc))
+    assert {r.id for r in t.read().collect()} == {1, 2}
+    with pytest.raises(DeltaProtocolError, match="already exists"):
+        convert_to_delta(spark, str(loc))
+
+
+def test_convert_requires_partition_schema(spark, tmp_path):
+    loc = tmp_path / "needs"
+    _plain_parquet(spark, loc)
+    with pytest.raises(DeltaProtocolError, match="partition"):
+        convert_to_delta(spark, str(loc))  # hive dirs but no schema given
+
+
+def test_convert_refuses_mixed_schemas(spark, tmp_path):
+    loc = tmp_path / "mixed"
+    spark.createDataFrame([(1,)], "id bigint").coalesce(1).write.parquet(
+        str(loc / "a=1")
+    )
+    spark.createDataFrame([("s",)], "id string").coalesce(1).write.parquet(
+        str(loc / "a=2")
+    )
+    with pytest.raises(DeltaProtocolError, match="mixed parquet schemas"):
+        convert_to_delta(spark, str(loc), partition_schema="a int")
+
+
+def test_merge_schema_append_adds_columns(spark, tmp_path):
+    loc = str(tmp_path / "evo")
+    create_delta(spark, loc, "id bigint, v double")
+    t = DeltaTable(spark, loc)
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "id bigint, v double"))
+    wide = spark.createDataFrame(
+        [(3, 3.0, "hello")], "id bigint, v double, note string"
+    )
+    # strict append refuses the extra column …
+    with pytest.raises(DeltaProtocolError, match="schema mismatch"):
+        DeltaTable(spark, loc).append(wide)
+    # … mergeSchema widens the table in the same commit
+    DeltaTable(spark, loc).append(wide, merge_schema=True)
+    t2 = DeltaTable(spark, loc)
+    assert [f.name for f in t2.schema().fields] == ["id", "v", "note"]
+    rows = {(r.id, r.v, r.note) for r in t2.read().collect()}
+    assert rows == {(1, 1.0, None), (2, 2.0, None), (3, 3.0, "hello")}
+    # narrow frames now null-fill under merge_schema
+    DeltaTable(spark, loc).append(
+        spark.createDataFrame([(9,)], "id bigint"), merge_schema=True
+    )
+    assert DeltaTable(spark, loc).read().filter(
+        "id = 9 and v is null and note is null"
+    ).count() == 1
+    # the native source sees the evolved schema too
+    assert spark.read.format("deltapy").load(loc).columns == ["id", "v", "note"]
+
+
+def test_merge_schema_refuses_type_change(spark, tmp_path):
+    loc = str(tmp_path / "tchg")
+    create_delta(spark, loc, "id bigint, v double")
+    t = DeltaTable(spark, loc)
+    t.append(spark.createDataFrame([(1, 1.0)], "id bigint, v double"))
+    bad = spark.createDataFrame([("x", 1.0)], "id string, v double")
+    with pytest.raises(DeltaProtocolError, match="cannot change"):
+        DeltaTable(spark, loc).append(bad, merge_schema=True)
+
+
+def test_convert_sql_statement(spark, tmp_path):
+    from delta_lake_validation_spark.sources.acid.sqlshim import (
+        AcidSqlContext,
+    )
+
+    loc = tmp_path / "sqlconv"
+    _plain_parquet(spark, loc, n=30)
+    ctx = AcidSqlContext(spark)
+    ctx.sql(
+        f"CONVERT TO DELTA parquet.`{loc}` PARTITIONED BY (part string)"
+    )
+    t = DeltaTable(spark, str(loc))
+    assert t.read().count() == 30
+    assert t.snapshot().partition_columns == ["part"]
