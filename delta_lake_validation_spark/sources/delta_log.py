@@ -1936,6 +1936,219 @@ class DeltaTable:
             )
         return v
 
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        *,
+        matched: str | None = "update",
+        matched_predicate: str | None = None,
+        not_matched: str | None = "insert",
+        not_matched_by_source: str | None = None,
+        not_matched_by_source_predicate: str | None = None,
+    ) -> int:
+        """Multi-clause MERGE (the full delta-spark clause matrix over
+        equality keys):
+
+        * ``matched`` — ``"update"`` (matched target rows replaced by
+          their source row, per target-row multiplicity), ``"delete"``
+          (matched rows removed), or ``None`` (matched rows untouched).
+          ``matched_predicate`` (SQL over TARGET columns) restricts which
+          matched rows take the clause; the rest stay.
+        * ``not_matched`` — ``"insert"`` (source rows with no target
+          match are appended) or ``None``.
+        * ``not_matched_by_source`` — ``"delete"`` removes target rows
+          whose key has no source row (optionally restricted by
+          ``not_matched_by_source_predicate``), the CDC-apply /
+          sync-deletion clause.
+
+        ``merge_upsert`` is the (update, insert) specialization and the
+        reference's only shape (src/validation_suite.py:489-524); this
+        generalization serves retention sweeps (matched delete) and full
+        table synchronization.  DV tables mask removed rows in place;
+        otherwise touched files rewrite copy-on-write.  CDF commits carry
+        update_preimage/update_postimage, delete, and insert rows."""
+        import time as _time
+
+        if matched not in ("update", "delete", None):
+            raise ValueError(f"matched must be update/delete/None, got {matched!r}")
+        if not_matched not in ("insert", None):
+            raise ValueError(f"not_matched must be insert/None, got {not_matched!r}")
+        if not_matched_by_source not in ("delete", None):
+            raise ValueError(
+                "not_matched_by_source must be delete/None, "
+                f"got {not_matched_by_source!r}"
+            )
+        snap = self.snapshot()
+        self._check_writable(snap, "merge")
+        logical = [f.name for f in snap.schema.fields]
+        needs_full = matched == "update" or not_matched == "insert"
+        if needs_full and set(source.columns) != set(logical):
+            raise DeltaProtocolError(
+                f"MERGE source schema mismatch: table has {sorted(logical)}, "
+                f"source has {sorted(source.columns)}"
+            )
+        if not set(keys) <= set(source.columns):
+            raise DeltaProtocolError(
+                f"MERGE keys {keys} not all present in source columns"
+            )
+        if matched == "update":
+            dup = (
+                source.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise DeltaProtocolError(
+                    "MERGE source has duplicate keys — multiple matches per "
+                    "target row are ambiguous (Delta raises here too)"
+                )
+        _, id_meta = (
+            self._with_identity(source, snap) if needs_full else (None, None)
+        )
+        live = self._read_with_pos(snap)
+        src_keys = source.select(*keys).distinct()
+        matched_all = live.join(src_keys, keys, "inner")
+        clause_rows = (
+            matched_all.filter(matched_predicate)
+            if matched_predicate
+            else matched_all
+        ) if matched else matched_all.limit(0)
+        by_source = live.join(src_keys, keys, "anti")
+        if not_matched_by_source == "delete":
+            if not_matched_by_source_predicate:
+                by_source = by_source.filter(not_matched_by_source_predicate)
+        else:
+            by_source = by_source.limit(0)
+        removal = clause_rows.select("__fp", "__ri").unionByName(
+            by_source.select("__fp", "__ri")
+        )
+        removal_rows = clause_rows.unionByName(by_source)
+        per_file, touched_fps = self._target_bitmaps(
+            snap, removal_rows
+        )
+        ts = int(_time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": "MERGE",
+                    "operationParameters": {
+                        "matchedPredicates": json.dumps(
+                            [
+                                {
+                                    "actionType": matched,
+                                    **(
+                                        {"predicate": matched_predicate}
+                                        if matched_predicate
+                                        else {}
+                                    ),
+                                }
+                            ]
+                            if matched
+                            else []
+                        ),
+                        "notMatchedPredicates": json.dumps(
+                            [{"actionType": "insert"}] if not_matched else []
+                        ),
+                        "notMatchedBySourcePredicates": json.dumps(
+                            [
+                                {
+                                    "actionType": "delete",
+                                    **(
+                                        {
+                                            "predicate": (
+                                                not_matched_by_source_predicate
+                                            )
+                                        }
+                                        if not_matched_by_source_predicate
+                                        else {}
+                                    ),
+                                }
+                            ]
+                            if not_matched_by_source
+                            else []
+                        ),
+                    },
+                }
+            },
+            *([{"metaData": id_meta}] if id_meta else []),
+        ]
+        post = (
+            clause_rows.select(*keys)
+            .join(source, keys, "inner")
+            .select(*logical)
+            if matched == "update"
+            else None
+        )
+        ins = None
+        if not_matched == "insert":
+            tgt_keys = live.select(*keys).distinct()
+            ins = source.join(tgt_keys, keys, "anti").select(*logical)
+        if self._cdf_enabled(snap):
+            pieces = []
+            if matched == "update":
+                pieces.append(
+                    clause_rows.drop("__fp", "__ri").withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                )
+                pieces.append(
+                    post.withColumn("_change_type", F.lit("update_postimage"))
+                )
+            elif matched == "delete":
+                pieces.append(
+                    clause_rows.drop("__fp", "__ri").withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+            if not_matched_by_source == "delete":
+                pieces.append(
+                    by_source.drop("__fp", "__ri").withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+            if ins is not None:
+                pieces.append(ins.withColumn("_change_type", F.lit("insert")))
+            if pieces:
+                cdc = pieces[0]
+                for p in pieces[1:]:
+                    cdc = cdc.unionByName(p)
+                actions += self._write_cdc(cdc, snap)
+        new_rows = None
+        for piece in (post, ins):
+            if piece is None:
+                continue
+            new_rows = piece if new_rows is None else new_rows.unionByName(piece)
+        if self._dv_enabled(snap) and per_file:
+            actions += self._dv_mask_actions(snap, per_file, ts)
+            if new_rows is not None:
+                actions += [
+                    {"add": a} for a in self._stage_files(new_rows, snap)
+                ]
+        else:
+            keep = (
+                live.filter(F.col("__fp").isin(touched_fps))
+                .join(removal, ["__fp", "__ri"], "anti")
+                .drop("__fp", "__ri")
+            )
+            rewritten = (
+                keep.unionByName(new_rows) if new_rows is not None else keep
+            )
+            actions += [
+                {"add": a} for a in self._stage_files(rewritten, snap)
+            ]
+            actions += self._remove_actions(snap, list(per_file), ts)
+        v = snap.version + 1
+        if not self._try_commit(v, actions):
+            raise DeltaProtocolError(
+                f"merge lost the race for version {v}: a concurrent writer "
+                "committed first; re-read and retry"
+            )
+        return v
+
     def _partition_prune(self, snap: DeltaSnapshot, where: str):
         """Files whose partitionValues satisfy ``where`` (partition columns
         only), or None when the predicate references anything else —
