@@ -175,6 +175,9 @@ class _DeltaSqlTable:
     def merge(self, source: DataFrame, keys: list[str]) -> int:
         return self._t().merge_upsert(source, keys)
 
+    def merge_clauses(self, source: DataFrame, keys: list[str], **kw) -> int:
+        return self._t().merge(source, keys, **kw)
+
     def optimize(self, zorder_by=None, where=None, target_files: int = 1) -> int:
         return self._t().optimize(
             target_files=target_files, zorder_by=zorder_by, where=where
@@ -662,7 +665,97 @@ class AcidSqlContext:
         t.update(assignments, pred if pred else "true")
         return None
 
+    def _merge_delete_forms(self, s: str) -> bool:
+        """Delete-clause MERGE shapes (beyond the reference's upsert):
+
+        ``WHEN MATCHED [AND pred] THEN DELETE`` and/or
+        ``WHEN NOT MATCHED BY SOURCE [AND pred] THEN DELETE`` —
+        dispatched to the multi-clause ``DeltaTable.merge``.  Returns
+        False when the statement is not one of these shapes (the caller
+        falls through to the upsert parser)."""
+        m = re.match(
+            rf"MERGE{_WS}INTO{_WS}(?P<target>\w+)"
+            rf"(?:{_WS}AS{_WS}(?P<talias>\w+)|{_WS}(?!USING)(?P<talias2>\w+))?"
+            rf"{_WS}USING{_WS}(?P<source>\w+)"
+            rf"(?:{_WS}AS{_WS}(?P<salias>\w+)|{_WS}(?!ON)(?P<salias2>\w+))?"
+            rf"{_WS}ON{_WS}(?P<on>.+?)"
+            rf"(?:{_WS}WHEN{_WS}MATCHED(?:{_WS}AND{_WS}(?P<mpred>.+?))?"
+            rf"{_WS}THEN{_WS}DELETE)?"
+            rf"(?:{_WS}WHEN{_WS}NOT{_WS}MATCHED{_WS}BY{_WS}SOURCE"
+            rf"(?:{_WS}AND{_WS}(?P<bpred>.+?))?{_WS}THEN{_WS}DELETE"
+            rf"(?P<bs>))?\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m or "DELETE" not in s.upper():
+            return False
+        has_matched = re.search(
+            rf"WHEN{_WS}MATCHED(?:{_WS}AND.+?)?{_WS}THEN{_WS}DELETE",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        has_bs = m.group("bs") is not None
+        if not has_matched and not has_bs:
+            return False
+        t = self.table(m.group("target"))
+        if not hasattr(t, "merge_clauses"):
+            raise AcidSqlError(
+                "MERGE delete clauses are supported on Delta interop tables "
+                "(register_delta); ACID tables take the upsert shape only"
+            )
+        src_name = m.group("source")
+        source = (
+            self._tables[src_name].read()
+            if src_name in self._tables
+            else self.spark.table(src_name)
+        )
+        keys = self._merge_on_keys(m.group("on"))
+        aliases = [
+            a
+            for a in (
+                m.group("target"),
+                m.group("talias"),
+                m.group("talias2"),
+            )
+            if a
+        ]
+
+        def _unqualify(pred: str | None) -> str | None:
+            if pred is None:
+                return None
+            out = pred.strip()
+            for a in aliases:
+                out = re.sub(rf"\b{re.escape(a)}\.", "", out)
+            return out
+
+        t.merge_clauses(
+            source,
+            keys,
+            matched="delete" if has_matched else None,
+            matched_predicate=_unqualify(m.group("mpred")),
+            not_matched=None,
+            not_matched_by_source="delete" if has_bs else None,
+            not_matched_by_source_predicate=_unqualify(m.group("bpred")),
+        )
+        return True
+
+    @staticmethod
+    def _merge_on_keys(on: str) -> list[str]:
+        keys = []
+        for clause in re.split(rf"{_WS}AND{_WS}", on, flags=re.IGNORECASE):
+            eq = re.match(
+                r"\s*(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)\s*$", clause
+            )
+            if not eq or eq.group(1) != eq.group(2):
+                raise AcidSqlError(
+                    f"MERGE ON must be key equality; got {clause!r}"
+                )
+            keys.append(eq.group(1))
+        return keys
+
     def _merge(self, s: str) -> None:
+        if self._merge_delete_forms(s):
+            return None
         m = re.match(
             rf"MERGE{_WS}INTO{_WS}(?P<target>\w+)"
             rf"(?:{_WS}AS{_WS}(?P<talias>\w+)|{_WS}(?!USING)(?P<talias2>\w+))?"
@@ -677,8 +770,9 @@ class AcidSqlContext:
         )
         if not m:
             raise AcidSqlError(
-                "unsupported MERGE shape (expected the reference's upsert: "
-                f"WHEN MATCHED UPDATE SET …, WHEN NOT MATCHED INSERT …): {s[:120]}..."
+                "unsupported MERGE shape (expected the reference's upsert "
+                "WHEN MATCHED UPDATE SET … WHEN NOT MATCHED INSERT …, or a "
+                f"delete-clause form): {s[:120]}..."
             )
         t = self.table(m.group("target"))
         # AcidTable.merge is a full-row SOURCE upsert; dispatching anything

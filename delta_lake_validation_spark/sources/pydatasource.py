@@ -889,6 +889,7 @@ class DeltaPyWriter(DataSourceArrowWriter):
                     f"deltapy: partitionBy columns {missing} not in schema"
                 )
             self.existing_meta = None
+            self.evolved_schema = None
             self.phys = {f.name: f.name for f in schema.fields}
         else:
             snap = tbl.snapshot()
@@ -922,13 +923,46 @@ class DeltaPyWriter(DataSourceArrowWriter):
                 )
             want = [(f.name, f.dataType.simpleString()) for f in snap.schema]
             got = [(f.name, f.dataType.simpleString()) for f in schema]
-            if want != got:
+            self.evolved_schema = None
+            if want != got and _boolish(options.get("mergeschema")):
+                # mergeSchema: NEW columns widen the table (metaData action
+                # in the commit); existing columns must keep their types and
+                # relative order.  Missing columns need no null-fill here —
+                # every reader treats absent file columns as null.
+                have = dict(want)
+                conflicts = [
+                    n for n, t in got if n in have and have[n] != t
+                ]
+                if conflicts:
+                    raise DeltaProtocolError(
+                        "deltapy mergeSchema cannot change existing column "
+                        f"types: {conflicts}"
+                    )
+                missing_parts = [
+                    c for c in snap.partition_columns if c not in schema.names
+                ]
+                if missing_parts:
+                    raise DeltaProtocolError(
+                        "deltapy mergeSchema: partition columns "
+                        f"{missing_parts} must be present in the frame"
+                    )
+                new_fields = [
+                    f for f in schema.fields if f.name not in have
+                ]
+                self.evolved_schema = (
+                    StructType(list(snap.schema.fields) + new_fields)
+                    if new_fields
+                    else None
+                )
+            elif want != got:
                 raise ValueError(
                     f"deltapy: dataframe schema {got} does not match table "
-                    f"schema {want}"
+                    f"schema {want}; option('mergeSchema','true') widens "
+                    "the table with new columns"
                 )
             self.part_cols = list(snap.partition_columns)
             self.existing_meta = True
+            self._base_schema_json = snap.schema.json()
             self.phys = dict(snap.physical)
             if snap.mapping_mode not in ("none", ""):
                 raise DeltaProtocolError(
@@ -1098,6 +1132,29 @@ class DeltaPyWriter(DataSourceArrowWriter):
                             "partitionColumns": list(self.part_cols),
                             "configuration": {},
                             "createdTime": ts,
+                        }
+                    }
+                )
+            if (
+                snap is not None
+                and getattr(self, "_base_schema_json", None) is not None
+                and snap.schema.json() != self._base_schema_json
+            ):
+                raise DeltaProtocolError(
+                    "deltapy writer: table schema changed concurrently; the "
+                    "staged files were validated against the old schema — "
+                    "re-run the write"
+                )
+            if self.evolved_schema is not None and snap is not None:
+                actions.append(
+                    {
+                        "metaData": {
+                            "id": snap.metadata_id,
+                            "name": snap.name,
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": self.evolved_schema.json(),
+                            "partitionColumns": list(snap.partition_columns),
+                            "configuration": dict(snap.properties),
                         }
                     }
                 )

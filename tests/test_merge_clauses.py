@@ -167,3 +167,39 @@ def test_merge_upsert_equivalence(spark, tmp_path):
     DeltaTable(spark, loc_a).merge(src, ["id"])
     DeltaTable(spark, loc_b).merge_upsert(src, ["id"])
     assert _rows(spark, loc_a) == _rows(spark, loc_b)
+
+
+def test_sql_merge_delete_clauses(spark, tmp_path):
+    from delta_lake_validation_spark.sources.acid.sqlshim import (
+        AcidSqlContext,
+        AcidSqlError,
+    )
+
+    loc = _table(spark, tmp_path, n=12)
+    ctx = AcidSqlContext(spark)
+    ctx.register_delta("tgt", loc)
+    spark.createDataFrame([(2,), (3,), (11,)], "id bigint").createOrReplaceTempView(
+        "srcv"
+    )
+    ctx.sql(
+        "MERGE INTO tgt USING srcv ON tgt.id = srcv.id "
+        "WHEN MATCHED AND tgt.id > 2 THEN DELETE"
+    )
+    ids = [i for i, _, _ in _rows(spark, loc)]
+    assert ids == [0, 1, 2, 4, 5, 6, 7, 8, 9, 10]  # 3 and 11 deleted, 2 kept
+    ctx.sql(
+        "MERGE INTO tgt USING srcv ON tgt.id = srcv.id "
+        "WHEN NOT MATCHED BY SOURCE AND tgt.id >= 9 THEN DELETE"
+    )
+    ids = [i for i, _, _ in _rows(spark, loc)]
+    assert ids == [0, 1, 2, 4, 5, 6, 7, 8]
+    # the reference's upsert shape still parses through the original path
+    spark.createDataFrame(
+        [(2, 222.0, "u")], "id bigint, v double, tag string"
+    ).createOrReplaceTempView("upv")
+    ctx.sql(
+        "MERGE INTO tgt USING upv ON tgt.id = upv.id "
+        "WHEN MATCHED THEN UPDATE SET id = upv.id, v = upv.v, tag = upv.tag "
+        "WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (upv.id, upv.v, upv.tag)"
+    )
+    assert dict((i, v) for i, v, _ in _rows(spark, loc))[2] == 222.0

@@ -716,3 +716,33 @@ def test_sparkless_v2_checkpoint_replay(spark, tmp_path):
             "partitionValues"
         )
     assert spark.read.format("deltapy").load(loc).count() == 50
+
+
+def test_writer_merge_schema_option(spark, tmp_path):
+    loc = str(tmp_path / "wms")
+    spark.createDataFrame([(1, 1.0)], "id bigint, v double").write.format(
+        "deltapy"
+    ).mode("append").save(loc)
+    wide = spark.createDataFrame(
+        [(2, 2.0, "n")], "id bigint, v double, note string"
+    )
+    with pytest.raises(Exception, match="mergeSchema"):
+        wide.write.format("deltapy").mode("append").save(loc)
+    wide.write.format("deltapy").mode("append").option(
+        "mergeSchema", "true"
+    ).save(loc)
+    t = DeltaTable(spark, loc)
+    assert [f.name for f in t.schema().fields] == ["id", "v", "note"]
+    rows = {(r.id, r.v, r.note) for r in t.read().collect()}
+    assert rows == {(1, 1.0, None), (2, 2.0, "n")}
+    got = {
+        (r.id, r.v, r.note)
+        for r in spark.read.format("deltapy").load(loc).collect()
+    }
+    assert got == rows
+    # type change still refuses even with the option
+    bad = spark.createDataFrame([("x", 1.0)], "id string, v double")
+    with pytest.raises(Exception, match="cannot change"):
+        bad.write.format("deltapy").mode("append").option(
+            "mergeSchema", "true"
+        ).save(loc)

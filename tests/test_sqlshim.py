@@ -143,8 +143,12 @@ def test_table_changes_tvf(ctx):
 def test_unknown_shapes_rejected(ctx):
     with pytest.raises(AcidSqlError, match="unknown ACID table"):
         ctx.sql("DELETE FROM nope WHERE 1=1")
+    # the delete-clause form now parses, but ACID-registered tables only
+    # take the upsert shape — typed refusal instead of a parse error
+    with pytest.raises(AcidSqlError, match="upsert shape only"):
+        ctx.sql("MERGE INTO orders USING x ON a = a WHEN MATCHED THEN DELETE")
     with pytest.raises(AcidSqlError, match="unsupported MERGE"):
-        ctx.sql("MERGE INTO orders USING x ON a = b WHEN MATCHED THEN DELETE")
+        ctx.sql("MERGE INTO orders USING x ON a = b WHEN MATCHED THEN FROB")
 
 
 def test_time_travel_sql_forms(ctx):
