@@ -1009,6 +1009,218 @@ class AcidTable:
         }
         return self._commit_strict(entry, snap)
 
+    def merge_clauses(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        *,
+        matched: str | None = "update",
+        matched_predicate: str | None = None,
+        not_matched: str | None = "insert",
+        not_matched_by_source: str | None = None,
+        not_matched_by_source_predicate: str | None = None,
+    ) -> int:
+        """Multi-clause MERGE on the ACID layer (same clause matrix as
+        ``DeltaTable.merge``): matched ``update``/``delete``/None with an
+        optional TARGET-column predicate, not-matched ``insert``/None,
+        and not-matched-by-source ``delete``/None (CDC apply / sync).
+
+        Copy-on-write: one distributed scan finds the files holding any
+        clause-affected row (matched rows, or unmatched rows passing the
+        by-source predicate); only those rewrite.  Clause predicates are
+        evaluated on the target frame BEFORE the source join, so bare
+        column names stay unambiguous.  ``merge`` remains the reference's
+        upsert specialization (src/validation_suite.py:489-524)."""
+        if matched not in ("update", "delete", None):
+            raise AcidTableError(
+                f"matched must be update/delete/None, got {matched!r}"
+            )
+        if not_matched not in ("insert", None):
+            raise AcidTableError(
+                f"not_matched must be insert/None, got {not_matched!r}"
+            )
+        if not_matched_by_source not in ("delete", None):
+            raise AcidTableError(
+                "not_matched_by_source must be delete/None, "
+                f"got {not_matched_by_source!r}"
+            )
+        snap = self.log.snapshot()
+        schema = self.schema(snap)
+        cols = schema.fieldNames()
+        needs_full = matched == "update" or not_matched == "insert"
+        if needs_full and set(source.columns) != set(cols):
+            raise AcidTableError(
+                f"merge source columns {source.columns} != {cols}"
+            )
+        if not set(keys) <= set(source.columns):
+            raise AcidTableError(f"merge keys {keys} not in source columns")
+        if matched == "update":
+            dup = (
+                source.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise AcidTableError(
+                    "merge source has duplicate rows for a key; a target "
+                    "row would receive multiple updates"
+                )
+        src_cols = list(source.columns)
+        src = source.alias("s")
+        mp = F.expr(matched_predicate) if matched_predicate else F.lit(True)
+        bp = (
+            F.expr(not_matched_by_source_predicate)
+            if not_matched_by_source_predicate
+            else F.lit(True)
+        )
+
+        def _on(talias="t", salias="s"):
+            on = None
+            for k in keys:
+                c = F.col(f"{talias}.{k}") == F.col(f"{salias}.{k}")
+                on = c if on is None else (on & c)
+            return on
+
+        def _affected(df):
+            """drop-or-replace condition over a joined (t+__m) frame."""
+            cond = F.lit(False)
+            if matched:
+                cond = cond | (F.col("__m").isNotNull() & F.col("__mp"))
+            if not_matched_by_source == "delete":
+                cond = cond | (F.col("__m").isNull() & F.col("__bp"))
+            return cond
+
+        rels = list(snap.files)
+        touched: list[str] = []
+        if rels and (matched or not_matched_by_source):
+            scan = (
+                self._read_files(snap, rels)
+                .withColumn("__f", F.input_file_name())
+                .withColumn("__mp", mp)
+                .withColumn("__bp", bp)
+                .alias("t")
+                .join(
+                    src.select(*keys).distinct().withColumn("__m", F.lit(1)).alias("s"),
+                    _on(),
+                    "left",
+                )
+            )
+            touched = sorted(
+                {
+                    self._rel_of(r[0])
+                    for r in scan.filter(_affected(scan))
+                    .select("__f")
+                    .distinct()
+                    .collect()
+                }
+            )
+        rewritten = None
+        if touched:
+            tf = (
+                self._read_files(snap, touched)
+                .withColumn("__mp", mp)
+                .withColumn("__bp", bp)
+                .alias("t")
+            )
+            joined = tf.join(
+                src.withColumn("__m", F.lit(1)).alias("s"), _on(), "left"
+            )
+            drop = F.lit(False)
+            if matched == "delete":
+                drop = drop | (F.col("__m").isNotNull() & F.col("__mp"))
+            if not_matched_by_source == "delete":
+                drop = drop | (F.col("__m").isNull() & F.col("__bp"))
+            kept = joined.filter(~drop)
+            if matched == "update":
+                take_src = F.col("__m").isNotNull() & F.col("__mp")
+                rewritten = kept.select(
+                    *[
+                        F.when(take_src, F.col(f"s.{c}"))
+                        .otherwise(F.col(f"t.{c}"))
+                        .alias(c)
+                        for c in cols
+                    ]
+                )
+            else:
+                rewritten = kept.select(
+                    *[F.col(f"t.{c}").alias(c) for c in cols]
+                )
+        inserts = None
+        if not_matched == "insert":
+            tgt = self.read().alias("t")
+            inserts = src.join(tgt, _on(), "left_anti").select(
+                *[F.col(f"s.{c}").alias(c) for c in cols]
+            )
+        new_data = None
+        for piece in (rewritten, inserts):
+            if piece is None:
+                continue
+            new_data = piece if new_data is None else new_data.unionByName(piece)
+        if new_data is None:
+            new_data = self.read().limit(0)
+        adds, _ = self._stage_write(new_data, snap, cdf_type=None, rewrite=True)
+        cdf = []
+        if self._cdf_enabled(snap):
+            tf_all = (
+                self.read()
+                .withColumn("__mp", mp)
+                .withColumn("__bp", bp)
+                .alias("t")
+            )
+            jall = tf_all.join(
+                src.withColumn("__m", F.lit(1)).alias("s"), _on(), "left"
+            )
+            pieces = []
+            tcols = [F.col(f"t.{c}").alias(c) for c in cols]
+            if matched == "update":
+                hit = F.col("__m").isNotNull() & F.col("__mp")
+                pieces.append(
+                    jall.filter(hit)
+                    .select(*tcols)
+                    .withColumn(CDF_TYPE, F.lit("update_preimage"))
+                )
+                pieces.append(
+                    jall.filter(hit)
+                    .select(*[F.col(f"s.{c}").alias(c) for c in cols])
+                    .withColumn(CDF_TYPE, F.lit("update_postimage"))
+                )
+            elif matched == "delete":
+                pieces.append(
+                    jall.filter(F.col("__m").isNotNull() & F.col("__mp"))
+                    .select(*tcols)
+                    .withColumn(CDF_TYPE, F.lit("delete"))
+                )
+            if not_matched_by_source == "delete":
+                pieces.append(
+                    jall.filter(F.col("__m").isNull() & F.col("__bp"))
+                    .select(*tcols)
+                    .withColumn(CDF_TYPE, F.lit("delete"))
+                )
+            if inserts is not None:
+                pieces.append(inserts.withColumn(CDF_TYPE, F.lit("insert")))
+            if pieces:
+                allc = pieces[0]
+                for p in pieces[1:]:
+                    allc = allc.unionByName(p)
+                cdf = self._write_cdf(allc)
+        entry = {
+            "operation": "MERGE",
+            "operationParameters": {
+                "keys": keys,
+                "matched": matched,
+                "matchedPredicate": matched_predicate,
+                "notMatched": not_matched,
+                "notMatchedBySource": not_matched_by_source,
+                "notMatchedBySourcePredicate": not_matched_by_source_predicate,
+            },
+            "add": adds,
+            "remove": [{"path": p} for p in touched],
+            "cdf": cdf,
+        }
+        return self._commit_strict(entry, snap)
+
     # ------------------------------------------------------- file targeting
     def _files_matching(self, snap: Snapshot, cond: Column) -> list[str]:
         """Distributed scan for files containing predicate matches — the

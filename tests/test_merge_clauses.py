@@ -203,3 +203,117 @@ def test_sql_merge_delete_clauses(spark, tmp_path):
         "WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (upv.id, upv.v, upv.tag)"
     )
     assert dict((i, v) for i, v, _ in _rows(spark, loc))[2] == 222.0
+
+
+# ----------------------------------------------------------- ACID parity
+from delta_lake_validation_spark.sources.acid.table import AcidTable
+
+
+def _acid(spark, tmp_path, cdf=False, n=12):
+    loc = str(tmp_path / "acid")
+    props = {"enableChangeDataFeed": "true"} if cdf else None
+    t = AcidTable.create(
+        spark, loc, "id bigint, v double, tag string", properties=props
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i), "old") for i in range(n)],
+            "id bigint, v double, tag string",
+        )
+    )
+    return t
+
+
+def test_acid_matched_delete_and_by_source(spark, tmp_path):
+    t = _acid(spark, tmp_path)
+    src = spark.createDataFrame([(2,), (5,), (99,)], "id bigint")
+    t.merge_clauses(src, ["id"], matched="delete", not_matched=None)
+    ids = sorted(r.id for r in t.read().collect())
+    assert ids == [0, 1, 3, 4, 6, 7, 8, 9, 10, 11]
+    t.merge_clauses(
+        src,
+        ["id"],
+        matched=None,
+        not_matched=None,
+        not_matched_by_source="delete",
+        not_matched_by_source_predicate="id >= 10",
+    )
+    ids = sorted(r.id for r in t.read().collect())
+    assert ids == [0, 1, 3, 4, 6, 7, 8, 9]
+
+
+def test_acid_sync_matches_delta(spark, tmp_path):
+    """Same clause spec on both layers produces the same table."""
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        create_delta,
+    )
+
+    a = _acid(spark, tmp_path, n=10)
+    dloc = str(tmp_path / "delta")
+    create_delta(spark, dloc, "id bigint, v double, tag string")
+    d = DeltaTable(spark, dloc)
+    d.append(
+        spark.createDataFrame(
+            [(i, float(i), "old") for i in range(10)],
+            "id bigint, v double, tag string",
+        )
+    )
+    src = spark.createDataFrame(
+        [(3, 33.0, "s"), (77, 77.0, "s")], "id bigint, v double, tag string"
+    )
+    kw = dict(
+        matched="update",
+        matched_predicate="v < 100",
+        not_matched="insert",
+        not_matched_by_source="delete",
+        not_matched_by_source_predicate="id >= 8",
+    )
+    a.merge_clauses(src, ["id"], **kw)
+    DeltaTable(spark, dloc).merge(src, ["id"], **kw)
+    got_a = sorted((r.id, r.v, r.tag) for r in a.read().collect())
+    got_d = sorted(
+        (r.id, r.v, r.tag) for r in DeltaTable(spark, dloc).read().collect()
+    )
+    assert got_a == got_d
+    assert got_a == [
+        (0, 0.0, "old"), (1, 1.0, "old"), (2, 2.0, "old"), (3, 33.0, "s"),
+        (4, 4.0, "old"), (5, 5.0, "old"), (6, 6.0, "old"), (7, 7.0, "old"),
+        (77, 77.0, "s"),
+    ]
+
+
+def test_acid_merge_clauses_cdf(spark, tmp_path):
+    t = _acid(spark, tmp_path, cdf=True, n=6)
+    src = spark.createDataFrame(
+        [(1, 11.0, "u"), (99, 99.0, "i")], "id bigint, v double, tag string"
+    )
+    v = t.merge_clauses(
+        src, ["id"], matched="update", not_matched="insert",
+        not_matched_by_source="delete",
+        not_matched_by_source_predicate="id = 5",
+    )
+    ch = t.read_changes(start_version=v)
+    by_type = {}
+    for r in ch.collect():
+        by_type.setdefault(r._change_type, set()).add(r.id)
+    assert by_type["update_preimage"] == {1}
+    assert by_type["update_postimage"] == {1}
+    assert by_type["insert"] == {99}
+    assert by_type["delete"] == {5}
+
+
+def test_sql_merge_delete_on_acid_table(spark, tmp_path):
+    from delta_lake_validation_spark.sources.acid.sqlshim import AcidSqlContext
+
+    t = _acid(spark, tmp_path, n=8)
+    ctx = AcidSqlContext(spark)
+    ctx.register("tgt2", t)
+    spark.createDataFrame([(1,), (6,)], "id bigint").createOrReplaceTempView(
+        "srcv2"
+    )
+    ctx.sql(
+        "MERGE INTO tgt2 USING srcv2 ON tgt2.id = srcv2.id "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert sorted(r.id for r in t.read().collect()) == [0, 2, 3, 4, 5, 7]

@@ -143,10 +143,8 @@ def test_table_changes_tvf(ctx):
 def test_unknown_shapes_rejected(ctx):
     with pytest.raises(AcidSqlError, match="unknown ACID table"):
         ctx.sql("DELETE FROM nope WHERE 1=1")
-    # the delete-clause form now parses, but ACID-registered tables only
-    # take the upsert shape — typed refusal instead of a parse error
-    with pytest.raises(AcidSqlError, match="upsert shape only"):
-        ctx.sql("MERGE INTO orders USING x ON a = a WHEN MATCHED THEN DELETE")
+    # delete-clause MERGE now parses (see test_merge_clauses for the
+    # semantics); a clause that is neither delete nor upsert still raises
     with pytest.raises(AcidSqlError, match="unsupported MERGE"):
         ctx.sql("MERGE INTO orders USING x ON a = b WHEN MATCHED THEN FROB")
 
