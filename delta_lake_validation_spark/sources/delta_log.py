@@ -178,10 +178,15 @@ class DeltaSnapshot:
         metadata_id: str | None,
         name: str | None,
         protocol: dict | None = None,
+        txns: dict[str, dict] | None = None,
     ):
         #: last protocol action seen during replay (reader/writer gating
         #: uses this — one replay, not one per check)
         self.protocol = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+        #: latest ``txn`` action per appId seen during replay (checkpoint
+        #: rows + JSON tail) — the idempotent-sink watermark the spec says
+        #: every checkpoint must carry so log cleanup can't lose it
+        self.txns = txns or {}
         self.version = version
         self.schema = schema
         self.partition_columns = partition_columns
@@ -414,7 +419,7 @@ class DeltaTable:
         """Flatten one checkpoint (any kind) into a list of action dicts.
         v2 manifests contribute their own actions plus every referenced
         sidecar's add/remove rows."""
-        wanted = ("add", "remove", "metaData", "protocol")
+        wanted = ("add", "remove", "metaData", "protocol", "txn")
         if kind == "classic":
             paths = [f"{self.log_dir}/{n}" for n in parts]
             return self._parquet_rows(paths, wanted)
@@ -455,6 +460,7 @@ class DeltaTable:
         meta_id: str | None = None
         name: str | None = None
         proto: dict | None = None
+        txns: dict[str, dict] = {}
         start = 0
 
         ckpt = self._last_checkpoint()
@@ -468,6 +474,8 @@ class DeltaTable:
                     schema, part_cols, props, meta_id, name = self._apply_meta(
                         d["metaData"]
                     )
+                if d.get("txn") and d["txn"].get("appId"):
+                    txns[d["txn"]["appId"]] = dict(d["txn"])
                 if d.get("add"):
                     a = d["add"]
                     files[a["path"]] = a
@@ -485,6 +493,8 @@ class DeltaTable:
                     schema, part_cols, props, meta_id, name = self._apply_meta(
                         action["metaData"]
                     )
+                elif "txn" in action and (action["txn"] or {}).get("appId"):
+                    txns[action["txn"]["appId"]] = dict(action["txn"])
             # removes before adds: a commit is atomic, and a DV-rewriting
             # DELETE emits remove(path, old DV) + add(path, new DV) for the
             # SAME path — path-keyed replay is only order-independent if
@@ -502,7 +512,8 @@ class DeltaTable:
                 f"no metaData action found replaying {self.location} to v{version}"
             )
         return DeltaSnapshot(
-            version, schema, part_cols, files, props, meta_id, name, proto
+            version, schema, part_cols, files, props, meta_id, name, proto,
+            txns,
         )
 
     @staticmethod
@@ -3058,8 +3069,10 @@ def write_delta_checkpoint(
     Unexpired remove tombstones (within
     ``delta.deletedFileRetentionDuration``) ride into every checkpoint, as
     the spec requires — after JSON log cleanup they are the only record
-    other engines have for vacuum coordination.  Returns the checkpointed
-    version."""
+    other engines have for vacuum coordination.  So does the latest
+    ``txn`` action per appId (the idempotent-streaming-sink watermark) —
+    losing it to log cleanup would let a replayed micro-batch
+    double-commit.  Returns the checkpointed version."""
     from pyspark.sql import Row
 
     if not is_local(location):  # pragma: no cover
@@ -3089,8 +3102,30 @@ def write_delta_checkpoint(
                 deletionTimestamp=int(r.get("deletionTimestamp") or 0),
                 dataChange=False,
             ),
+            txn=None,
         )
         for r in t.unexpired_tombstones(snap)
+    ]
+    # spec: a checkpoint carries the LATEST txn action per appId — after
+    # JSON log cleanup it is the only idempotent-sink watermark left, and
+    # dropping it would let a replayed streaming batch double-commit
+    txn_rows = [
+        Row(
+            add=None,
+            metaData=None,
+            protocol=None,
+            remove=None,
+            txn=Row(
+                appId=app,
+                version=int(tx.get("version", 0) or 0),
+                lastUpdated=(
+                    int(tx["lastUpdated"])
+                    if tx.get("lastUpdated") is not None
+                    else None
+                ),
+            ),
+        )
+        for app, tx in sorted(snap.txns.items())
     ]
     rows = [
         Row(
@@ -3134,10 +3169,12 @@ def write_delta_checkpoint(
             metaData=None,
             protocol=None,
             remove=None,
+            txn=None,
         )
         for p, a in snap.files.items()
     ]
     rows.extend(tombstones)
+    rows.extend(txn_rows)
     rows.append(
         Row(
             add=None,
@@ -3159,6 +3196,7 @@ def write_delta_checkpoint(
                 writerFeatures=snap.protocol.get("writerFeatures"),
             ),
             remove=None,
+            txn=None,
         )
     )
     add_schema = (
@@ -3178,6 +3216,7 @@ def write_delta_checkpoint(
         "protocol struct<minReaderVersion:int,minWriterVersion:int,"
         "readerFeatures:array<string>,writerFeatures:array<string>>,"
         + remove_schema
+        + ",txn struct<appId:string,version:bigint,lastUpdated:bigint>"
     )
     import time as _time
     import uuid as _uuid
@@ -3209,13 +3248,22 @@ def write_delta_checkpoint(
             "modificationTime:bigint>,"
             "checkpointMetadata struct<version:bigint>"
         )
+        # spec: sidecars hold ONLY add/remove — txn rides in the manifest
         manifest_rows = [
             Row(
                 add=None, metaData=mp_row.metaData, protocol=mp_row.protocol,
-                remove=None, sidecar=None, checkpointMetadata=None,
+                remove=None, txn=None, sidecar=None, checkpointMetadata=None,
             ),
+            *[
+                Row(
+                    add=None, metaData=None, protocol=None, remove=None,
+                    txn=r.txn, sidecar=None, checkpointMetadata=None,
+                )
+                for r in txn_rows
+            ],
             Row(
                 add=None, metaData=None, protocol=None, remove=None,
+                txn=None,
                 sidecar=Row(
                     path=side_name,
                     sizeInBytes=side_size,
@@ -3225,7 +3273,7 @@ def write_delta_checkpoint(
             ),
             Row(
                 add=None, metaData=None, protocol=None, remove=None,
-                sidecar=None, checkpointMetadata=Row(version=v),
+                txn=None, sidecar=None, checkpointMetadata=Row(version=v),
             ),
         ]
         _write_one_parquet(
@@ -3240,11 +3288,18 @@ def write_delta_checkpoint(
         file_rows = [r for r in rows if r.add or r.remove]
         mp_row = next(r for r in rows if r.metaData)
         for i in range(1, parts + 1):
-            chunk = [mp_row] if i == 1 else []
+            # metaData+protocol and the txn watermarks ride in part 1
+            chunk = [mp_row, *txn_rows] if i == 1 else []
             chunk += file_rows[i - 1 :: parts]
             _write_one_parquet(
                 spark,
-                chunk or [Row(add=None, metaData=None, protocol=None, remove=None)],
+                chunk
+                or [
+                    Row(
+                        add=None, metaData=None, protocol=None, remove=None,
+                        txn=None,
+                    )
+                ],
                 schema,
                 f"{log_dir}/{v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet",
             )

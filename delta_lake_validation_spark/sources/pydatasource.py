@@ -1229,9 +1229,10 @@ class DeltaPyStreamWriter(DeltaPyWriter, DataSourceStreamArrowWriter):
     commit that the checkpoint didn't record) is SKIPPED when the log
     already holds a txn for the same appId at-or-past the batch id —
     Delta's own idempotent-sink contract, giving exactly-once end to end.
-    The txn lookup scans commit JSONs newest-first and stops at the first
-    match; after aggressive log cleanup the lookback shrinks with the
-    log, matching the checkpoint-less fallback behavior of the spec.
+    The txn lookup reads the snapshot's per-appId watermark, which log
+    replay assembles from checkpoint txn rows plus the JSON tail — so the
+    watermark survives aggressive log cleanup (write_delta_checkpoint
+    carries the latest txn per appId, as the spec requires).
     Without ``txnAppId`` the sink is plain at-least-once on replay."""
 
     def __init__(self, options: dict, schema: StructType):
@@ -1239,12 +1240,8 @@ class DeltaPyStreamWriter(DeltaPyWriter, DataSourceStreamArrowWriter):
         self.app_id = options.get("txnappid")
 
     def _last_txn_version(self, tbl: DeltaTable) -> int | None:
-        for v in sorted(tbl.versions(), reverse=True):
-            for a in tbl._commit_actions(v):
-                t = a.get("txn")
-                if t and t.get("appId") == self.app_id:
-                    return int(t.get("version", -1))
-        return None
+        tx = tbl.snapshot().txns.get(self.app_id)
+        return int(tx.get("version", -1)) if tx else None
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
         import time

@@ -686,6 +686,61 @@ def test_stream_write_replayed_batch_skipped(spark, tmp_path):
     assert t.latest_version() == 2
 
 
+def test_txn_watermark_survives_checkpoint_and_log_cleanup(
+    spark, tmp_path
+):
+    """The spec says checkpoints carry the latest txn per appId.  After a
+    checkpoint plus aggressive JSON log cleanup, a replayed micro-batch
+    must STILL be skipped — the watermark now lives only in the
+    checkpoint parquet."""
+    import os
+
+    import pyarrow as pa
+
+    from delta_lake_validation_spark.sources.delta_log import (
+        write_delta_checkpoint,
+    )
+    from delta_lake_validation_spark.sources.pydatasource import (
+        DeltaPyStreamWriter,
+    )
+
+    loc = str(tmp_path / "t")
+    create_delta(spark, loc, "id bigint")
+    sch = StructType([StructField("id", LongType())])
+
+    def run_batch(bid):
+        w = DeltaPyStreamWriter({"path": loc, "txnappid": "pump"}, sch)
+        msg = w.write(
+            iter([pa.record_batch({"id": pa.array([1, 2], pa.int64())})])
+        )
+        w.commit([msg], bid)
+
+    run_batch(0)
+    run_batch(1)
+    v = write_delta_checkpoint(spark, loc)
+    # aggressive log cleanup: drop every commit JSON at-or-before the
+    # checkpoint — the JSON-tail txn records are gone
+    log = f"{loc}/_delta_log"
+    for n in list(os.listdir(log)):
+        if n.endswith(".json") and int(n.split(".")[0]) <= v:
+            os.remove(f"{log}/{n}")
+    snap = DeltaTable(spark, loc).snapshot()
+    assert snap.txns["pump"]["version"] == 1
+    before = DeltaTable(spark, loc).read().count()
+    run_batch(1)  # replay: watermark from the checkpoint must skip it
+    t = DeltaTable(spark, loc)
+    assert t.read().count() == before
+    run_batch(2)  # fresh batch still lands
+    assert DeltaTable(spark, loc).read().count() == before + 2
+    # multi-part classic and v2 carry the watermark too (v2: in the
+    # manifest, not the sidecars — and sparkless replay sees it)
+    write_delta_checkpoint(spark, loc, kind="classic", parts=3)
+    assert DeltaTable(None, loc).snapshot().txns["pump"]["version"] == 2
+    run_batch(3)
+    write_delta_checkpoint(spark, loc, kind="v2")
+    assert DeltaTable(None, loc).snapshot().txns["pump"]["version"] == 3
+
+
 def test_sparkless_v2_checkpoint_replay(spark, tmp_path):
     """v2 checkpoints (uuid manifest + _sidecars) replay identically in
     the sparkless planning path (pyarrow manifest + sidecar reads)."""
