@@ -189,6 +189,11 @@ class _DeltaSqlTable:
     def restore(self, version: int) -> int:
         return self._t().restore(version)
 
+    def cleanup_log(self, retain_hours=None, dry_run: bool = False):
+        return self._t().cleanup_log(
+            retain_hours=retain_hours, dry_run=dry_run
+        )
+
     @property
     def log(self):
         """Minimal log facade: RESTORE … TIMESTAMP AS OF resolves its

@@ -2409,6 +2409,108 @@ class DeltaTable:
                 self.fs.delete(f"{self.location}/{rel}")
         return sorted(doomed)
 
+    def _manifest_sidecar_paths(self, name: str) -> set[str]:
+        """Absolute paths of every sidecar a v2 manifest references."""
+        if name.endswith(".json"):
+            actions = [
+                json.loads(line)
+                for line in self._read_text(name).splitlines()
+                if line.strip()
+            ]
+        else:
+            actions = self._parquet_rows(
+                [f"{self.log_dir}/{name}"], ("sidecar",)
+            )
+        out: set[str] = set()
+        for a in actions:
+            sc = a.get("sidecar")
+            if sc and sc.get("path"):
+                p = sc["path"]
+                if "://" not in p and not p.startswith("/"):
+                    p = f"{self.log_dir}/_sidecars/{p}"
+                out.add(strip_scheme(p))
+        return out
+
+    def cleanup_log(
+        self, retain_hours: float | None = None, dry_run: bool = False
+    ) -> list[str]:
+        """Metadata cleanup (delta-spark's ``cleanUpExpiredLogs``): delete
+        commit JSONs and checkpoint files made obsolete by the newest
+        checkpoint, once they are older than
+        ``delta.logRetentionDuration`` (default 30 days;
+        ``retain_hours`` overrides).  Replay afterwards starts at the
+        retained checkpoint — which is why checkpoints must carry remove
+        tombstones and txn watermarks — and time travel to cleaned
+        versions fails, exactly as in Delta.
+
+        Only files STRICTLY BELOW the newest checkpoint version are
+        candidates; commit JSONs are deleted as a contiguous prefix
+        (oldest first, stopping at the first one inside the retention
+        window) so the surviving JSON tail never has holes.  v2 sidecars
+        are reclaimed only when no retained manifest references them.
+        Returns the log-dir-relative names deleted (or that would be,
+        with ``dry_run``)."""
+        import time as _t
+
+        ck = self._last_checkpoint()
+        if ck is None:
+            return []  # nothing is replayable without the full JSON chain
+        ck_v = ck[0]
+        snap = self.snapshot()
+        if retain_hours is not None:
+            retention_ms = int(retain_hours * 3_600_000)
+        else:
+            retention_ms = _interval_ms(
+                snap.properties.get("delta.logRetentionDuration"),
+                30 * 86_400_000,
+            )
+        cutoff = _t.time() - retention_ms / 1000.0
+        names = self._list_log()
+        doomed: list[str] = []
+        # commit JSONs: contiguous expired prefix below the checkpoint
+        commits = sorted(
+            (int(m.group(1)), n)
+            for n in names
+            if (m := _COMMIT_RE.match(n))
+        )
+        for v, n in commits:
+            if v >= ck_v:
+                break
+            if self.fs.mtime(f"{self.log_dir}/{n}") > cutoff:
+                break
+            doomed.append(n)
+        # obsolete checkpoint files (classic parts + v2 manifests) < ck_v
+        retained_manifests = []
+        for n in names:
+            m = _CHECKPOINT_RE.match(n) or _V2_CHECKPOINT_RE.match(n)
+            if not m:
+                continue
+            v = int(m.group(1))
+            if v >= ck_v:
+                if _V2_CHECKPOINT_RE.match(n):
+                    retained_manifests.append(n)
+                continue
+            if self.fs.mtime(f"{self.log_dir}/{n}") > cutoff:
+                continue
+            doomed.append(n)
+        # sidecars: reclaim only what no retained manifest references
+        live_sidecars: set[str] = set()
+        for n in retained_manifests:
+            live_sidecars |= self._manifest_sidecar_paths(n)
+        doomed_manifests = [n for n in doomed if _V2_CHECKPOINT_RE.match(n)]
+        if doomed_manifests:
+            for p in self.fs.list_files(f"{self.log_dir}/_sidecars"):
+                if strip_scheme(p) in live_sidecars:
+                    continue
+                if self.fs.mtime(p) > cutoff:
+                    continue
+                doomed.append(f"_sidecars/{p.rsplit('/', 1)[-1]}")
+        if not dry_run:
+            for n in doomed:
+                self.fs.delete(f"{self.log_dir}/{n}")
+            self._log_names = self._list_log()
+        return sorted(doomed)
+
     def restore(self, version: int) -> int:
         """RESTORE TABLE … TO VERSION AS OF n on a REAL Delta table: one
         commit re-adding the target snapshot's files and removing the
@@ -3312,6 +3414,16 @@ def write_delta_checkpoint(
         stanza["parts"] = parts
     with open(f"{strip_scheme(log_dir)}/_last_checkpoint", "w") as f:
         json.dump(stanza, f)
+    # delta-spark runs metadata cleanup after every checkpoint unless the
+    # table opts out; the 30-day default retention means young logs are
+    # untouched, so this is a no-op until a table actually ages
+    if (
+        str(
+            snap.properties.get("delta.enableExpiredLogCleanup", "true")
+        ).lower()
+        == "true"
+    ):
+        DeltaTable(spark, location).cleanup_log()
     return v
 
 

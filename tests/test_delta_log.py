@@ -2340,6 +2340,90 @@ def test_checkpoint_carries_unexpired_tombstones(spark, tmp_path):
     assert {r.v for r in dt.read().collect()} == {2}
 
 
+def test_cleanup_log_metadata_retention(spark, tmp_path):
+    """cleanup_log (delta-spark's cleanUpExpiredLogs): expired commit
+    JSONs and obsolete checkpoints below the newest checkpoint go; the
+    JSON tail keeps replaying from the retained checkpoint; a young JSON
+    halts the expired prefix so the tail never has holes."""
+    import time as _time
+
+    from delta_lake_validation_spark.sources.delta_log import (
+        create_delta,
+        write_delta_checkpoint,
+    )
+
+    loc = str(tmp_path / "cl")
+    t = create_delta(spark, loc, "v int")
+    for i in range(4):
+        t.append(spark.createDataFrame([(i,)], "v int"))
+    v_ck = write_delta_checkpoint(spark, loc)  # auto-cleanup: 30d → no-op
+    t.append(spark.createDataFrame([(99,)], "v int"))
+    log = tmp_path / "cl" / "_delta_log"
+    assert sorted(
+        int(n.split(".")[0]) for n in os.listdir(log) if n.endswith(".json")
+    ) == [0, 1, 2, 3, 4, 5]
+
+    dt = DeltaTable(spark, loc)
+    # dry_run lists without deleting
+    listed = dt.cleanup_log(retain_hours=0, dry_run=True)
+    assert listed and all((log / n).exists() for n in listed)
+    # contiguity: backdating nothing, a young JSON mid-prefix halts it
+    old = _time.time() - 3600
+    for n in ("00000000000000000000.json", "00000000000000000001.json"):
+        os.utime(log / n, (old, old))
+    gone = dt.cleanup_log(retain_hours=0.5)
+    assert gone == sorted(
+        ["00000000000000000000.json", "00000000000000000001.json"]
+    )  # v2/v3 are young → retained even though below the checkpoint
+    gone2 = DeltaTable(spark, loc).cleanup_log(retain_hours=0)
+    assert "00000000000000000002.json" in gone2
+    assert f"{v_ck:020d}.json" not in gone2  # at-checkpoint JSON retained
+    survivors = sorted(n for n in os.listdir(log) if n.endswith(".json"))
+    assert survivors == [f"{v_ck:020d}.json", f"{v_ck + 1:020d}.json"]
+    # replay still works from the checkpoint + tail
+    dt2 = DeltaTable(spark, loc)
+    assert {r.v for r in dt2.read().collect()} == {0, 1, 2, 3, 99}
+    # time travel below the cleaned horizon now fails, as in Delta
+    with pytest.raises(Exception):
+        dt2.read(version=1).collect()
+
+
+def test_cleanup_log_v2_reclaims_orphan_sidecars(spark, tmp_path):
+    """Two v2 checkpoint generations: cleanup deletes the old manifest
+    and its now-orphaned sidecar but keeps every sidecar the retained
+    manifest references."""
+    from delta_lake_validation_spark.sources.delta_log import (
+        create_delta,
+        write_delta_checkpoint,
+    )
+
+    loc = str(tmp_path / "v2c")
+    t = create_delta(
+        spark, loc, "v int",
+        properties={"delta.checkpointPolicy": "v2"},
+    )
+    t.append(spark.createDataFrame([(1,)], "v int"))
+    write_delta_checkpoint(spark, loc)
+    t.append(spark.createDataFrame([(2,)], "v int"))
+    write_delta_checkpoint(spark, loc)
+    log = tmp_path / "v2c" / "_delta_log"
+    sidecars_before = set(os.listdir(log / "_sidecars"))
+    assert len(sidecars_before) == 2
+    dt = DeltaTable(spark, loc)
+    live = {
+        p.rsplit("/", 1)[-1]
+        for n in os.listdir(log)
+        if n.endswith(".parquet") and ".checkpoint." in n
+        and dt._last_checkpoint()[1][0] == n
+        for p in dt._manifest_sidecar_paths(n)
+    }
+    gone = dt.cleanup_log(retain_hours=0)
+    assert any(n.startswith("_sidecars/") for n in gone)
+    left = set(os.listdir(log / "_sidecars"))
+    assert left == live  # exactly the retained manifest's sidecars
+    assert {r.v for r in DeltaTable(spark, loc).read().collect()} == {1, 2}
+
+
 def _identity_meta(allow_explicit=False, with_hwm=None, step=10):
     fields = [
         {"name": "id", "type": "long", "nullable": True,
