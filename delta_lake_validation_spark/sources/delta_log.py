@@ -81,6 +81,12 @@ _V2_CHECKPOINT_RE = re.compile(
     r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(parquet|json)$"
 )
 
+# read_where auto-switches to checkpoint-as-data pruning (a Catalyst job
+# over the checkpoint's add rows instead of a driver-side replay loop) once
+# the checkpoint parquet footprint crosses this — roughly the point where
+# the log describes more files than a driver loop should enumerate
+_DISTRIBUTED_PRUNE_BYTES = 8 << 20
+
 _INTERVAL_RE = re.compile(r"^interval\s+(\d+)\s+([a-z]+)$", re.I)
 _INTERVAL_UNIT_MS = {
     "millisecond": 1,
@@ -2689,8 +2695,47 @@ class DeltaTable:
                     return False
         return True
 
+    @staticmethod
+    def _stats_skip(a: dict, ranges: dict[str, tuple], snap: DeltaSnapshot) -> bool:
+        """True when the add action's stats/partitionValues prove no row can
+        satisfy ``ranges`` (conjunctive min/max intersection test).  Missing
+        or incomparable stats keep the file — skipping must never be wrong."""
+        st = a.get("stats")
+        if isinstance(st, str):
+            try:
+                st = json.loads(st)
+            except ValueError:
+                st = None
+        st = st or {}
+        mins = st.get("minValues") or {}
+        maxs = st.get("maxValues") or {}
+        pv = a.get("partitionValues") or {}
+        for col, (lower, upper) in ranges.items():
+            # stats and partitionValues speak physical names
+            pcol = snap.phys(col) if col in snap.physical else col
+            if col in snap.partition_columns:
+                v = pv.get(pcol)
+                if v is None:
+                    continue
+                lo = mx = v
+            else:
+                lo, mx = mins.get(pcol), maxs.get(pcol)
+                if lo is None or mx is None:
+                    continue
+            try:
+                if (lower is not None and type(lower)(mx) < lower) or (
+                    upper is not None and type(upper)(lo) > upper
+                ):
+                    return True
+            except (TypeError, ValueError):
+                continue  # incomparable stats: keep the file
+        return False
+
     def read_where(
-        self, ranges: dict[str, tuple], version: int | None = None
+        self,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+        distributed: bool | None = None,
     ) -> DataFrame:
         """Multi-column data-skipping scan over a real Delta table: prune
         files whose log ``stats`` (minValues/maxValues JSON, written by every
@@ -2699,43 +2744,34 @@ class DeltaTable:
         pruning for partition columns.  Missing stats keep the file (never
         wrong, only less pruned); the exact residual filter always applies.
         Mirrors ``AcidTable.read_where`` so interop tables skip identically.
-        """
+
+        ``distributed`` selects where the pruning loop runs.  ``False``:
+        driver-side replay of the whole log (fine up to ~10⁴ files).
+        ``True``: "the log is data" — the checkpoint's add rows are pruned
+        by a Catalyst job (stats JSON + partitionValues predicates evaluated
+        executor-side) and only the SURVIVING add actions are collected, so
+        driver bytes scale with the query's selectivity, not the table's
+        file count; the JSON tail past the checkpoint (bounded by the
+        checkpoint cadence) is overlaid driver-side.  ``None`` (default)
+        auto-selects: distributed when a usable checkpoint covers the
+        requested version and its parquet footprint exceeds
+        ``_DISTRIBUTED_PRUNE_BYTES`` — the regime where a driver replay
+        would itself be the planner bottleneck (delta-spark performs the
+        same stats pruning as a Spark job over its checkpoint)."""
+        if distributed is None:
+            distributed = self.spark is not None and self._distributed_prune_auto(
+                version
+            )
+        if distributed:
+            out = self._read_where_distributed(ranges, version)
+            if out is not None:
+                return out
         snap = self.snapshot(version)
-        keep: dict[str, dict] = {}
-        for p, a in snap.files.items():
-            st = a.get("stats")
-            if isinstance(st, str):
-                try:
-                    st = json.loads(st)
-                except ValueError:
-                    st = None
-            st = st or {}
-            mins = st.get("minValues") or {}
-            maxs = st.get("maxValues") or {}
-            pv = a.get("partitionValues") or {}
-            skip = False
-            for col, (lower, upper) in ranges.items():
-                # stats and partitionValues speak physical names
-                pcol = snap.phys(col) if col in snap.physical else col
-                if col in snap.partition_columns:
-                    v = pv.get(pcol)
-                    if v is None:
-                        continue
-                    lo = mx = v
-                else:
-                    lo, mx = mins.get(pcol), maxs.get(pcol)
-                    if lo is None or mx is None:
-                        continue
-                try:
-                    if (lower is not None and type(lower)(mx) < lower) or (
-                        upper is not None and type(upper)(lo) > upper
-                    ):
-                        skip = True
-                        break
-                except (TypeError, ValueError):
-                    continue  # incomparable stats: keep the file
-            if not skip:
-                keep[p] = a
+        keep = {
+            p: a
+            for p, a in snap.files.items()
+            if not self._stats_skip(a, ranges, snap)
+        }
         pruned = DeltaSnapshot(
             snap.version,
             snap.schema,
@@ -2745,13 +2781,240 @@ class DeltaTable:
             snap.metadata_id,
             snap.name,
         )
-        df = self._read_snapshot(pruned)
+        return self._residual_filter(self._read_snapshot(pruned), ranges)
+
+    @staticmethod
+    def _residual_filter(df: DataFrame, ranges: dict[str, tuple]) -> DataFrame:
+        # file skipping is inexact by design: the precise predicate always
+        # re-applies on the surviving rows
         for col, (lower, upper) in ranges.items():
             if lower is not None:
                 df = df.filter(F.col(col) >= F.lit(lower))
             if upper is not None:
                 df = df.filter(F.col(col) <= F.lit(upper))
         return df
+
+    def _distributed_prune_auto(self, version: int | None) -> bool:
+        """Heuristic for ``read_where(distributed=None)``: a checkpoint at or
+        below the requested version exists and its parquet footprint says the
+        log is big enough that a driver-side replay is the wrong plan."""
+        ckpt = self._last_checkpoint()
+        if ckpt is None:
+            return False
+        if version is not None and ckpt[0] > version:
+            return False
+        try:
+            total = sum(
+                self.fs.file_size(f"{self.log_dir}/{n}")
+                for n in ckpt[1]
+                if n.endswith(".parquet")
+            )
+        except Exception:
+            return True  # unsizable (exotic scheme): assume big
+        return total >= _DISTRIBUTED_PRUNE_BYTES
+
+    def _checkpoint_add_sources(
+        self, parts: list[str], kind: str
+    ) -> tuple[list[str], list[dict]]:
+        """(parquet paths that may hold checkpoint ``add`` rows, small
+        driver-side actions) for one checkpoint.  Classic: the part files
+        themselves.  v2: the referenced sidecars carry add/remove; the
+        manifest's own actions (metaData/protocol/txn + any inline adds)
+        come back as the driver-side list — a parquet manifest is read once
+        here (it is small: sidecar pointers + metadata, never the file set)."""
+        if kind == "classic":
+            return [f"{self.log_dir}/{n}" for n in parts], []
+        name = parts[0]
+        if kind == "v2-json":
+            inline = [
+                json.loads(line)
+                for line in self._read_text(name).splitlines()
+                if line.strip()
+            ]
+        else:
+            inline = self._parquet_rows(
+                [f"{self.log_dir}/{name}"],
+                ("add", "remove", "metaData", "protocol", "txn", "sidecar"),
+            )
+        paths = []
+        for a in inline:
+            sc = a.get("sidecar")
+            if sc and sc.get("path"):
+                p = sc["path"]
+                if "://" not in p and not p.startswith("/"):
+                    p = f"{self.log_dir}/_sidecars/{p}"
+                paths.append(p)
+        return paths, inline
+
+    def _skip_keep_predicate(
+        self, snap: DeltaSnapshot, ranges: dict[str, tuple]
+    ) -> "Column | None":
+        """Catalyst translation of ``_stats_skip`` over a checkpoint ``add``
+        struct column, or None when a range uses a bound type / column name
+        the translation can't mirror exactly (caller falls back to the
+        driver loop).  Null-safety mirrors the keep-on-unknown contract:
+        try_cast/try_element_at/get_json_object all yield NULL on missing or
+        malformed input, and every skip term is coalesced to false."""
+        keep = F.lit(True)
+        for col, (lower, upper) in ranges.items():
+            pcol = snap.phys(col) if col in snap.physical else col
+            if not re.fullmatch(r"[\w .\-]+", pcol):
+                return None  # quoting hazard in a JSON path / map key
+            if col in snap.partition_columns:
+                lo = mx = F.try_element_at(
+                    F.col("add.partitionValues"), F.lit(pcol)
+                )
+            else:
+                lo = F.get_json_object(
+                    F.col("add.stats"), f"$['minValues']['{pcol}']"
+                )
+                mx = F.get_json_object(
+                    F.col("add.stats"), f"$['maxValues']['{pcol}']"
+                )
+            skip = F.lit(False)
+            for bound, stat, op in ((lower, mx, "lt"), (upper, lo, "gt")):
+                if bound is None:
+                    continue
+                # mirror the driver loop's type(bound)(stat) coercion:
+                # int("3.5") raises -> keep, and try_cast('3.5' as bigint)
+                # is NULL -> keep; other bound types (date/Decimal/bool)
+                # have no exact Catalyst twin -> driver fallback
+                if isinstance(bound, bool) or not isinstance(
+                    bound, (int, float, str)
+                ):
+                    return None
+                typ = (
+                    "bigint"
+                    if isinstance(bound, int)
+                    else "double"
+                    if isinstance(bound, float)
+                    else "string"
+                )
+                cast = stat.try_cast(typ)
+                term = cast < F.lit(bound) if op == "lt" else cast > F.lit(bound)
+                skip = skip | F.coalesce(term, F.lit(False))
+            keep = keep & ~skip
+        return keep
+
+    def _read_where_distributed(
+        self, ranges: dict[str, tuple], version: int | None
+    ) -> DataFrame | None:
+        """Checkpoint-as-data pruning: see ``read_where``.  Returns None when
+        the shape can't be handled exactly (no covering checkpoint, or a
+        range the Catalyst predicate can't mirror) so the caller falls back
+        to the driver loop."""
+        latest = self.latest_version()
+        if version is None:
+            version = latest
+        if version < 0 or version > latest:
+            raise ValueError(f"version {version} out of range 0..{latest}")
+        ckpt = self._last_checkpoint()
+        if ckpt is None or ckpt[0] > version:
+            return None
+        ckpt_version, parts, kind = ckpt
+
+        add_paths, inline = self._checkpoint_add_sources(parts, kind)
+
+        # ---- thin metadata: checkpoint metaData/protocol/txn rows WITHOUT
+        # materializing the add rows (parquet column pruning keeps the scan
+        # to the small action columns), then JSON-tail overrides
+        schema = part_cols = props = meta_id = name = proto = None
+        meta_actions: list[dict] = list(inline)
+        if kind == "classic":
+            cdf = self.spark.read.parquet(*add_paths)
+            cols = [c for c in ("metaData", "protocol") if c in cdf.columns]
+            if "metaData" not in cols:
+                return None  # foreign layout: let full replay handle it
+            cond = " OR ".join(f"{c} IS NOT NULL" for c in cols)
+            meta_actions.extend(
+                r.asDict(recursive=True)
+                for r in cdf.filter(cond).select(*cols).collect()
+            )
+        for d in meta_actions:
+            if d.get("protocol"):
+                self._check_protocol(d["protocol"])
+                proto = dict(d["protocol"])
+            if d.get("metaData"):
+                schema, part_cols, props, meta_id, name = self._apply_meta(
+                    d["metaData"]
+                )
+
+        # ---- JSON tail replay (bounded by the checkpoint cadence): an
+        # overlay dict where None marks a removed path; tail adds/removes
+        # both override the checkpoint's row for that path
+        overlay: dict[str, dict | None] = {}
+        for v in range(ckpt_version + 1, version + 1):
+            actions = self._commit_actions(v)
+            for action in actions:
+                if "protocol" in action:
+                    self._check_protocol(action["protocol"])
+                    proto = dict(action["protocol"])
+                elif "metaData" in action:
+                    schema, part_cols, props, meta_id, name = self._apply_meta(
+                        action["metaData"]
+                    )
+            for action in actions:  # removes before adds (atomic commit)
+                if "remove" in action:
+                    overlay[action["remove"]["path"]] = None
+            for action in actions:
+                if "add" in action:
+                    overlay[action["add"]["path"]] = action["add"]
+
+        if schema is None:
+            raise DeltaProtocolError(
+                f"no metaData action found replaying {self.location} "
+                f"to v{version}"
+            )
+        thin = DeltaSnapshot(
+            version, schema, part_cols, {}, props, meta_id, name, proto
+        )
+        keep_pred = self._skip_keep_predicate(thin, ranges)
+        if keep_pred is None:
+            return None
+
+        # ---- the distributed prune: filter checkpoint add rows with the
+        # Catalyst predicate, anti-join the (small) tail-touched path set,
+        # collect ONLY survivors — O(selected files) driver bytes
+        survivors: dict[str, dict] = {}
+        if add_paths:
+            adf = self.spark.read.parquet(*add_paths)
+            if "add" not in adf.columns:
+                return None  # unrecognizable checkpoint: full replay decides
+            adf = adf.filter(F.col("add").isNotNull()).select("add")
+            if "stats" not in adf.select("add.*").columns:
+                # foreign checkpoint without a stats string: partition
+                # pruning still applies; stat terms see NULL via a
+                # synthesized column
+                adf = adf.withColumn(
+                    "add",
+                    F.col("add").withField("stats", F.lit(None).cast("string")),
+                )
+            if overlay:
+                touched = self.spark.createDataFrame(
+                    [(p,) for p in overlay], "path string"
+                )
+                adf = adf.join(
+                    F.broadcast(touched),
+                    adf["add.path"] == touched["path"],
+                    "left_anti",
+                )
+            for r in adf.filter(keep_pred).collect():
+                a = r.asDict(recursive=True)["add"]
+                survivors[a["path"]] = a
+        for d in inline:  # v2 manifests may carry inline adds (rare, small)
+            a = d.get("add")
+            if a and a["path"] not in overlay and not self._stats_skip(
+                a, ranges, thin
+            ):
+                survivors[a["path"]] = a
+        for p, a in overlay.items():
+            if a is not None and not self._stats_skip(a, ranges, thin):
+                survivors[p] = a
+
+        pruned = DeltaSnapshot(
+            version, schema, part_cols, survivors, props, meta_id, name, proto
+        )
+        return self._residual_filter(self._read_snapshot(pruned), ranges)
 
     # -------------------------------------------------------------- changes
     def read_changes(

@@ -1,0 +1,213 @@
+"""Checkpoint-as-data pruning: ``DeltaTable.read_where`` with
+``distributed=True`` plans file skipping as a Catalyst job over the
+checkpoint's add rows (collecting only survivors) instead of replaying the
+whole log on the driver — the plan delta-spark itself uses at scale ("the
+log is data").  These tests pin exact equivalence with the driver-side
+loop: same rows, same surviving files, same behavior under JSON-tail
+overrides (DV rewrites, appends), v2 checkpoints, and the auto heuristic.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_validation_spark.sources import delta_log
+from delta_lake_validation_spark.sources.delta_log import (
+    DeltaTable,
+    create_delta,
+    write_delta_checkpoint,
+)
+
+
+def _mk_table(spark, loc, *, properties=None, files=6):
+    """Partitioned table with ``files`` single-file appends (ids 0..99,
+    100..199, ... per file; grp = file index % 2), stats recorded."""
+    t = create_delta(
+        spark,
+        loc,
+        "id bigint, v double, grp int",
+        partition_by=["grp"],
+        properties=properties,
+    )
+    for i in range(files):
+        df = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id"),
+            (F.col("id") * 1.5).alias("v"),
+            F.lit(i % 2).alias("grp"),
+        )
+        t.append(df.coalesce(1))
+    return t
+
+
+def _no_full_replay(t):
+    """Arm a DeltaTable so any driver-side full-log replay fails the test."""
+
+    def boom(*a, **k):  # pragma: no cover - failing path
+        raise AssertionError("distributed read_where must not replay the log")
+
+    t.snapshot = boom
+
+
+def _same(spark, t, ranges):
+    """distributed=True and distributed=False agree on rows AND on the
+    surviving file set.  ``t`` is armed against full replay, so the
+    driver-loop leg runs on a fresh handle of the same table."""
+    d = t.read_where(ranges, distributed=True)
+    got_d = sorted((r.id, r.v, r.grp) for r in d.collect())
+    files_d = set(d.inputFiles())
+    fresh = DeltaTable(t.spark, t.location)
+    e = fresh.read_where(ranges, distributed=False)
+    got_e = sorted((r.id, r.v, r.grp) for r in e.collect())
+    files_e = set(e.inputFiles())
+    assert got_d == got_e
+    assert files_d == files_e
+    return got_d, files_d
+
+
+def test_distributed_matches_driver_classic(spark, tmp_path):
+    loc = str(tmp_path / "cls")
+    t = _mk_table(spark, loc)
+    write_delta_checkpoint(spark, loc)
+    # JSON tail past the checkpoint: an append and a copy-on-write delete
+    t.append(
+        spark.range(600, 700)
+        .select(F.col("id"), (F.col("id") * 1.5).alias("v"), F.lit(7).alias("grp"))
+        .coalesce(1)
+    )
+    t.delete("id >= 50 AND id < 60")
+    t2 = DeltaTable(spark, loc)
+    _no_full_replay(t2)
+    rows, files = _same(spark, t2, {"id": (150, 250)})
+    assert [r[0] for r in rows] == list(range(150, 251))
+    # stats pruning really pruned: only the 2 files covering 150..250 scan
+    assert len(files) < 6
+    # tail rows visible through the overlay
+    rows2, _ = _same(spark, t2, {"id": (640, 660)})
+    assert [r[0] for r in rows2] == list(range(640, 661))
+    # deleted range is gone on both paths
+    rows3, _ = _same(spark, t2, {"id": (45, 65)})
+    assert [r[0] for r in rows3] == [45, 46, 47, 48, 49] + list(range(60, 66))
+
+
+def test_distributed_partition_pruning(spark, tmp_path):
+    loc = str(tmp_path / "part")
+    t = _mk_table(spark, loc)
+    write_delta_checkpoint(spark, loc)
+    t2 = DeltaTable(spark, loc)
+    _no_full_replay(t2)
+    rows, files = _same(spark, t2, {"grp": (1, 1)})
+    assert {r[2] for r in rows} == {1}
+    assert all("grp=1" in f for f in files)
+
+
+def test_distributed_dv_rewrite_in_tail(spark, tmp_path):
+    """A DV DELETE in the tail emits remove+add for the SAME path; the
+    overlay must serve the re-added (masked) version, not the checkpoint's."""
+    loc = str(tmp_path / "dv")
+    t = _mk_table(
+        spark, loc, properties={"delta.enableDeletionVectors": "true"}
+    )
+    write_delta_checkpoint(spark, loc)
+    t.delete("id >= 10 AND id < 20")
+    t2 = DeltaTable(spark, loc)
+    _no_full_replay(t2)
+    rows, _ = _same(spark, t2, {"id": (0, 30)})
+    assert [r[0] for r in rows] == list(range(0, 10)) + list(range(20, 31))
+
+
+def test_distributed_v2_checkpoint(spark, tmp_path):
+    loc = str(tmp_path / "v2")
+    t = _mk_table(
+        spark, loc, properties={"delta.checkpointPolicy": "v2"}
+    )
+    write_delta_checkpoint(spark, loc)
+    t.append(
+        spark.range(600, 650)
+        .select(F.col("id"), (F.col("id") * 1.5).alias("v"), F.lit(9).alias("grp"))
+        .coalesce(1)
+    )
+    t2 = DeltaTable(spark, loc)
+    _no_full_replay(t2)
+    rows, files = _same(spark, t2, {"id": (300, 320)})
+    assert [r[0] for r in rows] == list(range(300, 321))
+    assert len(files) == 1
+    rows2, _ = _same(spark, t2, {"id": (610, 620)})
+    assert [r[0] for r in rows2] == list(range(610, 621))
+
+
+def test_distributed_time_travel_version(spark, tmp_path):
+    """version= below the latest replays only the tail up to that version."""
+    loc = str(tmp_path / "tt")
+    t = _mk_table(spark, loc, files=3)
+    write_delta_checkpoint(spark, loc)  # v3
+    t.append(
+        spark.range(300, 400)
+        .select(F.col("id"), (F.col("id") * 1.5).alias("v"), F.lit(1).alias("grp"))
+        .coalesce(1)
+    )  # v4
+    t.delete("id < 100")  # v5
+    t2 = DeltaTable(spark, loc)
+    _no_full_replay(t2)
+    d4 = t2.read_where({"id": (0, 1000)}, version=4, distributed=True)
+    assert d4.count() == 400
+    e4 = DeltaTable(spark, loc).read_where(
+        {"id": (0, 1000)}, version=4, distributed=False
+    )
+    assert e4.count() == 400
+    d5 = t2.read_where({"id": (0, 1000)}, version=5, distributed=True)
+    assert d5.count() == 300
+
+
+def test_distributed_before_checkpoint_falls_back(spark, tmp_path):
+    """A version BELOW the only checkpoint can't use it: the distributed
+    path declines and the driver loop answers."""
+    loc = str(tmp_path / "below")
+    t = _mk_table(spark, loc, files=3)
+    write_delta_checkpoint(spark, loc)  # checkpoint at v3
+    t2 = DeltaTable(spark, loc)
+    assert t2._read_where_distributed({"id": (0, 10)}, 1) is None
+    got = t2.read_where({"id": (0, 10)}, version=1, distributed=True)
+    assert got.count() == 11
+
+
+def test_auto_heuristic(spark, tmp_path, monkeypatch):
+    """Default (distributed=None): tiny checkpoints keep the driver loop;
+    past the byte threshold the distributed path engages."""
+    loc = str(tmp_path / "auto")
+    t = _mk_table(spark, loc, files=3)
+    write_delta_checkpoint(spark, loc)
+    t2 = DeltaTable(spark, loc)
+
+    calls = []
+    orig = DeltaTable._read_where_distributed
+
+    def spy(self, ranges, version):
+        calls.append(1)
+        return orig(self, ranges, version)
+
+    monkeypatch.setattr(DeltaTable, "_read_where_distributed", spy)
+    assert t2.read_where({"id": (0, 10)}).count() == 11
+    assert not calls  # small checkpoint: driver loop
+    monkeypatch.setattr(delta_log, "_DISTRIBUTED_PRUNE_BYTES", 1)
+    assert t2.read_where({"id": (0, 10)}).count() == 11
+    assert calls  # big-log regime: checkpoint-as-data pruning
+
+
+def test_unmirrorable_bound_falls_back(spark, tmp_path):
+    """A bound type the Catalyst twin can't reproduce exactly (e.g. bool)
+    declines distributed pruning rather than risking divergent skipping."""
+    loc = str(tmp_path / "bool")
+    t = _mk_table(spark, loc, files=2)
+    write_delta_checkpoint(spark, loc)
+    t2 = DeltaTable(spark, loc)
+    assert t2._read_where_distributed({"id": (True, None)}, None) is None
+
+
+def test_no_checkpoint_auto_stays_driver(spark, tmp_path):
+    loc = str(tmp_path / "nock")
+    t = _mk_table(spark, loc, files=2)
+    t2 = DeltaTable(spark, loc)
+    assert t2._distributed_prune_auto(None) is False
+    assert t2._read_where_distributed({"id": (0, 5)}, None) is None
+    assert t2.read_where({"id": (0, 5)}).count() == 6
