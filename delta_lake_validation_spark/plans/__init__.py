@@ -114,6 +114,9 @@ _TIER_BY_NAME = {
     "delta_pyds_scenario": _reg.TIER_NEWFAM,
     "delta_clone_scenario": _reg.TIER_NEWFAM,
     "delta_convert_scenario": _reg.TIER_NEWFAM,
+    # round-4 session-3: checkpoint-as-data pruning — the distributed
+    # read_where path pinned against the driver loop and the oracle
+    "delta_skipping_scenario": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):

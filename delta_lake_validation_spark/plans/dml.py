@@ -998,3 +998,77 @@ def delta_convert_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("evolved_nulls", evolved_nulls),
         ]
     return _result(spark, rows)
+
+
+@register(
+    "delta_skipping_scenario",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'files_mid' AS step, 1 AS n_rows
+      UNION ALL
+      SELECT 'full_total', (SELECT count(*) FROM orders)
+      UNION ALL
+      SELECT 'mid_catalyst',
+             (SELECT count(*) FROM orders
+              WHERE o_orderkey BETWEEN 1000 AND 3000)
+      UNION ALL
+      SELECT 'mid_driver',
+             (SELECT count(*) FROM orders
+              WHERE o_orderkey BETWEEN 1000 AND 3000)
+      UNION ALL
+      SELECT 'tail_overlay',
+             (SELECT count(*) FROM orders
+              WHERE o_orderkey BETWEEN 4500 AND 6000)
+    ) ORDER BY step
+    """,
+    tags=("delta", "skipping"),
+    doc="Checkpoint-as-data file pruning: orders lands in key-ranged files, "
+    "a checkpoint is written, one more file arrives in the JSON tail; the "
+    "same range scan then runs BOTH ways — read_where(distributed=True) "
+    "plans skipping as a Catalyst job over the checkpoint's add rows "
+    "(collecting only survivors, delta-spark's 'the log is data' design) "
+    "and distributed=False replays driver-side — and both must agree with "
+    "each other and the oracle, while files_mid pins that pruning really "
+    "reduced the mid-range scan to its single covering file.",
+)
+def delta_skipping_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        create_delta,
+        write_delta_checkpoint,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # key-ranged chunks so min/max stats are disjoint and prunable; the
+    # [4000, 8000) slice stays out of the checkpoint and arrives as tail
+    chunks = [
+        "o_orderkey < 4000",
+        "o_orderkey >= 8000 AND o_orderkey < 16000",
+        "o_orderkey >= 16000",
+    ]
+    with _scratch() as root:
+        loc = f"{root}/tbl"
+        t = create_delta(spark, loc, orders.schema)
+        for pred in chunks:
+            part = orders.filter(pred)
+            if part.limit(1).count():
+                t.append(part.coalesce(1))
+        write_delta_checkpoint(spark, loc)
+        t.append(
+            orders.filter("o_orderkey >= 4000 AND o_orderkey < 8000").coalesce(1)
+        )
+        fresh = DeltaTable(spark, loc)
+        mid = {"o_orderkey": (1000, 3000)}
+        d_mid = fresh.read_where(mid, distributed=True)
+        rows = [
+            ("files_mid", len(d_mid.inputFiles())),
+            ("full_total", fresh.read_where({"o_orderkey": (None, None)},
+                                            distributed=True).count()),
+            ("mid_catalyst", d_mid.count()),
+            ("mid_driver", fresh.read_where(mid, distributed=False).count()),
+            ("tail_overlay", fresh.read_where(
+                {"o_orderkey": (4500, 6000)}, distributed=True).count()),
+        ]
+    return _result(spark, rows)

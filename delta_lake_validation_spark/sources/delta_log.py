@@ -2707,6 +2707,11 @@ class DeltaTable:
             except ValueError:
                 st = None
         st = st or {}
+        try:
+            if int(st.get("numRecords")) == 0:
+                return True  # a 0-row file can never produce rows
+        except (TypeError, ValueError):
+            pass
         mins = st.get("minValues") or {}
         maxs = st.get("maxValues") or {}
         pv = a.get("partitionValues") or {}
@@ -2855,7 +2860,14 @@ class DeltaTable:
         driver loop).  Null-safety mirrors the keep-on-unknown contract:
         try_cast/try_element_at/get_json_object all yield NULL on missing or
         malformed input, and every skip term is coalesced to false."""
-        keep = F.lit(True)
+        empty = F.coalesce(
+            F.get_json_object(F.col("add.stats"), "$['numRecords']").try_cast(
+                "bigint"
+            )
+            == 0,
+            F.lit(False),
+        )
+        keep = ~empty
         for col, (lower, upper) in ranges.items():
             pcol = snap.phys(col) if col in snap.physical else col
             if not re.fullmatch(r"[\w .\-]+", pcol):

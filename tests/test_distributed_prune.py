@@ -211,3 +211,20 @@ def test_no_checkpoint_auto_stays_driver(spark, tmp_path):
     assert t2._distributed_prune_auto(None) is False
     assert t2._read_where_distributed({"id": (0, 5)}, None) is None
     assert t2.read_where({"id": (0, 5)}).count() == 6
+
+
+def test_zero_row_file_pruned_both_paths(spark, tmp_path):
+    """A file whose stats say numRecords=0 can never produce rows: both
+    pruning paths drop it (delta-spark reads numRecords the same way)."""
+    loc = str(tmp_path / "zero")
+    t = _mk_table(spark, loc, files=2)
+    empty = spark.range(0).select(
+        F.col("id"), F.lit(0.0).alias("v"), F.lit(5).alias("grp")
+    )
+    t.append(empty.coalesce(1))
+    write_delta_checkpoint(spark, loc)
+    t2 = DeltaTable(spark, loc)
+    for dist in (True, False):
+        df = t2.read_where({"id": (None, None)}, distributed=dist)
+        assert df.count() == 200
+        assert len(df.inputFiles()) == 2  # the 0-row file never scans
