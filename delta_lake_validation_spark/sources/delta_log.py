@@ -87,6 +87,10 @@ _V2_CHECKPOINT_RE = re.compile(
 # the log describes more files than a driver loop should enumerate
 _DISTRIBUTED_PRUNE_BYTES = 8 << 20
 
+# vacuum fans its listing/anti-join/deletes out as Spark jobs once the live
+# set says per-file driver RPCs would dominate
+_VACUUM_DISTRIBUTED_FILES = 10_000
+
 _INTERVAL_RE = re.compile(r"^interval\s+(\d+)\s+([a-z]+)$", re.I)
 _INTERVAL_UNIT_MS = {
     "millisecond": 1,
@@ -2359,7 +2363,10 @@ class DeltaTable:
         )
 
     def vacuum(
-        self, retain_hours: float = 168.0, dry_run: bool = False
+        self,
+        retain_hours: float = 168.0,
+        dry_run: bool = False,
+        distributed: bool | None = None,
     ) -> list[str]:
         """VACUUM a REAL Delta table (ref: VACUUM RETAIN 0 HOURS,
         src/validation_suite.py:456-463): delete files under the table dir
@@ -2371,7 +2378,16 @@ class DeltaTable:
         top segment starts with ``_`` are skipped (protocol: readers ignore
         them) except ``_change_data``.  Writer-feature gated: deleting
         files under a table whose commits we might not see (unsupported
-        writer features) would corrupt it."""
+        writer features) would corrupt it.
+
+        ``distributed`` (default auto: table has ≥``_VACUUM_DISTRIBUTED_
+        FILES`` live files and pyarrow speaks the filesystem) runs the
+        listing, the active-set anti-join, and the deletes as Spark jobs —
+        delta-spark's own vacuum shape.  The driver path's per-file mtime
+        RPC and serial-delete loops are the scale hazard this removes: at
+        1M files that is 1M round-trips; distributed, mtimes ride the
+        recursive listings (one batch call per directory, fanned over
+        executors) and deletes run ``foreachPartition``."""
         import time as _t
 
         from delta_lake_validation_spark.sources.dv import dv_relative_path
@@ -2393,27 +2409,123 @@ class DeltaTable:
             elif d.get("storageType") == "p":
                 active_dv.add(strip_scheme(d["pathOrInlineDv"]))
         cutoff = _t.time() - retain_hours * 3600
-        doomed: list[str] = []
-        for f_abs in self.fs.list_files(self.location):
-            rel = strip_scheme(f_abs)[len(root):].lstrip("/")
-            top = rel.split("/", 1)[0]
-            if top.startswith("_") and top != "_change_data":
-                continue  # _delta_log, _staging-*, _SUCCESS markers …
-            if strip_scheme(f_abs) in active:
-                continue
-            name = rel.rsplit("/", 1)[-1]
-            if name.startswith("deletion_vector_") and name.endswith(".bin"):
-                if strip_scheme(f_abs) in active_dv:
+        if distributed is None:
+            distributed = (
+                self.spark is not None
+                and len(snap.files) >= _VACUUM_DISTRIBUTED_FILES
+            )
+        doomed: list[str] | None = None
+        if distributed:
+            doomed = self._vacuum_distributed(
+                root, active, active_dv, cutoff, dry_run
+            )
+        if doomed is None:  # driver path (small table / non-pyarrow FS)
+            doomed = []
+            for f_abs in self.fs.list_files(self.location):
+                rel = strip_scheme(f_abs)[len(root):].lstrip("/")
+                top = rel.split("/", 1)[0]
+                if top.startswith("_") and top != "_change_data":
+                    continue  # _delta_log, _staging-*, _SUCCESS markers …
+                if strip_scheme(f_abs) in active:
                     continue
-            elif not rel.endswith(".parquet"):
-                continue
-            if self.fs.mtime(f_abs) > cutoff:
-                continue
-            doomed.append(rel)
-        if not dry_run:
-            for rel in doomed:
-                self.fs.delete(f"{self.location}/{rel}")
+                name = rel.rsplit("/", 1)[-1]
+                if name.startswith("deletion_vector_") and name.endswith(".bin"):
+                    if strip_scheme(f_abs) in active_dv:
+                        continue
+                elif not rel.endswith(".parquet"):
+                    continue
+                if self.fs.mtime(f_abs) > cutoff:
+                    continue
+                doomed.append(rel)
+            if not dry_run:
+                for rel in doomed:
+                    self.fs.delete(f"{self.location}/{rel}")
         return sorted(doomed)
+
+    def _vacuum_distributed(
+        self,
+        root: str,
+        active: set[str],
+        active_dv: set[str],
+        cutoff: float,
+        dry_run: bool,
+    ) -> list[str] | None:
+        """Spark-job vacuum: executor-side recursive listings (mtimes come
+        back IN the listing — no per-file stat RPCs), a Catalyst anti-join
+        against the active file set, and ``foreachPartition`` deletes.
+        Driver bytes: the active set it already holds plus the doomed list
+        it must return.  None when pyarrow can't open this filesystem (the
+        caller falls back to the driver loop)."""
+        try:
+            import pyarrow.fs as pafs
+
+            fs, norm = _pa_fs(self.location)
+            top = fs.get_file_info(
+                pafs.FileSelector(norm, allow_not_found=True)
+            )
+        except Exception:
+            return None
+        dirs: list[str] = []
+        rows: list[tuple[str, float]] = []
+        for info in top:
+            name = info.path.rsplit("/", 1)[-1]
+            if name.startswith("_") and name != "_change_data":
+                continue
+            if info.type == pafs.FileType.Directory:
+                dirs.append(info.path)
+            elif info.type == pafs.FileType.File:
+                ts = info.mtime.timestamp() if info.mtime else float("inf")
+                rows.append((info.path, ts))
+        location = self.location
+
+        def _scan(paths):
+            import pyarrow.fs as pafs2
+
+            fs2, _ = _pa_fs(location)
+            for d in paths:
+                sel = pafs2.FileSelector(
+                    d, recursive=True, allow_not_found=True
+                )
+                for i in fs2.get_file_info(sel):
+                    if i.type == pafs2.FileType.File:
+                        yield (
+                            i.path,
+                            i.mtime.timestamp() if i.mtime else float("inf"),
+                        )
+
+        listed = self.spark.createDataFrame(rows, "path string, mtime double")
+        if dirs:
+            rdd = self.spark.sparkContext.parallelize(
+                dirs, min(len(dirs), 256)
+            ).mapPartitions(_scan)
+            listed = listed.unionByName(
+                self.spark.createDataFrame(rdd, "path string, mtime double")
+            )
+        live = self.spark.createDataFrame(
+            [(p,) for p in sorted(active | active_dv)], "path string"
+        )
+        fname = F.element_at(F.split(F.col("path"), "/"), -1)
+        is_dv = fname.startswith("deletion_vector_") & fname.endswith(".bin")
+        doomed_df = (
+            listed.filter(F.col("mtime") <= F.lit(cutoff))
+            .filter(is_dv | F.col("path").endswith(".parquet"))
+            .join(live, "path", "left_anti")
+        )
+        doomed_abs = [r.path for r in doomed_df.collect()]
+        if not dry_run and doomed_abs:
+
+            def _rm(paths):
+                fs3, _ = _pa_fs(location)
+                for p in paths:
+                    try:
+                        fs3.delete_file(p)
+                    except FileNotFoundError:
+                        pass  # racing vacuum: already gone
+
+            self.spark.sparkContext.parallelize(
+                doomed_abs, max(1, min(len(doomed_abs) // 64, 256))
+            ).foreachPartition(_rm)
+        return sorted(p[len(root):].lstrip("/") for p in doomed_abs)
 
     def _manifest_sidecar_paths(self, name: str) -> set[str]:
         """Absolute paths of every sidecar a v2 manifest references."""

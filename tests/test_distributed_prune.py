@@ -228,3 +228,38 @@ def test_zero_row_file_pruned_both_paths(spark, tmp_path):
         df = t2.read_where({"id": (None, None)}, distributed=dist)
         assert df.count() == 200
         assert len(df.inputFiles()) == 2  # the 0-row file never scans
+
+
+def test_vacuum_distributed_matches_driver(spark, tmp_path):
+    """Distributed vacuum (executor listings + anti-join + parallel
+    deletes) selects exactly the files the driver loop selects, preserves
+    active DV sidecars, reclaims stale ones, and leaves the table readable."""
+    loc = str(tmp_path / "vac")
+    t = _mk_table(
+        spark, loc, files=3,
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    t.delete("id >= 10 AND id < 15")   # DV sidecar #1
+    t.delete("id >= 15 AND id < 20")   # merged: sidecar #2, #1 now stale
+    t.overwrite(
+        spark.range(0, 50).select(
+            F.col("id"), (F.col("id") * 1.5).alias("v"), F.lit(0).alias("grp")
+        )
+    )  # all 3 data files + live sidecar now stale
+    t2 = DeltaTable(spark, loc)
+    plan_driver = t2.vacuum(retain_hours=0, dry_run=True, distributed=False)
+    plan_dist = t2.vacuum(retain_hours=0, dry_run=True, distributed=True)
+    assert plan_dist == plan_driver
+    assert any(p.endswith(".parquet") for p in plan_dist)
+    assert any("deletion_vector_" in p for p in plan_dist)
+    gone = t2.vacuum(retain_hours=0, distributed=True)
+    assert gone == plan_driver
+    import os
+
+    for rel in gone:
+        assert not os.path.exists(f"{loc}/{rel}")
+    fresh = DeltaTable(spark, loc)
+    assert fresh.read().count() == 50
+    # idempotent: nothing left to reclaim on either path
+    assert fresh.vacuum(retain_hours=0, dry_run=True, distributed=True) == []
+    assert fresh.vacuum(retain_hours=0, dry_run=True, distributed=False) == []
