@@ -1300,7 +1300,12 @@ class AcidTable:
             return None  # predicate references non-partition columns
 
     # ---------------------------------------------------------- maintenance
-    def vacuum(self, retain_hours: float = 168.0, dry_run: bool = False) -> list[str]:
+    def vacuum(
+        self,
+        retain_hours: float = 168.0,
+        dry_run: bool = False,
+        distributed: bool | None = None,
+    ) -> list[str]:
         """Delete data files no longer referenced by the latest snapshot
         (ref: VACUUM RETAIN 0 HOURS with retention check disabled,
         src/validation_suite.py:456-463).  retain_hours=0 reclaims
@@ -1314,7 +1319,13 @@ class AcidTable:
 
         Also reclaims ``_change_data`` files referenced by no log entry:
         change files are staged before the commit attempt, so a lost commit
-        race leaves orphans that the CDF stream must never see."""
+        race leaves orphans that the CDF stream must never see.
+
+        ``distributed`` (default auto past 10k live files) fans the listing
+        (mtimes ride each recursive listing — no per-file RPCs), the
+        keep-set anti-join, and the deletes out as Spark jobs via
+        fs.list_stale_distributed — the same scale shape as the Delta-side
+        vacuum."""
         import time as _t
 
         from delta_lake_validation_spark.sources.dv import dv_relative_path
@@ -1339,6 +1350,33 @@ class AcidTable:
             elif d.get("storageType") == "p":
                 active_dv.add(strip_scheme(d["pathOrInlineDv"]))
         cutoff = _t.time() - retain_hours * 3600
+        if distributed is None:
+            distributed = (
+                self.spark is not None and len(snap.files) >= 10_000
+            )
+        if distributed:
+            from delta_lake_validation_spark.sources.fs import (
+                delete_files_distributed,
+                list_stale_distributed,
+            )
+
+            doomed_abs = list_stale_distributed(
+                self.spark,
+                self.location,
+                active | active_dv | committed_cdf,
+                cutoff,
+                # CDF_DIR is scanned (uncommitted change files are vacuum
+                # targets); only the log and staging dirs are off-limits
+                lambda name: name in _SYS_DIRS and name != CDF_DIR,
+            )
+            if doomed_abs is not None:
+                if not dry_run and doomed_abs:
+                    delete_files_distributed(
+                        self.spark, self.location, doomed_abs
+                    )
+                return sorted(
+                    p[len(root):].lstrip("/") for p in doomed_abs
+                )
         doomed = []
         for f_abs in self.fs.list_files(self.location):
             rel = strip_scheme(f_abs)[len(root) :].lstrip("/")

@@ -2450,81 +2450,29 @@ class DeltaTable:
         cutoff: float,
         dry_run: bool,
     ) -> list[str] | None:
-        """Spark-job vacuum: executor-side recursive listings (mtimes come
-        back IN the listing — no per-file stat RPCs), a Catalyst anti-join
-        against the active file set, and ``foreachPartition`` deletes.
-        Driver bytes: the active set it already holds plus the doomed list
-        it must return.  None when pyarrow can't open this filesystem (the
-        caller falls back to the driver loop)."""
-        try:
-            import pyarrow.fs as pafs
+        """Spark-job vacuum (fs.list_stale_distributed): executor-side
+        recursive listings (mtimes come back IN the listing — no per-file
+        stat RPCs), a Catalyst anti-join against the active file set, and
+        ``foreachPartition`` deletes.  Driver bytes: the active set it
+        already holds plus the doomed list it must return.  None when
+        pyarrow can't open this filesystem (the caller falls back to the
+        driver loop)."""
+        from delta_lake_validation_spark.sources.fs import (
+            delete_files_distributed,
+            list_stale_distributed,
+        )
 
-            fs, norm = _pa_fs(self.location)
-            top = fs.get_file_info(
-                pafs.FileSelector(norm, allow_not_found=True)
-            )
-        except Exception:
+        doomed_abs = list_stale_distributed(
+            self.spark,
+            self.location,
+            active | active_dv,
+            cutoff,
+            lambda name: name.startswith("_") and name != "_change_data",
+        )
+        if doomed_abs is None:
             return None
-        dirs: list[str] = []
-        rows: list[tuple[str, float]] = []
-        for info in top:
-            name = info.path.rsplit("/", 1)[-1]
-            if name.startswith("_") and name != "_change_data":
-                continue
-            if info.type == pafs.FileType.Directory:
-                dirs.append(info.path)
-            elif info.type == pafs.FileType.File:
-                ts = info.mtime.timestamp() if info.mtime else float("inf")
-                rows.append((info.path, ts))
-        location = self.location
-
-        def _scan(paths):
-            import pyarrow.fs as pafs2
-
-            fs2, _ = _pa_fs(location)
-            for d in paths:
-                sel = pafs2.FileSelector(
-                    d, recursive=True, allow_not_found=True
-                )
-                for i in fs2.get_file_info(sel):
-                    if i.type == pafs2.FileType.File:
-                        yield (
-                            i.path,
-                            i.mtime.timestamp() if i.mtime else float("inf"),
-                        )
-
-        listed = self.spark.createDataFrame(rows, "path string, mtime double")
-        if dirs:
-            rdd = self.spark.sparkContext.parallelize(
-                dirs, min(len(dirs), 256)
-            ).mapPartitions(_scan)
-            listed = listed.unionByName(
-                self.spark.createDataFrame(rdd, "path string, mtime double")
-            )
-        live = self.spark.createDataFrame(
-            [(p,) for p in sorted(active | active_dv)], "path string"
-        )
-        fname = F.element_at(F.split(F.col("path"), "/"), -1)
-        is_dv = fname.startswith("deletion_vector_") & fname.endswith(".bin")
-        doomed_df = (
-            listed.filter(F.col("mtime") <= F.lit(cutoff))
-            .filter(is_dv | F.col("path").endswith(".parquet"))
-            .join(live, "path", "left_anti")
-        )
-        doomed_abs = [r.path for r in doomed_df.collect()]
         if not dry_run and doomed_abs:
-
-            def _rm(paths):
-                fs3, _ = _pa_fs(location)
-                for p in paths:
-                    try:
-                        fs3.delete_file(p)
-                    except FileNotFoundError:
-                        pass  # racing vacuum: already gone
-
-            self.spark.sparkContext.parallelize(
-                doomed_abs, max(1, min(len(doomed_abs) // 64, 256))
-            ).foreachPartition(_rm)
+            delete_files_distributed(self.spark, self.location, doomed_abs)
         return sorted(p[len(root):].lstrip("/") for p in doomed_abs)
 
     def _manifest_sidecar_paths(self, name: str) -> set[str]:

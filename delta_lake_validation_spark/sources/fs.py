@@ -223,3 +223,107 @@ class FileSystem:
             return os.path.getmtime(strip_scheme(path))
         fs, jpath = self._jfs(path)
         return fs.getFileStatus(jpath).getModificationTime() / 1000.0
+
+
+def pa_fs(path: str):
+    """(pyarrow FileSystem, normalized path) for ``path`` — the sparkless /
+    executor-side twin of the Hadoop facade.  Raises when pyarrow has no
+    driver for the scheme (callers fall back to the JVM path)."""
+    import pyarrow.fs as pafs
+
+    if is_local(path):
+        return pafs.LocalFileSystem(), strip_scheme(path)
+    return pafs.FileSystem.from_uri(path)
+
+
+def list_stale_distributed(
+    spark: SparkSession,
+    location: str,
+    keep: set[str],
+    cutoff: float,
+    skip_top,
+) -> list[str] | None:
+    """Vacuum candidate discovery as Spark jobs: recursive pyarrow listings
+    per top-level directory fan out over executors (file mtimes ride each
+    listing — no per-file stat RPCs), candidates anti-join the ``keep`` set
+    in Catalyst, and only the doomed paths come back to the driver.
+
+    ``keep``: scheme-stripped absolute paths that must survive (live data
+    files, live DV sidecars, committed CDF files).  ``skip_top(name)``:
+    True for top-level entries vacuum never descends into (log/staging
+    dirs).  Candidates are data parquet or DV sidecars modified at or
+    before ``cutoff``; everything else is left alone, matching the
+    driver-loop rules.  Returns doomed ABSOLUTE (scheme-stripped) paths,
+    or None when pyarrow can't open this filesystem."""
+    from pyspark.sql import functions as F
+
+    try:
+        import pyarrow.fs as pafs
+
+        fs, norm = pa_fs(location)
+        top = fs.get_file_info(pafs.FileSelector(norm, allow_not_found=True))
+    except Exception:
+        return None
+    dirs: list[str] = []
+    rows: list[tuple[str, float]] = []
+    for info in top:
+        name = info.path.rsplit("/", 1)[-1]
+        if skip_top(name):
+            continue
+        if info.type == pafs.FileType.Directory:
+            dirs.append(info.path)
+        elif info.type == pafs.FileType.File:
+            ts = info.mtime.timestamp() if info.mtime else float("inf")
+            rows.append((info.path, ts))
+
+    def _scan(paths):
+        import pyarrow.fs as pafs2
+
+        fs2, _ = pa_fs(location)
+        for d in paths:
+            sel = pafs2.FileSelector(d, recursive=True, allow_not_found=True)
+            for i in fs2.get_file_info(sel):
+                if i.type == pafs2.FileType.File:
+                    yield (
+                        i.path,
+                        i.mtime.timestamp() if i.mtime else float("inf"),
+                    )
+
+    listed = spark.createDataFrame(rows, "path string, mtime double")
+    if dirs:
+        rdd = spark.sparkContext.parallelize(
+            dirs, min(len(dirs), 256)
+        ).mapPartitions(_scan)
+        listed = listed.unionByName(
+            spark.createDataFrame(rdd, "path string, mtime double")
+        )
+    live = spark.createDataFrame(
+        [(p,) for p in sorted(keep)], "path string"
+    )
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    is_dv = fname.startswith("deletion_vector_") & fname.endswith(".bin")
+    doomed = (
+        listed.filter(F.col("mtime") <= F.lit(cutoff))
+        .filter(is_dv | F.col("path").endswith(".parquet"))
+        .join(live, "path", "left_anti")
+    )
+    return [r.path for r in doomed.collect()]
+
+
+def delete_files_distributed(
+    spark: SparkSession, location: str, paths: list[str]
+) -> None:
+    """foreachPartition deletes — the parallel half of distributed vacuum.
+    Missing files are tolerated (racing vacuum)."""
+
+    def _rm(chunk):
+        fs, _ = pa_fs(location)
+        for p in chunk:
+            try:
+                fs.delete_file(p)
+            except FileNotFoundError:
+                pass
+
+    spark.sparkContext.parallelize(
+        paths, max(1, min(len(paths) // 64, 256))
+    ).foreachPartition(_rm)

@@ -263,3 +263,30 @@ def test_vacuum_distributed_matches_driver(spark, tmp_path):
     # idempotent: nothing left to reclaim on either path
     assert fresh.vacuum(retain_hours=0, dry_run=True, distributed=True) == []
     assert fresh.vacuum(retain_hours=0, dry_run=True, distributed=False) == []
+
+
+def test_acid_vacuum_distributed_matches_driver(spark, tmp_path):
+    """The ACID layer's vacuum shares the distributed machinery: same
+    doomed set as the driver loop, committed CDF files survive, orphaned
+    staging parquet is reclaimed."""
+    from delta_lake_validation_spark.sources.acid import AcidTable
+
+    loc = str(tmp_path / "avac")
+    t = AcidTable.create(
+        spark, loc, "id bigint, v double",
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    t.append(spark.range(100).select(F.col("id"), (F.col("id") * 2.0).alias("v")))
+    t.update({"v": "v + 1"}, "id < 10")   # CDF change files committed
+    t.overwrite(
+        spark.range(50).select(F.col("id"), F.lit(0.0).alias("v"))
+    )  # v1/v2 data files now stale
+    plan_driver = t.vacuum(retain_hours=0, dry_run=True, distributed=False)
+    plan_dist = t.vacuum(retain_hours=0, dry_run=True, distributed=True)
+    assert plan_dist == plan_driver
+    assert plan_dist  # something stale to reclaim
+    assert all("_change_data" not in p for p in plan_dist)  # committed CDF kept
+    gone = t.vacuum(retain_hours=0, distributed=True)
+    assert gone == plan_driver
+    assert t.read().count() == 50
+    assert t.vacuum(retain_hours=0, dry_run=True, distributed=True) == []
