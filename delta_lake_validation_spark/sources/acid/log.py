@@ -77,6 +77,12 @@ class TransactionLog:
         self.fs = FileSystem(spark, self.location)
         self.log_path = f"{self.location}/{LOG_DIR}"
         self.checkpoint_interval = checkpoint_interval
+        # a committed version's snapshot is immutable (entries are
+        # atomic-create-once and callers never mutate snapshot dicts), so
+        # replays memoize per version; the latest version itself is always
+        # re-resolved from a fresh listing, so concurrent writers stay
+        # visible
+        self._snap_cache: dict[int, Snapshot] = {}
 
     # -- reading -----------------------------------------------------------
     def versions(self) -> list[int]:
@@ -115,6 +121,9 @@ class TransactionLog:
             raise VersionNotFoundError(
                 f"version {target} not in log (have {vs[0]}..{vs[-1]})"
             )
+        cached = self._snap_cache.get(target)
+        if cached is not None:
+            return cached
         # seed from the newest checkpoint at or below target: replay cost is
         # O(commits since checkpoint), not O(all commits) — the same
         # memoized-prefix trick as Delta's parquet checkpoints
@@ -150,6 +159,9 @@ class TransactionLog:
             for ad in e.get("add", []):
                 snap.files[ad["path"]] = ad
             snap.timestamp = e.get("timestamp", snap.timestamp)
+        self._snap_cache[target] = snap
+        while len(self._snap_cache) > 4:  # bound memory: newest few only
+            self._snap_cache.pop(next(iter(self._snap_cache)))
         return snap
 
     def version_for_timestamp(self, ts: str) -> int:

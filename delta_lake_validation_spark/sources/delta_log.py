@@ -306,6 +306,12 @@ class DeltaTable:
         if not self._log_names:
             raise FileNotFoundError(f"no _delta_log at {self.location}")
         self._idmode_verified: set[int] = set()
+        # committed versions are immutable, so a replayed snapshot never
+        # changes: memoize the last few (delta-spark caches snapshots the
+        # same way).  No invalidation needed on writes — a commit only adds
+        # NEW versions, and callers never mutate a snapshot's dicts
+        # (writer paths copy before editing).
+        self._snap_cache: dict[int, DeltaSnapshot] = {}
 
     # ------------------------------------------------------------- listing
     def _list_log(self) -> list[str]:
@@ -462,6 +468,9 @@ class DeltaTable:
             version = latest
         if version < 0 or version > latest:
             raise ValueError(f"version {version} out of range 0..{latest}")
+        cached = self._snap_cache.get(version)
+        if cached is not None:
+            return cached
 
         files: dict[str, dict] = {}
         schema: StructType | None = None
@@ -521,10 +530,14 @@ class DeltaTable:
             raise DeltaProtocolError(
                 f"no metaData action found replaying {self.location} to v{version}"
             )
-        return DeltaSnapshot(
+        snap = DeltaSnapshot(
             version, schema, part_cols, files, props, meta_id, name, proto,
             txns,
         )
+        self._snap_cache[version] = snap
+        while len(self._snap_cache) > 4:  # bound memory: keep the newest few
+            self._snap_cache.pop(next(iter(self._snap_cache)))
+        return snap
 
     @staticmethod
     def _check_protocol(p: dict) -> None:
