@@ -1407,6 +1407,7 @@ class AcidTable:
         zorder_by: list[str] | None = None,
         target_files: int = 1,
         where: str | None = None,
+        max_file_bytes: int = 1 << 30,
     ) -> int:
         """Bin-packing compaction, optionally clustered (ref: OPTIMIZE /
         ZORDER form, src/validation_suite.py:466-477).
@@ -1419,7 +1420,11 @@ class AcidTable:
         the partitions matching a partition-column predicate (Delta's
         ``OPTIMIZE t WHERE ...``, validation_suite.py:473) — on a 100 TB
         table you compact the partitions that fragmented, not the world.
-        Commits with dataChange=false — readers see identical rows."""
+        Commits with dataChange=false — readers see identical rows.
+
+        ``max_file_bytes`` (default 1 GiB) bounds output files by the
+        log's input sizes: a partition whose live bytes exceed it compacts
+        into ``ceil(bytes/max)`` files, never one unbounded file."""
         from delta_lake_validation_spark.functions.zorder import zorder_key
 
         snap = self.log.snapshot()
@@ -1450,16 +1455,20 @@ class AcidTable:
             # read-side filter cost
             if len(rels) <= target_files and not has_dv:
                 continue
+            part_bytes = sum(
+                int(snap.files[r].get("size", 0) or 0) for r in rels
+            )
+            n_out = max(int(target_files), -(-part_bytes // max_file_bytes))
             df = self._read_files(snap, rels)
             if zorder_by:
                 df = (
                     df.withColumn("__zorder", zorder_key(df, zorder_by))
-                    .repartitionByRange(target_files, "__zorder")
+                    .repartitionByRange(n_out, "__zorder")
                     .sortWithinPartitions("__zorder")
                     .drop("__zorder")
                 )
             else:
-                df = df.coalesce(target_files)
+                df = df.coalesce(n_out)
             new_adds, _ = self._stage_write(df, snap, cdf_type=None, rewrite=True)
             for a in new_adds:
                 a["dataChange"] = False

@@ -2221,6 +2221,7 @@ class DeltaTable:
         target_files: int = 1,
         zorder_by: list[str] | None = None,
         where: str | None = None,
+        max_file_bytes: int = 1 << 30,
     ) -> int:
         """Bin-packing compaction on a REAL Delta table (ref: OPTIMIZE and
         its documented WHERE / ZORDER BY forms,
@@ -2232,7 +2233,14 @@ class DeltaTable:
         files by the columns' interleaved Morton code.  Partitions already
         at/below the target file count are skipped unless a file carries a
         deletion vector — OPTIMIZE materializes DVs away, exactly as
-        Delta's does.  Allowed on appendOnly tables (no row changes)."""
+        Delta's does.  Allowed on appendOnly tables (no row changes).
+
+        ``max_file_bytes`` (default 1 GiB, delta-spark's optimize
+        maxFileSize) bounds OUTPUT files by the log's own input sizes: a
+        partition whose scoped bytes exceed it splits into
+        ``ceil(bytes/max)`` shuffle groups instead of funneling into one
+        task / one file — without this, OPTIMIZE on a 1 TB partition is a
+        single-task, single-file rewrite, the classic 100× wall."""
         import time as _time
 
         snap = self.snapshot()
@@ -2279,32 +2287,70 @@ class DeltaTable:
             snap.protocol,
         )
         live = self._read_snapshot(scoped)
+        # size-aware split: per-partition scoped bytes come from the log
+        # itself (no extra scan); a partition over max_file_bytes gets
+        # ceil(bytes/max) shuffle groups instead of one task / one file
+        part_bytes: dict[tuple, int] = {}
+        for rel in rewrite:
+            meta = snap.files[rel]
+            key = tuple(
+                sorted((meta.get("partitionValues") or {}).items())
+            )
+            part_bytes[key] = part_bytes.get(key, 0) + int(
+                meta.get("size", 0) or 0
+            )
+        buckets = {
+            k: max(1, -(-b // max_file_bytes)) for k, b in part_bytes.items()
+        }
+        total_buckets = sum(buckets.values())
+        oversized = any(nb > 1 for nb in buckets.values())
+        part_cols = [F.col(c) for c in snap.partition_columns]
         if zorder_by:
             if snap.partition_columns:
                 from delta_lake_validation_spark.functions.zorder import (
                     zorder_key,
                 )
 
-                live = (
-                    live.withColumn("__z", zorder_key(live, zorder_by))
-                    .repartition(*[F.col(c) for c in snap.partition_columns])
-                    .sortWithinPartitions("__z")
-                    .drop("__z")
-                )
+                live = live.withColumn("__z", zorder_key(live, zorder_by))
+                if oversized:
+                    # range-split on (partition, z): big partitions get
+                    # proportionally more output files, each holding a
+                    # contiguous z-range — tighter stats than one huge file
+                    live = live.repartitionByRange(
+                        total_buckets, *part_cols, F.col("__z")
+                    )
+                else:
+                    live = live.repartition(*part_cols)
+                live = live.sortWithinPartitions("__z").drop("__z")
             else:
                 from delta_lake_validation_spark.functions.zorder import (
                     zorder_sort,
                 )
 
                 live = zorder_sort(
-                    live, zorder_by, num_partitions=max(1, int(target_files))
+                    live,
+                    zorder_by,
+                    num_partitions=max(1, int(target_files), total_buckets),
                 )
         elif snap.partition_columns:
-            live = live.repartition(
-                *[F.col(c) for c in snap.partition_columns]
-            )
+            if oversized:
+                # monotonically_increasing_id orders rows by input split,
+                # so range boundaries fall inside big partitions and each
+                # group stays under ~max_file_bytes
+                live = (
+                    live.withColumn("__m", F.monotonically_increasing_id())
+                    .repartitionByRange(total_buckets, *part_cols, F.col("__m"))
+                    .drop("__m")
+                )
+            else:
+                live = live.repartition(*part_cols)
         else:
-            live = live.coalesce(max(1, int(target_files)))
+            n_out = max(1, int(target_files), total_buckets)
+            live = (
+                live.coalesce(n_out)
+                if n_out <= max(1, int(target_files))
+                else live.repartition(n_out)
+            )
         adds = self._stage_files(live, snap)
         ts = int(_time.time() * 1000)
         actions: list[dict] = [

@@ -290,3 +290,65 @@ def test_acid_vacuum_distributed_matches_driver(spark, tmp_path):
     assert gone == plan_driver
     assert t.read().count() == 50
     assert t.vacuum(retain_hours=0, dry_run=True, distributed=True) == []
+
+
+def test_optimize_splits_oversized_partitions(spark, tmp_path):
+    """OPTIMIZE bounds output files by input bytes: a partition bigger
+    than max_file_bytes compacts into several files (not one unbounded
+    task/file), rows unchanged; the default path still fully compacts."""
+    loc = str(tmp_path / "optsz")
+    t = _mk_table(spark, loc, files=6)  # 2 partitions (grp 0/1), 3 files each
+    snap = DeltaTable(spark, loc).snapshot()
+    per_part: dict = {}
+    for a in snap.files.values():
+        g = a["partitionValues"]["grp"]
+        per_part[g] = per_part.get(g, 0) + int(a["size"])
+    cap = min(per_part.values()) // 2  # force >=2 buckets per partition
+    t.optimize(max_file_bytes=cap)
+    t2 = DeltaTable(spark, loc)
+    snap2 = t2.snapshot()
+    counts: dict = {}
+    for a in snap2.files.values():
+        g = a["partitionValues"]["grp"]
+        counts[g] = counts.get(g, 0) + 1
+    assert all(n >= 2 for n in counts.values()), counts
+    assert sorted(r.id for r in t2.read().collect()) == list(range(600))
+    # default (1 GiB) path: back to one file per partition
+    t2.optimize()
+    snap3 = DeltaTable(spark, loc).snapshot()
+    assert len(snap3.files) == 2
+    assert sorted(
+        r.id for r in DeltaTable(spark, loc).read().collect()
+    ) == list(range(600))
+
+
+def test_optimize_zorder_splits_oversized(spark, tmp_path):
+    loc = str(tmp_path / "optz")
+    t = _mk_table(spark, loc, files=4)
+    snap = DeltaTable(spark, loc).snapshot()
+    total = sum(int(a["size"]) for a in snap.files.values())
+    t.optimize(zorder_by=["id"], max_file_bytes=total // 4)
+    t2 = DeltaTable(spark, loc)
+    assert len(t2.snapshot().files) >= 3
+    assert sorted(r.id for r in t2.read().collect()) == list(range(400))
+
+
+def test_acid_optimize_size_bound(spark, tmp_path):
+    from delta_lake_validation_spark.sources.acid import AcidTable
+
+    loc = str(tmp_path / "aopt")
+    t = AcidTable.create(spark, loc, "id bigint, v double")
+    for i in range(4):
+        t.append(
+            spark.range(i * 100, (i + 1) * 100)
+            .select(F.col("id"), (F.col("id") * 1.0).alias("v"))
+            .coalesce(1)
+        )
+    snap = t.log.snapshot()
+    total = sum(int(a.get("size", 0) or 0) for a in snap.files.values())
+    t.optimize(max_file_bytes=max(1, total // 3))
+    snap2 = t.log.snapshot()
+    assert len(snap2.files) >= 2
+    assert sorted(r.id for r in t.read().collect()) == list(range(400))
+    t.optimize()  # default: full compaction to one file
+    assert len(t.log.snapshot().files) == 1
