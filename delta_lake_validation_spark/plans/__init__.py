@@ -117,6 +117,9 @@ _TIER_BY_NAME = {
     # round-4 session-3: checkpoint-as-data pruning — the distributed
     # read_where path pinned against the driver loop and the oracle
     "delta_skipping_scenario": _reg.TIER_NEWFAM,
+    # temperature mixture weights (llm module default tier would displace
+    # verified in-window families; same past-the-cap policy)
+    "mixture_weights": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):

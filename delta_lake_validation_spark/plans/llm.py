@@ -2133,3 +2133,62 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign(c1).select(
         "vec_id", F.col("cid").alias("cluster"), F.col("dist").alias("dist_micro")
     )
+
+
+@register(
+    "mixture_weights",
+    oracle="""
+    WITH by_lang AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+             CAST(sum(CAST(floor(sqrt(n_docs)) AS BIGINT)) AS BIGINT) AS sq
+      FROM by_lang
+    )
+    SELECT b.lang,
+           b.n_docs,
+           (1000000 * CAST(floor(sqrt(b.n_docs)) AS BIGINT)) // t.sq
+             AS w_ppm,
+           (1000000 * b.n_docs) // t.total AS natural_ppm,
+           (1000 * ((1000000 * CAST(floor(sqrt(b.n_docs)) AS BIGINT)) // t.sq))
+             // ((1000000 * b.n_docs) // t.total) AS boost_milli
+    FROM by_lang b CROSS JOIN tot t
+    ORDER BY b.lang
+    """,
+    tags=("llm", "curation", "sampling"),
+    doc="Temperature-based corpus mixture weights (alpha=0.5, the "
+    "multilingual rebalancing recipe: sampling weight proportional to "
+    "count^alpha, so rare languages upsample and dominant ones damp).  "
+    "Integer-exact: isqrt via correctly-rounded IEEE sqrt (exact for "
+    "counts < 2^52), ppm shares by integer division — deterministic "
+    "across engines per the repo's rounding discipline.  One tiny "
+    "aggregate (|langs| rows) broadcast back over the group row set; at "
+    "100 TB the shuffle is the lang-count partial agg only.",
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    by_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    isq = F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+    tot = by_lang.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.sum(isq).cast("long").alias("sq"),
+    )
+    w_ppm = F.expr("(1000000 * CAST(floor(sqrt(n_docs)) AS BIGINT)) div sq")
+    natural_ppm = F.expr("(1000000 * n_docs) div total")
+    return (
+        by_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            w_ppm.alias("w_ppm"),
+            natural_ppm.alias("natural_ppm"),
+            (
+                F.expr(
+                    "(1000 * ((1000000 * CAST(floor(sqrt(n_docs)) AS BIGINT))"
+                    " div sq)) div ((1000000 * n_docs) div total)"
+                )
+            ).alias("boost_milli"),
+        )
+        .orderBy("lang")
+    )
