@@ -317,10 +317,11 @@ class AcidTable:
             skip = False
             for col, (lower, upper) in ranges.items():
                 mn, mx = mins.get(col), maxs.get(col)
-                if mn is None or mx is None:
-                    continue
-                if (lower is not None and mx < lower) or (
-                    upper is not None and mn > upper
+                # one-sided pruning is sound (a known min alone proves every
+                # row sits at or above it); each side keeps-on-unknown —
+                # same rule as the Delta layer's _stats_skip
+                if (lower is not None and mx is not None and mx < lower) or (
+                    upper is not None and mn is not None and mn > upper
                 ):
                     skip = True
                     break

@@ -2844,15 +2844,18 @@ class DeltaTable:
                 lo = mx = v
             else:
                 lo, mx = mins.get(pcol), maxs.get(pcol)
-                if lo is None or mx is None:
-                    continue
+            # one-sided pruning is sound (min alone proves every row is at
+            # or above it); each side independently keeps-on-unknown
             try:
-                if (lower is not None and type(lower)(mx) < lower) or (
-                    upper is not None and type(upper)(lo) > upper
-                ):
+                if lower is not None and mx is not None and type(lower)(mx) < lower:
                     return True
             except (TypeError, ValueError):
-                continue  # incomparable stats: keep the file
+                pass  # incomparable stat: that side can't prune
+            try:
+                if upper is not None and lo is not None and type(upper)(lo) > upper:
+                    return True
+            except (TypeError, ValueError):
+                pass
         return False
 
     def read_where(

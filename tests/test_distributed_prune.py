@@ -352,3 +352,92 @@ def test_acid_optimize_size_bound(spark, tmp_path):
     assert sorted(r.id for r in t.read().collect()) == list(range(400))
     t.optimize()  # default: full compaction to one file
     assert len(t.log.snapshot().files) == 1
+
+
+def test_skip_predicate_equivalence_randomized(spark, tmp_path):
+    """The Catalyst twin (_skip_keep_predicate) must agree with the driver
+    loop (_stats_skip) on every stats shape: present/missing/malformed
+    min/max, int/float/string bounds, numRecords=0, partition values.
+    200 seeded-random add actions evaluated in ONE DataFrame pass."""
+    import json as _json
+    import random
+
+    from pyspark.sql import Row
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaSnapshot,
+        DeltaTable as DT,
+    )
+    from pyspark.sql.types import StructType
+
+    rng = random.Random(42)
+    schema = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": t, "nullable": True, "metadata": {}}
+                for n, t in [
+                    ("a", "long"), ("b", "double"), ("s", "string"),
+                    ("p", "integer"),
+                ]
+            ],
+        }
+    )
+    snap = DeltaSnapshot(0, schema, ["p"], {}, {}, None, None)
+
+    def rand_stat(kind):
+        r = rng.random()
+        if r < 0.2:
+            return None  # missing
+        if kind == "a":
+            return rng.randint(-50, 50) if r < 0.8 else str(rng.randint(-5, 5))
+        if kind == "b":
+            return round(rng.uniform(-5, 5), 3)
+        return rng.choice(["apple", "zebra", "mango", "3", "x y"])
+
+    adds = []
+    for i in range(200):
+        mins = {k: rand_stat(k) for k in ("a", "b", "s")}
+        maxs = {k: rand_stat(k) for k in ("a", "b", "s")}
+        st = {
+            "numRecords": rng.choice([0, 1, 7, None]),
+            "minValues": {k: v for k, v in mins.items() if v is not None},
+            "maxValues": {k: v for k, v in maxs.items() if v is not None},
+        }
+        a = {
+            "path": f"f{i}.parquet",
+            "partitionValues": (
+                {"p": rng.choice([None, "0", "1", "2", "x"])}
+                if rng.random() < 0.8
+                else {}
+            ),
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": _json.dumps(st) if rng.random() < 0.9 else "not json",
+        }
+        adds.append(a)
+
+    range_sets = [
+        {"a": (-10, 10)},
+        {"a": (0, None)},
+        {"b": (None, 1.5)},
+        {"s": ("apple", "mango")},
+        {"p": (1, 2)},
+        {"a": (-3, 3), "b": (-1.0, None), "p": (0, 1)},
+        {"s": ("m", None), "a": (None, 5)},
+    ]
+    df = spark.createDataFrame(
+        [Row(add=Row(
+            path=a["path"],
+            partitionValues=a["partitionValues"],
+            stats=a["stats"],
+        )) for a in adds]
+    )
+    t = object.__new__(DT)  # predicate builder needs no table state
+    for ranges in range_sets:
+        expect = {
+            a["path"] for a in adds if not DT._stats_skip(a, ranges, snap)
+        }
+        pred = t._skip_keep_predicate(snap, ranges)
+        got = {r[0] for r in df.filter(pred).select("add.path").collect()}
+        assert got == expect, (ranges, got ^ expect)
