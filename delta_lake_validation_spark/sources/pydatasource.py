@@ -302,17 +302,21 @@ def _keep_file(
             lo = hi = typed
         else:
             lo, hi = mins.get(pcol), maxs.get(pcol)
-            if lo is None or hi is None:
-                continue
         if col in ranges:
             lower, upper = ranges[col]
+            # one-sided pruning is sound (a known max alone proves every
+            # row sits at or below it); each side keeps-on-unknown — the
+            # same rule as DeltaTable._stats_skip
             try:
-                if lower is not None and _coerce(lower, hi) > hi:
-                    return False
-                if upper is not None and _coerce(upper, lo) < lo:
+                if lower is not None and hi is not None and _coerce(lower, hi) > hi:
                     return False
             except (TypeError, ValueError):
-                continue
+                pass
+            try:
+                if upper is not None and lo is not None and _coerce(upper, lo) < lo:
+                    return False
+            except (TypeError, ValueError):
+                pass
     return True
 
 
