@@ -1042,7 +1042,9 @@ def delta_skipping_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     # key-ranged chunks so min/max stats are disjoint and prunable; the
-    # [4000, 8000) slice stays out of the checkpoint and arrives as tail
+    # [4000, 8000) slice stays out of the checkpoint and arrives as tail.
+    # An empty chunk commits a 0-row file, which numRecords pruning then
+    # skips on every read — no pre-count guard needed.
     chunks = [
         "o_orderkey < 4000",
         "o_orderkey >= 8000 AND o_orderkey < 16000",
@@ -1052,9 +1054,7 @@ def delta_skipping_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         loc = f"{root}/tbl"
         t = create_delta(spark, loc, orders.schema)
         for pred in chunks:
-            part = orders.filter(pred)
-            if part.limit(1).count():
-                t.append(part.coalesce(1))
+            t.append(orders.filter(pred).coalesce(1))
         write_delta_checkpoint(spark, loc)
         t.append(
             orders.filter("o_orderkey >= 4000 AND o_orderkey < 8000").coalesce(1)
