@@ -441,3 +441,33 @@ def test_skip_predicate_equivalence_randomized(spark, tmp_path):
         pred = t._skip_keep_predicate(snap, ranges)
         got = {r[0] for r in df.filter(pred).select("add.path").collect()}
         assert got == expect, (ranges, got ^ expect)
+
+
+def test_distributed_prune_column_mapped(spark, tmp_path):
+    """Column mapping (name mode): stats and partitionValues in the
+    checkpoint speak PHYSICAL names; the Catalyst predicate must resolve
+    logical range columns through snap.phys, both for stats and for
+    partition pruning."""
+    loc = str(tmp_path / "cm")
+    t = create_delta(
+        spark,
+        loc,
+        "id bigint, v double, grp int",
+        partition_by=["grp"],
+        properties={"delta.columnMapping.mode": "name"},
+    )
+    for i in range(4):
+        t.append(
+            spark.range(i * 100, (i + 1) * 100)
+            .select(F.col("id"), (F.col("id") * 1.5).alias("v"),
+                    F.lit(i % 2).alias("grp"))
+            .coalesce(1)
+        )
+    write_delta_checkpoint(spark, loc)
+    t2 = DeltaTable(spark, loc)
+    _no_full_replay(t2)
+    rows, files = _same(spark, t2, {"id": (150, 250)})
+    assert [r[0] for r in rows] == list(range(150, 251))
+    assert len(files) < 4
+    rows2, files2 = _same(spark, t2, {"grp": (1, 1)})
+    assert {r[2] for r in rows2} == {1}
