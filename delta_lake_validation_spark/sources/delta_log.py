@@ -583,6 +583,25 @@ class DeltaTable:
             raise ValueError(f"no commit at or before {ts}")
         return best
 
+    def first_version_at_or_after(self, ts: str) -> int:
+        """Earliest version whose commit timestamp is at-or-after ``ts`` —
+        delta-spark's ``startingTimestamp`` resolution rule for CDF reads
+        and streams (the mirror of ``version_for_timestamp``'s
+        at-or-before ``timestampAsOf`` rule)."""
+        import datetime as _dt
+
+        target = _dt.datetime.fromisoformat(ts)
+        if target.tzinfo is None:
+            target = target.replace(tzinfo=_dt.timezone.utc)
+        for v in self.versions():
+            t_ms = self._commit_ts_ms(v)
+            if t_ms is None:
+                continue
+            t = _dt.datetime.fromtimestamp(t_ms / 1000.0, tz=_dt.timezone.utc)
+            if t >= target:
+                return v
+        raise ValueError(f"no commit at or after {ts}")
+
     def _commit_ts_ms(self, version: int) -> int | None:
         for action in self._commit_actions(version):
             info = action.get("commitInfo")

@@ -719,10 +719,7 @@ class DeltaPyBatchReader(DataSourceReader):
         tbl = DeltaTable(None, self.path)
         version = _version_of(options, tbl)
         if self.cdf:
-            self._start = int(options.get("startingversion", 0))
-            self._end = int(
-                options.get("endingversion", tbl.latest_version())
-            )
+            self._start, self._end = _cdf_range_of(options, tbl)
             version = self._end
         self._snap = tbl.snapshot(version)
         self._tbl = tbl
@@ -783,8 +780,17 @@ class DeltaPyStreamReader(DataSourceStreamReader):
         snap = tbl.snapshot()
         self._schema_json = snap.schema.json()
         self.exec = _ScanExec(snap, cdf=self.cdf)
+        st = options.get("startingtimestamp")
         sv = str(options.get("startingversion", "0"))
-        if sv == "latest":
+        if st is not None:
+            if options.get("startingversion") is not None:
+                raise ValueError(
+                    "deltapy: pass startingVersion or startingTimestamp, "
+                    "not both"
+                )
+            # delta-spark rule: first commit at-or-after the timestamp
+            self._start = tbl.first_version_at_or_after(st) - 1
+        elif sv == "latest":
             self._start = tbl.latest_version()
         else:
             self._start = int(sv) - 1  # offset = last *processed* version
@@ -1366,6 +1372,37 @@ def _boolish(v) -> bool:
     return str(v).lower() in ("true", "1", "yes") if v is not None else False
 
 
+def _cdf_range_of(options: dict, tbl: DeltaTable) -> tuple[int, int]:
+    """(start, end) versions for a CDF read: version options win, timestamp
+    options resolve with delta-spark's rules (startingTimestamp = first
+    commit at-or-after, endingTimestamp = last commit at-or-before)."""
+    sv, st = options.get("startingversion"), options.get("startingtimestamp")
+    ev, et = options.get("endingversion"), options.get("endingtimestamp")
+    if sv is not None and st is not None:
+        raise ValueError(
+            "deltapy: pass startingVersion or startingTimestamp, not both"
+        )
+    if ev is not None and et is not None:
+        raise ValueError(
+            "deltapy: pass endingVersion or endingTimestamp, not both"
+        )
+    start = (
+        int(sv)
+        if sv is not None
+        else tbl.first_version_at_or_after(st)
+        if st is not None
+        else 0
+    )
+    end = (
+        int(ev)
+        if ev is not None
+        else tbl.version_for_timestamp(et)
+        if et is not None
+        else tbl.latest_version()
+    )
+    return start, end
+
+
 class DeltaPyDataSource(DataSource):
     """``spark.read/readStream/write.format("deltapy")`` over the engine's
     own Delta protocol implementation — see module docstring."""
@@ -1377,8 +1414,8 @@ class DeltaPyDataSource(DataSource):
     def schema(self) -> StructType:
         tbl = DeltaTable(None, _path_of(self.options))
         if _boolish(self.options.get("readchangefeed")):
-            end = self.options.get("endingversion")
-            base = tbl.snapshot(int(end) if end is not None else None).schema
+            end = _cdf_range_of(self.options, tbl)[1]
+            base = tbl.snapshot(end).schema
             out = StructType(list(base.fields))
             out = out.add("_change_type", StringType())
             out = out.add("_commit_version", LongType())

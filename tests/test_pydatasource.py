@@ -801,3 +801,68 @@ def test_writer_merge_schema_option(spark, tmp_path):
         bad.write.format("deltapy").mode("append").option(
             "mergeSchema", "true"
         ).save(loc)
+
+
+def test_cdf_timestamp_options(spark, tmp_path):
+    """startingTimestamp resolves to the first commit at-or-after,
+    endingTimestamp to the last at-or-before (delta-spark's rules), on
+    both the batch CDF read and the stream start."""
+    import datetime as dt
+
+    loc = str(tmp_path / "cdfts")
+    create_delta(
+        spark, loc, "id bigint",
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable(spark, loc)
+    t.append(spark.range(0, 5))       # v1
+    t.append(spark.range(10, 15))     # v2
+    t = DeltaTable(spark, loc)
+
+    def iso(v):
+        ms = t._commit_ts_ms(v)
+        return dt.datetime.fromtimestamp(
+            ms / 1000.0, tz=dt.timezone.utc
+        ).isoformat()
+
+    assert t.first_version_at_or_after(iso(1)) == 1
+    got = (
+        spark.read.format("deltapy")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", iso(2))
+        .load(loc)
+    )
+    assert sorted(r.id for r in got.collect()) == list(range(10, 15))
+    got2 = (
+        spark.read.format("deltapy")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .option("endingTimestamp", iso(1))
+        .load(loc)
+    )
+    assert sorted(r.id for r in got2.collect()) == list(range(0, 5))
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.read.format("deltapy")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 0)
+            .option("startingTimestamp", iso(1))
+            .load(loc)
+            .collect()
+        )
+    # stream start by timestamp: only v2 rows arrive
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    (
+        spark.readStream.format("deltapy")
+        .option("startingTimestamp", iso(2))
+        .load(loc)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(
+        range(10, 15)
+    )
