@@ -794,16 +794,58 @@ class DeltaPyStreamReader(DataSourceStreamReader):
             self._start = tbl.latest_version()
         else:
             self._start = int(sv) - 1  # offset = last *processed* version
+        # rate limiting (delta-spark's maxFilesPerTrigger/maxBytesPerTrigger):
+        # cap how many commits one micro-batch may span, measured in
+        # data-changing add files/bytes.  Without a cap a fresh stream over
+        # a long history plans its whole backlog as ONE batch.
+        mf = options.get("maxfilespertrigger")
+        mb = options.get("maxbytespertrigger")
+        self.max_files = int(mf) if mf is not None else None
+        self.max_bytes = int(mb) if mb is not None else None
+        self._cursor = self._start  # last version this reader has offered
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": DeltaTable(None, self.path).latest_version()}
+        tbl = DeltaTable(None, self.path)
+        latest = tbl.latest_version()
+        if self.max_files is None and self.max_bytes is None:
+            return {"version": latest}
+        # advance at most cap files/bytes past the internal cursor, always
+        # admitting at least one version so an oversized commit still flows.
+        # The cursor only moves forward; after a checkpoint restart it may
+        # lag the committed offset, in which case a few quiet triggers pass
+        # while it catches up — it can never send the stream backward
+        # (partitions() fast-forwards it to every replayed batch end).
+        end = self._cursor
+        files = nbytes = 0
+        while end < latest:
+            adds = [
+                a["add"]
+                for a in tbl._commit_actions(end + 1)
+                if a.get("add") and a["add"].get("dataChange", True)
+            ]
+            nf, nb = len(adds), sum(int(a.get("size") or 0) for a in adds)
+            # zero-cost commits (metadata, deletes) always flow; the cap
+            # blocks only once the batch already carries some cost, so an
+            # oversized single commit still makes progress
+            if (files or nbytes) and (
+                (self.max_files is not None and files + nf > self.max_files)
+                or (self.max_bytes is not None and nbytes + nb > self.max_bytes)
+            ):
+                break
+            files += nf
+            nbytes += nb
+            end += 1
+        self._cursor = end
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
         tbl = DeltaTable(None, self.path)
         lo, hi = int(start["version"]), int(end["version"])
+        if hi > self._cursor:  # checkpoint-restart replay: catch up
+            self._cursor = hi
         if self.cdf:
             # change-feed stream: every commit's row-level changes,
             # deletes included as rows — no ignore* needed

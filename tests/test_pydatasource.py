@@ -866,3 +866,45 @@ def test_cdf_timestamp_options(spark, tmp_path):
     assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(
         range(10, 15)
     )
+
+
+def test_stream_rate_limit_offsets(spark, tmp_path):
+    """maxFilesPerTrigger paces the stream: each latestOffset() advances
+    at most N add-files past the cursor (≥1 version always), and an e2e
+    capped pump still delivers everything exactly once."""
+    from delta_lake_validation_spark.sources.pydatasource import (
+        DeltaPyStreamReader,
+    )
+
+    loc = str(tmp_path / "rate")
+    create_delta(spark, loc, "id bigint")
+    t = DeltaTable(spark, loc)
+    for i in range(5):  # v1..v5, one file each
+        t.append(spark.range(i * 10, (i + 1) * 10).coalesce(1))
+
+    r = DeltaPyStreamReader({"path": loc, "maxfilespertrigger": "2"})
+    assert r.initialOffset() == {"version": -1}
+    seq = [r.latestOffset()["version"] for _ in range(4)]
+    assert seq == [2, 4, 5, 5]  # 2 files/trigger over v1..v5, then idle
+    # byte cap: each file is >1 byte, so 1-byte cap admits one version each
+    rb = DeltaPyStreamReader({"path": loc, "maxbytespertrigger": "1"})
+    assert [rb.latestOffset()["version"] for _ in range(3)] == [1, 2, 3]
+    # uncapped: whole backlog in one offset (existing availableNow contract)
+    ru = DeltaPyStreamReader({"path": loc})
+    assert ru.latestOffset()["version"] == 5
+
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    for _ in range(4):  # capped availableNow pumps until caught up
+        (
+            spark.readStream.format("deltapy")
+            .option("maxFilesPerTrigger", "2")
+            .load(loc)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(50))  # everything, no duplicates
