@@ -537,6 +537,16 @@ class DeltaTable:
         self._snap_cache[version] = snap
         while len(self._snap_cache) > 4:  # bound memory: keep the newest few
             self._snap_cache.pop(next(iter(self._snap_cache)))
+        if version == latest:
+            # stash the table's checkpoint cadence for the commit hook
+            # (delta-spark honors delta.checkpointInterval the same way)
+            try:
+                self._ckpt_interval = int(
+                    props.get("delta.checkpointInterval",
+                              self.CHECKPOINT_INTERVAL)
+                )
+            except (TypeError, ValueError):
+                self._ckpt_interval = self.CHECKPOINT_INTERVAL
         return snap
 
     @staticmethod
@@ -1384,7 +1394,8 @@ class DeltaTable:
         except FileExistsError:
             return False
         self._log_names = self._list_log()
-        if version > 0 and version % self.CHECKPOINT_INTERVAL == 0:
+        interval = getattr(self, "_ckpt_interval", self.CHECKPOINT_INTERVAL)
+        if version > 0 and interval > 0 and version % interval == 0:
             try:
                 write_delta_checkpoint(self.spark, self.location)
             except Exception:  # pragma: no cover - checkpointing is an

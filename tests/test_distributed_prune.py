@@ -471,3 +471,21 @@ def test_distributed_prune_column_mapped(spark, tmp_path):
     assert len(files) < 4
     rows2, files2 = _same(spark, t2, {"grp": (1, 1)})
     assert {r[2] for r in rows2} == {1}
+
+
+def test_checkpoint_interval_property(spark, tmp_path):
+    """delta.checkpointInterval drives the auto-checkpoint cadence."""
+    import os
+
+    loc = str(tmp_path / "ckint")
+    t = create_delta(
+        spark, loc, "id bigint",
+        properties={"delta.checkpointInterval": "3"},
+    )
+    for i in range(3):
+        t.append(spark.range(i, i + 1))
+    log = f"{loc}/_delta_log"
+    assert any(
+        n.endswith(".checkpoint.parquet") and n.startswith(f"{3:020d}")
+        for n in os.listdir(log)
+    )
