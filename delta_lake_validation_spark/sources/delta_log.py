@@ -3162,8 +3162,25 @@ class DeltaTable:
                     adf["add.path"] == touched["path"],
                     "left_anti",
                 )
-            for r in adf.filter(keep_pred).collect():
-                a = r.asDict(recursive=True)["add"]
+            # post-prune, only the scan-relevant fields come back — the
+            # stats JSON (the bulk of an add payload) stays executor-side
+            fields = [
+                c
+                for c in (
+                    "path",
+                    "partitionValues",
+                    "size",
+                    "modificationTime",
+                    "dataChange",
+                    "deletionVector",
+                )
+                if c in adf.select("add.*").columns
+            ]
+            slim = adf.filter(keep_pred).select(
+                *[F.col(f"add.{c}").alias(c) for c in fields]
+            )
+            for r in slim.collect():
+                a = r.asDict(recursive=True)
                 survivors[a["path"]] = a
         for d in inline:  # v2 manifests may carry inline adds (rare, small)
             a = d.get("add")
