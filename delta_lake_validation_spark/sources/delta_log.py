@@ -83,9 +83,11 @@ _V2_CHECKPOINT_RE = re.compile(
 
 # read_where auto-switches to checkpoint-as-data pruning (a Catalyst job
 # over the checkpoint's add rows instead of a driver-side replay loop) once
-# the checkpoint parquet footprint crosses this — roughly the point where
-# the log describes more files than a driver loop should enumerate
-_DISTRIBUTED_PRUNE_BYTES = 8 << 20
+# the checkpoint parquet footprint crosses this.  1 MiB ≈ 30-50k add
+# actions (checkpoint stats compress hard); a 50k-file probe measured the
+# Catalyst path already faster there (1.4s vs 1.9s) and it stays flat
+# while the driver loop grows linearly with the file count
+_DISTRIBUTED_PRUNE_BYTES = 1 << 20
 
 # vacuum fans its listing/anti-join/deletes out as Spark jobs once the live
 # set says per-file driver RPCs would dominate
