@@ -53,7 +53,11 @@ from delta_lake_validation_spark.sources.acid.log import (
     Snapshot,
     TransactionLog,
 )
-from delta_lake_validation_spark.sources.fs import FileSystem, strip_scheme
+from delta_lake_validation_spark.sources.fs import (
+    FileSystem,
+    is_local,
+    strip_scheme,
+)
 
 CDF_TYPE = "_change_type"
 CDF_VERSION = "_commit_version"
@@ -1352,8 +1356,12 @@ class AcidTable:
                 active_dv.add(strip_scheme(d["pathOrInlineDv"]))
         cutoff = _t.time() - retain_hours * 3600
         if distributed is None:
+            # same auto rule as DeltaTable.vacuum: the Spark-job shape only
+            # pays off where per-file stat/delete is a network round trip
             distributed = (
-                self.spark is not None and len(snap.files) >= 10_000
+                self.spark is not None
+                and not is_local(self.location)
+                and len(snap.files) >= 10_000
             )
         if distributed:
             from delta_lake_validation_spark.sources.fs import (
