@@ -648,6 +648,15 @@ class DeltaTable:
             raise ValueError("pass version or timestamp, not both")
         if timestamp is not None:
             version = self.version_for_timestamp(timestamp)
+        ver = version if version is not None else self.latest_version()
+        if ver not in self._snap_cache and self._distributed_prune_auto(ver):
+            # big-log regime: build the scan through the checkpoint-as-data
+            # path (empty ranges = no pruning) — the driver collects slim
+            # (path, partitionValues, dv) rows instead of replaying every
+            # add action's full payload into Python dicts
+            out = self._read_where_distributed({}, ver)
+            if out is not None:
+                return out
         return self._read_snapshot(self.snapshot(version))
 
     def _read_snapshot(self, snap: DeltaSnapshot) -> DataFrame:

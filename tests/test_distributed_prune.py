@@ -489,3 +489,18 @@ def test_checkpoint_interval_property(spark, tmp_path):
         n.endswith(".checkpoint.parquet") and n.startswith(f"{3:020d}")
         for n in os.listdir(log)
     )
+
+
+def test_read_routes_through_thin_path_on_big_logs(spark, tmp_path, monkeypatch):
+    """Past the checkpoint-size threshold, plain read() avoids the full
+    driver replay: same rows either way, and snapshot() is never invoked
+    for an uncached version."""
+    loc = str(tmp_path / "thinread")
+    t = _mk_table(spark, loc, files=3)
+    write_delta_checkpoint(spark, loc)
+    monkeypatch.setattr(delta_log, "_DISTRIBUTED_PRUNE_BYTES", 1)
+    t2 = DeltaTable(spark, loc)
+    _no_full_replay(t2)
+    assert t2.read().count() == 300
+    fresh = DeltaTable(spark, loc)
+    assert sorted(r.id for r in fresh.read().collect()) == list(range(300))
