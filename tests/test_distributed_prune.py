@@ -504,3 +504,56 @@ def test_read_routes_through_thin_path_on_big_logs(spark, tmp_path, monkeypatch)
     assert t2.read().count() == 300
     fresh = DeltaTable(spark, loc)
     assert sorted(r.id for r in fresh.read().collect()) == list(range(300))
+
+
+def test_distributed_read_fuzz_after_random_dml(spark, tmp_path):
+    """Random DML sequence (append/delete/update/optimize on a DV table,
+    auto-checkpointing every 10 commits), then every probe range must
+    read identically through the Catalyst prune, the driver loop, and
+    the thin full read."""
+    import random
+
+    rng = random.Random(20260815)
+    loc = str(tmp_path / "rfz")
+    t = create_delta(
+        spark, loc, "id int, v int",
+        properties={"delta.enableDeletionVectors": "true",
+                    "delta.checkpointInterval": "4"},
+    )
+    next_id = 0
+    for _ in range(12):
+        t = DeltaTable(spark, loc)
+        op = rng.choice(["append", "append", "delete", "update", "optimize"])
+        if op == "append":
+            rows = [(next_id + i, rng.randint(0, 9)) for i in range(20)]
+            next_id += 20
+            t.append(spark.createDataFrame(rows, "id int, v int").coalesce(1))
+        elif op == "delete" and next_id:
+            t.delete(f"v = {rng.randint(0, 9)}")
+        elif op == "update" and next_id:
+            t.update({"v": "v + 10"}, f"v = {rng.randint(0, 9)}")
+        else:
+            t.optimize(target_files=2)
+    fresh = DeltaTable(spark, loc)
+    assert fresh._last_checkpoint() is not None  # interval=4 fired
+    for lo in (None, 0, 17, 90):
+        for hi in (None, 25, 83):
+            ranges = {"id": (lo, hi)}
+            d = sorted(
+                (r.id, r.v)
+                for r in DeltaTable(spark, loc)
+                .read_where(ranges, distributed=True)
+                .collect()
+            )
+            e = sorted(
+                (r.id, r.v)
+                for r in DeltaTable(spark, loc)
+                .read_where(ranges, distributed=False)
+                .collect()
+            )
+            assert d == e, (ranges, len(d), len(e))
+    thin = DeltaTable(spark, loc)._read_where_distributed({}, None)
+    full = DeltaTable(spark, loc).read()
+    assert sorted((r.id, r.v) for r in thin.collect()) == sorted(
+        (r.id, r.v) for r in full.collect()
+    )
