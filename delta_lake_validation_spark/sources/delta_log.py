@@ -1590,7 +1590,7 @@ class DeltaTable:
             actions.append({"add": meta})
         return actions
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, replace_where: str | None = None) -> int:
         """Overwrite-commit to a REAL Delta table: the staged files replace
         the whole snapshot (add + remove in one commit).  A concurrent
         commit between snapshot and write loses the race and raises —
@@ -1598,26 +1598,79 @@ class DeltaTable:
         rows (Delta's ProtocolChanged/ConcurrentWrite semantics).  Note:
         like delta-spark's plain mode=overwrite, no cdc files are written;
         this engine's own conservative CDF reader refuses mixed add+remove
-        commits, while Delta's synthesizes both sides."""
+        commits, while Delta's synthesizes both sides.
+
+        ``replace_where`` (delta-spark's ``option("replaceWhere", …)``)
+        scopes the overwrite: only rows matching the predicate are
+        replaced, atomically in ONE commit.  Every incoming row must
+        satisfy the predicate (rows whose predicate evaluates NULL don't
+        satisfy it — Delta's rule); existing matching rows vanish via the
+        same targeting machinery as DELETE (DV masks on
+        deletionVectors-enabled tables, copy-on-write rewrite of the
+        touched files otherwise), so untouched files are never rewritten."""
         import time as _time
 
         snap = self.snapshot()
         self._check_writable(snap, "overwrite")
         df2, id_meta = self._with_identity(self._with_generated(df, snap), snap)
-        adds = self._stage_files(df2, snap)
         ts = int(_time.time() * 1000)
+        if replace_where is None:
+            adds = self._stage_files(df2, snap)
+            actions = [
+                {
+                    "commitInfo": {
+                        "timestamp": ts,
+                        "operation": "WRITE",
+                        "operationParameters": {"mode": "Overwrite"},
+                    }
+                },
+                *([{"metaData": id_meta}] if id_meta else []),
+                *({"add": a} for a in adds),
+                *self._remove_actions(snap, list(snap.files), ts),
+            ]
+            v = snap.version + 1
+            if not self._try_commit(v, actions):
+                raise DeltaProtocolError(
+                    f"overwrite lost the race for version {v}: a concurrent "
+                    "writer committed first; re-read and retry"
+                )
+            return v
+        cond = F.expr(replace_where)
+        bad = df2.filter(~F.coalesce(cond, F.lit(False))).limit(1).count()
+        if bad:
+            raise DeltaProtocolError(
+                "replaceWhere: written rows must all match the predicate "
+                f"{replace_where!r} (delta-spark enforces the same)"
+            )
+        adds = self._stage_files(df2, snap)
+        live = self._read_with_pos(snap)
+        matched = live.filter(cond)
+        per_file, touched_fps = self._target_bitmaps(snap, matched)
         actions = [
             {
                 "commitInfo": {
                     "timestamp": ts,
                     "operation": "WRITE",
-                    "operationParameters": {"mode": "Overwrite"},
+                    "operationParameters": {
+                        "mode": "Overwrite",
+                        "predicate": replace_where,
+                    },
                 }
             },
             *([{"metaData": id_meta}] if id_meta else []),
             *({"add": a} for a in adds),
-            *self._remove_actions(snap, list(snap.files), ts),
         ]
+        if per_file:
+            if self._dv_enabled(snap):
+                actions += self._dv_mask_actions(snap, per_file, ts)
+            else:
+                keep = (
+                    live.filter(F.col("__fp").isin(touched_fps))
+                    .filter(~F.coalesce(cond, F.lit(False)))
+                    .drop("__fp", "__ri")
+                )
+                actions += [{"add": a} for a in self._stage_files(keep, snap)]
+                actions += self._remove_actions(snap, list(per_file), ts)
         v = snap.version + 1
         if not self._try_commit(v, actions):
             raise DeltaProtocolError(

@@ -927,6 +927,12 @@ class DeltaPyWriter(DataSourceArrowWriter):
         self.path = _path_of(options)
         self.overwrite = overwrite
         self.schema = schema
+        if options.get("replacewhere") is not None:
+            raise ValueError(
+                "deltapy: replaceWhere needs a targeting scan the sparkless "
+                "commit worker cannot run — use "
+                "DeltaTable.overwrite(df, replace_where=...)"
+            )
         try:
             tbl = DeltaTable(None, self.path)
         except FileNotFoundError:

@@ -557,3 +557,69 @@ def test_distributed_read_fuzz_after_random_dml(spark, tmp_path):
     assert sorted((r.id, r.v) for r in thin.collect()) == sorted(
         (r.id, r.v) for r in full.collect()
     )
+
+
+def test_replace_where_overwrite(spark, tmp_path):
+    """replaceWhere: one atomic commit replaces only matching rows; rows
+    violating the predicate refuse; DV tables mask instead of rewriting;
+    untouched files stay untouched."""
+    import pytest as _pytest
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaProtocolError,
+    )
+
+    for dv in (False, True):
+        loc = str(tmp_path / f"rw{int(dv)}")
+        props = {"delta.enableDeletionVectors": "true"} if dv else None
+        t = _mk_table(spark, loc, files=4, properties=props)  # grp 0/1
+        before = {
+            p for p in DeltaTable(spark, loc).snapshot().files
+        }
+        v0 = DeltaTable(spark, loc).latest_version()
+        repl = spark.createDataFrame(
+            [(1000 + i, 0.0, 1) for i in range(5)], "id bigint, v double, grp int"
+        )
+        t2 = DeltaTable(spark, loc)
+        t2.overwrite(repl, replace_where="grp = 1")
+        fresh = DeltaTable(spark, loc)
+        got = fresh.read()
+        # grp=0 rows intact, grp=1 replaced by the 5 new rows
+        assert got.filter("grp = 0").count() == 200
+        assert sorted(r.id for r in got.filter("grp = 1").collect()) == [
+            1000, 1001, 1002, 1003, 1004
+        ]
+        # one commit only
+        assert fresh.latest_version() == v0 + 1
+        # grp=0 files not rewritten
+        snap = fresh.snapshot()
+        kept = {p for p in snap.files if (snap.files[p].get(
+            "partitionValues") or {}).get("grp") == "0"}
+        assert kept <= before
+        if dv:
+            assert not any(
+                a.get("deletionVector")
+                for p, a in snap.files.items()
+                if (a.get("partitionValues") or {}).get("grp") == "0"
+            )
+        # violating rows refuse
+        with _pytest.raises(DeltaProtocolError, match="replaceWhere"):
+            DeltaTable(spark, loc).overwrite(
+                spark.createDataFrame(
+                    [(1, 0.0, 0)], "id bigint, v double, grp int"
+                ),
+                replace_where="grp = 1",
+            )
+
+
+def test_replace_where_deltapy_refuses(spark, tmp_path):
+    from delta_lake_validation_spark.sources.pydatasource import (
+        register as _reg,
+    )
+
+    _reg(spark)
+    loc = str(tmp_path / "rwds")
+    spark.range(3).write.format("deltapy").mode("append").save(loc)
+    with pytest.raises(Exception, match="replaceWhere"):
+        spark.range(3).write.format("deltapy").mode("overwrite").option(
+            "replaceWhere", "id > 0"
+        ).save(loc)
