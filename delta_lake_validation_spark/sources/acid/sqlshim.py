@@ -166,6 +166,9 @@ class _DeltaSqlTable:
     def append(self, df: DataFrame) -> int:
         return self._t().append(df)
 
+    def overwrite_where(self, df: DataFrame, predicate: str) -> int:
+        return self._t().overwrite(df, replace_where=predicate)
+
     def delete(self, predicate: str | None) -> int:
         return self._t().delete(predicate if predicate else "true")
 
@@ -583,6 +586,34 @@ class AcidSqlContext:
 
     # ----------------------------------------------------------------- DML
     def _insert(self, s: str) -> None:
+        rw = re.match(
+            rf"INSERT{_WS}INTO{_WS}(?P<table>\w+)"
+            rf"{_WS}REPLACE{_WS}WHERE{_WS}(?P<pred>.+?)"
+            rf"{_WS}(?P<body>(?:SELECT|VALUES)\b.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if rw:
+            # Delta's predicate-scoped atomic overwrite (SQL form of
+            # option("replaceWhere")); ACID registrations refuse with a
+            # typed error via the adapter's __getattr__
+            t = self.table(rw.group("table"))
+            body = rw.group("body")
+            if body.upper().startswith("VALUES"):
+                cols = ", ".join(t.schema().fieldNames())
+                df = self.spark.sql(
+                    f"SELECT * FROM ({body}) AS __v({cols})"
+                )
+            else:
+                df = self.spark.sql(body)
+            fn = getattr(t, "overwrite_where", None)
+            if fn is None:
+                raise AcidSqlError(
+                    "REPLACE WHERE is not implemented for ACID-registered "
+                    "tables; register the Delta table via register_delta"
+                )
+            fn(df, rw.group("pred").strip())
+            return None
         m = re.match(
             rf"INSERT{_WS}INTO{_WS}(?P<table>\w+)"
             rf"(?:{_WS}PARTITION[\s\n]*\((?P<part>[^)]*)\))?"

@@ -498,3 +498,42 @@ def test_show_tables_and_partitions(ctx, spark, tmp_path):
         ctx.sql("SHOW PARTITIONS plain")
     with pytest.raises(AcidSqlError, match="SHOW"):
         ctx.sql("SHOW CREATE TABLE orders")
+
+
+def test_insert_replace_where(spark, tmp_path):
+    """INSERT INTO t REPLACE WHERE pred … — Delta's predicate-scoped
+    atomic overwrite through the SQL shim; ACID registrations refuse."""
+    import pytest
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.sources.acid.sqlshim import (
+        AcidSqlContext,
+        AcidSqlError,
+    )
+    from delta_lake_validation_spark.sources.delta_log import create_delta
+
+    loc = str(tmp_path / "rwsql")
+    t = create_delta(spark, loc, "id bigint, grp int")
+    t.append(
+        spark.sql("SELECT id, CAST(id % 2 AS INT) AS grp FROM range(10)")
+    )
+    ctx = AcidSqlContext(spark)
+    ctx.register_delta("tgt", loc)
+    ctx.sql(
+        "INSERT INTO tgt REPLACE WHERE grp = 1 VALUES (100, 1), (101, 1)"
+    )
+    got = sorted(
+        (r.id, r.grp) for r in ctx.sql("SELECT * FROM tgt").collect()
+    )
+    assert got == [(0, 0), (2, 0), (4, 0), (6, 0), (8, 0), (100, 1), (101, 1)]
+    ctx.sql(
+        "INSERT INTO tgt REPLACE WHERE grp = 1 "
+        "SELECT id, CAST(1 AS INT) AS grp FROM range(200, 202)"
+    )
+    got2 = sorted(
+        r.id for r in ctx.sql("SELECT * FROM tgt WHERE grp = 1").collect()
+    )
+    assert got2 == [200, 201]
+    aloc = str(tmp_path / "acid_rw")
+    ctx.register("a", AcidTable.create(spark, aloc, "id bigint, grp int"))
+    with pytest.raises(AcidSqlError, match="not implemented"):
+        ctx.sql("INSERT INTO a REPLACE WHERE grp = 1 VALUES (1, 1)")
