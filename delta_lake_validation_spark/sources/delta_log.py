@@ -1510,6 +1510,7 @@ class DeltaTable:
                         "timestamp": int(_time.time() * 1000),
                         "operation": "WRITE",
                         "operationParameters": {"mode": "Append"},
+                        "operationMetrics": self._op_metrics(adds),
                     }
                 },
                 *([{"metaData": id_meta}] if id_meta else []),
@@ -1622,6 +1623,9 @@ class DeltaTable:
                         "timestamp": ts,
                         "operation": "WRITE",
                         "operationParameters": {"mode": "Overwrite"},
+                        "operationMetrics": self._op_metrics(
+                            adds, removed=len(snap.files)
+                        ),
                     }
                 },
                 *([{"metaData": id_meta}] if id_meta else []),
@@ -1655,6 +1659,9 @@ class DeltaTable:
                         "mode": "Overwrite",
                         "predicate": replace_where,
                     },
+                    "operationMetrics": self._op_metrics(
+                        adds, removed=len(per_file)
+                    ),
                 }
             },
             *([{"metaData": id_meta}] if id_meta else []),
@@ -1678,6 +1685,31 @@ class DeltaTable:
                 "writer committed first; re-read and retry"
             )
         return v
+
+    @staticmethod
+    def _op_metrics(adds: list[dict], removed: int | None = None) -> dict:
+        """delta-spark style ``commitInfo.operationMetrics`` (string-valued
+        per the protocol's convention) derived from the staged add payloads
+        — no extra jobs, the stats already carry numRecords."""
+        rows = 0
+        for a in adds:
+            st = a.get("stats")
+            if isinstance(st, str):
+                try:
+                    st = json.loads(st)
+                except ValueError:
+                    st = None
+            rows += int((st or {}).get("numRecords") or 0)
+        out = {
+            "numFiles": str(len(adds)),
+            "numOutputRows": str(rows),
+            "numOutputBytes": str(
+                sum(int(a.get("size") or 0) for a in adds)
+            ),
+        }
+        if removed is not None:
+            out["numRemovedFiles"] = str(removed)
+        return out
 
     def _read_with_pos(self, snap: DeltaSnapshot) -> DataFrame:
         """LOGICAL columns + ``__fp`` (absolute file path) + ``__ri``
@@ -1858,6 +1890,12 @@ class DeltaTable:
                     "timestamp": ts,
                     "operation": "DELETE",
                     "operationParameters": {"predicate": predicate},
+                    "operationMetrics": {
+                        "numRemovedFiles": str(len(per_file)),
+                        "numDeletedRows": str(
+                            sum(card for _, card in per_file.values())
+                        ),
+                    },
                 }
             }
         ]
@@ -2452,6 +2490,10 @@ class DeltaTable:
                 "commitInfo": {
                     "timestamp": ts,
                     "operation": "OPTIMIZE",
+                    "operationMetrics": {
+                        "numAddedFiles": str(len(adds)),
+                        "numRemovedFiles": str(len(rewrite)),
+                    },
                     "operationParameters": {
                         "targetFiles": int(target_files),
                         **({"zOrderBy": json.dumps(zorder_by)} if zorder_by else {}),

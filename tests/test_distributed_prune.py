@@ -623,3 +623,35 @@ def test_replace_where_deltapy_refuses(spark, tmp_path):
         spark.range(3).write.format("deltapy").mode("overwrite").option(
             "replaceWhere", "id > 0"
         ).save(loc)
+
+
+def test_operation_metrics_in_history(spark, tmp_path):
+    """Writer commits carry delta-spark style operationMetrics."""
+    import json as _json
+    import os
+
+    loc = str(tmp_path / "om")
+    t = _mk_table(spark, loc, files=2)
+    t.delete("id < 50")
+    t.append(
+        spark.range(500, 520).select(
+            F.col("id"), (F.col("id") * 1.5).alias("v"), F.lit(0).alias("grp")
+        ).coalesce(1)
+    )  # grp=0 now holds 2 files, so OPTIMIZE has work
+    t.optimize()
+    log = f"{loc}/_delta_log"
+    infos = {}
+    for n in sorted(os.listdir(log)):
+        if not n.endswith(".json") or not n[0].isdigit():
+            continue
+        for line in open(f"{log}/{n}"):
+            a = _json.loads(line)
+            ci = a.get("commitInfo")
+            if ci and ci.get("operationMetrics"):
+                infos[ci["operation"]] = ci["operationMetrics"]
+    assert infos["WRITE"]["numFiles"] == "1"
+    assert infos["WRITE"]["numOutputRows"] == "20"  # the last append
+    assert int(infos["WRITE"]["numOutputBytes"]) > 0
+    assert infos["DELETE"]["numDeletedRows"] == "50"
+    assert infos["DELETE"]["numRemovedFiles"] == "1"
+    assert infos["OPTIMIZE"]["numRemovedFiles"] >= "1"
