@@ -1380,6 +1380,12 @@ class DeltaTable:
         return cached
 
     def _try_commit(self, version: int, actions: list[dict]) -> bool:
+        for a in actions:
+            if "commitInfo" in a:
+                # provenance stamp, as delta-spark writes (engineInfo)
+                a["commitInfo"].setdefault(
+                    "engineInfo", "delta-lake-validation-spark/0.4"
+                )
         if self._ict_enabled():
             # inCommitTimestamp feature (write side — the reader already
             # prefers it): stamp a STRICTLY MONOTONIC writer-recorded commit
