@@ -1597,7 +1597,12 @@ class DeltaTable:
             actions.append({"add": meta})
         return actions
 
-    def overwrite(self, df: DataFrame, replace_where: str | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        replace_where: str | None = None,
+        dynamic_partitions: bool = False,
+    ) -> int:
         """Overwrite-commit to a REAL Delta table: the staged files replace
         the whole snapshot (add + remove in one commit).  A concurrent
         commit between snapshot and write loses the race and raises —
@@ -1621,6 +1626,59 @@ class DeltaTable:
         self._check_writable(snap, "overwrite")
         df2, id_meta = self._with_identity(self._with_generated(df, snap), snap)
         ts = int(_time.time() * 1000)
+        if dynamic_partitions:
+            # Spark's partitionOverwriteMode=dynamic: replace exactly the
+            # partitions the frame writes into, leave every other partition
+            # alone.  The touched set derives from the STAGED adds' own
+            # partitionValues strings — the same encoding the log uses, so
+            # no literal-quoting round trip can diverge.
+            if replace_where is not None:
+                raise ValueError(
+                    "pass replace_where or dynamic_partitions, not both"
+                )
+            if not snap.partition_columns:
+                raise DeltaProtocolError(
+                    "dynamic partition overwrite needs a partitioned table"
+                )
+            adds = self._stage_files(df2, snap)
+            touched = {
+                tuple(sorted((a.get("partitionValues") or {}).items()))
+                for a in adds
+            }
+            doomed = [
+                p
+                for p, a in snap.files.items()
+                if tuple(sorted((a.get("partitionValues") or {}).items()))
+                in touched
+            ]
+            actions = [
+                {
+                    "commitInfo": {
+                        "timestamp": ts,
+                        "operation": "WRITE",
+                        "operationParameters": {
+                            "mode": "Overwrite",
+                            "partitionBy": json.dumps(
+                                list(snap.partition_columns)
+                            ),
+                            "partitionOverwriteMode": "dynamic",
+                        },
+                        "operationMetrics": self._op_metrics(
+                            adds, removed=len(doomed)
+                        ),
+                    }
+                },
+                *([{"metaData": id_meta}] if id_meta else []),
+                *({"add": a} for a in adds),
+                *self._remove_actions(snap, doomed, ts),
+            ]
+            v = snap.version + 1
+            if not self._try_commit(v, actions):
+                raise DeltaProtocolError(
+                    f"overwrite lost the race for version {v}: a concurrent "
+                    "writer committed first; re-read and retry"
+                )
+            return v
         if replace_where is None:
             adds = self._stage_files(df2, snap)
             actions = [

@@ -655,3 +655,42 @@ def test_operation_metrics_in_history(spark, tmp_path):
     assert infos["DELETE"]["numDeletedRows"] == "50"
     assert infos["DELETE"]["numRemovedFiles"] == "1"
     assert infos["OPTIMIZE"]["numRemovedFiles"] >= "1"
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: only the partitions the frame
+    writes into are replaced; untouched partitions keep their files."""
+    loc = str(tmp_path / "dyn")
+    t = _mk_table(spark, loc, files=4)  # grp 0/1, 200 rows each
+    before = set(DeltaTable(spark, loc).snapshot().files)
+    repl = spark.createDataFrame(
+        [(9000 + i, 1.0, 1) for i in range(3)], "id bigint, v double, grp int"
+    )
+    DeltaTable(spark, loc).overwrite(repl, dynamic_partitions=True)
+    fresh = DeltaTable(spark, loc)
+    got = fresh.read()
+    assert got.filter("grp = 0").count() == 200
+    assert sorted(r.id for r in got.filter("grp = 1").collect()) == [
+        9000, 9001, 9002
+    ]
+    snap = fresh.snapshot()
+    kept = {
+        p for p in snap.files
+        if (snap.files[p].get("partitionValues") or {}).get("grp") == "0"
+    }
+    assert kept <= before  # grp=0 untouched
+    import pytest as _p
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaProtocolError, create_delta as _cd,
+    )
+
+    with _p.raises(ValueError, match="not both"):
+        DeltaTable(spark, loc).overwrite(
+            repl, replace_where="grp = 1", dynamic_partitions=True
+        )
+    flat = str(tmp_path / "dynflat")
+    _cd(spark, flat, "id bigint")
+    with _p.raises(DeltaProtocolError, match="partitioned"):
+        DeltaTable(spark, flat).overwrite(
+            spark.range(3), dynamic_partitions=True
+        )
