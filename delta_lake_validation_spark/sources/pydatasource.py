@@ -933,6 +933,13 @@ class DeltaPyWriter(DataSourceArrowWriter):
                 "commit worker cannot run — use "
                 "DeltaTable.overwrite(df, replace_where=...)"
             )
+        # Spark's option: only the partitions the frame writes are replaced
+        # (an unpartitioned table degenerates to a full overwrite, as in
+        # Spark).  Commit-time-only logic, so the sparkless worker can do it.
+        self.dynamic_mode = (
+            str(options.get("partitionoverwritemode", "")).lower()
+            == "dynamic"
+        )
         try:
             tbl = DeltaTable(None, self.path)
         except FileNotFoundError:
@@ -1216,6 +1223,7 @@ class DeltaPyWriter(DataSourceArrowWriter):
                         }
                     }
                 )
+            dynamic = self.overwrite and self.dynamic_mode
             actions.append(
                 {
                     "commitInfo": {
@@ -1226,6 +1234,11 @@ class DeltaPyWriter(DataSourceArrowWriter):
                             if self.overwrite
                             else "Append",
                             "partitionBy": json.dumps(self.part_cols),
+                            **(
+                                {"partitionOverwriteMode": "dynamic"}
+                                if dynamic
+                                else {}
+                            ),
                         },
                         "engineInfo": "delta-lake-validation-spark/deltapy",
                     }
@@ -1233,7 +1246,18 @@ class DeltaPyWriter(DataSourceArrowWriter):
             )
             actions.extend(extra)
             if self.overwrite and snap is not None:
+                # dynamic mode removes ONLY the partitions the staged adds
+                # touch (their partitionValues use the log's own string
+                # encoding, so membership is exact); static removes all
+                touched = {
+                    tuple(sorted((a.get("partitionValues") or {}).items()))
+                    for a in adds
+                }
                 for p, a in snap.files.items():
+                    if dynamic and tuple(
+                        sorted((a.get("partitionValues") or {}).items())
+                    ) not in touched:
+                        continue
                     actions.append(
                         {
                             "remove": {

@@ -908,3 +908,30 @@ def test_stream_rate_limit_offsets(spark, tmp_path):
         )
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == list(range(50))  # everything, no duplicates
+
+
+def test_dynamic_partition_overwrite_option(spark, tmp_path):
+    """option("partitionOverwriteMode", "dynamic") on mode=overwrite
+    replaces only the partitions present in the frame."""
+    loc = str(tmp_path / "dynds")
+    base = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(10)], "id bigint, part string"
+    )
+    base.write.format("deltapy").mode("append").option(
+        "partitionBy", "part"
+    ).save(loc)
+    repl = spark.createDataFrame([(100, "b"), (101, "b")],
+                                 "id bigint, part string")
+    repl.write.format("deltapy").mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).save(loc)
+    got = spark.read.format("deltapy").load(loc)
+    assert sorted(r.id for r in got.filter("part = 'a'").collect()) == [
+        0, 2, 4, 6, 8
+    ]
+    assert sorted(r.id for r in got.filter("part = 'b'").collect()) == [
+        100, 101
+    ]
+    # static overwrite still replaces everything
+    repl.write.format("deltapy").mode("overwrite").save(loc)
+    assert spark.read.format("deltapy").load(loc).count() == 2
