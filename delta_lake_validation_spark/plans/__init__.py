@@ -120,6 +120,8 @@ _TIER_BY_NAME = {
     # temperature mixture weights (llm module default tier would displace
     # verified in-window families; same past-the-cap policy)
     "mixture_weights": _reg.TIER_NEWFAM,
+    # scoped overwrites (replaceWhere + dynamic partition overwrite)
+    "delta_overwrite_scenario": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):

@@ -1072,3 +1072,82 @@ def delta_skipping_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"o_orderkey": (4500, 6000)}, distributed=True).count()),
         ]
     return _result(spark, rows)
+
+
+@register(
+    "delta_overwrite_scenario",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'dynamic_kept' AS step,
+             (SELECT count(*) FROM nation WHERE n_regionkey <> 2) AS n_rows
+      UNION ALL
+      SELECT 'dynamic_replaced', 3
+      UNION ALL
+      SELECT 'replace_where_kept',
+             (SELECT count(*) FROM nation
+              WHERE n_regionkey <> 2 AND n_regionkey <> 1)
+      UNION ALL
+      SELECT 'replace_where_new', 2
+      UNION ALL
+      SELECT 'violation_refused', 1
+    ) ORDER BY step
+    """,
+    tags=("delta", "dml", "overwrite"),
+    doc="Scoped overwrites on a real Delta table: dynamic partition "
+    "overwrite (partitionOverwriteMode=dynamic — only the partitions the "
+    "frame writes are replaced) and replaceWhere (predicate-scoped atomic "
+    "overwrite; rows violating the predicate refuse with a typed error) — "
+    "the delta-spark option surfaces, value-graded against the nation "
+    "oracle.",
+)
+def delta_overwrite_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaProtocolError,
+        DeltaTable,
+        create_delta,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    with _scratch() as root:
+        loc = f"{root}/tbl"
+        t = create_delta(
+            spark, loc, nation.schema, partition_by=["n_regionkey"]
+        )
+        t.append(nation)
+        # dynamic: replace ONLY region 2 with 3 synthetic rows
+        repl = spark.createDataFrame(
+            [(900 + i, f"D{i}", 2) for i in range(3)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        ).select(*[F.col(f.name).cast(f.dataType) for f in nation.schema.fields])
+        DeltaTable(spark, loc).overwrite(repl, dynamic_partitions=True)
+        after_dyn = DeltaTable(spark, loc).read()
+        dynamic_kept = after_dyn.filter("n_regionkey <> 2").count()
+        dynamic_replaced = after_dyn.filter("n_regionkey = 2").count()
+        # replaceWhere: region 1 becomes 2 synthetic rows, atomically
+        repl2 = spark.createDataFrame(
+            [(950, "R0", 1), (951, "R1", 1)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        ).select(*[F.col(f.name).cast(f.dataType) for f in nation.schema.fields])
+        DeltaTable(spark, loc).overwrite(repl2, replace_where="n_regionkey = 1")
+        after_rw = DeltaTable(spark, loc).read()
+        rw_kept = after_rw.filter(
+            "n_regionkey <> 2 AND n_regionkey <> 1"
+        ).count()
+        rw_new = after_rw.filter("n_regionkey = 1").count()
+        try:
+            DeltaTable(spark, loc).overwrite(
+                repl2, replace_where="n_regionkey = 3"
+            )
+            refused = 0
+        except DeltaProtocolError:
+            refused = 1
+        rows = [
+            ("dynamic_kept", dynamic_kept),
+            ("dynamic_replaced", dynamic_replaced),
+            ("replace_where_kept", rw_kept),
+            ("replace_where_new", rw_new),
+            ("violation_refused", refused),
+        ]
+    return _result(spark, rows)
