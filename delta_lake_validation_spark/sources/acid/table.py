@@ -446,7 +446,10 @@ class AcidTable:
         raise ConcurrentWriteException("append could not commit after 50 attempts")
 
     def overwrite(
-        self, df: DataFrame, operation_parameters: dict | None = None
+        self,
+        df: DataFrame,
+        operation_parameters: dict | None = None,
+        dynamic_partitions: bool = False,
     ) -> int:
         """Full-table overwrite (ref: write_data mode=overwrite + test 6,
         src/validation_suite.py:354-362, 679-707).  Reads table state (the
@@ -455,17 +458,42 @@ class AcidTable:
         ``operation_parameters`` ride in the commit entry — the same
         txnAppId/txnVersion idempotence hook the append path exposes
         (used by streaming/acid_sink and materialized views to make
-        write+watermark a single atomic commit)."""
+        write+watermark a single atomic commit).
+
+        ``dynamic_partitions`` (Spark's partitionOverwriteMode=dynamic,
+        mirroring the Delta layer): only the partitions the frame writes
+        into are replaced; the touched set derives from the STAGED adds'
+        own partitionValues strings, so no literal round trip can
+        diverge.  An unpartitioned table degenerates to a full overwrite,
+        as in Spark."""
         snap = self.log.snapshot()
         adds, cdf = self._stage_write(df, snap, cdf_type="insert_overwrite")
+        if dynamic_partitions:
+            touched = {
+                tuple(sorted((a.get("partitionValues") or {}).items()))
+                for a in adds
+            }
+            doomed = [
+                p
+                for p, a in snap.files.items()
+                if tuple(sorted((a.get("partitionValues") or {}).items()))
+                in touched
+            ]
+        else:
+            doomed = list(snap.files)
         entry = {
             "operation": "OVERWRITE",
             "operationParameters": {
                 "mode": "Overwrite",
+                **(
+                    {"partitionOverwriteMode": "dynamic"}
+                    if dynamic_partitions
+                    else {}
+                ),
                 **(operation_parameters or {}),
             },
             "add": adds,
-            "remove": [{"path": p} for p in snap.files],
+            "remove": [{"path": p} for p in doomed],
             "cdf": cdf,
         }
         return self._commit_strict(entry, snap)

@@ -694,3 +694,30 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         DeltaTable(spark, flat).overwrite(
             spark.range(3), dynamic_partitions=True
         )
+
+
+def test_acid_dynamic_partition_overwrite(spark, tmp_path):
+    """ACID-layer mirror of dynamic partition overwrite."""
+    from delta_lake_validation_spark.sources.acid import AcidTable
+
+    loc = str(tmp_path / "adyn")
+    t = AcidTable.create(
+        spark, loc, "id bigint, grp int", partition_by=["grp"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, i % 2) for i in range(10)], "id bigint, grp int"
+        )
+    )
+    t.overwrite(
+        spark.createDataFrame([(100, 1), (101, 1)], "id bigint, grp int"),
+        dynamic_partitions=True,
+    )
+    got = t.read()
+    assert sorted(r.id for r in got.filter("grp = 0").collect()) == [
+        0, 2, 4, 6, 8
+    ]
+    assert sorted(r.id for r in got.filter("grp = 1").collect()) == [100, 101]
+    # static still replaces the world
+    t.overwrite(spark.createDataFrame([(7, 0)], "id bigint, grp int"))
+    assert t.read().count() == 1
