@@ -498,6 +498,62 @@ class AcidTable:
         }
         return self._commit_strict(entry, snap)
 
+    def overwrite_where(
+        self, df: DataFrame, predicate: str | Column
+    ) -> int:
+        """Predicate-scoped atomic overwrite (delta-spark's
+        ``replaceWhere``): rows matching ``predicate`` vanish and ``df``
+        lands, in ONE commit.  Every incoming row must satisfy the
+        predicate (NULL doesn't satisfy it — Delta's rule).  Removal uses
+        the DELETE machinery: whole partitions drop metadata-only when the
+        predicate is partition-only, otherwise touched files rewrite
+        copy-on-write keeping their non-matching rows.  With CDF enabled
+        the commit carries row-accurate delete AND insert change files —
+        richer than Delta's plain overwrite, whose CDF is undefined."""
+        snap = self.log.snapshot()
+        cond = _cond(predicate)
+        cond_true = F.coalesce(cond, F.lit(False))
+        if df.filter(~cond_true).limit(1).count():
+            raise AcidTableError(
+                "replaceWhere: written rows must all match the predicate "
+                f"{predicate!r}"
+            )
+        cdf_on = self._cdf_enabled(snap)
+        new_adds, cdf_new = self._stage_write(
+            df, snap, cdf_type="insert" if cdf_on else None
+        )
+        pruned = self._partition_prune(snap, cond)
+        keep_adds: list[dict] = []
+        if pruned is not None:  # metadata-only partition-scoped removal
+            removes = pruned
+        else:
+            removes = self._files_matching(snap, cond_true)
+            if removes:
+                keep = self._read_files(snap, removes).filter(~cond_true)
+                keep_adds, _ = self._stage_write(
+                    keep, snap, cdf_type=None, rewrite=True
+                )
+        cdf_del = (
+            self._write_cdf(
+                self._read_files(snap, removes)
+                .filter(cond_true if pruned is None else F.lit(True))
+                .withColumn(CDF_TYPE, F.lit("delete"))
+            )
+            if cdf_on and removes
+            else []
+        )
+        entry = {
+            "operation": "OVERWRITE",
+            "operationParameters": {
+                "mode": "Overwrite",
+                "predicate": str(predicate),
+            },
+            "add": new_adds + keep_adds,
+            "remove": [{"path": p} for p in removes],
+            "cdf": cdf_del + cdf_new,
+        }
+        return self._commit_strict(entry, snap)
+
     def _commit_strict(self, entry: dict, snap: Snapshot) -> int:
         v = snap.version + 1
         if not self.log.try_commit(v, entry):

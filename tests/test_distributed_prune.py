@@ -721,3 +721,54 @@ def test_acid_dynamic_partition_overwrite(spark, tmp_path):
     # static still replaces the world
     t.overwrite(spark.createDataFrame([(7, 0)], "id bigint, grp int"))
     assert t.read().count() == 1
+
+
+def test_acid_overwrite_where(spark, tmp_path):
+    """ACID replaceWhere: one commit, partition fast path, CDF carries
+    delete + insert rows, violations refuse; SQL head works via the shim."""
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.sources.acid.errors import (
+        AcidTableError,
+    )
+    from delta_lake_validation_spark.sources.acid.sqlshim import (
+        AcidSqlContext,
+    )
+
+    loc = str(tmp_path / "arw")
+    t = AcidTable.create(
+        spark, loc, "id bigint, grp int", partition_by=["grp"],
+        properties={"enableChangeDataFeed": "true"},
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, i % 2) for i in range(10)], "id bigint, grp int"
+        )
+    )
+    v0 = t.log.latest_version()
+    repl = spark.createDataFrame([(200, 1), (201, 1)], "id bigint, grp int")
+    t.overwrite_where(repl, "grp = 1")
+    assert t.log.latest_version() == v0 + 1  # atomic
+    got = t.read()
+    assert sorted(r.id for r in got.filter("grp = 0").collect()) == [
+        0, 2, 4, 6, 8
+    ]
+    assert sorted(r.id for r in got.filter("grp = 1").collect()) == [200, 201]
+    ch = t.read_changes(start_version=v0 + 1)
+    assert ch.filter("_change_type = 'delete'").count() == 5
+    assert sorted(
+        r.id for r in ch.filter("_change_type = 'insert'").collect()
+    ) == [200, 201]
+    with pytest.raises(AcidTableError, match="replaceWhere"):
+        t.overwrite_where(repl, "grp = 0")
+    # non-partition predicate: copy-on-write keeps the non-matching rows
+    t.overwrite_where(
+        spark.createDataFrame([(300, 0)], "id bigint, grp int"),
+        "id >= 4 AND grp = 0",
+    )
+    assert sorted(r.id for r in t.read().filter("grp = 0").collect()) == [
+        0, 2, 300
+    ]
+    ctx = AcidSqlContext(spark)
+    ctx.register("a", t)
+    ctx.sql("INSERT INTO a REPLACE WHERE grp = 1 VALUES (400, 1)")
+    assert sorted(r.id for r in t.read().filter("grp = 1").collect()) == [400]

@@ -533,7 +533,12 @@ def test_insert_replace_where(spark, tmp_path):
         r.id for r in ctx.sql("SELECT * FROM tgt WHERE grp = 1").collect()
     )
     assert got2 == [200, 201]
+    # ACID registrations take the same statement (AcidTable.overwrite_where)
     aloc = str(tmp_path / "acid_rw")
-    ctx.register("a", AcidTable.create(spark, aloc, "id bigint, grp int"))
-    with pytest.raises(AcidSqlError, match="not implemented"):
-        ctx.sql("INSERT INTO a REPLACE WHERE grp = 1 VALUES (1, 1)")
+    at = AcidTable.create(spark, aloc, "id bigint, grp int")
+    at.append(spark.createDataFrame([(1, 1), (2, 2)], "id bigint, grp int"))
+    ctx.register("a", at)
+    ctx.sql("INSERT INTO a REPLACE WHERE grp = 1 VALUES (10, 1)")
+    assert sorted((r.id, r.grp) for r in at.read().collect()) == [
+        (2, 2), (10, 1)
+    ]
