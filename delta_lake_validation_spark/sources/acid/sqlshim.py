@@ -273,6 +273,60 @@ class AcidSqlContext:
             return self._convert(s)
         return self._query(s)
 
+    def _insert_overwrite(self, m: re.Match) -> None:
+        """``INSERT OVERWRITE [TABLE] t [PARTITION (c=lit, …)] SELECT|VALUES``
+        — Spark's standard overwrite statement.  Without a PARTITION clause
+        the whole table is replaced; with one, the overwrite scopes to that
+        static partition via ``overwrite_where`` (both registrations have
+        it), and the partition literals stamp onto the frame exactly as a
+        static-partition INSERT would."""
+        t = self.table(m.group("table"))
+        schema = t.schema()
+        body = m.group("body")
+        part_assigns: list[tuple[str, str]] = []
+        if m.group("part"):
+            for assign in _split_top_level(m.group("part")):
+                col, _, lit = assign.partition("=")
+                part_assigns.append((col.strip(), lit.strip()))
+        by_lower = {c.lower(): c for c in schema.fieldNames()}
+        part_assigns = [
+            (by_lower.get(c.lower(), c), lit) for c, lit in part_assigns
+        ]
+        part_names = {c for c, _ in part_assigns}
+        # the body supplies the non-partition columns (or all columns when
+        # there is no PARTITION clause), POSITIONALLY — standard SQL INSERT
+        # column resolution
+        body_cols = [c for c in schema.fieldNames() if c not in part_names]
+        if body.upper().startswith("VALUES"):
+            df = self.spark.sql(
+                f"SELECT * FROM ({body}) AS __v({', '.join(body_cols)})"
+            )
+        else:
+            df = self.spark.sql(body)
+            if len(df.columns) != len(body_cols):
+                raise AcidSqlError(
+                    f"INSERT OVERWRITE body yields {len(df.columns)} columns; "
+                    f"the table needs {len(body_cols)} ({body_cols})"
+                )
+            df = df.toDF(*body_cols)
+        for col, lit in part_assigns:
+            df = df.withColumn(col, F.expr(lit))
+        for f in schema.fields:  # align types/order with the table
+            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        df = df.select(*schema.fieldNames())
+        if not part_assigns:
+            t.overwrite(df)
+            return None
+        pred = " AND ".join(f"{c} = {lit}" for c, lit in part_assigns)
+        fn = getattr(t, "overwrite_where", None)
+        if fn is None:
+            raise AcidSqlError(
+                "partition-scoped INSERT OVERWRITE is not implemented for "
+                "this registration"
+            )
+        fn(df, pred)
+        return None
+
     def _convert(self, s: str) -> None:
         """``CONVERT TO DELTA parquet.`/path` [PARTITIONED BY (ddl)]`` —
         in-place zero-copy adoption of a parquet directory (delta-spark's
@@ -586,6 +640,15 @@ class AcidSqlContext:
 
     # ----------------------------------------------------------------- DML
     def _insert(self, s: str) -> None:
+        ow = re.match(
+            rf"INSERT{_WS}OVERWRITE(?:{_WS}TABLE)?{_WS}(?P<table>\w+)"
+            rf"(?:{_WS}PARTITION[\s\n]*\((?P<part>[^)]*)\))?"
+            rf"{_WS}(?P<body>(?:SELECT|VALUES)\b.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if ow:
+            return self._insert_overwrite(ow)
         rw = re.match(
             rf"INSERT{_WS}INTO{_WS}(?P<table>\w+)"
             rf"{_WS}REPLACE{_WS}WHERE{_WS}(?P<pred>.+?)"

@@ -542,3 +542,45 @@ def test_insert_replace_where(spark, tmp_path):
     assert sorted((r.id, r.grp) for r in at.read().collect()) == [
         (2, 2), (10, 1)
     ]
+
+
+def test_insert_overwrite_statement(spark, tmp_path):
+    """INSERT OVERWRITE [TABLE] t [PARTITION (c=lit)] — full replace
+    without a PARTITION clause, scoped replaceWhere with one; works on
+    ACID and Delta registrations alike."""
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.sources.acid.sqlshim import (
+        AcidSqlContext,
+    )
+    from delta_lake_validation_spark.sources.delta_log import create_delta
+
+    ctx = AcidSqlContext(spark)
+    aloc = str(tmp_path / "a")
+    at = AcidTable.create(
+        spark, aloc, "id bigint, grp int", partition_by=["grp"]
+    )
+    at.append(
+        spark.createDataFrame([(i, i % 2) for i in range(6)],
+                              "id bigint, grp int")
+    )
+    ctx.register("a", at)
+    ctx.sql("INSERT OVERWRITE a PARTITION (grp = 1) VALUES (50), (51)")
+    got = sorted((r.id, r.grp) for r in at.read().collect())
+    assert got == [(0, 0), (2, 0), (4, 0), (50, 1), (51, 1)]
+    ctx.sql("INSERT OVERWRITE TABLE a SELECT id, CAST(0 AS INT) FROM range(2)")
+    assert sorted((r.id, r.grp) for r in at.read().collect()) == [
+        (0, 0), (1, 0)
+    ]
+    dloc = str(tmp_path / "d")
+    dt = create_delta(spark, dloc, "id bigint, grp int", partition_by=["grp"])
+    dt.append(
+        spark.createDataFrame([(i, i % 2) for i in range(6)],
+                              "id bigint, grp int")
+    )
+    ctx.register_delta("d", dloc)
+    ctx.sql("INSERT OVERWRITE d PARTITION (grp = 0) VALUES (70)")
+    got_d = sorted(
+        (r.id, r.grp)
+        for r in ctx.sql("SELECT * FROM d").collect()
+    )
+    assert got_d == [(1, 1), (3, 1), (5, 1), (70, 0)]
