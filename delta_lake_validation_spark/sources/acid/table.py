@@ -1451,25 +1451,33 @@ class AcidTable:
             from delta_lake_validation_spark.sources.fs import (
                 delete_files_distributed,
                 list_stale_distributed,
+                rel_under,
             )
 
-            doomed_abs = list_stale_distributed(
+            # location-relative keep set — the distributed anti-join runs
+            # in pyarrow-normalized space where scheme-qualified URIs never
+            # match (see fs.list_stale_distributed); entries outside the
+            # table root are never listed, so dropping them is safe
+            keep_rel = set()
+            for p in active | active_dv | committed_cdf:
+                r = rel_under(root, p)
+                if r:
+                    keep_rel.add(r)
+            doomed_rel = list_stale_distributed(
                 self.spark,
                 self.location,
-                active | active_dv | committed_cdf,
+                keep_rel,
                 cutoff,
                 # CDF_DIR is scanned (uncommitted change files are vacuum
                 # targets); only the log and staging dirs are off-limits
                 lambda name: name in _SYS_DIRS and name != CDF_DIR,
             )
-            if doomed_abs is not None:
-                if not dry_run and doomed_abs:
+            if doomed_rel is not None:
+                if not dry_run and doomed_rel:
                     delete_files_distributed(
-                        self.spark, self.location, doomed_abs
+                        self.spark, self.location, doomed_rel
                     )
-                return sorted(
-                    p[len(root):].lstrip("/") for p in doomed_abs
-                )
+                return sorted(doomed_rel)
         doomed = []
         for f_abs in self.fs.list_files(self.location):
             rel = strip_scheme(f_abs)[len(root) :].lstrip("/")

@@ -2726,20 +2726,32 @@ class DeltaTable:
         from delta_lake_validation_spark.sources.fs import (
             delete_files_distributed,
             list_stale_distributed,
+            rel_under,
         )
 
-        doomed_abs = list_stale_distributed(
+        # reduce the keep set to LOCATION-RELATIVE form: the distributed
+        # listing compares in pyarrow-normalized space, where scheme-
+        # qualified URIs ('s3://bucket/tbl/...') never match FileInfo.path
+        # ('bucket/tbl/...').  Keep entries outside the table root (shallow
+        # clone sources, 'p'-storage DVs elsewhere) are never listed, so
+        # dropping them from the anti-join side is safe.
+        keep_rel = set()
+        for p in active | active_dv:
+            r = rel_under(root, p)
+            if r:
+                keep_rel.add(r)
+        doomed_rel = list_stale_distributed(
             self.spark,
             self.location,
-            active | active_dv,
+            keep_rel,
             cutoff,
             lambda name: name.startswith("_") and name != "_change_data",
         )
-        if doomed_abs is None:
+        if doomed_rel is None:
             return None
-        if not dry_run and doomed_abs:
-            delete_files_distributed(self.spark, self.location, doomed_abs)
-        return sorted(p[len(root):].lstrip("/") for p in doomed_abs)
+        if not dry_run and doomed_rel:
+            delete_files_distributed(self.spark, self.location, doomed_rel)
+        return sorted(doomed_rel)
 
     def _manifest_sidecar_paths(self, name: str) -> set[str]:
         """Absolute paths of every sidecar a v2 manifest references."""

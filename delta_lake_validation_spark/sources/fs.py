@@ -236,31 +236,54 @@ def pa_fs(path: str):
     return pafs.FileSystem.from_uri(path)
 
 
+def rel_under(root: str, path: str) -> str | None:
+    """``path`` relative to ``root`` when ``path`` lives under it, else
+    None.  Both arguments must come from the SAME normalization (both
+    strip_scheme'd, or both pyarrow fs-normalized) — mixing forms is the
+    live-data-deletion bug this helper exists to prevent."""
+    base = root.rstrip("/")
+    if path == base:
+        return ""
+    if path.startswith(base + "/"):
+        return path[len(base) + 1 :]
+    return None
+
+
 def list_stale_distributed(
     spark: SparkSession,
     location: str,
-    keep: set[str],
+    keep_rel: set[str],
     cutoff: float,
     skip_top,
+    fs_factory=None,
 ) -> list[str] | None:
     """Vacuum candidate discovery as Spark jobs: recursive pyarrow listings
     per top-level directory fan out over executors (file mtimes ride each
-    listing — no per-file stat RPCs), candidates anti-join the ``keep`` set
-    in Catalyst, and only the doomed paths come back to the driver.
+    listing — no per-file stat RPCs), candidates anti-join the ``keep_rel``
+    set in Catalyst, and only the doomed paths come back to the driver.
 
-    ``keep``: scheme-stripped absolute paths that must survive (live data
-    files, live DV sidecars, committed CDF files).  ``skip_top(name)``:
-    True for top-level entries vacuum never descends into (log/staging
-    dirs).  Candidates are data parquet or DV sidecars modified at or
-    before ``cutoff``; everything else is left alone, matching the
-    driver-loop rules.  Returns doomed ABSOLUTE (scheme-stripped) paths,
-    or None when pyarrow can't open this filesystem."""
+    ``keep_rel``: LOCATION-RELATIVE paths that must survive (live data
+    files, live DV sidecars, committed CDF files).  Everything here is
+    compared in location-relative space: pyarrow's FileInfo.path is
+    fs-normalized ('bucket/tbl/...' on s3, '/tbl/...' on local) and does
+    NOT match scheme-qualified URIs, so both the listings and the keep set
+    are reduced to paths relative to the table root before the anti-join.
+    ``skip_top(name)``: True for top-level entries vacuum never descends
+    into (log/staging dirs).  Candidates are data parquet or DV sidecars
+    modified at or before ``cutoff``; everything else is left alone,
+    matching the driver-loop rules.  Returns doomed LOCATION-RELATIVE
+    paths, or None when pyarrow can't open this filesystem.
+
+    ``fs_factory`` (picklable, default ``pa_fs(location)``) supplies the
+    (pyarrow FileSystem, normalized root) pair on driver and executors —
+    the seam tests use to exercise non-file:// normalization."""
     from pyspark.sql import functions as F
 
+    factory = fs_factory or (lambda: pa_fs(location))
     try:
         import pyarrow.fs as pafs
 
-        fs, norm = pa_fs(location)
+        fs, norm = factory()
         top = fs.get_file_info(pafs.FileSelector(norm, allow_not_found=True))
     except Exception:
         return None
@@ -273,21 +296,25 @@ def list_stale_distributed(
         if info.type == pafs.FileType.Directory:
             dirs.append(info.path)
         elif info.type == pafs.FileType.File:
-            ts = info.mtime.timestamp() if info.mtime else float("inf")
-            rows.append((info.path, ts))
+            rel = rel_under(norm, info.path)
+            if rel:
+                ts = info.mtime.timestamp() if info.mtime else float("inf")
+                rows.append((rel, ts))
 
     def _scan(paths):
         import pyarrow.fs as pafs2
 
-        fs2, _ = pa_fs(location)
+        fs2, norm2 = factory()
         for d in paths:
             sel = pafs2.FileSelector(d, recursive=True, allow_not_found=True)
             for i in fs2.get_file_info(sel):
                 if i.type == pafs2.FileType.File:
-                    yield (
-                        i.path,
-                        i.mtime.timestamp() if i.mtime else float("inf"),
-                    )
+                    r = rel_under(norm2, i.path)
+                    if r:
+                        yield (
+                            r,
+                            i.mtime.timestamp() if i.mtime else float("inf"),
+                        )
 
     listed = spark.createDataFrame(rows, "path string, mtime double")
     if dirs:
@@ -298,7 +325,7 @@ def list_stale_distributed(
             spark.createDataFrame(rdd, "path string, mtime double")
         )
     live = spark.createDataFrame(
-        [(p,) for p in sorted(keep)], "path string"
+        [(p,) for p in sorted(keep_rel)], "path string"
     )
     fname = F.element_at(F.split(F.col("path"), "/"), -1)
     is_dv = fname.startswith("deletion_vector_") & fname.endswith(".bin")
@@ -311,19 +338,27 @@ def list_stale_distributed(
 
 
 def delete_files_distributed(
-    spark: SparkSession, location: str, paths: list[str]
+    spark: SparkSession,
+    location: str,
+    rel_paths: list[str],
+    fs_factory=None,
 ) -> None:
-    """foreachPartition deletes — the parallel half of distributed vacuum.
+    """foreachPartition deletes of LOCATION-RELATIVE paths — the parallel
+    half of distributed vacuum.  Paths are re-anchored to the pyarrow
+    fs-normalized root on each executor (same normalization the listing
+    used), so the delete targets exactly what the anti-join doomed.
     Missing files are tolerated (racing vacuum)."""
+    factory = fs_factory or (lambda: pa_fs(location))
 
     def _rm(chunk):
-        fs, _ = pa_fs(location)
+        fs, norm = factory()
+        base = norm.rstrip("/")
         for p in chunk:
             try:
-                fs.delete_file(p)
+                fs.delete_file(f"{base}/{p}")
             except FileNotFoundError:
                 pass
 
     spark.sparkContext.parallelize(
-        paths, max(1, min(len(paths) // 64, 256))
+        rel_paths, max(1, min(len(rel_paths) // 64, 256))
     ).foreachPartition(_rm)

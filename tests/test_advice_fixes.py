@@ -397,3 +397,85 @@ def test_staged_stats_keyed_per_partition_file(spark, tmp_path):
     assert {(r.v, r.k) for r in t.read_where({"v": (50, None)}).collect()} == {
         (100, "b")
     }
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r4: distributed vacuum must compare paths in ONE normalization.
+# Before the fix, the keep set held scheme-qualified URIs
+# ('s3://bucket/tbl/...') while pyarrow listings yielded fs-normalized paths
+# ('bucket/tbl/...'), so the anti-join never matched and every live file past
+# the mtime cutoff was deleted.  The mock factory reproduces the s3
+# normalization shape (SubTreeFileSystem paths have no scheme, no leading /).
+# ---------------------------------------------------------------------------
+
+
+class _MockS3Factory:
+    """Picklable (fs, normalized-root) factory mimicking
+    pyarrow.fs.FileSystem.from_uri('s3://bucket/tbl'): FileInfo.path comes
+    back as 'bucket/tbl/...' with no scheme."""
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+
+    def __call__(self):
+        import pyarrow.fs as pafs
+
+        return (
+            pafs.SubTreeFileSystem(self.base_dir, pafs.LocalFileSystem()),
+            "bucket/tbl",
+        )
+
+
+def test_distributed_vacuum_remote_scheme_keeps_live_files(spark, tmp_path):
+    import time
+
+    from delta_lake_validation_spark.sources.fs import (
+        delete_files_distributed,
+        list_stale_distributed,
+    )
+
+    base = str(tmp_path / "mock-s3")
+    tbl = os.path.join(base, "bucket", "tbl")
+    live = ["data1.parquet", "part=a/data2.parquet", "deletion_vector_live.bin"]
+    stale = ["stale.parquet", "part=a/stale2.parquet", "deletion_vector_old.bin"]
+    skipped = ["_delta_log/00000.json", "notes.txt"]
+    for rel in live + stale + skipped:
+        p = os.path.join(tbl, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write("x")
+
+    factory = _MockS3Factory(base)
+    doomed = list_stale_distributed(
+        spark,
+        "mock://bucket/tbl",  # never dialed: factory supplies the fs
+        set(live),
+        cutoff=time.time() + 3600,  # everything old enough — keep set decides
+        skip_top=lambda name: name.startswith("_"),
+        fs_factory=factory,
+    )
+    # the whole point: live files MUST survive the anti-join on a
+    # non-file:// normalization; only unreferenced data/DV files are doomed
+    assert sorted(doomed) == sorted(stale)
+
+    delete_files_distributed(
+        spark, "mock://bucket/tbl", doomed, fs_factory=factory
+    )
+    for rel in live + skipped:
+        assert os.path.exists(os.path.join(tbl, rel)), rel
+    for rel in stale:
+        assert not os.path.exists(os.path.join(tbl, rel)), rel
+
+
+def test_rel_under_normalization_forms():
+    """Caller-side keep-set mapping: scheme-qualified keeps reduce to
+    location-relative form against the same scheme-qualified root; paths
+    outside the root (shallow-clone sources, absolute 'p' DVs) drop out."""
+    from delta_lake_validation_spark.sources.fs import rel_under
+
+    root = "s3://bucket/tbl"
+    assert rel_under(root, "s3://bucket/tbl/part=a/f.parquet") == "part=a/f.parquet"
+    assert rel_under(root + "/", "s3://bucket/tbl/f.parquet") == "f.parquet"
+    assert rel_under(root, "s3://bucket/tblX/f.parquet") is None
+    assert rel_under(root, "s3://other/tbl/f.parquet") is None
+    assert rel_under("/tmp/tbl", "/tmp/tbl/f.parquet") == "f.parquet"
