@@ -359,21 +359,23 @@ class AcidTable:
             return path
         return f"{self.location}/{path}"
 
-    def _dv_map(self, snap: Snapshot, rel_paths: list[str]) -> dict[str, bytes]:
-        """{normalized abs data-file path: serialized DV bitmap} for the
-        given files (deletion-vector DELETE, sources/dv.py).  ``u``-stored
+    def _dv_map(self, snap: Snapshot, rel_paths: list[str]) -> dict[str, object]:
+        """{normalized abs data-file path: DV entry} for the given files
+        (deletion-vector DELETE, sources/dv.py).  Entries are descriptors
+        (dv.dv_map_entry) — executors fetch/decode sidecar bytes
+        themselves; the driver never funnels bitmap bytes.  ``u``-stored
         sidecars resolve against the entry's basePath (shallow clones keep
         their source's sidecars), inline descriptors decode directly."""
-        from delta_lake_validation_spark.sources.dv import load_dv_bytes
+        from delta_lake_validation_spark.sources.dv import dv_map_entry
 
-        out: dict[str, bytes] = {}
+        out: dict[str, object] = {}
         for p in rel_paths:
             meta = snap.files.get(p) or {}
             d = meta.get("deletionVector")
             if not d or int(d.get("cardinality") or 0) == 0:
                 continue
             base = meta.get("basePath", self.location)
-            out[strip_scheme(self._abs(p))] = load_dv_bytes(d, base, self.fs)
+            out[strip_scheme(self._abs(p))] = dv_map_entry(d, base, self.fs)
         return out
 
     def _read_files(

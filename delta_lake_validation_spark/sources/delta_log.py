@@ -2947,18 +2947,21 @@ class DeltaTable:
         return v
 
     # ------------------------------------------------------ deletion vectors
-    def _dv_map(self, snap: DeltaSnapshot) -> dict[str, bytes]:
-        """{normalized data-file path: serialized DV bitmap} for every live
-        file carrying a deletion vector.  DV blobs are log-scale metadata
-        (like the file list itself): loaded once on the driver, shipped to
-        executors via broadcast, decoded lazily per worker."""
-        from delta_lake_validation_spark.sources.dv import load_dv_bytes
+    def _dv_map(self, snap: DeltaSnapshot) -> dict[str, object]:
+        """{normalized data-file path: DV entry} for every live file
+        carrying a deletion vector.  Entries are DESCRIPTORS (dv.py
+        dv_map_entry): the broadcast ships only path/offset/size metadata
+        and executors fetch + decode the sidecar bytes themselves — a
+        DV-heavy table (mass retention deletes between OPTIMIZEs) never
+        routes bitmap bytes through the driver.  Only on schemes pyarrow
+        cannot open does the entry degrade to driver-loaded bytes."""
+        from delta_lake_validation_spark.sources.dv import dv_map_entry
 
-        out: dict[str, bytes] = {}
+        out: dict[str, object] = {}
         for p, a in snap.files.items():
             d = a.get("deletionVector")
             if d and int(d.get("cardinality") or 0) != 0:
-                out[strip_scheme(self._abs(p))] = load_dv_bytes(
+                out[strip_scheme(self._abs(p))] = dv_map_entry(
                     d, self.location, self.fs
                 )
         return out
@@ -2985,7 +2988,7 @@ class DeltaTable:
     def _dv_filter(
         self,
         df: DataFrame,
-        dv_map: dict[str, bytes],
+        dv_map: dict[str, object],
         keep_member: bool = False,
     ) -> DataFrame:
         """Shared bitmap filter (sources/dv.py apply_dv_filter):

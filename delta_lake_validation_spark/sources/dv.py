@@ -289,6 +289,72 @@ def load_dv_bytes(descriptor: dict, table_location: str, fs) -> bytes:
     return data
 
 
+class PyArrowReadFS:
+    """read_bytes-only FS adapter over pyarrow — DV sidecar fetches on
+    executors, where no JVM gateway exists.  Works for every scheme
+    pyarrow speaks (file, s3, gcs, hdfs, ...)."""
+
+    def read_bytes(
+        self, path: str, offset: int = 0, length: int | None = None
+    ) -> bytes:
+        from delta_lake_validation_spark.sources.fs import pa_fs
+
+        fs, norm = pa_fs(path)
+        with fs.open_input_file(norm) as f:
+            if offset:
+                f.seek(offset)
+            return f.read(length) if length is not None else f.read()
+
+
+_PA_SCHEME_OK: dict[str, bool] = {}  # driver-side probe memo, per scheme
+
+
+def _executors_can_fetch(location: str) -> bool:
+    """True when pyarrow can open ``location``'s scheme, i.e. executors can
+    load DV sidecars themselves.  Probed once per scheme on the driver."""
+    from urllib.parse import urlparse
+
+    from delta_lake_validation_spark.sources.fs import pa_fs
+
+    scheme = urlparse(location).scheme
+    ok = _PA_SCHEME_OK.get(scheme)
+    if ok is None:
+        try:
+            pa_fs(location)
+            ok = True
+        except Exception:
+            ok = False
+        _PA_SCHEME_OK[scheme] = ok
+    return ok
+
+
+def dv_map_entry(descriptor: dict, base_location: str, fs):
+    """Broadcastable dv_map value for one file's deletion vector.
+
+    The scale rule: the driver must never funnel sidecar BYTES — on a
+    DV-heavy table (mass retention deletes between OPTIMIZEs) that routes
+    every bitmap through one process.  So this returns the DESCRIPTOR
+    (path/offset/size — metadata-sized) whenever executors can resolve it
+    themselves: inline DVs are self-contained, on-disk ones need only a
+    pyarrow-readable scheme.  Only for schemes pyarrow cannot open (JVM-
+    only Hadoop connectors) does the driver load the bytes as a fallback,
+    preserving correctness at the old cost."""
+    if descriptor.get("storageType") == "i" or _executors_can_fetch(
+        base_location
+    ):
+        return {"desc": descriptor, "base": base_location}
+    return load_dv_bytes(descriptor, base_location, fs)
+
+
+def resolve_dv_entry(entry) -> bytes:
+    """Serialized bitmap bytes of a dv_map/_FileSlice DV entry: raw bytes
+    pass through (driver-loaded fallback, computed CDF diffs); descriptor
+    entries fetch + CRC-verify the sidecar locally via pyarrow."""
+    if isinstance(entry, (bytes, bytearray)):
+        return bytes(entry)
+    return load_dv_bytes(entry["desc"], entry["base"], PyArrowReadFS())
+
+
 def merge_bitmaps(new_data: bytes, old_data: bytes | None) -> bytes:
     """Union two serialized DV bitmaps (per-file merge of an existing DV
     with newly-deleted rows).  Per-file scope keeps the transient index
@@ -400,22 +466,24 @@ def inline_dv_descriptor(indices) -> dict:
 def apply_dv_filter(
     spark,
     df,
-    dv_map: dict[str, bytes],
+    dv_map: dict[str, object],
     keep_member: bool = False,
     file_col: str | None = None,
     idx_col: str | None = None,
 ):
     """Bitmap membership filter on ``_metadata.row_index``, Arrow-batched
-    against the broadcast per-file bitmaps (shared by the Delta-interop
+    against the broadcast per-file DV entries (shared by the Delta-interop
     reader and the ACID layer's DV reads).
 
     ``keep_member=False`` drops DV-deleted rows; ``keep_member=True``
     keeps exactly the rows whose index IS in the bitmap (rows of files
-    absent from ``dv_map`` are dropped in that mode).  Decoded index
-    arrays are cached per Python worker, so each file's bitmap is decoded
-    once per executor, not once per Arrow batch.  DV blobs are log-scale
-    metadata (like the add-file list itself): broadcast whole, decoded
-    lazily."""
+    absent from ``dv_map`` are dropped in that mode).  ``dv_map`` values
+    are ``dv_map_entry`` results: DESCRIPTORS by default — the broadcast
+    carries only path/offset/size metadata, and each executor fetches,
+    CRC-verifies, and decodes the sidecars it actually scans (driver ships
+    zero bitmap bytes) — or raw bytes on the driver-loaded fallback path.
+    Resolved index arrays are cached per Python worker, so each file's
+    bitmap is fetched/decoded once per worker, not once per Arrow batch."""
     if not dv_map and not keep_member:
         return df
     from pyspark.sql import functions as F
@@ -430,10 +498,13 @@ def apply_dv_filter(
         import numpy as np
         import pandas as pd
 
-        from delta_lake_validation_spark.sources.dv import deserialize_bitmap
+        from delta_lake_validation_spark.sources.dv import (
+            deserialize_bitmap,
+            resolve_dv_entry,
+        )
         from delta_lake_validation_spark.sources.fs import strip_scheme
 
-        blobs = bc.value
+        entries = bc.value
         member = np.zeros(len(file_path), dtype=bool)
         # _metadata.file_path is a percent-encoded URI while dv_map keys
         # are decoded on-disk paths (a special-char partition dir like
@@ -446,12 +517,12 @@ def apply_dv_filter(
             }
         )
         for path, grp in frame.groupby("p", sort=False):
-            blob = blobs.get(path)
-            if blob is None:
+            entry = entries.get(path)
+            if entry is None:
                 continue
             deleted = decoded.get(path)
             if deleted is None:
-                deleted = deserialize_bitmap(blob)
+                deleted = deserialize_bitmap(resolve_dv_entry(entry))
                 decoded[path] = deleted
             if len(deleted) == 0:
                 continue

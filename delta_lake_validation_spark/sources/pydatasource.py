@@ -92,7 +92,9 @@ from delta_lake_validation_spark.sources.delta_log import (
 )
 from delta_lake_validation_spark.sources.dv import (
     deserialize_bitmap,
+    dv_map_entry,
     load_dv_bytes,
+    resolve_dv_entry,
 )
 from delta_lake_validation_spark.sources.fs import is_local, strip_scheme
 
@@ -176,8 +178,10 @@ def _pv_python(raw: str | None, dt: DataType):
 # ------------------------------------------------------------------ planning
 @dataclass
 class _FileSlice:
-    """One parquet file as a task sees it: absolute path, resolved DV
-    bitmap bytes (None = nothing deleted), raw partitionValues strings.
+    """One parquet file as a task sees it: absolute path, DV entry (a
+    descriptor dict the task resolves itself via dv.resolve_dv_entry, or
+    raw bitmap bytes for computed CDF diffs / non-pyarrow-scheme
+    fallbacks; None = nothing deleted), raw partitionValues strings.
 
     CDF scans extend the slice: ``mode`` ``"drop"`` masks the DV rows out
     (plain reads), ``"keep"`` emits ONLY the DV rows (bitmap-diff change
@@ -366,10 +370,11 @@ def _plan_slices(
         ):
             continue
         dv_desc = a.get("deletionVector")
+        # descriptor, not bytes: each task fetches/decodes only the
+        # sidecars of the files it scans (dv.dv_map_entry scale rule)
         dv = (
-            load_dv_bytes(dv_desc, tbl.location, fs)
-            if dv_desc and int(dv_desc.get("cardinality") or 0) >= 0
-            and dv_desc.get("storageType")
+            dv_map_entry(dv_desc, tbl.location, fs)
+            if dv_desc and dv_desc.get("storageType")
             else None
         )
         slices.append(
@@ -470,11 +475,14 @@ def _plan_changes(tbl: DeltaTable, lo: int, hi: int) -> list[_FileSlice]:
         else:
             for acts, kind in ((adds, "insert"), (removes, "delete")):
                 for a in acts:
+                    d = a.get("deletionVector")
                     slices.append(
                         _FileSlice(
                             path=tbl._abs(a["path"]),
                             size=int(a.get("size") or 0),
-                            dv=_blob(a),
+                            dv=dv_map_entry(d, tbl.location, fs)
+                            if d
+                            else None,
                             pv=a.get("partitionValues") or {},
                             mode="drop",
                             ctype=kind,
@@ -595,7 +603,11 @@ class _ScanExec:
                 if fsl.is_cdc and "_change_type" in pf.schema_arrow.names:
                     present = present + ["_change_type"]
                 members = (
-                    np.sort(deserialize_bitmap(fsl.dv).astype(np.int64))
+                    np.sort(
+                        deserialize_bitmap(
+                            resolve_dv_entry(fsl.dv)
+                        ).astype(np.int64)
+                    )
                     if fsl.dv
                     else None
                 )
@@ -886,7 +898,7 @@ class DeltaPyStreamReader(DataSourceStreamReader):
                     _FileSlice(
                         path=tbl._abs(ad["path"]),
                         size=int(ad.get("size") or 0),
-                        dv=load_dv_bytes(dv_desc, tbl.location, fs)
+                        dv=dv_map_entry(dv_desc, tbl.location, fs)
                         if dv_desc and dv_desc.get("storageType")
                         else None,
                         pv=ad.get("partitionValues") or {},

@@ -330,3 +330,68 @@ def test_dv_checkpoint_add_carries_dv(spark, tmp_path):
     (log / "00000000000000000000.json").unlink()
     t = DeltaTable(spark, str(loc))
     assert _ids(t.read()) == [1, 2, 4, 6]
+
+
+def test_dv_read_ships_descriptors_not_driver_bytes(spark, tmp_path):
+    """The read path must not funnel sidecar BYTES through the driver: the
+    broadcast dv_map carries descriptors (path/offset/size) and executors
+    fetch + CRC-verify the sidecars themselves.  Counting shim on the
+    driver's FS facade proves a full DV-table read performs zero
+    driver-side sidecar reads."""
+    t = DeltaTable(spark, str(_dv_table(spark, tmp_path)))
+    reads: list[str] = []
+    orig = t.fs.read_bytes
+
+    def counting(path, offset=0, length=None):
+        reads.append(path)
+        return orig(path, offset=offset, length=length)
+
+    t.fs.read_bytes = counting
+    try:
+        assert _ids(t.read()) == [1, 3, 4] + list(range(5, 11)) + [
+            12, 13, 14, 15,
+        ]
+        assert _ids(t.read(version=1)) == [1, 3] + list(range(5, 16))
+    finally:
+        t.fs.read_bytes = orig
+    assert [p for p in reads if "deletion_vector_" in p] == []
+    # the broadcast map itself holds descriptor entries, not blobs
+    m = t._dv_map(t.snapshot())
+    assert m
+    assert all(isinstance(v, dict) and "desc" in v for v in m.values())
+
+
+def test_dv_deltapy_planner_ships_descriptors(spark, tmp_path):
+    """deltapy's InputPartitions embed DV descriptors, not resolved bytes:
+    each task fetches only the sidecars of the files it scans."""
+    from delta_lake_validation_spark.sources.pydatasource import _plan_slices
+
+    loc = _dv_table(spark, tmp_path)
+    t = DeltaTable(None, str(loc))
+    slices = _plan_slices(t, t.snapshot(), [])
+    dv_slices = [s for s in slices if s.dv is not None]
+    assert dv_slices
+    assert all(isinstance(s.dv, dict) and "desc" in s.dv for s in dv_slices)
+    got = sorted(
+        r["id"]
+        for r in spark.read.format("deltapy").load(str(loc)).collect()
+    )
+    assert got == [1, 3, 4] + list(range(5, 11)) + [12, 13, 14, 15]
+
+
+def test_dv_driver_fallback_when_pyarrow_cannot_fetch(
+    spark, tmp_path, monkeypatch
+):
+    """Schemes pyarrow can't open degrade to the old driver-loaded-bytes
+    entries — correctness preserved at the old cost."""
+    monkeypatch.setattr(dvmod, "_executors_can_fetch", lambda loc: False)
+    t = DeltaTable(spark, str(_dv_table(spark, tmp_path)))
+    m = t._dv_map(t.snapshot())
+    assert m
+    # inline descriptors stay descriptors (no fetch needed); on-disk DVs
+    # fall back to driver-loaded bytes
+    kinds = {type(v) for v in m.values()}
+    assert bytes in kinds
+    assert _ids(t.read()) == [1, 3, 4] + list(range(5, 11)) + [
+        12, 13, 14, 15,
+    ]
