@@ -3797,12 +3797,28 @@ def _write_one_parquet(spark, rows, schema, dst: str) -> int:
         for r in rows
     ]
     table = pa.Table.from_pylist(dicts, schema=arrow_schema)
-    parent = strip_scheme(dst.rsplit("/", 1)[0])
-    os.makedirs(parent, exist_ok=True)
-    tmp = f"{parent}/.ckpt-tmp-{_uuid.uuid4().hex}.parquet"
-    pq.write_table(table, tmp)
-    os.replace(tmp, strip_scheme(dst))
-    return os.path.getsize(strip_scheme(dst))
+    if is_local(dst):
+        parent = strip_scheme(dst.rsplit("/", 1)[0])
+        os.makedirs(parent, exist_ok=True)
+        tmp = f"{parent}/.ckpt-tmp-{_uuid.uuid4().hex}.parquet"
+        pq.write_table(table, tmp)
+        os.replace(tmp, strip_scheme(dst))
+        return os.path.getsize(strip_scheme(dst))
+    # remote store: serialize in memory (checkpoint rows are log-scale
+    # metadata), stage under a uuid-tmp name, then rename into place via
+    # the FileSystem facade — concurrent checkpointers never observe each
+    # other's half-written output, same invariant as the local leg
+    buf = pa.BufferOutputStream()
+    pq.write_table(table, buf)
+    data = buf.getvalue().to_pybytes()
+    fs = FileSystem(spark, dst)
+    parent, name = dst.rsplit("/", 1)
+    tmp = f"{parent}/.ckpt-tmp-{_uuid.uuid4().hex}-{name}"
+    fs.write_bytes(tmp, data)
+    if fs.exists(dst):  # re-checkpoint of the same version: idempotent
+        fs.delete(dst)  # content; Hadoop rename refuses existing targets
+    fs.rename(tmp, dst)
+    return len(data)
 
 
 def write_delta_checkpoint(
@@ -3827,14 +3843,15 @@ def write_delta_checkpoint(
     other engines have for vacuum coordination.  So does the latest
     ``txn`` action per appId (the idempotent-streaming-sink watermark) —
     losing it to log cleanup would let a replayed micro-batch
-    double-commit.  Returns the checkpointed version."""
+    double-commit.  Returns the checkpointed version.
+
+    Storage-agnostic: parquet parts stage under uuid-tmp names and rename
+    into place through the FileSystem facade (local fast path: os.replace);
+    ``_last_checkpoint`` is replaced with a single overwriting create —
+    one PUT on object stores, the same non-atomic-window-free hint update
+    delta-spark performs (readers that miss it fall back to listing)."""
     from pyspark.sql import Row
 
-    if not is_local(location):  # pragma: no cover
-        raise NotImplementedError(
-            "checkpoint writing currently targets local/posix paths; remote "
-            "stores need a rename primitive routed through FileSystem"
-        )
     t = DeltaTable(spark, location)
     snap = t.snapshot()
     if kind is None:
@@ -4065,8 +4082,14 @@ def write_delta_checkpoint(
     stanza = {"version": v, "size": len(rows)}
     if kind == "classic" and parts > 1:
         stanza["parts"] = parts
-    with open(f"{strip_scheme(log_dir)}/_last_checkpoint", "w") as f:
-        json.dump(stanza, f)
+    if is_local(log_dir):
+        with open(f"{strip_scheme(log_dir)}/_last_checkpoint", "w") as f:
+            json.dump(stanza, f)
+    else:
+        FileSystem(spark, log_dir).write_bytes(
+            f"{log_dir}/_last_checkpoint",
+            json.dumps(stanza).encode("utf-8"),
+        )
     # delta-spark runs metadata cleanup after every checkpoint unless the
     # table opts out; the 30-day default retention means young logs are
     # untouched, so this is a no-op until a table actually ages

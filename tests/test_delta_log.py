@@ -2540,3 +2540,46 @@ def test_delta_write_in_commit_timestamps(spark, tmp_path):
     assert all(x is not None for x in icts[1:])  # every write commit stamped
     stamped = [x for x in icts if x is not None]
     assert stamped == sorted(stamped) and len(set(stamped)) == len(stamped)
+
+
+def test_checkpoint_write_remote_facade(spark, tmp_path, monkeypatch):
+    """VERDICT r4 task 2: checkpoint WRITE off local/posix paths.  With
+    is_local forced False the whole write (parquet parts, tmp+rename,
+    _last_checkpoint, log reads) routes through the FileSystem facade /
+    JVM Hadoop on file: URIs — no os.* fast path — and classic, v2,
+    multi-part, and re-checkpoint (delete+rename) legs all round-trip."""
+    from delta_lake_validation_spark.sources import delta_log as dlmod
+    from delta_lake_validation_spark.sources import fs as fsmod
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.sources.delta_log import (
+        export_delta,
+        write_delta_checkpoint,
+    )
+
+    loc = str(tmp_path / "rck")
+    t = AcidTable.create(spark, loc, "id int, k string", partition_by=["k"])
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id int, k string"))
+    export_delta(t)
+    t.append(spark.createDataFrame([(3, "b")], "id int, k string"))
+    export_delta(t)
+
+    uri = "file:" + loc
+    monkeypatch.setattr(fsmod, "is_local", lambda p: False)
+    monkeypatch.setattr(dlmod, "is_local", lambda p: False)
+    assert write_delta_checkpoint(spark, uri) == 1  # classic
+    write_delta_checkpoint(spark, uri, kind="v2")  # uuid manifest+sidecar
+    write_delta_checkpoint(spark, uri, parts=3)  # multi-part classic
+    write_delta_checkpoint(spark, uri)  # re-checkpoint: delete+rename leg
+    monkeypatch.undo()
+
+    log = tmp_path / "rck" / "_delta_log"
+    assert (log / "00000000000000000001.checkpoint.parquet").exists()
+    assert (log / "_last_checkpoint").exists()
+    # staged tmp names never survive (rename or die)
+    assert not [p for p in log.iterdir() if p.name.startswith(".ckpt-tmp-")]
+    (log / "00000000000000000000.json").unlink()
+    dt = DeltaTable(spark, loc)
+    assert {(r.id, r.k) for r in dt.read().collect()} == {
+        (1, "a"), (2, "b"), (3, "b")
+    }
+    assert {r.id for r in dt.read_where({"id": (3, None)}).collect()} == {3}
