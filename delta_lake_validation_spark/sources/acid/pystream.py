@@ -1,0 +1,215 @@
+"""``acidpy`` — committed-files-only streaming source for ACID tables.
+
+Spark's file source (the previous ``stream_appends`` shape) discovers input
+by DIRECTORY LISTING, so a crashed or racing writer's staged-but-uncommitted
+``part-*`` files could surface in a micro-batch before the transaction log
+admitted them (SCALE.md "Streaming file-source reads", item 5).  This source
+closes that window the same way cdf_stream's CommittedChangeFeed does: it
+never lists data directories — offsets are TRANSACTION-LOG VERSIONS and a
+micro-batch reads exactly the files the commits in ``(start, end]`` added.
+
+Semantics match the old file-source contract (appended rows only):
+
+* ``part-*`` adds from APPEND / OVERWRITE commits are served;
+* copy-on-write rewrites (``rw-*``, named so by the write path) are
+  skipped — their row-level changes belong to the ``_change_data`` feed;
+* replaying a committed version range yields identical rows, so Spark's
+  offset log gives exactly-once to idempotent sinks.
+
+Scale: the driver holds only version cursors and add-entry metadata; file
+bytes are read executor-side via pyarrow (tasks bin-packed to
+``maxBytesPerTask``), and the log walk is O(new commits) per trigger.
+
+Reference anchor: the reference has no streaming surface at all
+(SURVEY.md §2.10) — this is engine extension, mirroring delta-spark's
+log-driven streaming source over our ACID layout.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from delta_lake_validation_spark.sources.acid.log import TransactionLog
+
+_DEFAULT_TASK_BYTES = 128 * 1024 * 1024
+
+
+def _path_of(options: dict) -> str:
+    p = options.get("path")
+    if not p:
+        raise ValueError("acidpy: .load(path) or option('path', ...) required")
+    return p.rstrip("/")
+
+
+@dataclass
+class _AddSlice:
+    """One committed data file: absolute path, size, raw partitionValues."""
+
+    path: str
+    size: int
+    pv: dict
+
+
+class AcidPyScanPartition(InputPartition):
+    def __init__(self, files: list[_AddSlice]):
+        self.files = files
+
+
+class AcidPyStreamReader(DataSourceStreamReader):
+    """Micro-batch source over the ACID transaction log: offsets are table
+    versions; a batch is every appended ``part-*`` file in ``(start, end]``.
+    ``startingVersion`` (default 0, or ``latest``) picks where the stream
+    begins."""
+
+    def __init__(self, options: dict):
+        self.path = _path_of(options)
+        self.max_task_bytes = int(
+            options.get("maxbytespertask", _DEFAULT_TASK_BYTES)
+        )
+        log = TransactionLog(None, self.path)
+        snap = log.snapshot()
+        self.schema_json = snap.schema_json
+        self.part_cols = list(snap.partition_columns)
+        sv = str(options.get("startingversion", "0"))
+        self._start = (
+            log.latest_version() if sv == "latest" else int(sv) - 1
+        )
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        return {"version": TransactionLog(None, self.path).latest_version()}
+
+    def partitions(self, start: dict, end: dict):
+        log = TransactionLog(None, self.path)
+        lo, hi = int(start["version"]), int(end["version"])
+        slices: list[_AddSlice] = []
+        for v in range(lo + 1, hi + 1):
+            entry = log.read_entry(v)
+            for ad in entry.get("add", []):
+                rel = ad["path"]
+                name = rel.rsplit("/", 1)[-1]
+                # rw-* rewrites carry mostly OLD rows; the append feed
+                # must not re-emit them (same rule as the old part-* glob)
+                if not name.startswith("part-"):
+                    continue
+                slices.append(
+                    _AddSlice(
+                        path=f"{self.path}/{rel}",
+                        size=int(ad.get("size") or 0),
+                        pv=ad.get("partitionValues") or {},
+                    )
+                )
+        packed = _pack(slices, self.max_task_bytes)
+        return [AcidPyScanPartition(g) for g in packed] or [
+            AcidPyScanPartition([])
+        ]
+
+    def read(self, partition: AcidPyScanPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from delta_lake_validation_spark.sources.fs import pa_fs
+        from delta_lake_validation_spark.sources.pydatasource import (
+            _arrow_type,
+            _pv_python,
+        )
+
+        schema = StructType.fromJson(json.loads(self.schema_json))
+        part = set(self.part_cols)
+        target = pa.schema(
+            [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
+        )
+        types = {f.name: f.dataType for f in schema.fields}
+        for fsl in partition.files:
+            fs, norm = pa_fs(fsl.path)
+            with fs.open_input_file(norm) as fh:
+                pf = pq.ParquetFile(fh)
+                present = [
+                    f.name
+                    for f in schema.fields
+                    if f.name not in part
+                    and f.name in pf.schema_arrow.names
+                ]
+                for rb in pf.iter_batches(columns=present):
+                    n = rb.num_rows
+                    arrays = []
+                    for f in schema.fields:
+                        at = target.field(f.name).type
+                        if f.name in part:
+                            val = _pv_python(
+                                fsl.pv.get(f.name), types[f.name]
+                            )
+                            arrays.append(
+                                pa.nulls(n, at)
+                                if val is None
+                                else pa.array([val] * n, type=at)
+                            )
+                        elif f.name in rb.schema.names:
+                            col = rb.column(f.name)
+                            if (
+                                pa.types.is_timestamp(col.type)
+                                and col.type.tz
+                            ):
+                                # tz-aware storage -> naive UTC instant
+                                col = col.cast(
+                                    pa.timestamp(col.type.unit, tz=None)
+                                )
+                            arrays.append(
+                                col.cast(at) if col.type != at else col
+                            )
+                        else:  # file predates the column -> nulls
+                            arrays.append(pa.nulls(n, at))
+                    yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def _pack(files: list[_AddSlice], max_bytes: int) -> list[list[_AddSlice]]:
+    """First-fit-decreasing bin packing into ~max_bytes tasks."""
+    if not files:
+        return []
+    out: list[list[_AddSlice]] = []
+    sizes: list[int] = []
+    for f in sorted(files, key=lambda f: -f.size):
+        for i, s in enumerate(sizes):
+            if s + f.size <= max_bytes:
+                out[i].append(f)
+                sizes[i] += f.size
+                break
+        else:
+            out.append([f])
+            sizes.append(f.size)
+    return out
+
+
+class AcidPyDataSource(DataSource):
+    """``spark.readStream.format("acidpy")`` — the committed-files-only
+    append stream over an ACID table.  Streaming-only by design: batch
+    reads go through ``AcidTable.read`` (snapshot-consistent already)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "acidpy"
+
+    def schema(self) -> StructType:
+        log = TransactionLog(None, _path_of(self.options))
+        return StructType.fromJson(json.loads(log.snapshot().schema_json))
+
+    def streamReader(self, schema: StructType) -> AcidPyStreamReader:
+        return AcidPyStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the ``acidpy`` format on a session."""
+    spark.dataSource.register(AcidPyDataSource)

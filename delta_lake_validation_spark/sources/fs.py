@@ -35,19 +35,33 @@ def strip_scheme(path: str) -> str:
 
 class FileSystem:
     """Minimal FS facade: local fast-path via os, everything else via
-    Hadoop FileSystem through the JVM gateway."""
+    Hadoop FileSystem through the JVM gateway — or, when constructed
+    WITHOUT a SparkSession (Python DataSource planning/scan workers,
+    where no JVM gateway exists), read-only operations route through
+    pyarrow for every scheme it speaks.  Mutations without a session
+    raise: the commit primitive (atomic exclusive create) has no portable
+    pyarrow equivalent, and readers never need them."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession | None, root: str):
         self.spark = spark
         self.root = root
         self.local = is_local(root)
 
     # -- helpers -----------------------------------------------------------
     def _jfs(self, path: str):
+        if self.spark is None:
+            raise RuntimeError(
+                f"FileSystem: no SparkSession for non-local path {path!r}; "
+                "only pyarrow-readable operations are available sparkless"
+            )
         jvm = self.spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(path)
         conf = self.spark._jsc.hadoopConfiguration()
         return jpath.getFileSystem(conf), jpath
+
+    @property
+    def _sparkless(self) -> bool:
+        return self.spark is None
 
     # -- operations --------------------------------------------------------
     def list_files(self, prefix: str) -> list[str]:
@@ -60,6 +74,8 @@ class FileSystem:
                 for f in files:
                     out.append(os.path.join(dirpath, f))
             return sorted(out)
+        if self._sparkless:
+            return sorted(p for p, _ in self._pa_list(prefix))
         fs, jpath = self._jfs(prefix)
         if not fs.exists(jpath):
             return []
@@ -68,6 +84,17 @@ class FileSystem:
         while it.hasNext():
             out.append(it.next().getPath().toString())
         return sorted(out)
+
+    def _pa_list(self, prefix: str) -> list[tuple[str, int]]:
+        import pyarrow.fs as pafs
+
+        fs, norm = pa_fs(prefix)
+        sel = pafs.FileSelector(norm, recursive=True, allow_not_found=True)
+        return [
+            (i.path, int(i.size or 0))
+            for i in fs.get_file_info(sel)
+            if i.type == pafs.FileType.File
+        ]
 
     def list_files_with_size(self, prefix: str) -> list[tuple[str, int]]:
         """Recursive (path, size) listing — one pass, so a commit touching
@@ -80,6 +107,8 @@ class FileSystem:
                     p = os.path.join(dirpath, f)
                     out.append((p, os.path.getsize(p)))
             return sorted(out)
+        if self._sparkless:
+            return sorted(self._pa_list(prefix))
         fs, jpath = self._jfs(prefix)
         if not fs.exists(jpath):
             return []
@@ -93,6 +122,11 @@ class FileSystem:
     def exists(self, path: str) -> bool:
         if self.local:
             return os.path.exists(strip_scheme(path))
+        if self._sparkless:
+            import pyarrow.fs as pafs
+
+            fs, norm = pa_fs(path)
+            return fs.get_file_info(norm).type != pafs.FileType.NotFound
         fs, jpath = self._jfs(path)
         return fs.exists(jpath)
 
@@ -137,6 +171,10 @@ class FileSystem:
         if self.local:
             with open(strip_scheme(path)) as f:
                 return f.read()
+        if self._sparkless:
+            fs, norm = pa_fs(path)
+            with fs.open_input_stream(norm) as stream:
+                return stream.read().decode("utf-8")
         fs, jpath = self._jfs(path)
         stream = fs.open(jpath)
         try:
@@ -156,6 +194,12 @@ class FileSystem:
             with open(strip_scheme(path), "rb") as f:
                 f.seek(offset)
                 return f.read() if length is None else f.read(length)
+        if self._sparkless:
+            fs, norm = pa_fs(path)
+            with fs.open_input_file(norm) as f:
+                if offset:
+                    f.seek(offset)
+                return f.read(length) if length is not None else f.read()
         fs, jpath = self._jfs(path)
         stream = fs.open(jpath)
         try:
@@ -212,6 +256,9 @@ class FileSystem:
     def file_size(self, path: str) -> int:
         if self.local:
             return os.path.getsize(strip_scheme(path))
+        if self._sparkless:
+            fs, norm = pa_fs(path)
+            return int(fs.get_file_info(norm).size or 0)
         fs, jpath = self._jfs(path)
         return fs.getFileStatus(jpath).getLen()
 
@@ -221,6 +268,10 @@ class FileSystem:
         gs:// (Hadoop reports milliseconds; local uses os.path.getmtime)."""
         if self.local:
             return os.path.getmtime(strip_scheme(path))
+        if self._sparkless:
+            fs, norm = pa_fs(path)
+            info = fs.get_file_info(norm)
+            return info.mtime.timestamp() if info.mtime else 0.0
         fs, jpath = self._jfs(path)
         return fs.getFileStatus(jpath).getModificationTime() / 1000.0
 

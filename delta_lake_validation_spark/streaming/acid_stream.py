@@ -1,43 +1,40 @@
-"""Streaming reads of ACID-table appends.
+"""Streaming reads of ACID-table appends — committed transactions only.
 
-The table layout (sources/acid) keeps all system state in underscore-prefixed
-directories (_txn_log, _change_data, _staging), which Spark's file listing
-treats as hidden — so the table root doubles as a valid streaming file source
-for append-only workloads: each committed append's files show up atomically
-(rename into place) and the file source picks them up exactly once for
-committed transactions.  Same single-writer visibility caveat as
-cdf_stream: files are renamed into place BEFORE the log commit, so a
-concurrent writer that loses its commit race (overwrite path) or crashes
-mid-commit can briefly expose files the log never admitted; with one
-writer per table the window is empty.
+Previously this was a Spark file source over a ``part-*`` glob: correct
+under a single healthy writer, but discovery-by-listing meant a crashed or
+racing writer's staged-but-uncommitted files could surface in a micro-batch
+(files are renamed into place BEFORE the log commit).  ``stream_appends``
+is now backed by the ``acidpy`` Python Data Source
+(sources/acid/pystream.py), whose offsets are TRANSACTION-LOG versions and
+whose batches read exactly the files each commit admitted — a
+staged/orphaned file is invisible because no directory is ever listed.
 
 This is the engine's analog of reading Delta CDF as a stream
 (SURVEY.md §2.10 engine note).  Copy-on-write DML/compaction rewrites are
-named ``rw-*`` by the write path, so the ``part-*`` glob here never emits
-rewritten old rows as phantom inserts; the full feed including DML changes
-is ``streaming.cdf_stream.stream_table_changes``.
+named ``rw-*`` by the write path and skipped by the source, so rewritten
+old rows never re-emit as phantom inserts; the full feed including DML
+changes is ``streaming.cdf_stream.stream_table_changes``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from delta_lake_validation_spark.sources.acid.table import AcidTable
 
+def stream_appends(
+    spark: SparkSession, location: str, starting_version: int | str = 0
+) -> DataFrame:
+    """Unbounded DataFrame over an AcidTable's committed appended rows.
 
-def stream_appends(spark: SparkSession, location: str) -> DataFrame:
-    """Unbounded DataFrame over an AcidTable's appended rows."""
-    table = AcidTable(spark, location)
-    snap = table.snapshot()
-    reader = spark.readStream.schema(table.schema(snap))
-    if snap.partition_columns:
-        reader = reader.option("basePath", table.location)
-    # one glob level per partition column (k=v hive dirs); a fixed single
-    # "*" would silently match nothing on multi-column-partitioned tables
-    depth = "/".join(["*"] * len(snap.partition_columns))
-    pattern = (
-        f"{table.location}/{depth}/part-*.parquet"
-        if snap.partition_columns
-        else f"{table.location}/part-*.parquet"
+    ``starting_version``: first log version to serve (default 0 = full
+    history, matching the old file-source behavior of picking up existing
+    files), or ``"latest"`` for new commits only."""
+    from delta_lake_validation_spark.sources.acid.pystream import register
+
+    register(spark)
+    return (
+        spark.readStream.format("acidpy")
+        .option("path", location)
+        .option("startingVersion", str(starting_version))
+        .load()
     )
-    return reader.format("parquet").load(pattern)

@@ -504,3 +504,83 @@ def test_change_feed_stream_checkpointed_replay(spark, tmp_path):
     assert seen[1] == replay_before + replay_before  # same rows, same id
     # a batch-id-deduping consumer therefore sees each change exactly once
     assert s3.process_available(sink) == 0
+
+
+def test_stream_appends_ignores_uncommitted_files(spark, tmp_path):
+    """VERDICT r4 task 3: stream_appends is log-driven (acidpy source) —
+    a racing/crashed writer's staged-but-uncommitted part-* file never
+    appears in any micro-batch, and commits landed between triggers are
+    picked up exactly once."""
+    import shutil
+
+    from delta_lake_validation_spark.sources.acid import AcidTable
+
+    loc = os.path.join(str(tmp_path), "t")
+    t = AcidTable.create(spark, loc, "id int, k string", partition_by=["k"])
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id int, k string"))
+
+    # crashed writer: data-shaped part-* files in the table dir (root and
+    # partition dir) admitted by no commit — the old glob source would
+    # stream these
+    stray_src = spark.createDataFrame([(99, "a")], "id int, k string")
+    stray_src.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stray")
+    )
+    src = next(
+        p for p in (tmp_path / "stray").iterdir()
+        if p.name.endswith(".parquet")
+    )
+    shutil.copy(src, tmp_path / "t" / "k=a" / "part-deadbeef.parquet")
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run_once():
+        q = (
+            stream_appends(spark, loc)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run_once()
+    got = {(r.id, r.k) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a"), (2, "b")}  # stray 99 never surfaces
+
+    # a later committed append flows exactly once across a restart from
+    # the checkpointed offset; the stray file still doesn't
+    t.append(spark.createDataFrame([(3, "a")], "id int, k string"))
+    _run_once()
+    got2 = sorted(
+        (r.id, r.k) for r in spark.read.parquet(out).collect()
+    )
+    assert got2 == [(1, "a"), (2, "b"), (3, "a")]
+
+
+def test_stream_appends_skips_rewrites(spark, tmp_path):
+    """Copy-on-write DML rewrites (rw-*) must not re-emit old rows as
+    phantom inserts on the append feed."""
+    from delta_lake_validation_spark.sources.acid import AcidTable
+
+    loc = os.path.join(str(tmp_path), "t")
+    t = AcidTable.create(
+        spark, loc, "id int", properties={"enableChangeDataFeed": "true"}
+    )
+    t.append(spark.createDataFrame([(i,) for i in range(10)], "id int"))
+    t.delete("id = 3")  # copy-on-write rewrite of the touched file
+
+    q = (
+        stream_appends(spark, loc)
+        .writeStream.format("memory")
+        .queryName("acid_rw")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.id for r in spark.sql("SELECT * FROM acid_rw").collect())
+    assert got == list(range(10))  # the append, once; no rewrite re-emits
