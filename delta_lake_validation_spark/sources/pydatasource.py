@@ -44,6 +44,7 @@ Execution model (the part that matters at 100 TB):
 from __future__ import annotations
 
 import json
+import re
 import uuid
 from dataclasses import dataclass, field
 
@@ -925,8 +926,151 @@ class _AddPayload(WriterCommitMessage):
     adds: list = field(default_factory=list)
 
 
+class _PartPredicate:
+    """Conjunctive comparison predicate over PARTITION columns, evaluated
+    against an add action's partitionValues strings — the sparkless
+    commit worker's replaceWhere scope.  Partition-only predicates make
+    file-level matching EXACT (all rows of a file share its pv), so the
+    removal set and the incoming-row check equal what
+    ``DeltaTable.overwrite(replace_where=...)`` computes with a Spark
+    scan.  Anything it cannot parse — non-partition columns, OR,
+    functions — raises, and the writer routes to DeltaTable.overwrite.
+
+    Grammar: ``term (AND term)*`` where term is ``col op literal``
+    (op: = == != <> < <= > >=), ``col [NOT] IN (lit, ...)``, or
+    ``col IS [NOT] NULL``; literals are quoted strings (DATE/TIMESTAMP
+    prefixes allowed), numbers, or true/false."""
+
+    _TERM = re.compile(
+        r"^\(*\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*"
+        r"(?:(?P<op><=|>=|==|!=|<>|=|<|>)\s*(?P<lit>.+?)"
+        r"|(?P<not_in>NOT\s+)?IN\s*\((?P<inlist>[^)]*)\)"
+        r"|IS\s+(?P<is_not>NOT\s+)?NULL)\s*\)*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def __init__(self, terms: list[tuple], types: dict):
+        self.terms = terms  # (col, kind, payload)
+        self.types = types
+
+    @classmethod
+    def parse(cls, text: str, part_cols: list, types: dict):
+        by_lower = {c.lower(): c for c in part_cols}
+        terms = []
+        for raw in re.split(r"\s+AND\s+", text.strip(), flags=re.IGNORECASE):
+            m = cls._TERM.match(raw.strip())
+            if not m:
+                raise ValueError(f"unsupported replaceWhere term {raw!r}")
+            col = by_lower.get(m.group("col").lower())
+            if col is None:
+                raise ValueError(
+                    f"replaceWhere column {m.group('col')!r} is not a "
+                    "partition column"
+                )
+            if m.group("op"):
+                lit = cls._literal(m.group("lit"), types[col])
+                if lit is None:
+                    raise ValueError(
+                        "replaceWhere: NULL literal needs IS NULL"
+                    )
+                terms.append((col, m.group("op"), lit))
+            elif m.group("inlist") is not None:
+                vals = [
+                    cls._literal(x.strip(), types[col])
+                    for x in m.group("inlist").split(",")
+                    if x.strip()
+                ]
+                kind = "not_in" if m.group("not_in") else "in"
+                terms.append((col, kind, vals))
+            else:
+                kind = "is_not_null" if m.group("is_not") else "is_null"
+                terms.append((col, kind, None))
+        return cls(terms, types)
+
+    @staticmethod
+    def _literal(tok: str, dt):
+        import datetime as _dt
+
+        tok = tok.strip()
+        up = tok.upper()
+        for prefix in ("DATE", "TIMESTAMP"):
+            if up.startswith(prefix):
+                tok = tok[len(prefix) :].strip()
+                break
+        if len(tok) >= 2 and tok[0] in "'\"" and tok[-1] == tok[0]:
+            s = tok[1:-1].replace(tok[0] * 2, tok[0])
+            if isinstance(dt, DateType):
+                return _dt.date.fromisoformat(s)
+            if isinstance(dt, TimestampType):
+                return _dt.datetime.fromisoformat(s)
+            return s
+        if up in ("TRUE", "FALSE"):
+            return up == "TRUE"
+        if up == "NULL":
+            return None
+        try:
+            return int(tok)
+        except ValueError:
+            pass
+        try:
+            return float(tok)
+        except ValueError:
+            raise ValueError(f"unsupported replaceWhere literal {tok!r}")
+
+    def matches(self, pv: dict) -> bool:
+        """SQL semantics: NULL partition values satisfy only IS NULL."""
+        for col, kind, payload in self.terms:
+            val = _pv_python(pv.get(col), self.types[col])
+            if kind == "is_null":
+                if val is not None:
+                    return False
+                continue
+            if kind == "is_not_null":
+                if val is None:
+                    return False
+                continue
+            if val is None:
+                return False  # NULL op literal is never TRUE
+            if kind == "in":
+                if val not in payload:
+                    return False
+            elif kind == "not_in":
+                if val in payload:
+                    return False
+            else:
+                lit = payload
+                if isinstance(val, (int, float)) and isinstance(
+                    lit, (int, float)
+                ):
+                    val, lit = float(val), float(lit)
+                if kind in ("=", "=="):
+                    ok = val == lit
+                elif kind in ("!=", "<>"):
+                    ok = val != lit
+                elif kind == "<":
+                    ok = val < lit
+                elif kind == "<=":
+                    ok = val <= lit
+                elif kind == ">":
+                    ok = val > lit
+                else:
+                    ok = val >= lit
+                if not ok:
+                    return False
+        return True
+
+
 class DeltaPyWriter(DataSourceArrowWriter):
     """Executor-staged, driver-committed append/overwrite.
+
+    ``option("replaceWhere", pred)`` with mode('overwrite') performs the
+    predicate-scoped atomic overwrite for PARTITION-column predicates
+    (conjunctive comparisons/IN/IS NULL — see ``_PartPredicate``): staged
+    partitions are validated against the predicate executor-side and the
+    commit removes exactly the matching live files, matching
+    ``DeltaTable.overwrite(replace_where=...)`` row for row.  General
+    (non-partition) predicates need a targeting scan the sparkless commit
+    worker cannot run and route to ``DeltaTable.overwrite``.
 
     Refuses tables carrying constraints / invariants / generated or
     identity columns: those require a scan-time enforcement pass that the
@@ -939,12 +1083,8 @@ class DeltaPyWriter(DataSourceArrowWriter):
         self.path = _path_of(options)
         self.overwrite = overwrite
         self.schema = schema
-        if options.get("replacewhere") is not None:
-            raise ValueError(
-                "deltapy: replaceWhere needs a targeting scan the sparkless "
-                "commit worker cannot run — use "
-                "DeltaTable.overwrite(df, replace_where=...)"
-            )
+        self._replace_where_text = options.get("replacewhere")
+        self.replace_pred = None  # parsed after partition columns are known
         # Spark's option: only the partitions the frame writes are replaced
         # (an unpartitioned table degenerates to a full overwrite, as in
         # Spark).  Commit-time-only logic, so the sparkless worker can do it.
@@ -952,6 +1092,16 @@ class DeltaPyWriter(DataSourceArrowWriter):
             str(options.get("partitionoverwritemode", "")).lower()
             == "dynamic"
         )
+        if self._replace_where_text is not None:
+            if not overwrite:
+                raise ValueError(
+                    "deltapy: replaceWhere requires mode('overwrite')"
+                )
+            if self.dynamic_mode:
+                raise ValueError(
+                    "deltapy: replaceWhere conflicts with "
+                    "partitionOverwriteMode=dynamic (delta-spark's rule)"
+                )
         try:
             tbl = DeltaTable(None, self.path)
         except FileNotFoundError:
@@ -1047,6 +1197,21 @@ class DeltaPyWriter(DataSourceArrowWriter):
                     "through the data source; use DeltaTable.append"
                 )
         self.types = {f.name: f.dataType for f in schema.fields}
+        if self._replace_where_text is not None:
+            # partition-scoped predicates are exactly computable at commit
+            # time (a file's rows all share its partitionValues) — the one
+            # replaceWhere class the sparkless worker can honor with
+            # DeltaTable.overwrite(replace_where=...) semantics
+            try:
+                self.replace_pred = _PartPredicate.parse(
+                    self._replace_where_text, self.part_cols, self.types
+                )
+            except ValueError as exc:
+                raise ValueError(
+                    f"deltapy replaceWhere: {exc}; general predicates need "
+                    "a targeting scan the sparkless commit worker cannot "
+                    "run — use DeltaTable.overwrite(df, replace_where=...)"
+                ) from None
 
     # ------------------------------------------------------------- executor
     def write(self, iterator):
@@ -1065,6 +1230,15 @@ class DeltaPyWriter(DataSourceArrowWriter):
                 [c for c in self.part_cols if c in table.schema.names]
             )
             pv = dict(zip(self.part_cols, key))
+            if self.replace_pred is not None and not self.replace_pred.matches(pv):
+                # delta-spark's contract: every incoming row must satisfy
+                # the replaceWhere predicate; partition-scoped predicates
+                # make the per-file pv check exact
+                raise ValueError(
+                    f"deltapy replaceWhere: staged rows land in partition "
+                    f"{pv} which does not satisfy "
+                    f"{self._replace_where_text!r}"
+                )
             rel = self._rel_path(pv)
             fs, norm = _pa_fs(f"{self.path}/{rel}")
             parent = norm.rsplit("/", 1)[0]
@@ -1165,8 +1339,12 @@ class DeltaPyWriter(DataSourceArrowWriter):
                 or pa.types.is_timestamp(t)
             ) and col.length() > col.null_count:
                 mm = pc.min_max(col)
-                mins[f_.name] = _stat_json(mm["min"].as_py())
-                maxs[f_.name] = _stat_json(mm["max"].as_py())
+                lo = _stat_json(mm["min"].as_py())
+                hi = _stat_json(mm["max"].as_py())
+                if lo is not None:  # non-finite floats: omit, never emit
+                    mins[f_.name] = lo
+                if hi is not None:
+                    maxs[f_.name] = hi
         return {
             "numRecords": int(num_records),
             "minValues": mins,
@@ -1222,6 +1400,26 @@ class DeltaPyWriter(DataSourceArrowWriter):
                     "staged files were validated against the old schema — "
                     "re-run the write"
                 )
+            if snap is not None and self.existing_meta is None:
+                # we planned to CREATE this table but a racing writer won
+                # the v0 commit: validate our staged files against the
+                # winner's metaData before appending them — silently mixing
+                # mismatched files/partitioning would corrupt the table
+                want = [
+                    (f.name, f.dataType.simpleString()) for f in snap.schema
+                ]
+                got = [
+                    (f.name, f.dataType.simpleString()) for f in self.schema
+                ]
+                if want != got or list(snap.partition_columns) != list(
+                    self.part_cols
+                ):
+                    raise DeltaProtocolError(
+                        "deltapy writer: table was created concurrently "
+                        f"with schema {want} / partitioning "
+                        f"{list(snap.partition_columns)}, which does not "
+                        "match the staged write — re-run the write"
+                    )
             if self.evolved_schema is not None and snap is not None:
                 actions.append(
                     {
@@ -1251,6 +1449,11 @@ class DeltaPyWriter(DataSourceArrowWriter):
                                 if dynamic
                                 else {}
                             ),
+                            **(
+                                {"predicate": self._replace_where_text}
+                                if self.replace_pred is not None
+                                else {}
+                            ),
                         },
                         "engineInfo": "delta-lake-validation-spark/deltapy",
                     }
@@ -1260,7 +1463,9 @@ class DeltaPyWriter(DataSourceArrowWriter):
             if self.overwrite and snap is not None:
                 # dynamic mode removes ONLY the partitions the staged adds
                 # touch (their partitionValues use the log's own string
-                # encoding, so membership is exact); static removes all
+                # encoding, so membership is exact); replaceWhere removes
+                # exactly the files whose partitionValues satisfy the
+                # predicate; static removes all
                 touched = {
                     tuple(sorted((a.get("partitionValues") or {}).items()))
                     for a in adds
@@ -1269,6 +1474,12 @@ class DeltaPyWriter(DataSourceArrowWriter):
                     if dynamic and tuple(
                         sorted((a.get("partitionValues") or {}).items())
                     ) not in touched:
+                        continue
+                    if self.replace_pred is not None and not (
+                        self.replace_pred.matches(
+                            a.get("partitionValues") or {}
+                        )
+                    ):
                         continue
                     actions.append(
                         {
@@ -1292,6 +1503,16 @@ class DeltaPyWriter(DataSourceArrowWriter):
                 _atomic_create(target, content)
                 return
             except FileExistsError:
+                if self.overwrite:
+                    # a remove set rebased over a commit this write never
+                    # observed would silently absorb (and delete) a racing
+                    # writer's rows — fail like DeltaTable.overwrite and
+                    # delta-spark's conflict checker so the caller re-reads
+                    raise DeltaProtocolError(
+                        "deltapy writer: a concurrent commit landed during "
+                        "overwrite; the staged remove set is stale — "
+                        "re-read and re-run the write"
+                    ) from None
                 time.sleep(0.05 * (attempt + 1))
                 continue
         raise DeltaProtocolError(
@@ -1414,7 +1635,13 @@ def _pv_string(v, dt: DataType) -> str | None:
 def _stat_json(v):
     import datetime as _dt
     import decimal
+    import math
 
+    # mirror delta_log._stat_jsonable: JSON cannot carry NaN/Infinity, and
+    # strict parsers in other engines fail on the non-standard tokens —
+    # dropping the stat only costs pruning, never correctness
+    if isinstance(v, float) and not math.isfinite(v):
+        return None
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)

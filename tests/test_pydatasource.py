@@ -935,3 +935,203 @@ def test_dynamic_partition_overwrite_option(spark, tmp_path):
     # static overwrite still replaces everything
     repl.write.format("deltapy").mode("overwrite").save(loc)
     assert spark.read.format("deltapy").load(loc).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 task 5 + ADVICE r4: writer replaceWhere, overwrite race,
+# create-race schema guard, strict-JSON stats
+# ---------------------------------------------------------------------------
+
+
+def _two_part_tables(spark, tmp_path):
+    """Two identical partitioned tables for row-for-row comparison."""
+    rows = [(1, "a"), (2, "a"), (3, "b"), (4, "c")]
+    locs = []
+    for name in ("rw1", "rw2"):
+        loc = str(tmp_path / name)
+        spark.createDataFrame(rows, "id bigint, k string").write.format(
+            "deltapy"
+        ).mode("append").option("partitionBy", "k").save(loc)
+        locs.append(loc)
+    return locs
+
+
+def test_writer_replace_where_matches_deltatable(spark, tmp_path):
+    """option('replaceWhere') on a partition predicate lands the same
+    table state as DeltaTable.overwrite(replace_where=...), row for row."""
+    loc_pyds, loc_api = _two_part_tables(spark, tmp_path)
+    new = spark.createDataFrame([(10, "a"), (11, "a")], "id bigint, k string")
+
+    new.write.format("deltapy").mode("overwrite").option(
+        "replaceWhere", "k = 'a'"
+    ).save(loc_pyds)
+    DeltaTable(spark, loc_api).overwrite(new, replace_where="k = 'a'")
+
+    got = sorted(
+        (r.id, r.k) for r in DeltaTable(spark, loc_pyds).read().collect()
+    )
+    want = sorted(
+        (r.id, r.k) for r in DeltaTable(spark, loc_api).read().collect()
+    )
+    assert got == want == [(3, "b"), (4, "c"), (10, "a"), (11, "a")]
+    # untouched partitions kept their ORIGINAL files (scoped remove set)
+    snap = DeltaTable(spark, loc_pyds).snapshot()
+    kept = {
+        a["partitionValues"]["k"]
+        for a in snap.files.values()
+    }
+    assert kept == {"a", "b", "c"}
+    ops = DeltaTable(spark, loc_pyds)._commit_actions(1)
+    info = next(x["commitInfo"] for x in ops if "commitInfo" in x)
+    assert info["operationParameters"]["predicate"] == "k = 'a'"
+
+
+def test_writer_replace_where_compound_predicates(spark, tmp_path):
+    """IN / range / IS NULL terms scope the removal set exactly."""
+    loc = str(tmp_path / "rwc")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "id bigint, k string"
+    ).write.format("deltapy").mode("append").option(
+        "partitionBy", "k"
+    ).save(loc)
+    spark.createDataFrame([(20, "b")], "id bigint, k string").write.format(
+        "deltapy"
+    ).mode("overwrite").option("replaceWhere", "k IN ('b')").save(loc)
+    got = sorted(
+        (r.id, r.k) for r in DeltaTable(spark, loc).read().collect()
+    )
+    assert got == [(1, "a"), (3, "c"), (4, None), (20, "b")]
+    # IS NULL scopes to the null partition only
+    spark.createDataFrame([(40, None)], "id bigint, k string").write.format(
+        "deltapy"
+    ).mode("overwrite").option("replaceWhere", "k IS NULL").save(loc)
+    got = sorted(
+        (r.id, r.k if r.k is not None else "~")
+        for r in DeltaTable(spark, loc).read().collect()
+    )
+    assert got == [(1, "a"), (3, "c"), (20, "b"), (40, "~")]
+
+
+def test_writer_replace_where_rejects_nonmatching_rows(spark, tmp_path):
+    """Incoming rows outside the predicate fail the write; table unchanged
+    (delta-spark's replaceWhere contract)."""
+    loc, _ = _two_part_tables(spark, tmp_path)
+    bad = spark.createDataFrame([(10, "a"), (99, "b")], "id bigint, k string")
+    with pytest.raises(Exception, match="does not satisfy"):
+        bad.write.format("deltapy").mode("overwrite").option(
+            "replaceWhere", "k = 'a'"
+        ).save(loc)
+    got = sorted(
+        (r.id, r.k) for r in DeltaTable(spark, loc).read().collect()
+    )
+    assert got == [(1, "a"), (2, "a"), (3, "b"), (4, "c")]
+
+
+def test_writer_replace_where_routes_general_predicates(spark, tmp_path):
+    """Non-partition predicates still refuse with the routing message."""
+    loc, _ = _two_part_tables(spark, tmp_path)
+    df = spark.createDataFrame([(10, "a")], "id bigint, k string")
+    with pytest.raises(Exception, match="DeltaTable.overwrite"):
+        df.write.format("deltapy").mode("overwrite").option(
+            "replaceWhere", "id > 2"
+        ).save(loc)
+    with pytest.raises(Exception, match="replaceWhere"):
+        df.write.format("deltapy").mode("append").option(
+            "replaceWhere", "k = 'a'"
+        ).save(loc)
+
+
+def test_writer_overwrite_race_raises(spark, tmp_path, monkeypatch):
+    """ADVICE r4: an overwrite that loses the commit race must FAIL, not
+    silently rebase its remove set over a commit it never observed."""
+    import json as _json
+
+    import delta_lake_validation_spark.sources.pydatasource as pyds
+
+    loc = str(tmp_path / "race")
+    df = spark.createDataFrame([(1, "a")], "id bigint, k string")
+    df.write.format("deltapy").mode("append").option(
+        "partitionBy", "k"
+    ).save(loc)
+    w = pyds.DeltaPyWriter(
+        {"path": loc}, DeltaTable(spark, loc).snapshot().schema, True
+    )
+    # racer lands in the exact window between the writer's snapshot read
+    # and its atomic create: intercept the create and commit the racer's
+    # version first
+    orig = pyds._atomic_create
+    racer = _json.dumps(
+        {"commitInfo": {"timestamp": 0, "operation": "WRITE"}}
+    ) + "\n"
+
+    def inject_then_create(path, content):
+        if not inject_then_create.done:
+            inject_then_create.done = True
+            orig(path, racer)  # the racer wins this version
+        return orig(path, content)
+
+    inject_then_create.done = False
+    monkeypatch.setattr(pyds, "_atomic_create", inject_then_create)
+    with pytest.raises(DeltaProtocolError, match="concurrent commit"):
+        w._commit_adds([], [], op="WRITE")
+    # the overwrite did NOT retry past the racer's commit: the racer's
+    # version is the head and the original rows are intact
+    t = DeltaTable(spark, loc)
+    assert t.latest_version() == 1  # create=0, racer=1, nothing after
+    assert t._commit_actions(1) == [_json.loads(racer)]
+    got = sorted((r.id, r.k) for r in t.read().collect())
+    assert got == [(1, "a")]
+
+
+def test_writer_create_race_validates_schema(spark, tmp_path):
+    """ADVICE r4: losing the v0 create race re-validates schema and
+    partitioning against the winner's metaData instead of silently mixing
+    mismatched files in."""
+    from delta_lake_validation_spark.sources.pydatasource import DeltaPyWriter
+    from pyspark.sql.types import (
+        LongType as _L,
+        StringType as _S,
+        StructField as _F,
+        StructType as _T,
+    )
+
+    loc = str(tmp_path / "crace")
+    schema = _T([_F("id", _L()), _F("k", _S())])
+    w = DeltaPyWriter({"path": loc}, schema, False)  # plans a CREATE
+    # the winner creates the table with a DIFFERENT schema
+    spark.createDataFrame([(1.5,)], "x double").write.format(
+        "deltapy"
+    ).mode("append").save(loc)
+    with pytest.raises(DeltaProtocolError, match="created concurrently"):
+        w._commit_adds([], [], op="WRITE")
+    # same-schema loser proceeds as a plain append
+    w2 = DeltaPyWriter({"path": str(tmp_path / "crace2")}, schema, False)
+    spark.createDataFrame([(7, "z")], "id bigint, k string").write.format(
+        "deltapy"
+    ).mode("append").save(str(tmp_path / "crace2"))
+    w2._commit_adds([], [], op="WRITE")  # no-op append commits cleanly
+    assert DeltaTable(spark, str(tmp_path / "crace2")).latest_version() == 1
+
+
+def test_writer_stats_drop_nonfinite(spark, tmp_path):
+    """ADVICE r4: NaN/Infinity min/max never serialize into add.stats —
+    strict JSON parsers in other engines reject those tokens."""
+    import math
+
+    loc = str(tmp_path / "nan")
+    spark.createDataFrame(
+        [(1, float("nan")), (2, float("inf")), (3, 1.5)], "id bigint, v double"
+    ).coalesce(1).write.format("deltapy").mode("append").save(loc)
+    snap = DeltaTable(spark, loc).snapshot()
+    assert snap.files
+    total = 0
+    for a in snap.files.values():
+        raw = a.get("stats")
+        text = raw if isinstance(raw, str) else json.dumps(raw)
+        assert "NaN" not in text and "Infinity" not in text
+        st = json.loads(text)
+        total += st["numRecords"]
+        for side in ("minValues", "maxValues"):
+            v = st[side].get("v")
+            assert v is None or math.isfinite(v)
+    assert total == 3
