@@ -51,11 +51,18 @@ def _path_of(options: dict) -> str:
 
 @dataclass
 class _AddSlice:
-    """One committed data file: absolute path, size, raw partitionValues."""
+    """One committed file: absolute path, size, raw partitionValues.
+
+    ``is_cdc`` marks a ``_change_data`` file (full rows incl. partition
+    columns and a materialized ``_change_type`` — read verbatim);
+    ``ctype`` stamps a constant ``_change_type`` on data files when the
+    feed carries change semantics (appends are the 'insert' side)."""
 
     path: str
     size: int
     pv: dict
+    is_cdc: bool = False
+    ctype: str | None = None
 
 
 class AcidPyScanPartition(InputPartition):
@@ -63,19 +70,41 @@ class AcidPyScanPartition(InputPartition):
         self.files = files
 
 
+CDF_TYPE_COL = "_change_type"
+
+
+def _feed_of(options: dict) -> str:
+    feed = str(options.get("feed", "appends")).lower()
+    if feed not in ("appends", "changes", "table_changes"):
+        raise ValueError(f"acidpy: unknown feed {feed!r}")
+    return feed
+
+
 class AcidPyStreamReader(DataSourceStreamReader):
     """Micro-batch source over the ACID transaction log: offsets are table
-    versions; a batch is every appended ``part-*`` file in ``(start, end]``.
+    versions; a batch serves the files the commits in ``(start, end]``
+    admitted.  ``feed``: ``appends`` (default) = ``part-*`` adds;
+    ``changes`` = committed ``_change_data`` files (DML row changes);
+    ``table_changes`` = both — the complete change feed.
     ``startingVersion`` (default 0, or ``latest``) picks where the stream
     begins."""
 
     def __init__(self, options: dict):
         self.path = _path_of(options)
+        self.feed = _feed_of(options)
         self.max_task_bytes = int(
             options.get("maxbytespertask", _DEFAULT_TASK_BYTES)
         )
         log = TransactionLog(None, self.path)
         snap = log.snapshot()
+        if self.feed != "appends" and (
+            str(snap.properties.get("enableChangeDataFeed", "")).lower()
+            != "true"
+        ):
+            raise ValueError(
+                "acidpy: Change Data Feed is not enabled "
+                "(set property enableChangeDataFeed=true)"
+            )
         self.schema_json = snap.schema_json
         self.part_cols = list(snap.partition_columns)
         sv = str(options.get("startingversion", "0"))
@@ -93,22 +122,37 @@ class AcidPyStreamReader(DataSourceStreamReader):
         log = TransactionLog(None, self.path)
         lo, hi = int(start["version"]), int(end["version"])
         slices: list[_AddSlice] = []
+        stamp = None if self.feed == "appends" else "insert"
         for v in range(lo + 1, hi + 1):
             entry = log.read_entry(v)
-            for ad in entry.get("add", []):
-                rel = ad["path"]
-                name = rel.rsplit("/", 1)[-1]
-                # rw-* rewrites carry mostly OLD rows; the append feed
-                # must not re-emit them (same rule as the old part-* glob)
-                if not name.startswith("part-"):
-                    continue
-                slices.append(
-                    _AddSlice(
-                        path=f"{self.path}/{rel}",
-                        size=int(ad.get("size") or 0),
-                        pv=ad.get("partitionValues") or {},
+            if self.feed != "changes":
+                for ad in entry.get("add", []):
+                    rel = ad["path"]
+                    name = rel.rsplit("/", 1)[-1]
+                    # rw-* rewrites carry mostly OLD rows; the append feed
+                    # must never re-emit them (their actual row changes
+                    # arrive as _change_data below) — same rule as the old
+                    # part-* glob
+                    if not name.startswith("part-"):
+                        continue
+                    slices.append(
+                        _AddSlice(
+                            path=f"{self.path}/{rel}",
+                            size=int(ad.get("size") or 0),
+                            pv=ad.get("partitionValues") or {},
+                            ctype=stamp,
+                        )
                     )
-                )
+            if self.feed != "appends":
+                for rel in entry.get("cdf", []):
+                    slices.append(
+                        _AddSlice(
+                            path=f"{self.path}/{rel}",
+                            size=0,
+                            pv={},
+                            is_cdc=True,
+                        )
+                    )
         packed = _pack(slices, self.max_task_bytes)
         return [AcidPyScanPartition(g) for g in packed] or [
             AcidPyScanPartition([])
@@ -126,36 +170,50 @@ class AcidPyStreamReader(DataSourceStreamReader):
 
         schema = StructType.fromJson(json.loads(self.schema_json))
         part = set(self.part_cols)
-        target = pa.schema(
-            [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
-        )
+        fields = [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
+        if self.feed != "appends":
+            fields.append((CDF_TYPE_COL, pa.string()))
+        target = pa.schema(fields)
         types = {f.name: f.dataType for f in schema.fields}
         for fsl in partition.files:
             fs, norm = pa_fs(fsl.path)
             with fs.open_input_file(norm) as fh:
                 pf = pq.ParquetFile(fh)
-                present = [
+                # change files carry FULL rows (partition columns and
+                # _change_type materialized); data files store partition
+                # values in the directory structure -> stamped from pv
+                want = [
                     f.name
                     for f in schema.fields
-                    if f.name not in part
-                    and f.name in pf.schema_arrow.names
+                    if (fsl.is_cdc or f.name not in part)
+                ]
+                if fsl.is_cdc:
+                    want.append(CDF_TYPE_COL)
+                present = [
+                    c for c in want if c in pf.schema_arrow.names
                 ]
                 for rb in pf.iter_batches(columns=present):
                     n = rb.num_rows
                     arrays = []
-                    for f in schema.fields:
-                        at = target.field(f.name).type
-                        if f.name in part:
+                    for name, at in zip(target.names, target.types):
+                        if name == CDF_TYPE_COL and not fsl.is_cdc:
+                            arrays.append(
+                                pa.array([fsl.ctype] * n, type=at)
+                            )
+                        elif (
+                            not fsl.is_cdc
+                            and name in part
+                        ):
                             val = _pv_python(
-                                fsl.pv.get(f.name), types[f.name]
+                                fsl.pv.get(name), types[name]
                             )
                             arrays.append(
                                 pa.nulls(n, at)
                                 if val is None
                                 else pa.array([val] * n, type=at)
                             )
-                        elif f.name in rb.schema.names:
-                            col = rb.column(f.name)
+                        elif name in rb.schema.names:
+                            col = rb.column(name)
                             if (
                                 pa.types.is_timestamp(col.type)
                                 and col.type.tz
@@ -204,7 +262,10 @@ class AcidPyDataSource(DataSource):
 
     def schema(self) -> StructType:
         log = TransactionLog(None, _path_of(self.options))
-        return StructType.fromJson(json.loads(log.snapshot().schema_json))
+        out = StructType.fromJson(json.loads(log.snapshot().schema_json))
+        if _feed_of(self.options) != "appends":
+            out = out.add(CDF_TYPE_COL, "string")
+        return out
 
     def streamReader(self, schema: StructType) -> AcidPyStreamReader:
         return AcidPyStreamReader(self.options)

@@ -1,60 +1,54 @@
-"""Streaming Change Data Feed reader.
+"""Streaming Change Data Feed reader — committed transactions only.
 
 DML commits (UPDATE/DELETE/MERGE/OVERWRITE) store their change rows as
 parquet under ``_change_data/<uuid>/`` with the ``_change_type`` column
-already materialized (sources/acid/table.py).  That directory is itself an
-append-only file stream: each commit's change files appear atomically, so a
-file source pointed directly at it yields every DML change exactly once
-for committed transactions.
+already materialized, and record the file list in their commit entry
+(sources/acid/table.py).  Both streams below are backed by the ``acidpy``
+Python Data Source (sources/acid/pystream.py): offsets are
+TRANSACTION-LOG versions and each micro-batch reads exactly the change
+files the commits in ``(start, end]`` recorded — a lost-race or crashed
+writer's staged change files are invisible because no directory is ever
+listed (previously these were file sources over a ``_change_data``
+listing, with a documented single-writer visibility window).
 
-Visibility caveat (single-writer assumption): change files are staged
-BEFORE the log commit, and a writer that loses the commit race (or
-crashes) deletes/abandons them — a stream listing the directory inside
-that window can observe rows from a transaction that never committed.
-With one writer per table (the reference's operating mode, and this
-engine's streaming-sink pattern) the window is empty; multi-writer
-deployments should point the maintenance vacuum at crashed writers' leaks
-and treat this stream as at-least-once across writer failures.  A
-committed-files-only stream (driven off the log instead of the directory)
-is the strict fix and is noted in SCALE.md known limits.
-
-Limitations vs batch ``AcidTable.read_changes``: APPEND commits don't write
-change files (their inserts are synthesized from data files in batch mode),
-and commit version/timestamp aren't in the files — this stream is the
-row-level change feed for DML, suitable for incrementally maintaining
-downstream aggregates.  ``stream_table_changes`` below unions in the insert
-side to make the feed complete.
+Limitations vs batch ``AcidTable.read_changes``: APPEND commits don't
+write change files (their inserts derive from the data files —
+``stream_table_changes`` serves them from the ``part-*`` adds), and
+commit version/timestamp columns aren't part of the streaming feed.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from delta_lake_validation_spark.sources.acid.log import CDF_DIR
-from delta_lake_validation_spark.sources.acid.table import CDF_TYPE, AcidTable
+from delta_lake_validation_spark.sources.acid.table import AcidTable
 
 
-def stream_changes(spark: SparkSession, location: str) -> DataFrame:
-    """Unbounded DataFrame of DML change rows (schema + _change_type)."""
+def _feed(spark: SparkSession, location: str, feed: str) -> DataFrame:
     from delta_lake_validation_spark.sources.acid.errors import AcidTableError
+    from delta_lake_validation_spark.sources.acid.pystream import register
 
+    # fail fast on the driver with the typed error (the source would raise
+    # the same complaint later, but from a data-source worker)
     table = AcidTable(spark, location)
-    snap = table.snapshot()
-    if not table._cdf_enabled(snap):
+    if not table._cdf_enabled(table.snapshot()):
         raise AcidTableError(
             "Change Data Feed is not enabled "
             "(set property enableChangeDataFeed=true)"
         )
-    # a CDF-enabled table with no DML yet has no _change_data dir — bootstrap
-    # it so the file source starts cleanly and picks up future commits
-    table.fs.mkdirs(f"{table.location}/{CDF_DIR}")
-    schema = table.schema(snap).add(CDF_TYPE, "string")
+    register(spark)
     return (
-        spark.readStream.schema(schema)
-        .option("recursiveFileLookup", "true")
-        .parquet(f"{table.location}/{CDF_DIR}")
+        spark.readStream.format("acidpy")
+        .option("path", location)
+        .option("feed", feed)
+        .load()
     )
+
+
+def stream_changes(spark: SparkSession, location: str) -> DataFrame:
+    """Unbounded DataFrame of committed DML change rows (schema +
+    _change_type), driven off the transaction log."""
+    return _feed(spark, location, "changes")
 
 
 def stream_table_changes(spark: SparkSession, location: str) -> DataFrame:
@@ -62,18 +56,15 @@ def stream_table_changes(spark: SparkSession, location: str) -> DataFrame:
     deletes (the streaming analog of ``AcidTable.read_changes``).
 
     Composition is sound because the write path partitions new files by
-    provenance: append/overwrite data files are named ``part-*`` (their rows
-    ARE the inserts — streamed directly, no extra copies stored, the same
-    synthesis batch CDF uses), while copy-on-write DML/compaction rewrites
-    are named ``rw-*`` and excluded from the file stream — rewritten files
-    mostly carry OLD rows, and their actual row-level changes (including
-    MERGE's inserts) arrive via the ``_change_data`` stream.  Each side is
-    an append-only file source, so every change is delivered exactly once.
-    """
-    from delta_lake_validation_spark.streaming.acid_stream import stream_appends
-
-    inserts = stream_appends(spark, location).withColumn(CDF_TYPE, F.lit("insert"))
-    return inserts.unionByName(stream_changes(spark, location))
+    provenance: append/overwrite data files are named ``part-*`` (their
+    rows ARE the inserts — streamed directly, no extra copies stored, the
+    same synthesis batch CDF uses), while copy-on-write DML/compaction
+    rewrites are named ``rw-*`` and excluded — rewritten files mostly
+    carry OLD rows, and their actual row-level changes (including MERGE's
+    inserts) arrive as the commit's recorded ``_change_data`` files.  One
+    log-driven source serves both sides, so every change of a committed
+    transaction is delivered exactly once."""
+    return _feed(spark, location, "table_changes")
 
 
 class CommittedChangeFeed:

@@ -584,3 +584,49 @@ def test_stream_appends_skips_rewrites(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.id for r in spark.sql("SELECT * FROM acid_rw").collect())
     assert got == list(range(10))  # the append, once; no rewrite re-emits
+
+
+def test_stream_changes_ignores_uncommitted_change_files(spark, tmp_path):
+    """stream_changes / stream_table_changes are log-driven: a crashed
+    writer's staged-but-unrecorded _change_data files never surface."""
+    import datetime as dt
+
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.streaming import (
+        stream_changes,
+        stream_table_changes,
+    )
+
+    loc = os.path.join(str(tmp_path), "t")
+    t = AcidTable.create(
+        spark, loc, "id int", properties={"enableChangeDataFeed": "true"}
+    )
+    t.append(spark.createDataFrame([(i,) for i in range(5)], "id int"))
+    t.delete("id = 2")
+
+    # crashed writer: a change-shaped file under _change_data recorded by
+    # no commit — the old directory-listing stream would emit it
+    stray = spark.createDataFrame([(99, "delete")], "id int, _change_type string")
+    stray.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stray"))
+    src = next(
+        p for p in (tmp_path / "stray").iterdir()
+        if p.name.endswith(".parquet")
+    )
+    dest = tmp_path / "t" / "_change_data" / "deadbeef"
+    dest.mkdir(parents=True, exist_ok=True)
+    (dest / "part-00000-stray.parquet").write_bytes(src.read_bytes())
+
+    for fn, qname in ((stream_changes, "chg"), (stream_table_changes, "tch")):
+        q = (
+            fn(spark, loc)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    chg = {(r.id, r._change_type) for r in spark.sql("SELECT * FROM chg").collect()}
+    assert chg == {(2, "delete")}  # the committed DML change, nothing else
+    tch = {(r.id, r._change_type) for r in spark.sql("SELECT * FROM tch").collect()}
+    assert tch == {(i, "insert") for i in range(5)} | {(2, "delete")}
