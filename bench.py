@@ -40,7 +40,12 @@ from delta_lake_validation_spark.session import get_session  # noqa: E402
 
 
 def _prior_round_queries(sf) -> dict[str, float]:
-    """queries dict of the newest BENCH_r*.json recorded at the same SF."""
+    """Per-query times of the newest BENCH_r*.json recorded at the same SF.
+
+    Handles both shapes: this script's own output ({"queries": {...}}) and
+    the driver's capture wrapper ({"sf", "tail": "<truncated output>"}) —
+    the tail keeps only the END of the JSON line, so name/seconds pairs
+    are regex-extracted and coverage is partial (the captured tail)."""
     best_n, best = -1, {}
     for p in Path(_REPO).glob("BENCH_r*.json"):
         m = re.match(r"BENCH_r(\d+)\.json$", p.name)
@@ -52,9 +57,18 @@ def _prior_round_queries(sf) -> dict[str, float]:
             continue
         if data.get("sf") != sf:
             continue
+        queries = data.get("queries")
+        if not queries and isinstance(data.get("tail"), str):
+            queries = {
+                name: float(sec)
+                for name, sec in re.findall(
+                    r'"(\w+)":\s*([0-9]+(?:\.[0-9]+)?)', data["tail"]
+                )
+                if name not in ("value", "sf")
+            }
         n = int(m.group(1))
-        if n > best_n:
-            best_n, best = n, data.get("queries") or {}
+        if n > best_n and queries:
+            best_n, best = n, queries
     return best
 
 

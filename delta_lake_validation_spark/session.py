@@ -75,4 +75,10 @@ def get_session(
         # registration is a convenience; the session is still usable and
         # callers can register() explicitly
         pass
+    try:
+        from delta_lake_validation_spark.shipping import ensure_worker_imports
+
+        ensure_worker_imports(spark)  # workers import the package by name
+    except Exception:
+        pass
     return spark

@@ -1,0 +1,46 @@
+"""Ship the package to Python workers regardless of the driver's cwd.
+
+Arrow-batch UDFs and Python Data Source workers import
+``delta_lake_validation_spark`` BY NAME inside the worker process.  When
+the driver runs from the repo (tests, bench, the grading driver) the
+workers inherit a usable path; but a bare session started from another
+working directory leaves workers unable to import the package
+(ModuleNotFoundError from inside ``apply_dv_filter`` et al.).  The fix is
+Spark's own mechanism for this: zip the package once per process and
+``addPyFile`` it, which every Python worker prepends to ``sys.path``.
+Idempotent per SparkContext; the zip contains only the package's .py
+files (~100 KB), built lazily on first use.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from pathlib import Path
+
+_PKG_DIR = Path(__file__).resolve().parent
+
+
+def _build_zip() -> str:
+    out = Path(tempfile.gettempdir()) / f"dlvs_pkg_{os.getpid()}.zip"
+    if out.exists():
+        return str(out)
+    tmp = out.with_suffix(".tmp")
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+        for p in sorted(_PKG_DIR.rglob("*.py")):
+            arc = Path(_PKG_DIR.name) / p.relative_to(_PKG_DIR)
+            z.write(p, str(arc))
+    os.replace(tmp, out)
+    return str(out)
+
+
+def ensure_worker_imports(spark) -> None:
+    """Make ``delta_lake_validation_spark`` importable on Python workers
+    of ``spark``'s context — safe to call repeatedly."""
+    sc = spark.sparkContext
+    if getattr(sc, "_dlvs_pyfile", None):
+        return
+    z = _build_zip()
+    sc.addPyFile(z)
+    sc._dlvs_pyfile = z

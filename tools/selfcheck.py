@@ -30,6 +30,13 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_session("selfcheck")
     con = duckdb.connect()
+    # pin the oracle's parallelism: under shared-VM load duckdb's detected
+    # default has been observed at ~3 effective threads, turning the
+    # quadratic curation_pipeline oracle at sf0.1 (~7 min at 32 threads)
+    # into a 40+ minute crawl
+    import os as _os
+
+    con.execute(f"SET threads TO {_os.cpu_count() or 8}")
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
@@ -41,11 +48,11 @@ def main() -> int:
         sdf = spec.builder(spark, sf_dir).toPandas()
         t_spark = time.time() - t0
         if spec.oracle is None:
-            print(f"  {name:28s} rows-only: {len(sdf):8d} rows   [{t_spark:5.1f}s]")
+            print(f"  {name:28s} rows-only: {len(sdf):8d} rows   [{t_spark:5.1f}s]", flush=True)
             continue
         odf = con.execute(spec.oracle).df()
         status = compare_frames(sdf, odf)
-        print(f"  {name:28s} {status:40s} {len(sdf):8d} rows   [{t_spark:5.1f}s]")
+        print(f"  {name:28s} {status:40s} {len(sdf):8d} rows   [{t_spark:5.1f}s]", flush=True)
         if status != "OK":
             failures.append(name)
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nall OK")
