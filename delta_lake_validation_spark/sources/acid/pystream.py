@@ -73,6 +73,18 @@ class AcidPyScanPartition(InputPartition):
 CDF_TYPE_COL = "_change_type"
 
 
+def _first_version_at_or_after(log: TransactionLog, ts: str) -> int:
+    """First commit whose timestamp is at-or-after ``ts`` (delta-spark's
+    startingTimestamp rule); latest+1 when every commit predates it."""
+    from delta_lake_validation_spark.sources.acid.log import _parse_ts
+
+    want = _parse_ts(ts)
+    for e in log.entries():
+        if _parse_ts(e["timestamp"]) >= want:
+            return int(e["version"])
+    return log.latest_version() + 1
+
+
 def _feed_of(options: dict) -> str:
     feed = str(options.get("feed", "appends")).lower()
     if feed not in ("appends", "changes", "table_changes"):
@@ -86,8 +98,15 @@ class AcidPyStreamReader(DataSourceStreamReader):
     admitted.  ``feed``: ``appends`` (default) = ``part-*`` adds;
     ``changes`` = committed ``_change_data`` files (DML row changes);
     ``table_changes`` = both — the complete change feed.
-    ``startingVersion`` (default 0, or ``latest``) picks where the stream
-    begins."""
+
+    ``startingVersion`` (default 0, or ``latest``) / ``startingTimestamp``
+    (first commit at-or-after, same rule as the Delta-side source) pick
+    where the stream begins.  ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``
+    cap how many commits one micro-batch may span, measured in counted
+    add files/bytes — without a cap, a fresh stream over a long history
+    plans its whole backlog as ONE batch (the same monotone-cursor design
+    as the deltapy source: zero-cost commits always flow, an oversized
+    single commit still makes progress, replays never move backward)."""
 
     def __init__(self, options: dict):
         self.path = _path_of(options)
@@ -107,20 +126,62 @@ class AcidPyStreamReader(DataSourceStreamReader):
             )
         self.schema_json = snap.schema_json
         self.part_cols = list(snap.partition_columns)
-        sv = str(options.get("startingversion", "0"))
-        self._start = (
-            log.latest_version() if sv == "latest" else int(sv) - 1
-        )
+        st = options.get("startingtimestamp")
+        sv = options.get("startingversion")
+        if st is not None:
+            if sv is not None:
+                raise ValueError(
+                    "acidpy: pass startingVersion or startingTimestamp, "
+                    "not both"
+                )
+            self._start = _first_version_at_or_after(log, st) - 1
+        elif str(sv or "0") == "latest":
+            self._start = log.latest_version()
+        else:
+            self._start = int(sv or 0) - 1
+        mf = options.get("maxfilespertrigger")
+        mb = options.get("maxbytespertrigger")
+        self.max_files = int(mf) if mf is not None else None
+        self.max_bytes = int(mb) if mb is not None else None
+        self._cursor = self._start  # last version this reader has offered
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": TransactionLog(None, self.path).latest_version()}
+        log = TransactionLog(None, self.path)
+        latest = log.latest_version()
+        if self.max_files is None and self.max_bytes is None:
+            return {"version": latest}
+        # advance at most cap files/bytes past the internal cursor, always
+        # admitting at least one version so an oversized commit still
+        # flows; the cursor only moves forward (partitions() fast-forwards
+        # it past replayed batch ends after a checkpoint restart)
+        end = self._cursor
+        files = nbytes = 0
+        while end < latest:
+            adds = [
+                ad
+                for ad in log.read_entry(end + 1).get("add", [])
+                if ad["path"].rsplit("/", 1)[-1].startswith("part-")
+            ]
+            nf, nb = len(adds), sum(int(a.get("size") or 0) for a in adds)
+            if (files or nbytes) and (
+                (self.max_files is not None and files + nf > self.max_files)
+                or (self.max_bytes is not None and nbytes + nb > self.max_bytes)
+            ):
+                break
+            files += nf
+            nbytes += nb
+            end += 1
+        self._cursor = end
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
         log = TransactionLog(None, self.path)
         lo, hi = int(start["version"]), int(end["version"])
+        if hi > self._cursor:  # checkpoint-restart replay: catch up
+            self._cursor = hi
         slices: list[_AddSlice] = []
         stamp = None if self.feed == "appends" else "insert"
         for v in range(lo + 1, hi + 1):

@@ -630,3 +630,75 @@ def test_stream_changes_ignores_uncommitted_change_files(spark, tmp_path):
     assert chg == {(2, "delete")}  # the committed DML change, nothing else
     tch = {(r.id, r._change_type) for r in spark.sql("SELECT * FROM tch").collect()}
     assert tch == {(i, "insert") for i in range(5)} | {(2, "delete")}
+
+
+def test_acidpy_rate_limit_and_starting_timestamp(spark, tmp_path):
+    """acidpy backlog protection: maxFilesPerTrigger caps how many commits
+    one micro-batch spans (monotone cursor, oversized commits still flow),
+    and startingTimestamp picks the first commit at-or-after (delta-spark
+    rules) — a fresh stream over a long history never plans the whole
+    backlog as one batch."""
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.sources.acid.pystream import (
+        AcidPyStreamReader,
+        _first_version_at_or_after,
+    )
+    from delta_lake_validation_spark.sources.acid.log import TransactionLog
+
+    loc = os.path.join(str(tmp_path), "t")
+    t = AcidTable.create(spark, loc, "id int")
+    for i in range(6):  # v1..v6, one single-file append each
+        t.append(spark.createDataFrame([(i,)], "id int").coalesce(1))
+
+    r = AcidPyStreamReader({"path": loc, "maxfilespertrigger": "2"})
+    offs = []
+    cur = r.initialOffset()
+    for _ in range(5):
+        nxt = r.latestOffset()
+        if nxt["version"] == cur["version"]:
+            break
+        r.partitions(cur, nxt)
+        offs.append(nxt["version"])
+        cur = nxt
+    # 6 single-file commits, 2 files per trigger -> 3 batches: v2, v4, v6
+    assert offs == [2, 4, 6]
+
+    # oversized single commit still flows (cap 1 file, commit has many)
+    t.append(spark.createDataFrame([(i,) for i in range(100)], "id int"))
+    r2 = AcidPyStreamReader(
+        {"path": loc, "maxfilespertrigger": "1", "startingversion": "7"}
+    )
+    nxt = r2.latestOffset()
+    assert nxt["version"] == 7  # the whole oversized commit, alone
+
+    # startingTimestamp: first commit at-or-after the v4 commit's stamp
+    log = TransactionLog(None, loc)
+    ts4 = log.read_entry(4)["timestamp"]
+    assert _first_version_at_or_after(log, ts4) == 4
+    r3 = AcidPyStreamReader({"path": loc, "startingtimestamp": ts4})
+    assert r3.initialOffset() == {"version": 3}  # serves v4 onward
+    with pytest.raises(ValueError, match="not both"):
+        AcidPyStreamReader(
+            {"path": loc, "startingtimestamp": ts4, "startingversion": "2"}
+        )
+
+    # e2e: capped availableNow pump still delivers everything exactly once
+    from delta_lake_validation_spark.sources.acid.pystream import register
+
+    register(spark)
+    out = str(tmp_path / "out")
+    for _ in range(6):  # capped availableNow pumps until caught up
+        (
+            spark.readStream.format("acidpy")
+            .option("path", loc)
+            .option("maxFilesPerTrigger", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == sorted(list(range(6)) + list(range(100)))
