@@ -126,6 +126,7 @@ class AcidPyStreamReader(DataSourceStreamReader):
             )
         self.schema_json = snap.schema_json
         self.part_cols = list(snap.partition_columns)
+        self._snap_version = snap.version
         st = options.get("startingtimestamp")
         sv = options.get("startingversion")
         if st is not None:
@@ -186,6 +187,21 @@ class AcidPyStreamReader(DataSourceStreamReader):
         stamp = None if self.feed == "appends" else "insert"
         for v in range(lo + 1, hi + 1):
             entry = log.read_entry(v)
+            meta = entry.get("metadata")
+            if (
+                v > self._snap_version
+                and meta
+                and meta.get("schemaJson") not in (None, self.schema_json)
+            ):
+                # same contract as the deltapy source: serving NEW-schema
+                # commits through an old-schema reader silently drops
+                # columns — refuse and let the restart pick up the new
+                # schema.  Replaying history OLDER than the reader's
+                # snapshot is safe: files predating a column null-fill.
+                raise ValueError(
+                    f"acidpy stream: schema changed at version {v}; "
+                    "restart the stream to pick up the new schema"
+                )
             if self.feed != "changes":
                 for ad in entry.get("add", []):
                     rel = ad["path"]

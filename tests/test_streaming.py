@@ -702,3 +702,31 @@ def test_acidpy_rate_limit_and_starting_timestamp(spark, tmp_path):
         )
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == sorted(list(range(6)) + list(range(100)))
+
+
+def test_acidpy_stream_refuses_schema_change(spark, tmp_path):
+    """A mid-stream schema change refuses (deltapy contract): serving
+    old-schema batches would silently null/drop columns."""
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.sources.acid.pystream import (
+        AcidPyStreamReader,
+    )
+
+    loc = os.path.join(str(tmp_path), "t")
+    t = AcidTable.create(spark, loc, "id int")
+    t.append(spark.createDataFrame([(1,)], "id int"))
+    r = AcidPyStreamReader({"path": loc})
+    cur = r.latestOffset()
+    assert r.partitions(r.initialOffset(), cur)  # pre-change batch fine
+
+    t.add_column("extra", "string")
+    t.append(spark.createDataFrame([(2, "x")], "id int, extra string"))
+    with pytest.raises(ValueError, match="schema changed"):
+        r.partitions(cur, r.latestOffset())
+    # a fresh stream picks up the new schema and serves everything
+    r2 = AcidPyStreamReader({"path": loc})
+    parts = r2.partitions(r2.initialOffset(), r2.latestOffset())
+    rows = [row for p in parts for rb in r2.read(p) for row in rb.to_pylist()]
+    assert sorted((x["id"], x.get("extra")) for x in rows) == [
+        (1, None), (2, "x")
+    ]
