@@ -237,6 +237,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "ngram_jaccard_pairs",
+    # equi-join on exploded shingles (|A∩B| by co-occurrence count,
+    # |A∪B| = |A|+|B|-|A∩B|) instead of the all-pairs list_intersect
+    # cross join: identical output for every pair sharing ≥1 shingle,
+    # and a zero-overlap pair can only pass the 0.8 threshold when both
+    # shingle sets are empty — impossible here (documents are ≥10
+    # tokens, so every doc has ≥8 trigrams).  The quadratic form ran
+    # minutes-to-hours at sf0.1; this runs in seconds.
     oracle=r"""
     WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
                   FROM documents),
@@ -244,14 +251,19 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN len(t) >= 3
                 THEN list_distinct(list_transform(range(1, len(t)-1),
                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                ELSE [] END AS s FROM toks)
+                ELSE [] END AS s FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    nsz AS (SELECT doc_id, len(s) AS n FROM sh),
+    co AS (SELECT a.doc_id AS la, b.doc_id AS rb, count(*) AS inter
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
     SELECT left_doc, right_doc,
            CAST(floor(CAST(inter AS DOUBLE) / uni * 10000.0 + 0.5) / 10000.0
                 AS DOUBLE) AS jaccard
-    FROM (SELECT a.doc_id AS left_doc, b.doc_id AS right_doc,
-                 len(list_intersect(a.s, b.s)) AS inter,
-                 len(list_distinct(a.s || b.s)) AS uni
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    FROM (SELECT co.la AS left_doc, co.rb AS right_doc, co.inter,
+                 sa.n + sb.n - co.inter AS uni
+          FROM co JOIN nsz sa ON co.la = sa.doc_id
+                  JOIN nsz sb ON co.rb = sb.doc_id)
     WHERE inter * 5 >= uni * 4
     """,
     tags=("dedup", "llm"),
@@ -291,6 +303,9 @@ def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "incremental_dedup",
+    # exploded-shingle co-occurrence join (see ngram_jaccard_pairs) —
+    # identical output: zero-overlap batch×corpus pairs can't pass the
+    # threshold because every doc has ≥8 trigrams
     oracle=r"""
     WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
                   FROM documents),
@@ -298,15 +313,21 @@ def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN len(t) >= 3
                 THEN list_distinct(list_transform(range(1, len(t)-1),
                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                ELSE [] END AS s FROM toks)
+                ELSE [] END AS s FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    nsz AS (SELECT doc_id, len(s) AS n FROM sh),
+    co AS (SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+                  count(*) AS inter
+           FROM ex a JOIN ex b ON a.g = b.g
+           WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+           GROUP BY 1, 2)
     SELECT new_doc, corpus_doc,
            CAST(floor(CAST(inter AS DOUBLE) / uni * 10000.0 + 0.5) / 10000.0
                 AS DOUBLE) AS jaccard
-    FROM (SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
-                 len(list_intersect(a.s, b.s)) AS inter,
-                 len(list_distinct(a.s || b.s)) AS uni
-          FROM sh a JOIN sh b
-            ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0)
+    FROM (SELECT co.new_doc, co.corpus_doc, co.inter,
+                 sa.n + sb.n - co.inter AS uni
+          FROM co JOIN nsz sa ON co.new_doc = sa.doc_id
+                  JOIN nsz sb ON co.corpus_doc = sb.doc_id)
     WHERE inter * 5 >= uni * 4
     """,
     tags=("dedup", "llm", "incremental"),
@@ -679,6 +700,10 @@ def ann_ivf_topk_raw_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "dedup_clusters",
+    # pairs via the exploded-shingle co-occurrence join (see
+    # ngram_jaccard_pairs — identical output, seconds instead of the
+    # quadratic list_intersect cross join); the recursive closure is
+    # unchanged
     oracle=r"""
     WITH RECURSIVE
     toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -688,10 +713,15 @@ def ann_ivf_topk_raw_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN list_distinct(list_transform(range(1, len(t)-1),
                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                 ELSE [] END AS s FROM toks),
-    pairs AS (SELECT a.doc_id AS la, b.doc_id AS rb
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              WHERE len(list_intersect(a.s, b.s)) * 5
-                    >= len(list_distinct(a.s || b.s)) * 4),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    nsz AS (SELECT doc_id, len(s) AS n FROM sh),
+    co AS (SELECT a.doc_id AS la, b.doc_id AS rb, count(*) AS inter
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    pairs AS (SELECT co.la, co.rb
+              FROM co JOIN nsz sa ON co.la = sa.doc_id
+                      JOIN nsz sb ON co.rb = sb.doc_id
+              WHERE co.inter * 5 >= (sa.n + sb.n - co.inter) * 4),
     edges AS (SELECT la AS a, rb AS b FROM pairs
               UNION SELECT rb, la FROM pairs),
     cc AS (SELECT a AS id, a AS lbl FROM edges
@@ -738,10 +768,15 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN list_distinct(list_transform(range(1, len(t)-1),
                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                 ELSE [] END AS s FROM toks),
-    pairs AS (SELECT a.doc_id AS la, b.doc_id AS rb
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              WHERE len(list_intersect(a.s, b.s)) * 5
-                    >= len(list_distinct(a.s || b.s)) * 4),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    nsz AS (SELECT doc_id, len(s) AS n FROM sh),
+    co AS (SELECT a.doc_id AS la, b.doc_id AS rb, count(*) AS inter
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    pairs AS (SELECT co.la, co.rb
+              FROM co JOIN nsz sa ON co.la = sa.doc_id
+                      JOIN nsz sb ON co.rb = sb.doc_id
+              WHERE co.inter * 5 >= (sa.n + sb.n - co.inter) * 4),
     edges AS (SELECT la AS a, rb AS b FROM pairs
               UNION SELECT rb, la FROM pairs),
     cc AS (SELECT a AS id, a AS lbl FROM edges
