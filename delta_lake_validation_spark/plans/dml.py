@@ -1151,3 +1151,125 @@ def delta_overwrite_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("violation_refused", refused),
         ]
     return _result(spark, rows)
+
+
+@register(
+    "delta_features_scenario",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'clustered_read' AS step,
+             (SELECT count(*) FROM nation) AS n_rows
+      UNION ALL
+      SELECT 'rowtracking_ids', (SELECT count(*) FROM nation) * 2
+      UNION ALL
+      SELECT 'rowtracking_preserved',
+             (SELECT count(*) FROM nation) * 2 - 2
+      UNION ALL
+      SELECT 'variant_roundtrip', (SELECT count(*) FROM nation)
+    ) ORDER BY step
+    """,
+    tags=("delta", "clustering", "rowtracking", "variant"),
+    doc="Round-5 Delta table features end-to-end: CLUSTER BY table whose "
+    "OPTIMIZE Z-orders by the delta.clustering domain columns; "
+    "rowTracking assignment (contiguous baseRowId ranges, high-water "
+    "mark domain) with DV-delete id preservation; a variantType column "
+    "round-tripping JSON through create/append/read.  Counts are "
+    "emitted only when the protocol-level checks hold, so a silent "
+    "feature regression value-mismatches the oracle.",
+)
+def delta_features_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        clustering_columns,
+        create_delta,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n = nation.count()
+    with _scratch() as root:
+        # --- clustered table: create CLUSTER BY, append, optimize
+        cl = f"{root}/clustered"
+        t = create_delta(
+            spark, cl, nation.schema, cluster_by=["n_regionkey", "n_nationkey"]
+        )
+        t.append(nation)
+        DeltaTable(spark, cl).optimize()  # Z-orders by the domain columns
+        snap = DeltaTable(spark, cl).snapshot()
+        clustered_ok = clustering_columns(snap) == [
+            "n_regionkey",
+            "n_nationkey",
+        ] and snap.num_files == 1
+        clustered_read = DeltaTable(spark, cl).read().count() if clustered_ok else -1
+
+        # --- rowTracking: two appends -> contiguous id ranges + watermark
+        rt = f"{root}/rowtracked"
+        create_delta(
+            spark,
+            rt,
+            nation.schema,
+            properties={
+                "delta.enableRowTracking": "true",
+                "delta.enableDeletionVectors": "true",
+            },
+        )
+        DeltaTable(spark, rt).append(nation.coalesce(1))
+        DeltaTable(spark, rt).append(nation.coalesce(1))
+        s = DeltaTable(spark, rt).snapshot()
+        spans = sorted(
+            (
+                int(a["baseRowId"]),
+                int(_json.loads(a["stats"])["numRecords"]),
+            )
+            for a in s.files.values()
+        )
+        contiguous = spans[0][0] == 0 and all(
+            spans[i][0] == spans[i - 1][0] + spans[i - 1][1]
+            for i in range(1, len(spans))
+        )
+        hwm = _json.loads(s.domains["delta.rowTracking"])[
+            "rowIdHighWaterMark"
+        ]
+        ids_ok = contiguous and hwm == 2 * n - 1
+        rowtracking_ids = (hwm + 1) if ids_ok else -1
+
+        # --- DV delete keeps every remaining file's original baseRowId
+        pre_ids = sorted(a["baseRowId"] for a in s.files.values())
+        DeltaTable(spark, rt).delete("n_nationkey = 3")
+        s2 = DeltaTable(spark, rt).snapshot()
+        preserved = (
+            sorted(a["baseRowId"] for a in s2.files.values()) == pre_ids
+        )
+        live = DeltaTable(spark, rt).read().count()
+        rowtracking_preserved = live if preserved else -1
+
+        # --- variant column round-trip
+        va = f"{root}/variant"
+        vdf = nation.selectExpr(
+            "n_nationkey", "parse_json(to_json(struct(n_name, n_regionkey))) AS v"
+        )
+        create_delta(spark, va, vdf.schema)
+        DeltaTable(spark, va).append(vdf)
+        back = (
+            DeltaTable(spark, va)
+            .read()
+            .selectExpr(
+                "n_nationkey",
+                "CAST(variant_get(v, '$.n_regionkey', 'int') AS INT) AS r",
+            )
+        )
+        joined = back.join(
+            nation, ["n_nationkey"]
+        ).filter("r = n_regionkey")
+        variant_roundtrip = joined.count()
+
+        rows = [
+            ("clustered_read", clustered_read),
+            ("rowtracking_ids", rowtracking_ids),
+            ("rowtracking_preserved", rowtracking_preserved),
+            ("variant_roundtrip", variant_roundtrip),
+        ]
+    return _result(spark, rows)

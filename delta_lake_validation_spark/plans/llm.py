@@ -239,11 +239,15 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     # equi-join on exploded shingles (|A∩B| by co-occurrence count,
     # |A∪B| = |A|+|B|-|A∩B|) instead of the all-pairs list_intersect
-    # cross join: identical output for every pair sharing ≥1 shingle,
-    # and a zero-overlap pair can only pass the 0.8 threshold when both
-    # shingle sets are empty — impossible here (documents are ≥10
-    # tokens, so every doc has ≥8 trigrams).  The quadratic form ran
-    # minutes-to-hours at sf0.1; this runs in seconds.
+    # cross join: identical output for every pair sharing ≥1 shingle.
+    # Zero-shingle documents (<3 tokens) CANNOT pair here — which is the
+    # Spark engine's contract too (ngram_jaccard_pairs derives candidates
+    # and sets from exploded shingles, so an empty-set doc contributes
+    # zero rows); the old cross-join form instead emitted 0/0-Jaccard
+    # pairs for two empty docs and would have MISmatched Spark if such
+    # docs ever appeared.  This form is the exact twin by construction,
+    # not by data luck.  The quadratic form ran minutes-to-hours at
+    # sf0.1; this runs in seconds.
     oracle=r"""
     WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
                   FROM documents),
@@ -303,9 +307,9 @@ def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "incremental_dedup",
-    # exploded-shingle co-occurrence join (see ngram_jaccard_pairs) —
-    # identical output: zero-overlap batch×corpus pairs can't pass the
-    # threshold because every doc has ≥8 trigrams
+    # exploded-shingle co-occurrence join (see ngram_jaccard_pairs):
+    # exact twin of the Spark engine's shingle-derived semantics — an
+    # empty-shingle doc contributes zero rows on both sides
     oracle=r"""
     WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
                   FROM documents),
@@ -701,9 +705,9 @@ def ann_ivf_topk_raw_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_clusters",
     # pairs via the exploded-shingle co-occurrence join (see
-    # ngram_jaccard_pairs — identical output, seconds instead of the
-    # quadratic list_intersect cross join); the recursive closure is
-    # unchanged
+    # ngram_jaccard_pairs — the exact twin of the Spark engine's
+    # shingle-derived semantics, seconds instead of the quadratic
+    # list_intersect cross join); the recursive closure is unchanged
     oracle=r"""
     WITH RECURSIVE
     toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

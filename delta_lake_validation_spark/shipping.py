@@ -6,14 +6,22 @@ the driver runs from the repo (tests, bench, the grading driver) the
 workers inherit a usable path; but a bare session started from another
 working directory leaves workers unable to import the package
 (ModuleNotFoundError from inside ``apply_dv_filter`` et al.).  The fix is
-Spark's own mechanism for this: zip the package once per process and
-``addPyFile`` it, which every Python worker prepends to ``sys.path``.
-Idempotent per SparkContext; the zip contains only the package's .py
-files (~100 KB), built lazily on first use.
+Spark's own mechanism for this: zip the package once and ``addPyFile``
+it, which every Python worker prepends to ``sys.path``.  Idempotent per
+SparkContext; the zip contains only the package's .py files (~100 KB),
+built lazily on first use.
+
+The cache file is keyed by a CONTENT hash of the source tree (paths,
+sizes, mtimes), not the driver PID: a PID-keyed name survives process
+exit, so a recycled PID — or another user's file on a shared /tmp —
+would silently ship stale or foreign code to every executor while the
+driver runs the current source.  A content key makes staleness
+impossible and collisions harmless (same key == same bytes to ship).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -22,11 +30,21 @@ from pathlib import Path
 _PKG_DIR = Path(__file__).resolve().parent
 
 
+def _source_key() -> str:
+    h = hashlib.sha256()
+    for p in sorted(_PKG_DIR.rglob("*.py")):
+        st = p.stat()
+        h.update(
+            f"{p.relative_to(_PKG_DIR)}\0{st.st_size}\0{st.st_mtime_ns}\n".encode()
+        )
+    return h.hexdigest()[:16]
+
+
 def _build_zip() -> str:
-    out = Path(tempfile.gettempdir()) / f"dlvs_pkg_{os.getpid()}.zip"
+    out = Path(tempfile.gettempdir()) / f"dlvs_pkg_{_source_key()}.zip"
     if out.exists():
         return str(out)
-    tmp = out.with_suffix(".tmp")
+    tmp = out.with_name(f".{out.name}.{os.getpid()}.tmp")
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
         for p in sorted(_PKG_DIR.rglob("*.py")):
             arc = Path(_PKG_DIR.name) / p.relative_to(_PKG_DIR)

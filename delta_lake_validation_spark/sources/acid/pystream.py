@@ -102,8 +102,11 @@ class AcidPyStreamReader(DataSourceStreamReader):
     ``startingVersion`` (default 0, or ``latest``) / ``startingTimestamp``
     (first commit at-or-after, same rule as the Delta-side source) pick
     where the stream begins.  ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``
-    cap how many commits one micro-batch may span, measured in counted
-    add files/bytes — without a cap, a fresh stream over a long history
+    cap how many commits one micro-batch may span, measured in the
+    files/bytes the FEED actually serves (part-* adds for appends,
+    ``_change_data`` files for the change feeds, both for table_changes;
+    change-file sizes ride the commit entry's ``cdf_sizes``) — without a
+    cap, a fresh stream over a long history
     plans its whole backlog as ONE batch (the same monotone-cursor design
     as the deltapy source: zero-cost commits always flow, an oversized
     single commit still makes progress, replays never move backward)."""
@@ -161,12 +164,24 @@ class AcidPyStreamReader(DataSourceStreamReader):
         end = self._cursor
         files = nbytes = 0
         while end < latest:
-            adds = [
-                ad
-                for ad in log.read_entry(end + 1).get("add", [])
-                if ad["path"].rsplit("/", 1)[-1].startswith("part-")
-            ]
-            nf, nb = len(adds), sum(int(a.get("size") or 0) for a in adds)
+            entry = log.read_entry(end + 1)
+            nf = nb = 0
+            if self.feed != "changes":
+                adds = [
+                    ad
+                    for ad in entry.get("add", [])
+                    if ad["path"].rsplit("/", 1)[-1].startswith("part-")
+                ]
+                nf += len(adds)
+                nb += sum(int(a.get("size") or 0) for a in adds)
+            if self.feed != "appends":
+                # change files count toward the caps too — a DML-heavy
+                # backlog must not plan as one unbounded batch just
+                # because it adds no part-* files
+                cdf = entry.get("cdf", [])
+                sizes = entry.get("cdf_sizes") or {}
+                nf += len(cdf)
+                nb += sum(int(sizes.get(p) or 0) for p in cdf)
             if (files or nbytes) and (
                 (self.max_files is not None and files + nf > self.max_files)
                 or (self.max_bytes is not None and nbytes + nb > self.max_bytes)
@@ -221,11 +236,26 @@ class AcidPyStreamReader(DataSourceStreamReader):
                         )
                     )
             if self.feed != "appends":
+                sizes = entry.get("cdf_sizes") or {}
                 for rel in entry.get("cdf", []):
+                    size = int(sizes.get(rel) or 0)
+                    if not size:
+                        # pre-cdf_sizes log entry: one stat so bin-packing
+                        # still spreads change files across tasks instead
+                        # of stacking every "zero-byte" slice in one bin
+                        try:
+                            from delta_lake_validation_spark.sources.fs import (
+                                pa_fs,
+                            )
+
+                            fs, norm = pa_fs(f"{self.path}/{rel}")
+                            size = int(fs.get_file_info(norm).size or 0)
+                        except Exception:
+                            size = 1  # unknown: never 0, avoid one-bin pile-up
                     slices.append(
                         _AddSlice(
                             path=f"{self.path}/{rel}",
-                            size=0,
+                            size=size,
                             pv={},
                             is_cdc=True,
                         )

@@ -75,6 +75,9 @@ class AcidTable:
         self.location = location.rstrip("/")
         self.log = TransactionLog(spark, self.location)
         self.fs: FileSystem = self.log.fs
+        # rel path -> bytes for CDF files this writer staged; drained into
+        # each commit entry's "cdf_sizes" by _commit_strict
+        self._cdf_sizes: dict[str, int] = {}
 
     # ------------------------------------------------------------------ DDL
     @classmethod
@@ -441,6 +444,10 @@ class AcidTable:
             "remove": [],
             "cdf": cdf,
         }
+        if cdf:
+            entry["cdf_sizes"] = {
+                p: self._cdf_sizes[p] for p in cdf if p in self._cdf_sizes
+            }
         for _ in range(50):
             v = self.log.next_version()
             if self.log.try_commit(v, entry):
@@ -558,6 +565,12 @@ class AcidTable:
 
     def _commit_strict(self, entry: dict, snap: Snapshot) -> int:
         v = snap.version + 1
+        if entry.get("cdf"):
+            entry["cdf_sizes"] = {
+                p: self._cdf_sizes[p]
+                for p in entry["cdf"]
+                if p in self._cdf_sizes
+            }
         if not self.log.try_commit(v, entry):
             # the write staged data/CDF files before this commit attempt;
             # losing the race must not leave them behind — orphan CDF files
@@ -748,11 +761,19 @@ class AcidTable:
     def _write_cdf(self, df_with_type: DataFrame) -> list[str]:
         out_dir = f"{self.location}/{CDF_DIR}/{uuid.uuid4().hex}"
         df_with_type.write.mode("overwrite").parquet(out_dir)
-        return [
-            strip_scheme(p)[len(strip_scheme(self.location)) :].lstrip("/")
-            for p in self.fs.list_files(out_dir)
-            if p.endswith(".parquet")
-        ]
+        out = []
+        for p, size in self.fs.list_files_with_size(out_dir):
+            if not p.endswith(".parquet"):
+                continue
+            rel = strip_scheme(p)[len(strip_scheme(self.location)) :].lstrip(
+                "/"
+            )
+            out.append(rel)
+            # sizes ride into the commit entry (_commit_strict ->
+            # "cdf_sizes") so the streaming source can rate-cap and
+            # bin-pack change files without re-statting them per trigger
+            self._cdf_sizes[rel] = size
+        return out
 
     # ------------------------------------------------------------------ DML
     def delete(

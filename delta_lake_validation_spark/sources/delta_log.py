@@ -71,6 +71,13 @@ _SUPPORTED_READER_FEATURES = {
     # parquet reader performs every spec promotion (int->long/double/
     # decimal, float->double, date->timestamp_ntz) on narrower files
     "typeWidening-preview",  # same mechanism, pre-GA feature name
+    "variantType",  # Spark 4's native VariantType: the parquet physical
+    # group (metadata/value binaries) is exactly what spark.read/write
+    # produce, so scans serve variant columns directly (stats never
+    # cover variant; pruning treats them as unknown).  deltapy refuses
+    # variant columns (no arrow mapping in the Python Data Source) and
+    # routes to the JVM scan.
+    "variantType-preview",  # same mechanism, pre-GA feature name
 }
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
@@ -191,6 +198,7 @@ class DeltaSnapshot:
         name: str | None,
         protocol: dict | None = None,
         txns: dict[str, dict] | None = None,
+        domains: dict[str, str] | None = None,
     ):
         #: last protocol action seen during replay (reader/writer gating
         #: uses this — one replay, not one per check)
@@ -199,6 +207,12 @@ class DeltaSnapshot:
         #: rows + JSON tail) — the idempotent-sink watermark the spec says
         #: every checkpoint must carry so log cleanup can't lose it
         self.txns = txns or {}
+        #: live domainMetadata: domain name -> configuration string
+        #: (latest wins; ``removed: true`` tombstones drop the domain).
+        #: Carried through replay AND checkpoints — losing a domain such
+        #: as ``delta.clustering`` or ``delta.rowTracking`` silently
+        #: un-clusters / un-tracks a table other writers maintain.
+        self.domains = domains or {}
         self.version = version
         self.schema = schema
         self.partition_columns = partition_columns
@@ -281,6 +295,52 @@ class DeltaSnapshot:
     @property
     def size_bytes(self) -> int:
         return sum(int(a.get("size", 0) or 0) for a in self.files.values())
+
+
+def _schema_has_variant(dt) -> bool:
+    """True when the (nested) type tree contains Spark's VariantType."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    try:
+        from pyspark.sql.types import VariantType
+    except ImportError:  # pre-4.0 Spark: variant cannot occur
+        return False
+    if isinstance(dt, VariantType):
+        return True
+    if isinstance(dt, StructType):
+        return any(_schema_has_variant(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _schema_has_variant(dt.elementType)
+    if isinstance(dt, MapType):
+        return _schema_has_variant(dt.keyType) or _schema_has_variant(
+            dt.valueType
+        )
+    return False
+
+
+def clustering_columns(snap: DeltaSnapshot) -> list[str]:
+    """LOGICAL clustering columns of a clustered (liquid-clustering)
+    table, from the ``delta.clustering`` domainMetadata.  The domain's
+    configuration stores clusteringColumns as PHYSICAL name paths (per
+    the protocol); top-level parts map back to logical names through the
+    snapshot's column mapping (identity when the table has none).
+    Returns [] for non-clustered tables or unparseable configurations
+    (clustering is best-effort — never a read blocker)."""
+    cfg = snap.domains.get("delta.clustering")
+    if not cfg:
+        return []
+    try:
+        data = json.loads(cfg)
+    except (TypeError, ValueError):
+        return []
+    inv = {ph: lg for lg, ph in snap.physical.items()}
+    out: list[str] = []
+    for p in data.get("clusteringColumns") or []:
+        parts = list(p) if isinstance(p, (list, tuple)) else [p]
+        if not parts:
+            continue
+        out.append(".".join([inv.get(parts[0], parts[0]), *parts[1:]]))
+    return out
 
 
 class DeltaTable:
@@ -437,7 +497,9 @@ class DeltaTable:
         """Flatten one checkpoint (any kind) into a list of action dicts.
         v2 manifests contribute their own actions plus every referenced
         sidecar's add/remove rows."""
-        wanted = ("add", "remove", "metaData", "protocol", "txn")
+        wanted = (
+            "add", "remove", "metaData", "protocol", "txn", "domainMetadata",
+        )
         if kind == "classic":
             paths = [f"{self.log_dir}/{n}" for n in parts]
             return self._parquet_rows(paths, wanted)
@@ -482,7 +544,17 @@ class DeltaTable:
         name: str | None = None
         proto: dict | None = None
         txns: dict[str, dict] = {}
+        domains: dict[str, str] = {}
         start = 0
+
+        def _apply_domain(dm: dict) -> None:
+            # latest action per domain wins; removed=true is a tombstone
+            if not dm or not dm.get("domain"):
+                return
+            if dm.get("removed"):
+                domains.pop(dm["domain"], None)
+            else:
+                domains[dm["domain"]] = dm.get("configuration") or ""
 
         ckpt = self._last_checkpoint()
         if ckpt is not None and ckpt[0] <= version:
@@ -497,6 +569,8 @@ class DeltaTable:
                     )
                 if d.get("txn") and d["txn"].get("appId"):
                     txns[d["txn"]["appId"]] = dict(d["txn"])
+                if d.get("domainMetadata"):
+                    _apply_domain(d["domainMetadata"])
                 if d.get("add"):
                     a = d["add"]
                     files[a["path"]] = a
@@ -516,6 +590,8 @@ class DeltaTable:
                     )
                 elif "txn" in action and (action["txn"] or {}).get("appId"):
                     txns[action["txn"]["appId"]] = dict(action["txn"])
+                elif "domainMetadata" in action:
+                    _apply_domain(action["domainMetadata"])
             # removes before adds: a commit is atomic, and a DV-rewriting
             # DELETE emits remove(path, old DV) + add(path, new DV) for the
             # SAME path — path-keyed replay is only order-independent if
@@ -534,7 +610,7 @@ class DeltaTable:
             )
         snap = DeltaSnapshot(
             version, schema, part_cols, files, props, meta_id, name, proto,
-            txns,
+            txns, domains,
         )
         self._snap_cache[version] = snap
         while len(self._snap_cache) > 4:  # bound memory: keep the newest few
@@ -911,6 +987,23 @@ class DeltaTable:
         # values; UPDATE assignment and MERGE (always-explicit) refuse
         "inCommitTimestamp",  # honored: strictly monotonic commitInfo
         # timestamps stamped on every commit when the property enables it
+        "domainMetadata",  # honored: domains replay through snapshots and
+        # ride into every checkpoint; our commits never drop or alter a
+        # domain we don't own
+        "clustering",  # honored: appends never violate clustering (it is
+        # best-effort, established by OPTIMIZE); optimize() clusters by
+        # the delta.clustering domain's clusteringColumns via Z-order
+        "variantType",  # honored: staged writes go through Spark's own
+        # parquet variant encoding; stats skip variant columns
+        "variantType-preview",
+        "rowTracking",  # honored: every commit assigns baseRowId /
+        # defaultRowCommitVersion to fresh adds and advances the
+        # delta.rowTracking rowIdHighWaterMark domain (_try_commit);
+        # re-added files (DV masks, RESTORE) keep their ids.  When
+        # delta.enableRowTracking=true, operations that would rewrite
+        # SURVIVING rows under fresh ids (UPDATE/MERGE/OPTIMIZE/
+        # copy-on-write DELETE) refuse — preserved ids need the
+        # materialized row-id column delta-spark writes, which we don't
     }
 
     def _check_writer_protocol(self, snap: DeltaSnapshot) -> None:
@@ -957,6 +1050,27 @@ class DeltaTable:
             raise DeltaProtocolError(
                 f"delta.appendOnly table: {op} would change existing rows"
             )
+        if (
+            str(
+                snap.properties.get("delta.enableRowTracking", "")
+            ).lower()
+            == "true"
+        ):
+            # stable row ids: surviving rows must keep their ids across
+            # rewrites, which requires materializing a row-id column into
+            # the rewritten files (delta-spark's preservation machinery).
+            # We assign fresh ids only — so any op that rewrites surviving
+            # rows refuses.  append (new rows), overwrite (no surviving
+            # rows), restore and DV-path delete (files re-added with their
+            # original baseRowId) remain allowed.
+            if op in ("update", "merge", "optimize"):
+                raise DeltaProtocolError(
+                    f"delta.enableRowTracking table: {op} would rewrite "
+                    "surviving rows under fresh row ids — refusing "
+                    "(preserved ids need materialized row-id columns)"
+                )
+            # delete() gates itself: the remove-all fast path and the
+            # DV-mask path both preserve ids; only copy-on-write refuses
 
     def _constraint_exprs(
         self, snap: DeltaSnapshot
@@ -1386,6 +1500,7 @@ class DeltaTable:
                 a["commitInfo"].setdefault(
                     "engineInfo", "delta-lake-validation-spark/0.4"
                 )
+        actions = self._stamp_row_tracking(version, actions)
         if self._ict_enabled():
             # inCommitTimestamp feature (write side — the reader already
             # prefers it): stamp a STRICTLY MONOTONIC writer-recorded commit
@@ -1420,6 +1535,76 @@ class DeltaTable:
                 # must never fail the already-durable commit
                 pass
         return True
+
+    def _stamp_row_tracking(
+        self, version: int, actions: list[dict]
+    ) -> list[dict]:
+        """On rowTracking tables: assign ``baseRowId`` /
+        ``defaultRowCommitVersion`` to every FRESH add (re-added files —
+        DV masks, RESTORE — arrive with their original ids and keep them)
+        and advance the ``delta.rowTracking`` domain's rowIdHighWaterMark.
+        Works on a COPY so a retried commit re-stamps against the current
+        high-water mark instead of reusing ids computed from a lost
+        race's snapshot.  No-op (same list back) off rowTracking tables."""
+        try:
+            snap = self.snapshot(version - 1)
+        except Exception:
+            return actions
+        if "rowTracking" not in (
+            snap.protocol.get("writerFeatures") or []
+        ):
+            return actions
+        hw = -1
+        cfg = snap.domains.get("delta.rowTracking")
+        if cfg:
+            try:
+                hw = int(json.loads(cfg).get("rowIdHighWaterMark", -1))
+            except (TypeError, ValueError):
+                hw = -1
+        out: list[dict] = []
+        assigned = False
+        for a in actions:
+            ad = a.get("add")
+            if not ad or a.get("domainMetadata"):
+                # drop any stale high-water-mark action from a previous
+                # attempt (we re-append a fresh one below)
+                if (a.get("domainMetadata") or {}).get(
+                    "domain"
+                ) == "delta.rowTracking":
+                    continue
+                out.append(a)
+                continue
+            if ad.get("baseRowId") is not None:
+                out.append(a)
+                continue
+            st = ad.get("stats")
+            try:
+                n = int(
+                    (json.loads(st) if isinstance(st, str) else (st or {}))
+                    .get("numRecords", 0)
+                    or 0
+                )
+            except (TypeError, ValueError):
+                n = 0
+            ad = dict(ad)
+            ad["baseRowId"] = hw + 1
+            ad["defaultRowCommitVersion"] = version
+            hw += n
+            assigned = True
+            out.append({**a, "add": ad})
+        if assigned:
+            out.append(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.rowTracking",
+                        "configuration": json.dumps(
+                            {"rowIdHighWaterMark": hw}
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
+        return out
 
     @staticmethod
     def _meta_fingerprint(snap: DeltaSnapshot) -> tuple:
@@ -1558,6 +1743,12 @@ class DeltaTable:
             }
             if a.get("deletionVector"):
                 r["deletionVector"] = a["deletionVector"]
+            # row-tracking fields ride along on removes, as the spec asks
+            # (readers reconstruct removed-row ids from them)
+            if a.get("baseRowId") is not None:
+                r["baseRowId"] = a["baseRowId"]
+            if a.get("defaultRowCommitVersion") is not None:
+                r["defaultRowCommitVersion"] = a["defaultRowCommitVersion"]
             out.append({"remove": r})
         return out
 
@@ -1980,6 +2171,18 @@ class DeltaTable:
         if self._dv_enabled(snap):
             actions += self._dv_mask_actions(snap, per_file, ts)
         else:
+            if (
+                str(
+                    snap.properties.get("delta.enableRowTracking", "")
+                ).lower()
+                == "true"
+            ):
+                raise DeltaProtocolError(
+                    "delta.enableRowTracking table: copy-on-write DELETE "
+                    "would rewrite surviving rows under fresh row ids — "
+                    "enable deletionVectors, or delete with a predicate "
+                    "that matches whole files"
+                )
             # match on the exact _metadata.file_path strings the targeting
             # scan returned (URI scheme/slash forms vary by filesystem)
             keep = (
@@ -2441,6 +2644,24 @@ class DeltaTable:
 
         snap = self.snapshot()
         self._check_writer_protocol(snap)
+        if (
+            str(snap.properties.get("delta.enableRowTracking", "")).lower()
+            == "true"
+        ):
+            raise DeltaProtocolError(
+                "delta.enableRowTracking table: OPTIMIZE would rewrite "
+                "surviving rows under fresh row ids — refusing (preserved "
+                "ids need materialized row-id columns)"
+            )
+        if zorder_by is None:
+            # clustered table (liquid clustering): OPTIMIZE is what
+            # establishes the clustering — default to Z-ordering by the
+            # delta.clustering domain's clusteringColumns (top-level ones;
+            # our Morton key interleaves top-level columns).  Physical
+            # names per the spec; mapped back to logical by the helper.
+            cols = [c for c in clustering_columns(snap) if "." not in c]
+            if cols:
+                zorder_by = cols
         in_scope = set(snap.files)
         if where is not None:
             pruned = self._partition_prune(snap, where)
@@ -3605,6 +3826,7 @@ class DeltaTable:
             "version": snap.version,
             "location": self.location,
             "partitionColumns": snap.partition_columns,
+            "clusteringColumns": clustering_columns(snap),
             "numFiles": snap.num_files,
             "sizeInBytes": snap.size_bytes,
             "properties": snap.properties,
@@ -3815,9 +4037,24 @@ def _write_one_parquet(spark, rows, schema, dst: str) -> int:
     parent, name = dst.rsplit("/", 1)
     tmp = f"{parent}/.ckpt-tmp-{_uuid.uuid4().hex}-{name}"
     fs.write_bytes(tmp, data)
-    if fs.exists(dst):  # re-checkpoint of the same version: idempotent
-        fs.delete(dst)  # content; Hadoop rename refuses existing targets
-    fs.rename(tmp, dst)
+    if fs.exists(dst):
+        # Re-checkpoint of a version some writer already checkpointed: any
+        # existing file is a valid replayable checkpoint of the same
+        # version, so keep it.  Deleting before rename would open a
+        # missing-file window for a reader whose listing already saw dst
+        # (the local leg's os.replace has no such window), and two racing
+        # same-version checkpointers could interleave delete/rename into a
+        # rename-onto-existing failure.
+        fs.delete(tmp)
+        return len(data)
+    try:
+        fs.rename(tmp, dst)
+    except OSError:
+        # Lost a create race: the winner's checkpoint is equivalent.
+        if fs.exists(dst):
+            fs.delete(tmp)
+            return len(data)
+        raise
     return len(data)
 
 
@@ -3899,6 +4136,20 @@ def write_delta_checkpoint(
         )
         for app, tx in sorted(snap.txns.items())
     ]
+    # spec: a checkpoint carries every LIVE domainMetadata (tombstoned
+    # domains are omitted) — after log cleanup it is the only copy of
+    # e.g. delta.clustering / delta.rowTracking state other writers rely on
+    domain_rows = [
+        Row(
+            add=None,
+            metaData=None,
+            protocol=None,
+            remove=None,
+            txn=None,
+            domainMetadata=Row(domain=dom, configuration=cfg, removed=False),
+        )
+        for dom, cfg in sorted(snap.domains.items())
+    ]
     rows = [
         Row(
             add=Row(
@@ -3937,6 +4188,18 @@ def write_delta_checkpoint(
                     if (d := a.get("deletionVector"))
                     else None
                 ),
+                # rowTracking ids must survive checkpointing — dropping
+                # them resets every file's row ids on replay
+                baseRowId=(
+                    int(a["baseRowId"])
+                    if a.get("baseRowId") is not None
+                    else None
+                ),
+                defaultRowCommitVersion=(
+                    int(a["defaultRowCommitVersion"])
+                    if a.get("defaultRowCommitVersion") is not None
+                    else None
+                ),
             ),
             metaData=None,
             protocol=None,
@@ -3947,6 +4210,7 @@ def write_delta_checkpoint(
     ]
     rows.extend(tombstones)
     rows.extend(txn_rows)
+    rows.extend(domain_rows)
     rows.append(
         Row(
             add=None,
@@ -3975,7 +4239,8 @@ def write_delta_checkpoint(
         "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
         "modificationTime:bigint,dataChange:boolean,stats:string,"
         "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
-        "offset:int,sizeInBytes:int,cardinality:bigint>>"
+        "offset:int,sizeInBytes:int,cardinality:bigint>,"
+        "baseRowId:bigint,defaultRowCommitVersion:bigint>"
     )
     remove_schema = (
         "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
@@ -3989,6 +4254,8 @@ def write_delta_checkpoint(
         "readerFeatures:array<string>,writerFeatures:array<string>>,"
         + remove_schema
         + ",txn struct<appId:string,version:bigint,lastUpdated:bigint>"
+        ",domainMetadata struct<domain:string,configuration:string,"
+        "removed:boolean>"
     )
     import time as _time
     import uuid as _uuid
@@ -4033,6 +4300,14 @@ def write_delta_checkpoint(
                 )
                 for r in txn_rows
             ],
+            *[
+                Row(
+                    add=None, metaData=None, protocol=None, remove=None,
+                    txn=None, domainMetadata=r.domainMetadata,
+                    sidecar=None, checkpointMetadata=None,
+                )
+                for r in domain_rows
+            ],
             Row(
                 add=None, metaData=None, protocol=None, remove=None,
                 txn=None,
@@ -4060,8 +4335,9 @@ def write_delta_checkpoint(
         file_rows = [r for r in rows if r.add or r.remove]
         mp_row = next(r for r in rows if r.metaData)
         for i in range(1, parts + 1):
-            # metaData+protocol and the txn watermarks ride in part 1
-            chunk = [mp_row, *txn_rows] if i == 1 else []
+            # metaData+protocol, txn watermarks, and live domainMetadata
+            # ride in part 1
+            chunk = [mp_row, *txn_rows, *domain_rows] if i == 1 else []
             chunk += file_rows[i - 1 :: parts]
             _write_one_parquet(
                 spark,
@@ -4203,12 +4479,21 @@ def create_delta(
     partition_by: list[str] | None = None,
     properties: dict[str, str] | None = None,
     name: str | None = None,
+    cluster_by: list[str] | None = None,
 ) -> "DeltaTable":
     """Author a BRAND-NEW Delta table at ``location`` (protocol + metaData
     at version 0, no data) — the writer-side counterpart of the reference's
     ``CREATE TABLE … USING DELTA`` (src/validation_suite.py:268-286).
     Raises if a ``_delta_log`` already exists there.  CDF and appendOnly
-    arrive through ``properties`` exactly as TBLPROPERTIES would."""
+    arrive through ``properties`` exactly as TBLPROPERTIES would.
+
+    ``cluster_by`` creates a CLUSTERED table (liquid clustering): the
+    column list lands in the ``delta.clustering`` domainMetadata and the
+    protocol declares the ``clustering`` + ``domainMetadata`` writer
+    features — mutually exclusive with ``partition_by``, as in Delta.
+    Appends are unconstrained (clustering is best-effort); ``optimize()``
+    clusters by these columns via Z-order when no explicit ``zorder_by``
+    is given."""
     import time as _time
     import uuid as _uuid
 
@@ -4241,9 +4526,31 @@ def create_delta(
             "minReaderVersion": 2,
             "minWriterVersion": max(5, protocol["minWriterVersion"]),
         }
-    if dv_on:
-        feats_r = {"deletionVectors"}
-        feats_w = {"deletionVectors"}
+    cluster = list(cluster_by or [])
+    if cluster:
+        if part:
+            raise DeltaProtocolError(
+                "CLUSTER BY and PARTITIONED BY are mutually exclusive"
+            )
+        bad = set(cluster) - {f.name for f in schema.fields}
+        if bad:
+            raise DeltaProtocolError(
+                f"cluster columns not in schema: {sorted(bad)}"
+            )
+    has_variant = _schema_has_variant(schema)
+    rt_on = (
+        str(props.get("delta.enableRowTracking", "")).lower() == "true"
+    )
+    if dv_on or cluster or has_variant or rt_on:
+        feats_r = {"deletionVectors"} if dv_on else set()
+        feats_w = {"deletionVectors"} if dv_on else set()
+        if has_variant:
+            # variant columns are unreadable without the feature-aware
+            # parquet mapping — the protocol must say so to every engine
+            feats_r.add("variantType")
+            feats_w.add("variantType")
+        if rt_on:
+            feats_w.update({"rowTracking", "domainMetadata"})
         # a v7 protocol enforces ONLY listed features: every enabled
         # legacy capability must be restated as a feature
         if cdf_on:
@@ -4253,18 +4560,26 @@ def create_delta(
         if mapped:
             feats_r.add("columnMapping")
             feats_w.add("columnMapping")
+        if cluster:
+            feats_w.update({"clustering", "domainMetadata"})
         protocol = {
-            "minReaderVersion": 3,
+            "minReaderVersion": 3 if feats_r else 1,
             "minWriterVersion": 7,
-            "readerFeatures": sorted(feats_r),
             "writerFeatures": sorted(feats_w),
         }
+        if feats_r:
+            protocol["readerFeatures"] = sorted(feats_r)
     actions = [
         {
             "commitInfo": {
                 "timestamp": int(_time.time() * 1000),
                 "operation": "CREATE TABLE",
-                "operationParameters": {"partitionBy": json.dumps(part)},
+                "operationParameters": {
+                    "partitionBy": json.dumps(part),
+                    **(
+                        {"clusterBy": json.dumps(cluster)} if cluster else {}
+                    ),
+                },
             }
         },
         {"protocol": protocol},
@@ -4279,6 +4594,23 @@ def create_delta(
                 "createdTime": int(_time.time() * 1000),
             }
         },
+        *(
+            [
+                {
+                    "domainMetadata": {
+                        "domain": "delta.clustering",
+                        # physical paths per the spec; a fresh table has
+                        # identity mapping, so physical == logical here
+                        "configuration": json.dumps(
+                            {"clusteringColumns": [[c] for c in cluster]}
+                        ),
+                        "removed": False,
+                    }
+                }
+            ]
+            if cluster
+            else []
+        ),
     ]
     body = "\n".join(json.dumps(a) for a in actions) + "\n"
     fs.atomic_create(f"{log_dir}/{0:020d}.json", body)
@@ -4356,6 +4688,18 @@ def clone_delta(
                 "engineInfo": "delta-lake-validation-spark",
             }
         },
+        # live domains ride along (delta.clustering etc.) — a clone of a
+        # clustered table stays clustered, as delta-spark's CLONE does
+        *(
+            {
+                "domainMetadata": {
+                    "domain": dom,
+                    "configuration": cfg,
+                    "removed": False,
+                }
+            }
+            for dom, cfg in sorted(snap.domains.items())
+        ),
     ]
     now_ms = int(_time.time() * 1000)
     for rel, a in sorted(snap.files.items()):
@@ -4365,6 +4709,11 @@ def clone_delta(
             "modificationTime": now_ms,
             "dataChange": True,
         }
+        # row-tracking ids travel with the files (the clone also carries
+        # the delta.rowTracking domain, so its watermark stays consistent)
+        for k in ("baseRowId", "defaultRowCommitVersion"):
+            if a.get(k) is not None:
+                add[k] = a[k]
         if a.get("stats") is not None:
             add["stats"] = (
                 a["stats"]

@@ -289,21 +289,6 @@ def load_dv_bytes(descriptor: dict, table_location: str, fs) -> bytes:
     return data
 
 
-class PyArrowReadFS:
-    """read_bytes-only FS adapter over pyarrow — DV sidecar fetches on
-    executors, where no JVM gateway exists.  Works for every scheme
-    pyarrow speaks (file, s3, gcs, hdfs, ...)."""
-
-    def read_bytes(
-        self, path: str, offset: int = 0, length: int | None = None
-    ) -> bytes:
-        from delta_lake_validation_spark.sources.fs import pa_fs
-
-        fs, norm = pa_fs(path)
-        with fs.open_input_file(norm) as f:
-            if offset:
-                f.seek(offset)
-            return f.read(length) if length is not None else f.read()
 
 
 _PA_SCHEME_OK: dict[str, bool] = {}  # driver-side probe memo, per scheme
@@ -352,6 +337,8 @@ def resolve_dv_entry(entry) -> bytes:
     entries fetch + CRC-verify the sidecar locally via pyarrow."""
     if isinstance(entry, (bytes, bytearray)):
         return bytes(entry)
+    from delta_lake_validation_spark.sources.fs import PyArrowReadFS
+
     return load_dv_bytes(entry["desc"], entry["base"], PyArrowReadFS())
 
 

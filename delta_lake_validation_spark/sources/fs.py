@@ -287,6 +287,23 @@ def pa_fs(path: str):
     return pafs.FileSystem.from_uri(path)
 
 
+class PyArrowReadFS:
+    """read_bytes-only FS adapter over :func:`pa_fs` — for executor and
+    sparkless planning workers, where no JVM gateway exists.  Works for
+    every scheme pyarrow speaks (file, s3, gcs, hdfs, ...).  The single
+    canonical copy: DV sidecar fetches (sources/dv.py) and deltapy
+    planning (sources/pydatasource.py) both import it from here."""
+
+    def read_bytes(
+        self, path: str, offset: int = 0, length: int | None = None
+    ) -> bytes:
+        fs, norm = pa_fs(path)
+        with fs.open_input_file(norm) as f:
+            if offset:
+                f.seek(offset)
+            return f.read(length) if length is not None else f.read()
+
+
 def rel_under(root: str, path: str) -> str | None:
     """``path`` relative to ``root`` when ``path`` lives under it, else
     None.  Both arguments must come from the SAME normalization (both

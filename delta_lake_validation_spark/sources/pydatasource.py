@@ -144,6 +144,12 @@ def _arrow_type(dt: DataType):
         return _pa.struct(
             [(f.name, _arrow_type(f.dataType)) for f in dt.fields]
         )
+    if type(dt).__name__ == "VariantType":
+        raise DeltaProtocolError(
+            "deltapy: variant columns have no Python Data Source arrow "
+            "mapping — read variantType tables via DeltaTable.read / "
+            "read_delta (the JVM scan serves them natively)"
+        )
     raise DeltaProtocolError(f"deltapy: unsupported Spark type {dt}")
 
 
@@ -206,18 +212,11 @@ class DeltaPyScanPartition(InputPartition):
         self.files = files
 
 
-class _SparklessReadFS:
-    """read_bytes-only FS adapter for DV sidecar loads in planning workers
-    (non-local schemes route through pyarrow)."""
-
-    def read_bytes(
-        self, path: str, offset: int = 0, length: int | None = None
-    ) -> bytes:
-        fs, norm = _pa_fs(path)
-        with fs.open_input_file(norm) as f:
-            if offset:
-                f.seek(offset)
-            return f.read(length) if length is not None else f.read()
+# DV sidecar loads in planning workers route through the canonical pyarrow
+# read adapter (non-local schemes; local tables use the table's own fs)
+from delta_lake_validation_spark.sources.fs import (  # noqa: E402
+    PyArrowReadFS as _SparklessReadFS,
+)
 
 
 def _filter_ranges(filters: list[Filter]):
@@ -980,6 +979,18 @@ class _PartPredicate:
                     for x in m.group("inlist").split(",")
                     if x.strip()
                 ]
+                if not vals or any(v is None for v in vals):
+                    # SQL three-valued logic: a NULL inside the list makes
+                    # `x NOT IN (...)` never TRUE and `x IN (...)` TRUE only
+                    # on a non-NULL match — set-membership over a list
+                    # containing None gets NOT IN exactly backwards (it
+                    # would delete every non-matching partition).  Refuse;
+                    # the writer routes to DeltaTable.overwrite, which
+                    # evaluates the predicate with real SQL semantics.
+                    raise ValueError(
+                        "replaceWhere: NULL (or empty) IN list needs the "
+                        "Spark-side overwrite"
+                    )
                 kind = "not_in" if m.group("not_in") else "in"
                 terms.append((col, kind, vals))
             else:
@@ -1140,6 +1151,16 @@ class DeltaPyWriter(DataSourceArrowWriter):
                     "deltapy writer: table carries constraints/invariants/"
                     "generated or identity columns; use DeltaTable.append "
                     "(scan-time enforcement) instead"
+                )
+            if "rowTracking" in (
+                snap.protocol.get("writerFeatures") or []
+            ):
+                # rowTracking demands baseRowId assignment + high-water-
+                # mark bookkeeping at commit time; only the Spark-side
+                # commit chokepoint does that (_stamp_row_tracking)
+                raise DeltaProtocolError(
+                    "deltapy writer: rowTracking tables need commit-time "
+                    "row-id assignment; use DeltaTable.append"
                 )
             if overwrite and props.get(
                 "delta.enableChangeDataFeed", ""

@@ -1,0 +1,290 @@
+"""Round-5 Delta table features: domainMetadata, clustered tables
+(liquid clustering), variantType, and rowTracking.
+
+Protocol scope (all public PROTOCOL.md):
+* domainMetadata actions replay (latest per domain, removed tombstones),
+  survive checkpoints, and ride CLONE.
+* Clustered tables: CREATE ... CLUSTER BY sets the delta.clustering
+  domain + clustering/domainMetadata writer features; OPTIMIZE defaults
+  to Z-ordering by the clustering columns.
+* variantType: Spark 4's native VariantType round-trips through
+  create/append/read/checkpoint; deltapy refuses with a routing message.
+* rowTracking: every fresh add gets baseRowId/defaultRowCommitVersion,
+  the delta.rowTracking high-water mark advances, re-added files (DV
+  masks) keep their ids, and ops that would rewrite surviving rows under
+  fresh ids refuse when delta.enableRowTracking=true.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from delta_lake_validation_spark.sources.delta_log import (
+    DeltaProtocolError,
+    DeltaTable,
+    clone_delta,
+    clustering_columns,
+    create_delta,
+    write_delta_checkpoint,
+)
+
+
+def _drop_json_at_or_before(loc: str, v: int) -> None:
+    log = f"{loc}/_delta_log"
+    for n in sorted(os.listdir(log)):
+        if n.endswith(".json") and not n.startswith("_"):
+            if int(n.split(".")[0]) <= v:
+                os.remove(f"{log}/{n}")
+
+
+# ---------------------------------------------------------------- domains
+def test_domain_metadata_replay_tombstone_and_checkpoint(spark, tmp_path):
+    loc = str(tmp_path / "dom")
+    create_delta(spark, loc, "id bigint")
+    dt = DeltaTable(spark, loc)
+    dt.append(spark.range(3).selectExpr("id"))
+    # hand-write domain commits (any engine may own arbitrary domains)
+    log = f"{loc}/_delta_log"
+    v = dt.snapshot().version
+    with open(f"{log}/{v + 1:020d}.json", "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "domainMetadata": {
+                        "domain": "com.example.app",
+                        "configuration": '{"x": 1}',
+                        "removed": False,
+                    }
+                }
+            )
+            + "\n"
+            + json.dumps(
+                {
+                    "domainMetadata": {
+                        "domain": "com.example.gone",
+                        "configuration": "{}",
+                        "removed": False,
+                    }
+                }
+            )
+            + "\n"
+        )
+    with open(f"{log}/{v + 2:020d}.json", "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "domainMetadata": {
+                        "domain": "com.example.gone",
+                        "configuration": "{}",
+                        "removed": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+    snap = DeltaTable(spark, loc).snapshot()
+    assert snap.domains == {"com.example.app": '{"x": 1}'}
+    # survives checkpoint + json cleanup, in both replay paths
+    cv = write_delta_checkpoint(spark, loc)
+    _drop_json_at_or_before(loc, cv)
+    assert DeltaTable(spark, loc).snapshot().domains == {
+        "com.example.app": '{"x": 1}'
+    }
+    assert DeltaTable(None, loc).snapshot().domains == {
+        "com.example.app": '{"x": 1}'
+    }
+
+
+# ------------------------------------------------------------- clustering
+def test_clustered_table_create_optimize_clone(spark, tmp_path):
+    loc = str(tmp_path / "cl")
+    create_delta(spark, loc, "id bigint, a bigint, b string",
+                 cluster_by=["a", "b"])
+    snap = DeltaTable(spark, loc).snapshot()
+    feats = set(snap.protocol.get("writerFeatures") or [])
+    assert {"clustering", "domainMetadata"} <= feats
+    assert clustering_columns(snap) == ["a", "b"]
+    assert DeltaTable(spark, loc).detail()["clusteringColumns"] == ["a", "b"]
+
+    dt = DeltaTable(spark, loc)
+    df = spark.range(100).selectExpr(
+        "id", "id % 10 AS a", "CAST(id % 7 AS STRING) AS b"
+    )
+    dt.append(df)
+    dt.append(df)
+    # OPTIMIZE with no explicit zorder clusters by a,b (files compacted,
+    # commit succeeds on the clustered protocol)
+    v = dt.optimize()
+    after = DeltaTable(spark, loc).snapshot()
+    assert after.version == v and after.num_files == 1
+    assert DeltaTable(spark, loc).read().count() == 200
+    # clustering domain survives a checkpoint and rides a clone
+    cv = write_delta_checkpoint(spark, loc)
+    _drop_json_at_or_before(loc, cv)
+    assert clustering_columns(DeltaTable(spark, loc).snapshot()) == ["a", "b"]
+    tgt = str(tmp_path / "cl2")
+    clone_delta(spark, loc, tgt)
+    assert clustering_columns(DeltaTable(spark, tgt).snapshot()) == ["a", "b"]
+
+    with pytest.raises(DeltaProtocolError, match="mutually exclusive"):
+        create_delta(
+            spark,
+            str(tmp_path / "bad"),
+            "id bigint, a bigint",
+            partition_by=["a"],
+            cluster_by=["a"],
+        )
+
+
+# ---------------------------------------------------------------- variant
+def test_variant_column_roundtrip_and_deltapy_refusal(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        VariantType,
+    )
+
+    loc = str(tmp_path / "var")
+    sch = StructType(
+        [StructField("id", LongType()), StructField("v", VariantType())]
+    )
+    create_delta(spark, loc, sch)
+    snap = DeltaTable(spark, loc).snapshot()
+    assert "variantType" in (snap.protocol.get("readerFeatures") or [])
+    assert "variantType" in (snap.protocol.get("writerFeatures") or [])
+
+    dt = DeltaTable(spark, loc)
+    df = spark.sql(
+        "SELECT id, parse_json(concat('{\"x\": ', id, '}')) AS v "
+        "FROM range(10)"
+    )
+    dt.append(df)
+    got = sorted(
+        (r.id, r.j)
+        for r in DeltaTable(spark, loc)
+        .read()
+        .selectExpr("id", "to_json(v) AS j")
+        .collect()
+    )
+    assert got[0] == (0, '{"x":0}') and len(got) == 10
+    # checkpoint replay serves variant identically
+    cv = write_delta_checkpoint(spark, loc)
+    _drop_json_at_or_before(loc, cv)
+    assert DeltaTable(spark, loc).read().count() == 10
+
+    # deltapy routes variant reads to the JVM scan
+    from delta_lake_validation_spark.sources.pydatasource import _arrow_type
+    from pyspark.sql.types import VariantType as VT
+
+    with pytest.raises(DeltaProtocolError, match="DeltaTable.read"):
+        _arrow_type(VT())
+
+
+# ------------------------------------------------------------ rowTracking
+def test_row_tracking_assignment_and_preservation(spark, tmp_path):
+    loc = str(tmp_path / "rt")
+    create_delta(
+        spark,
+        loc,
+        "id bigint, v bigint",
+        properties={
+            "delta.enableRowTracking": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    snap = DeltaTable(spark, loc).snapshot()
+    assert {"rowTracking", "domainMetadata"} <= set(
+        snap.protocol.get("writerFeatures") or []
+    )
+    dt = DeltaTable(spark, loc)
+    df = spark.range(10).selectExpr("id", "id*2 AS v")
+    dt.append(df.coalesce(1))  # v1: 10 rows, one file
+    dt.append(df.coalesce(2))  # v2: 10 rows, two files
+    snap = DeltaTable(spark, loc).snapshot()
+    by_base = sorted(
+        (a["baseRowId"], a["defaultRowCommitVersion"],
+         json.loads(a["stats"])["numRecords"])
+        for a in snap.files.values()
+    )
+    # contiguous, non-overlapping id ranges: 0..9 (v1), then v2's files
+    assert by_base[0] == (0, 1, 10)
+    assert by_base[1][0] == 10 and by_base[1][1] == 2
+    assert by_base[2][0] == by_base[1][0] + by_base[1][2]
+    hwm = json.loads(snap.domains["delta.rowTracking"])
+    assert hwm["rowIdHighWaterMark"] == 19
+
+    # DV delete re-adds files with their ORIGINAL ids
+    DeltaTable(spark, loc).delete("id = 3")
+    snap2 = DeltaTable(spark, loc).snapshot()
+    assert sorted(a["baseRowId"] for a in snap2.files.values()) == sorted(
+        b for b, _, _ in by_base
+    )
+    assert DeltaTable(spark, loc).read().count() == 18
+
+    # fresh-id rewrites refuse when enabled
+    with pytest.raises(DeltaProtocolError, match="row ids"):
+        DeltaTable(spark, loc).update({"v": "v+1"}, "id = 1")
+    with pytest.raises(DeltaProtocolError, match="row ids"):
+        DeltaTable(spark, loc).optimize()
+
+    # ids + high-water mark survive checkpoint replay (both paths)
+    cv = write_delta_checkpoint(spark, loc)
+    _drop_json_at_or_before(loc, cv)
+    for handle in (DeltaTable(spark, loc), DeltaTable(None, loc)):
+        s = handle.snapshot()
+        assert sorted(
+            a["baseRowId"] for a in s.files.values()
+        ) == sorted(b for b, _, _ in by_base)
+        assert json.loads(s.domains["delta.rowTracking"])[
+            "rowIdHighWaterMark"
+        ] == 19
+    # appends after the checkpoint continue above the watermark
+    DeltaTable(spark, loc).append(df.coalesce(1))
+    s = DeltaTable(spark, loc).snapshot()
+    assert max(a["baseRowId"] for a in s.files.values()) == 20
+    assert json.loads(s.domains["delta.rowTracking"])[
+        "rowIdHighWaterMark"
+    ] == 29
+
+
+def test_row_tracking_supported_not_enabled_allows_dml(spark, tmp_path):
+    """Feature supported but delta.enableRowTracking unset: ids are
+    assigned (spec bookkeeping) but unstable — DML stays allowed."""
+    loc = str(tmp_path / "rts")
+    create_delta(spark, loc, "id bigint, v bigint")
+    dt = DeltaTable(spark, loc)
+    dt.append(spark.range(5).selectExpr("id", "id AS v"))
+    # upgrade protocol: add rowTracking+domainMetadata writer features
+    log = f"{loc}/_delta_log"
+    v = dt.snapshot().version
+    with open(f"{log}/{v + 1:020d}.json", "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": [
+                            "domainMetadata",
+                            "rowTracking",
+                        ],
+                    }
+                }
+            )
+            + "\n"
+        )
+    dt2 = DeltaTable(spark, loc)
+    dt2.append(spark.range(5).selectExpr("id", "id AS v").coalesce(1))
+    snap = dt2.snapshot()
+    stamped = [
+        a for a in snap.files.values() if a.get("baseRowId") is not None
+    ]
+    assert stamped, "post-upgrade appends must carry baseRowId"
+    assert "delta.rowTracking" in snap.domains
+    # not enabled -> UPDATE still allowed (ids are unstable by definition)
+    DeltaTable(spark, loc).update({"v": "v+1"}, "id = 1")
+    assert DeltaTable(spark, loc).read().count() == 10

@@ -267,15 +267,19 @@ def test_rejects_unsupported_reader_features(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["variantType"],
-                    "writerFeatures": ["variantType"],
+                    # catalogManaged: a real v3 reader feature this engine
+                    # does not implement (commits may live in a catalog,
+                    # not _delta_log — replaying the directory would serve
+                    # stale state)
+                    "readerFeatures": ["catalogManaged"],
+                    "writerFeatures": ["catalogManaged"],
                 }
             },
             _meta([("id", "integer")]),
             _add(f1),
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="variantType"):
+    with pytest.raises(DeltaProtocolError, match="catalogManaged"):
         read_delta(spark, str(loc))
 
 
@@ -1932,15 +1936,17 @@ def test_delta_vacuum_refuses_unsupported_writer_features(spark, tmp_path):
         "protocol": {
             "minReaderVersion": 1,
             "minWriterVersion": 7,
-            "writerFeatures": ["rowTracking"],
+            # icebergCompatV2: a real writer feature this engine does not
+            # honor (uniform Iceberg metadata would go stale on our writes)
+            "writerFeatures": ["icebergCompatV2"],
         }
     }
     _write_commit(log, 0, [proto, _meta([("v", "integer")]), _add(f)])
     t = DeltaTable(spark, str(loc))
     assert t.read().count() == 1  # reading is fine
-    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+    with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
         t.vacuum(retain_hours=0)
-    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+    with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
         t.append(spark.createDataFrame([(2,)], "v int"))
 
 
@@ -2547,7 +2553,8 @@ def test_checkpoint_write_remote_facade(spark, tmp_path, monkeypatch):
     is_local forced False the whole write (parquet parts, tmp+rename,
     _last_checkpoint, log reads) routes through the FileSystem facade /
     JVM Hadoop on file: URIs — no os.* fast path — and classic, v2,
-    multi-part, and re-checkpoint (delete+rename) legs all round-trip."""
+    multi-part, and re-checkpoint (keep-existing, no delete window) legs
+    all round-trip."""
     from delta_lake_validation_spark.sources import delta_log as dlmod
     from delta_lake_validation_spark.sources import fs as fsmod
     from delta_lake_validation_spark.sources.acid import AcidTable
@@ -2569,7 +2576,9 @@ def test_checkpoint_write_remote_facade(spark, tmp_path, monkeypatch):
     assert write_delta_checkpoint(spark, uri) == 1  # classic
     write_delta_checkpoint(spark, uri, kind="v2")  # uuid manifest+sidecar
     write_delta_checkpoint(spark, uri, parts=3)  # multi-part classic
-    write_delta_checkpoint(spark, uri)  # re-checkpoint: delete+rename leg
+    # re-checkpoint same version: existing file kept (idempotent content),
+    # staged tmp discarded — a reader mid-listing never sees dst vanish
+    write_delta_checkpoint(spark, uri)
     monkeypatch.undo()
 
     log = tmp_path / "rck" / "_delta_log"
