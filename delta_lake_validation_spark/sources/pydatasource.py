@@ -833,11 +833,20 @@ class DeltaPyStreamReader(DataSourceStreamReader):
         end = self._cursor
         files = nbytes = 0
         while end < latest:
+            acts = tbl._commit_actions(end + 1)
             adds = [
                 a["add"]
-                for a in tbl._commit_actions(end + 1)
+                for a in acts
                 if a.get("add") and a["add"].get("dataChange", True)
             ]
+            if self.cdf:
+                # the change feed serves cdc files when a commit records
+                # them (adds are ignored then); count what will be read,
+                # so a pure-DML backlog (cdc + removes, no counted adds)
+                # still trips the cap
+                cdc = [a["cdc"] for a in acts if a.get("cdc")]
+                if cdc:
+                    adds = cdc
             nf, nb = len(adds), sum(int(a.get("size") or 0) for a in adds)
             # zero-cost commits (metadata, deletes) always flow; the cap
             # blocks only once the batch already carries some cost, so an

@@ -153,3 +153,43 @@ def test_cdf_sizes_ride_commits_and_cap_dml_backlog(spark, tmp_path):
     parts = r2.partitions({"version": 1}, {"version": 4})
     n_files = sum(len(p.files) for p in parts)
     assert n_files >= 3 and len(parts) == n_files  # 1-byte bins: one each
+
+
+def test_deltapy_cdf_caps_count_cdc_files(spark, tmp_path):
+    """A pure-DML backlog (cdc + removes, no counted adds) must trip the
+    deltapy change-feed rate cap — the cap counts what the feed serves."""
+    from delta_lake_validation_spark.sources.pydatasource import (
+        DeltaPyStreamReader,
+    )
+
+    from delta_lake_validation_spark.sources.delta_log import create_delta
+
+    loc = str(tmp_path / "cdfcap")
+    create_delta(
+        spark,
+        loc,
+        "id bigint, v bigint",
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    DeltaTable(spark, loc).append(
+        spark.createDataFrame([(i, i) for i in range(8)], "id bigint, v bigint")
+    )
+    for i in range(3):  # v2..v4: copy-on-write deletes, each with cdc
+        DeltaTable(spark, loc).delete(f"id = {i}")
+    r = DeltaPyStreamReader(
+        {
+            "path": loc,
+            "readchangefeed": "true",
+            "startingversion": "2",
+            "maxfilespertrigger": "1",
+        }
+    )
+    offs, cur = [], r.initialOffset()
+    for _ in range(6):
+        nxt = r.latestOffset()
+        if nxt["version"] == cur["version"]:
+            break
+        r.partitions(cur, nxt)
+        offs.append(nxt["version"])
+        cur = nxt
+    assert offs == [2, 3, 4]  # one DML commit per micro-batch
