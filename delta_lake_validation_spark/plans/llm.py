@@ -1929,6 +1929,112 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate n-gram SPAN detection (the exact-substring-dedup primitive of
+# "Deduplicating Training Data Makes Language Models Better", Lee et al.
+# 2022 — their suffix-array pass finds repeated ≥k-token substrings; over
+# whitespace tokens the same spans fall out of sliding k-gram hashing):
+# every k-token window that occurs anywhere else in the corpus marks its
+# token range, all-but-the-first global occurrence counts as removable,
+# and overlapping marked windows merge into maximal per-doc spans.
+# At 100 TB: the shuffle key is the 16-byte window digest and the carried
+# payload is (digest, doc_id, pos) — window TEXT never shuffles; per-digest
+# groups are duplicate-cluster-sized.  The interval merge is two windows
+# partitioned BY DOCUMENT (never global): lag() finds gap starts, a
+# running sum numbers the islands — O(dup windows per doc) rows each.
+# ---------------------------------------------------------------------------
+@register(
+    "dup_ngram_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i AS pos,
+             md5(list_aggregate(list_slice(t, i + 1, i + 20),
+                                'string_agg', ' ')) AS h
+      FROM toks, UNNEST(range(len(t) - 19)) AS u(i)
+      WHERE len(t) >= 20
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY h) AS n_occ,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM wins
+    ),
+    dup AS (SELECT doc_id, pos FROM marked WHERE n_occ > 1 AND rn > 1),
+    islands AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos, 1, -100) OVER w + 19 + 1
+                  THEN 1 ELSE 0 END AS newgrp
+      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grouped AS (
+      SELECT doc_id, pos,
+             sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM islands
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 20 AS BIGINT) AS span_end
+    FROM grouped GROUP BY doc_id, grp
+    """,
+    tags=("dedup", "text", "llm", "spans"),
+    doc="duplicate n-gram span detection (exact-substring dedup primitive, "
+    "Lee et al. 2022): sliding 20-token windows hashed corpus-wide, "
+    "non-first global occurrences marked, overlapping marks merged into "
+    "maximal per-doc [start, end) token spans ready for removal",
+)
+def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = 20
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= K)
+    # sliding windows: one row per position, 16-byte digest only
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {K}), "
+                f"i -> struct(i AS pos, "
+                f"md5(concat_ws(' ', slice(t, i + 1, {K}))) AS h))"
+            )
+        ).alias("w"),
+    ).select("doc_id", "w.pos", "w.h")
+    over_h = Window.partitionBy("h")
+    marked = wins.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(over_h).alias("n_occ"),
+        F.row_number()
+        .over(over_h.orderBy("doc_id", "pos"))
+        .alias("rn"),
+    )
+    dup = marked.filter((F.col("n_occ") > 1) & (F.col("rn") > 1)).select(
+        "doc_id", "pos"
+    )
+    # merge overlapping/adjacent windows into maximal spans, per document
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup.withColumn(
+        "newgrp",
+        F.when(
+            F.col("pos") > F.lag("pos", 1, -100).over(by_doc) + K,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "grp",
+        F.sum("newgrp").over(
+            by_doc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return islands.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + K).cast("long").alias("span_end"),
+    ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary growth (Heaps' law curve): cumulative distinct vocabulary vs
 # cumulative token volume over the corpus in doc-id order, bucketed.
 # At 100 TB: first-occurrence per type is a min() hash-agg keyed by the
