@@ -2035,6 +2035,91 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Span REMOVAL — the consumer half of dup_ngram_spans: cut the duplicated
+# token ranges out of each affected document and report before/after token
+# counts.  At 100 TB the spans side is a per-doc aggregate of the (already
+# duplicate-sized) span rows; the join is broadcast-or-shuffle on doc_id
+# and the cut itself is a narrow lambda over the token array — no second
+# corpus-wide hashing pass.
+# ---------------------------------------------------------------------------
+@register(
+    "dup_span_removal",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i AS pos,
+             md5(list_aggregate(list_slice(t, i + 1, i + 20),
+                                'string_agg', ' ')) AS h
+      FROM toks, UNNEST(range(len(t) - 19)) AS u(i)
+      WHERE len(t) >= 20
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY h) AS n_occ,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM wins
+    ),
+    dup AS (SELECT doc_id, pos FROM marked WHERE n_occ > 1 AND rn > 1),
+    islands AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos, 1, -100) OVER w + 20
+                  THEN 1 ELSE 0 END AS newgrp
+      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grouped AS (
+      SELECT doc_id, pos,
+             sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM islands
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
+      FROM grouped GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(range(len(t.t)),
+                i -> len(list_filter(p.sp,
+                     s -> i >= s.s AND i < s.e)) = 0)) AS BIGINT)
+             AS n_tokens_clean
+    FROM toks t JOIN per_doc p USING (doc_id)
+    """,
+    tags=("dedup", "text", "llm", "spans"),
+    doc="span removal (consumer of dup_ngram_spans): cut each affected "
+    "document's duplicated token ranges, report before/after token counts",
+)
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = dup_ngram_spans(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("sp")
+    )
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    )
+    return toks.join(per_doc, "doc_id").select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(size(filter(sequence(0, size(t) - 1), "
+            "i -> size(filter(sp, s -> i >= s.s AND i < s.e)) = 0)) "
+            "AS BIGINT)"
+        ).alias("n_tokens_clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary growth (Heaps' law curve): cumulative distinct vocabulary vs
 # cumulative token volume over the corpus in doc-id order, bucketed.
 # At 100 TB: first-occurrence per type is a min() hash-agg keyed by the
