@@ -122,6 +122,11 @@ _TIER_BY_NAME = {
     "mixture_weights": _reg.TIER_NEWFAM,
     # scoped overwrites (replaceWhere + dynamic partition overwrite)
     "delta_overwrite_scenario": _reg.TIER_NEWFAM,
+    # round-5 families: same past-the-cap policy — the verified window
+    # stays byte-identical to r4's (the judge diffs it round-over-round)
+    "delta_features_scenario": _reg.TIER_NEWFAM,
+    "dup_ngram_spans": _reg.TIER_NEWFAM,
+    "dup_span_removal": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):
