@@ -151,6 +151,9 @@ class _DeltaSqlTable:
     def schema(self):
         return self._t().snapshot().schema
 
+    def alter_properties(self, set_props=None, unset=()):
+        return self._t().alter_properties(set_props, unset)
+
     def read(self, version=None, timestamp=None):
         return self._t().read(version=version, timestamp=timestamp)
 
@@ -569,7 +572,54 @@ class AcidSqlContext:
         raise AcidSqlError(f"unsupported SHOW shape: {s[:120]}...")
 
     def _alter(self, s: str) -> None:
-        """ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | DROP CONSTRAINT name."""
+        """ALTER TABLE t ADD CONSTRAINT name CHECK (expr) | DROP
+        CONSTRAINT name | SET TBLPROPERTIES (k=v, …) | UNSET
+        TBLPROPERTIES (k, …) — the properties forms dispatch on BOTH
+        layers (ACID set_property; Delta alter_properties, which also
+        carries any protocol upgrade the new properties demand)."""
+        m = re.match(
+            rf"ALTER{_WS}TABLE{_WS}(?P<table>\w+){_WS}SET{_WS}"
+            r"TBLPROPERTIES[\s\n]*\((?P<props>[^)]*)\)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            props: dict[str, str] = {}
+            for assign in _split_top_level(m.group("props")):
+                key, _, val = assign.partition("=")
+                props[key.strip().strip("'\"")] = val.strip().strip("'\"")
+            t = self.table(m.group("table"))
+            if hasattr(t, "alter_properties"):
+                t.alter_properties(props)
+            else:
+                for k, v in props.items():
+                    # the ACID log stores bare names (Delta spells them
+                    # with the delta. prefix)
+                    t.set_property(
+                        k[len("delta."):] if k.lower().startswith("delta.")
+                        else k,
+                        v,
+                    )
+            return None
+        m = re.match(
+            rf"ALTER{_WS}TABLE{_WS}(?P<table>\w+){_WS}UNSET{_WS}"
+            r"TBLPROPERTIES[\s\n]*\((?P<keys>[^)]*)\)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            keys = [
+                k.strip().strip("'\"")
+                for k in m.group("keys").split(",")
+                if k.strip()
+            ]
+            t = self.table(m.group("table"))
+            if not hasattr(t, "alter_properties"):
+                raise AcidSqlError(
+                    "UNSET TBLPROPERTIES is supported on Delta tables only"
+                )
+            t.alter_properties(unset=keys)
+            return None
         m = re.match(
             rf"ALTER{_WS}TABLE{_WS}(?P<table>\w+){_WS}ADD{_WS}CONSTRAINT{_WS}"
             rf"(?P<name>\w+){_WS}CHECK[\s\n]*\((?P<expr>.+)\)$",

@@ -1616,6 +1616,127 @@ class DeltaTable:
             json.dumps(snap.protocol, sort_keys=True),
         )
 
+    #: writer features implied by each legacy minWriterVersion (spec table) —
+    #: jumping a legacy protocol to v7 must restate every implied capability
+    _LEGACY_WRITER_FEATURES = {
+        2: ("appendOnly", "invariants"),
+        3: ("checkConstraints",),
+        4: ("changeDataFeed", "generatedColumns"),
+        5: ("columnMapping",),
+        6: ("identityColumns",),
+    }
+
+    def alter_properties(
+        self,
+        set_props: dict[str, str] | None = None,
+        unset: list[str] | tuple[str, ...] = (),
+    ) -> int:
+        """``ALTER TABLE … SET/UNSET TBLPROPERTIES``: ONE metaData
+        re-commit with the merged configuration.  When a property enables
+        a capability the current protocol does not declare (CDF, deletion
+        vectors, appendOnly, row tracking, in-commit timestamps), the same
+        commit carries the protocol upgrade — delta-spark's automatic
+        upgrade rule — restating every legacy-implied feature when a
+        legacy protocol jumps to v7.  Unsetting a property never removes
+        a protocol feature (features are permanent, per the spec).
+        ``delta.columnMapping.mode`` changes refuse: enabling a mapping
+        needs physical-name/field-id assignment across the whole schema."""
+        snap = self.snapshot()
+        self._check_writer_protocol(snap)
+        props = dict(snap.properties)
+        for k in unset:
+            props.pop(k, None)
+        for k, v in (set_props or {}).items():
+            props[k] = str(v).lower() if isinstance(v, bool) else str(v)
+        if props.get("delta.columnMapping.mode", "none") != snap.properties.get(
+            "delta.columnMapping.mode", "none"
+        ):
+            raise DeltaProtocolError(
+                "ALTER cannot change delta.columnMapping.mode (physical "
+                "names / field ids would need assignment across the schema)"
+            )
+
+        def _on(key: str) -> bool:
+            return str(props.get(key, "")).lower() == "true"
+
+        need_w: set[str] = set()
+        need_r: set[str] = set()
+        if _on("delta.enableChangeDataFeed"):
+            need_w.add("changeDataFeed")
+        if _on("delta.enableDeletionVectors"):
+            need_w.add("deletionVectors")
+            need_r.add("deletionVectors")
+        if _on("delta.appendOnly"):
+            need_w.add("appendOnly")
+        if _on("delta.enableRowTracking"):
+            need_w.update({"rowTracking", "domainMetadata"})
+        if _on("delta.enableInCommitTimestamps"):
+            need_w.add("inCommitTimestamp")
+
+        proto = dict(snap.protocol)
+        mr = int(proto.get("minReaderVersion", 1))
+        mw = int(proto.get("minWriterVersion", 2))
+        proto_action = None
+        if mw >= 7:
+            have_w = set(proto.get("writerFeatures") or [])
+            have_r = set(proto.get("readerFeatures") or [])
+            if not (need_w <= have_w and need_r <= have_r):
+                proto["writerFeatures"] = sorted(have_w | need_w)
+                if need_r or have_r:
+                    proto["minReaderVersion"] = max(mr, 3)
+                    proto["readerFeatures"] = sorted(have_r | need_r)
+                proto_action = proto
+        else:
+            # legacy protocol: capabilities bundled by version number
+            legacy_w = {
+                f
+                for v, fs in self._LEGACY_WRITER_FEATURES.items()
+                if v <= mw
+                for f in fs
+            }
+            if not (need_w <= legacy_w) or need_r:
+                feats_w = legacy_w | need_w
+                feats_r = set(need_r)
+                if mr >= 2 or "columnMapping" in feats_w:
+                    feats_r.add("columnMapping")
+                proto_action = {
+                    "minReaderVersion": 3 if feats_r else 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": sorted(feats_w),
+                }
+                if feats_r:
+                    proto_action["readerFeatures"] = sorted(feats_r)
+
+        import time as _time
+
+        meta = {
+            "id": snap.metadata_id,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(snap.schema.jsonValue()),
+            "partitionColumns": list(snap.partition_columns),
+            "configuration": props,
+        }
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(_time.time() * 1000),
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": json.dumps(set_props or {}),
+                        **({"unset": json.dumps(list(unset))} if unset else {}),
+                    },
+                }
+            },
+            *([{"protocol": proto_action}] if proto_action else []),
+            {"metaData": meta},
+        ]
+        v = snap.version + 1
+        if not self._try_commit(v, actions):
+            raise DeltaProtocolError(
+                f"ALTER lost the race for version {v}; re-read and retry"
+            )
+        return v
+
     def _evolve_schema(
         self, df: DataFrame, snap: DeltaSnapshot
     ) -> tuple[DataFrame, DeltaSnapshot, dict | None]:

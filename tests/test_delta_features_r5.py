@@ -288,3 +288,62 @@ def test_row_tracking_supported_not_enabled_allows_dml(spark, tmp_path):
     # not enabled -> UPDATE still allowed (ids are unstable by definition)
     DeltaTable(spark, loc).update({"v": "v+1"}, "id = 1")
     assert DeltaTable(spark, loc).read().count() == 10
+
+
+def test_alter_properties_upgrades_protocol(spark, tmp_path):
+    """SET TBLPROPERTIES merges configuration in one metaData commit and
+    carries the protocol upgrade when a property enables a feature the
+    protocol doesn't declare; UNSET never removes features."""
+    loc = str(tmp_path / "alter")
+    create_delta(spark, loc, "id bigint, v bigint")
+    dt = DeltaTable(spark, loc)
+    dt.append(spark.range(4).selectExpr("id", "id AS v"))
+    # legacy v2 protocol -> enabling CDF + DVs jumps to features,
+    # restating the legacy-implied capabilities
+    DeltaTable(spark, loc).alter_properties(
+        {
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        }
+    )
+    snap = DeltaTable(spark, loc).snapshot()
+    assert snap.properties["delta.enableChangeDataFeed"] == "true"
+    feats = set(snap.protocol.get("writerFeatures") or [])
+    assert {
+        "changeDataFeed",
+        "deletionVectors",
+        "appendOnly",
+        "invariants",
+    } <= feats
+    assert "deletionVectors" in (snap.protocol.get("readerFeatures") or [])
+    # the enabled capabilities actually work post-ALTER: a DV delete
+    # writes change data and masks rows without rewriting files
+    pre_files = set(snap.files)
+    DeltaTable(spark, loc).delete("id = 1")
+    s2 = DeltaTable(spark, loc).snapshot()
+    assert set(s2.files) == pre_files  # DV path: same files, new DV
+    assert DeltaTable(spark, loc).read().count() == 3
+    chg = DeltaTable(spark, loc).read_changes(s2.version, s2.version)
+    assert [r.id for r in chg.collect()] == [1]
+    # UNSET removes the property but keeps the protocol feature
+    DeltaTable(spark, loc).alter_properties(
+        unset=["delta.enableChangeDataFeed"]
+    )
+    s3 = DeltaTable(spark, loc).snapshot()
+    assert "delta.enableChangeDataFeed" not in s3.properties
+    assert "changeDataFeed" in set(s3.protocol.get("writerFeatures") or [])
+    # rowTracking post-hoc: next append starts stamping ids
+    DeltaTable(spark, loc).alter_properties(
+        {"delta.enableRowTracking": "true"}
+    )
+    DeltaTable(spark, loc).append(
+        spark.range(2).selectExpr("id + 100 AS id", "id AS v").coalesce(1)
+    )
+    s4 = DeltaTable(spark, loc).snapshot()
+    assert any(a.get("baseRowId") is not None for a in s4.files.values())
+    assert "delta.rowTracking" in s4.domains
+    # column-mapping changes refuse
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        DeltaTable(spark, loc).alter_properties(
+            {"delta.columnMapping.mode": "name"}
+        )

@@ -584,3 +584,49 @@ def test_insert_overwrite_statement(spark, tmp_path):
         for r in ctx.sql("SELECT * FROM d").collect()
     )
     assert got_d == [(1, 1), (3, 1), (5, 1), (70, 0)]
+
+
+def test_alter_set_unset_tblproperties_both_layers(spark, tmp_path):
+    """ALTER TABLE ... SET/UNSET TBLPROPERTIES dispatches on the ACID
+    layer (set_property, bare names) and on Delta tables
+    (alter_properties, incl. the automatic protocol upgrade)."""
+    import pytest as _pytest
+
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.sources.acid.sqlshim import (
+        AcidSqlContext,
+        AcidSqlError,
+    )
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        create_delta,
+    )
+
+    ctx = AcidSqlContext(spark)
+    # ACID layer
+    a = AcidTable.create(spark, str(tmp_path / "a"), "id int")
+    ctx.register("a", a)
+    ctx.sql(
+        "ALTER TABLE a SET TBLPROPERTIES "
+        "('delta.enableChangeDataFeed' = 'true')"
+    )
+    assert (
+        a.log.snapshot().properties["enableChangeDataFeed"] == "true"
+    )
+    with _pytest.raises(AcidSqlError, match="Delta tables only"):
+        ctx.sql("ALTER TABLE a UNSET TBLPROPERTIES ('enableChangeDataFeed')")
+    # Delta layer: protocol upgrade rides the same commit
+    loc = str(tmp_path / "d")
+    create_delta(spark, loc, "id bigint")
+    ctx.register_delta("d", loc)
+    ctx.sql(
+        "ALTER TABLE d SET TBLPROPERTIES "
+        "('delta.enableChangeDataFeed' = 'true', 'custom.tag' = 'x')"
+    )
+    snap = DeltaTable(spark, loc).snapshot()
+    assert snap.properties["delta.enableChangeDataFeed"] == "true"
+    assert snap.properties["custom.tag"] == "x"
+    assert "changeDataFeed" in set(snap.protocol.get("writerFeatures") or [])
+    ctx.sql("ALTER TABLE d UNSET TBLPROPERTIES ('custom.tag')")
+    snap = DeltaTable(spark, loc).snapshot()
+    assert "custom.tag" not in snap.properties
