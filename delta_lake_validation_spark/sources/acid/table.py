@@ -33,6 +33,7 @@ touches 2 partitions reads and rewrites just those partitions' files.
 
 from __future__ import annotations
 
+import json
 import uuid
 from typing import Iterable
 from urllib.parse import unquote, urlparse
@@ -89,8 +90,14 @@ class AcidTable:
         partition_by: Iterable[str] = (),
         properties: dict[str, str] | None = None,
         if_not_exists: bool = False,
+        cluster_by: Iterable[str] = (),
     ) -> "AcidTable":
-        """ref: create_table DDL, src/validation_suite.py:268-286."""
+        """ref: create_table DDL, src/validation_suite.py:268-286.
+
+        ``cluster_by`` declares cluster columns (stored as the
+        ``clusterBy`` property): OPTIMIZE then defaults its Z-order to
+        them — the ACID-layer mirror of Delta liquid clustering.
+        Mutually exclusive with ``partition_by``."""
         t = cls(spark, location)
         if t.log.exists():
             if if_not_exists:
@@ -102,6 +109,19 @@ class AcidTable:
         missing = [p for p in parts if p not in schema.fieldNames()]
         if missing:
             raise AcidTableError(f"partition columns not in schema: {missing}")
+        cluster = list(cluster_by)
+        if cluster:
+            if parts:
+                raise AcidTableError(
+                    "cluster_by and partition_by are mutually exclusive"
+                )
+            bad = [c for c in cluster if c not in schema.fieldNames()]
+            if bad:
+                raise AcidTableError(f"cluster columns not in schema: {bad}")
+            properties = {
+                **(properties or {}),
+                "clusterBy": ",".join(cluster),
+            }
         entry = {
             "operation": "CREATE",
             "operationParameters": {"partitionBy": parts},
@@ -1548,10 +1568,25 @@ class AcidTable:
 
         ``max_file_bytes`` (default 1 GiB) bounds output files by the
         log's input sizes: a partition whose live bytes exceed it compacts
-        into ``ceil(bytes/max)`` files, never one unbounded file."""
+        into ``ceil(bytes/max)`` files, never one unbounded file.
+
+        On a clustered table (``clusterBy`` property, set at create or
+        via set_property) OPTIMIZE defaults ``zorder_by`` to the declared
+        cluster columns — the same contract as the Delta layer's
+        liquid-clustering OPTIMIZE."""
         from delta_lake_validation_spark.functions.zorder import zorder_key
 
         snap = self.log.snapshot()
+        if zorder_by is None:
+            declared = snap.properties.get("clusterBy")
+            if declared:
+                cols = [c.strip() for c in declared.split(",") if c.strip()]
+                known = set(
+                    StructType.fromJson(
+                        json.loads(snap.schema_json)
+                    ).fieldNames()
+                )
+                zorder_by = [c for c in cols if c in known] or None
         in_scope = set(snap.files)
         if where is not None:
             pruned = self._partition_prune(snap, F.expr(where))

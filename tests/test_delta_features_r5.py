@@ -347,3 +347,33 @@ def test_alter_properties_upgrades_protocol(spark, tmp_path):
         DeltaTable(spark, loc).alter_properties(
             {"delta.columnMapping.mode": "name"}
         )
+
+
+def test_acid_cluster_by_mirror(spark, tmp_path):
+    """ACID-layer clustering mirror: cluster_by stores the clusterBy
+    property and OPTIMIZE defaults its Z-order to the declared columns."""
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.sources.acid.errors import (
+        AcidTableError,
+    )
+
+    loc = str(tmp_path / "acl")
+    t = AcidTable.create(
+        spark, loc, "id bigint, a bigint, b bigint", cluster_by=["a", "b"]
+    )
+    assert t.log.snapshot().properties["clusterBy"] == "a,b"
+    df = spark.range(200).selectExpr("id", "id % 13 AS a", "id % 7 AS b")
+    t.append(df)
+    t.append(df)
+    v = t.optimize()  # no explicit zorder: clusters by a,b
+    snap = t.log.snapshot()
+    assert snap.version == v and snap.num_files == 1
+    assert t.read().count() == 400
+    with pytest.raises(AcidTableError, match="mutually exclusive"):
+        AcidTable.create(
+            spark,
+            str(tmp_path / "bad"),
+            "id bigint, a bigint",
+            partition_by=["a"],
+            cluster_by=["a"],
+        )
