@@ -154,6 +154,15 @@ class _DeltaSqlTable:
     def alter_properties(self, set_props=None, unset=()):
         return self._t().alter_properties(set_props, unset)
 
+    def add_columns(self, columns):
+        return self._t().add_columns(columns)
+
+    def rename_column(self, old, new):
+        return self._t().rename_column(old, new)
+
+    def drop_column(self, name):
+        return self._t().drop_column(name)
+
     def read(self, version=None, timestamp=None):
         return self._t().read(version=version, timestamp=timestamp)
 
@@ -600,6 +609,49 @@ class AcidSqlContext:
                         else k,
                         v,
                     )
+            return None
+        m = re.match(
+            rf"ALTER{_WS}TABLE{_WS}(?P<table>\w+){_WS}ADD{_WS}"
+            r"COLUMNS?[\s\n]*\((?P<cols>[^)]*)\)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            t = self.table(m.group("table"))
+            if hasattr(t, "add_columns"):
+                t.add_columns(m.group("cols"))
+            else:
+                for col in _split_top_level(m.group("cols")):
+                    name, _, dtype = col.strip().partition(" ")
+                    t.add_column(name.strip(), dtype.strip())
+            return None
+        m = re.match(
+            rf"ALTER{_WS}TABLE{_WS}(?P<table>\w+){_WS}RENAME{_WS}COLUMN"
+            rf"{_WS}(?P<old>\w+){_WS}TO{_WS}(?P<new>\w+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            t = self.table(m.group("table"))
+            if not hasattr(t, "rename_column"):
+                raise AcidSqlError(
+                    "RENAME COLUMN is supported on Delta tables only"
+                )
+            t.rename_column(m.group("old"), m.group("new"))
+            return None
+        m = re.match(
+            rf"ALTER{_WS}TABLE{_WS}(?P<table>\w+){_WS}DROP{_WS}COLUMN"
+            rf"{_WS}(?P<col>\w+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            t = self.table(m.group("table"))
+            if not hasattr(t, "drop_column"):
+                raise AcidSqlError(
+                    "DROP COLUMN is supported on Delta tables only"
+                )
+            t.drop_column(m.group("col"))
             return None
         m = re.match(
             rf"ALTER{_WS}TABLE{_WS}(?P<table>\w+){_WS}UNSET{_WS}"

@@ -1737,6 +1737,150 @@ class DeltaTable:
             )
         return v
 
+    def _commit_meta(
+        self, snap: DeltaSnapshot, schema_json: dict, op: str,
+        params: dict, props: dict | None = None,
+    ) -> int:
+        """One metaData re-commit (schema and/or configuration change)."""
+        import time as _time
+
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(_time.time() * 1000),
+                    "operation": op,
+                    "operationParameters": params,
+                }
+            },
+            {
+                "metaData": {
+                    "id": snap.metadata_id,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema_json),
+                    "partitionColumns": list(snap.partition_columns),
+                    "configuration": dict(
+                        props if props is not None else snap.properties
+                    ),
+                }
+            },
+        ]
+        v = snap.version + 1
+        if not self._try_commit(v, actions):
+            raise DeltaProtocolError(
+                f"{op} lost the race for version {v}; re-read and retry"
+            )
+        return v
+
+    def add_columns(self, columns: StructType | str) -> int:
+        """``ALTER TABLE … ADD COLUMNS``: append new NULLABLE top-level
+        fields in one metaData re-commit — existing files simply lack the
+        column and every reader null-fills it (the same contract
+        mergeSchema appends rely on).  On a column-mapped table each new
+        field gets a fresh ``col-<uuid>`` physicalName and the next
+        ``delta.columnMapping.maxColumnId`` id, exactly as delta-spark
+        assigns them."""
+        import uuid as _uuid
+
+        from pyspark.sql.types import _parse_datatype_string
+
+        if isinstance(columns, str):
+            columns = _parse_datatype_string(columns)
+        snap = self.snapshot()
+        self._check_writer_protocol(snap)
+        have = {f.name for f in snap.schema.fields}
+        dup = [f.name for f in columns.fields if f.name in have]
+        if dup:
+            raise DeltaProtocolError(f"columns already exist: {dup}")
+        schema_json = snap.schema.jsonValue()
+        props = dict(snap.properties)
+        next_id = int(props.get("delta.columnMapping.maxColumnId", 0) or 0)
+        for f in columns.fields:
+            fld = {
+                "name": f.name,
+                "type": f.dataType.jsonValue(),
+                "nullable": True,  # existing files lack the column
+                "metadata": dict(f.metadata or {}),
+            }
+            if snap.mapping_mode in ("name", "id"):
+                next_id += 1
+                fld["metadata"]["delta.columnMapping.id"] = next_id
+                fld["metadata"]["delta.columnMapping.physicalName"] = (
+                    f"col-{_uuid.uuid4()}"
+                )
+            schema_json["fields"].append(fld)
+        if snap.mapping_mode in ("name", "id"):
+            props["delta.columnMapping.maxColumnId"] = str(next_id)
+        return self._commit_meta(
+            snap,
+            schema_json,
+            "ADD COLUMNS",
+            {"columns": json.dumps([f.name for f in columns.fields])},
+            props,
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """``ALTER TABLE … RENAME COLUMN``: a pure logical rename — the
+        physicalName in the field metadata keeps pointing at the on-disk
+        column, so ZERO data rewrites.  Requires column mapping (without
+        it the logical name IS the physical name and a rename would orphan
+        every existing file), exactly delta-spark's requirement."""
+        snap = self.snapshot()
+        self._check_writer_protocol(snap)
+        if snap.mapping_mode not in ("name", "id"):
+            raise DeltaProtocolError(
+                "RENAME COLUMN requires column mapping "
+                "(delta.columnMapping.mode = name); without it the logical "
+                "name is the physical parquet name and existing files "
+                "would no longer resolve"
+            )
+        names = {f.name for f in snap.schema.fields}
+        if old not in names:
+            raise DeltaProtocolError(f"no such column {old!r}")
+        if new in names:
+            raise DeltaProtocolError(f"column {new!r} already exists")
+        schema_json = snap.schema.jsonValue()
+        for fld in schema_json["fields"]:
+            if fld["name"] == old:
+                fld["name"] = new
+        part = [new if c == old else c for c in snap.partition_columns]
+        snap = DeltaSnapshot(  # carry the renamed partition list through
+            snap.version, snap.schema, part, snap.files, snap.properties,
+            snap.metadata_id, snap.name, snap.protocol, snap.txns,
+            snap.domains,
+        )
+        return self._commit_meta(
+            snap, schema_json, "RENAME COLUMN", {"from": old, "to": new}
+        )
+
+    def drop_column(self, name: str) -> int:
+        """``ALTER TABLE … DROP COLUMN``: remove the field from the
+        logical schema — the physical data stays in the files but no
+        reader maps it anymore.  Requires column mapping (same rule as
+        delta-spark); partition columns refuse."""
+        snap = self.snapshot()
+        self._check_writer_protocol(snap)
+        if snap.mapping_mode not in ("name", "id"):
+            raise DeltaProtocolError(
+                "DROP COLUMN requires column mapping "
+                "(delta.columnMapping.mode = name)"
+            )
+        if name in snap.partition_columns:
+            raise DeltaProtocolError(
+                f"cannot drop partition column {name!r}"
+            )
+        names = {f.name for f in snap.schema.fields}
+        if name not in names:
+            raise DeltaProtocolError(f"no such column {name!r}")
+        if len(names) == 1:
+            raise DeltaProtocolError("cannot drop the only column")
+        schema_json = snap.schema.jsonValue()
+        schema_json["fields"] = [
+            f for f in schema_json["fields"] if f["name"] != name
+        ]
+        return self._commit_meta(
+            snap, schema_json, "DROP COLUMNS", {"column": name}
+        )
+
     def _evolve_schema(
         self, df: DataFrame, snap: DeltaSnapshot
     ) -> tuple[DataFrame, DeltaSnapshot, dict | None]:

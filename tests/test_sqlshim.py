@@ -630,3 +630,61 @@ def test_alter_set_unset_tblproperties_both_layers(spark, tmp_path):
     ctx.sql("ALTER TABLE d UNSET TBLPROPERTIES ('custom.tag')")
     snap = DeltaTable(spark, loc).snapshot()
     assert "custom.tag" not in snap.properties
+
+
+def test_alter_column_ddl_sql(spark, tmp_path):
+    """ALTER TABLE ADD COLUMNS / RENAME COLUMN / DROP COLUMN SQL heads:
+    ADD works on both layers; RENAME/DROP on Delta (mapped) tables."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.sources.acid.sqlshim import (
+        AcidSqlContext,
+        AcidSqlError,
+    )
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        create_delta,
+    )
+
+    ctx = AcidSqlContext(spark)
+    a = AcidTable.create(spark, str(tmp_path / "a"), "id int")
+    ctx.register("a", a)
+    ctx.sql("ALTER TABLE a ADD COLUMNS (note string)")
+    assert "note" in AcidTable(spark, str(tmp_path / "a")).read().columns
+    with _pytest.raises(AcidSqlError, match="Delta tables only"):
+        ctx.sql("ALTER TABLE a RENAME COLUMN note TO memo")
+
+    # mapped Delta table: full DDL set via SQL
+    loc = str(tmp_path / "d")
+    create_delta(
+        spark, loc, "id bigint, v bigint",
+        properties={"delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "2"},
+    )
+    log = f"{loc}/_delta_log"
+    with open(f"{log}/{0:020d}.json") as f:
+        lines = [_json.loads(x) for x in f if x.strip()]
+    for act in lines:
+        if "metaData" in act:
+            sch = _json.loads(act["metaData"]["schemaString"])
+            for i, fld in enumerate(sch["fields"], start=1):
+                fld["metadata"]["delta.columnMapping.id"] = i
+                fld["metadata"]["delta.columnMapping.physicalName"] = (
+                    f"col-{fld['name']}"
+                )
+            act["metaData"]["schemaString"] = _json.dumps(sch)
+    with open(f"{log}/{0:020d}.json", "w") as f:
+        f.writelines(_json.dumps(x) + "\n" for x in lines)
+    DeltaTable(spark, loc).append(
+        spark.range(2).selectExpr("id", "id AS v")
+    )
+    ctx.register_delta("d", loc)
+    ctx.sql("ALTER TABLE d ADD COLUMNS (w string, x int)")
+    ctx.sql("ALTER TABLE d RENAME COLUMN v TO value")
+    ctx.sql("ALTER TABLE d DROP COLUMN x")
+    snap = DeltaTable(spark, loc).snapshot()
+    assert [f.name for f in snap.schema.fields] == ["id", "value", "w"]
+    assert DeltaTable(spark, loc).read().count() == 2
