@@ -586,9 +586,12 @@ class AcidSqlContext:
         TBLPROPERTIES (k, …) — the properties forms dispatch on BOTH
         layers (ACID set_property; Delta alter_properties, which also
         carries any protocol upgrade the new properties demand)."""
+        # bodies capture greedily to the FINAL ')' — [^)]* would choke on
+        # nested parens like decimal(10,2) or quoted values with ')';
+        # _split_top_level is paren- and quote-aware, so it gets the raw body
         m = re.match(
             rf"ALTER{_WS}TABLE{_WS}(?P<table>\w+){_WS}SET{_WS}"
-            r"TBLPROPERTIES[\s\n]*\((?P<props>[^)]*)\)$",
+            r"TBLPROPERTIES[\s\n]*\((?P<props>.*)\)$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
@@ -612,7 +615,7 @@ class AcidSqlContext:
             return None
         m = re.match(
             rf"ALTER{_WS}TABLE{_WS}(?P<table>\w+){_WS}ADD{_WS}"
-            r"COLUMNS?[\s\n]*\((?P<cols>[^)]*)\)$",
+            r"COLUMNS?[\s\n]*\((?P<cols>.*)\)$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
@@ -655,7 +658,7 @@ class AcidSqlContext:
             return None
         m = re.match(
             rf"ALTER{_WS}TABLE{_WS}(?P<table>\w+){_WS}UNSET{_WS}"
-            r"TBLPROPERTIES[\s\n]*\((?P<keys>[^)]*)\)$",
+            r"TBLPROPERTIES[\s\n]*\((?P<keys>.*)\)$",
             s,
             re.IGNORECASE | re.DOTALL,
         )

@@ -33,7 +33,6 @@ touches 2 partitions reads and rewrites just those partitions' files.
 
 from __future__ import annotations
 
-import json
 import uuid
 from typing import Iterable
 from urllib.parse import unquote, urlparse
@@ -1581,12 +1580,15 @@ class AcidTable:
             declared = snap.properties.get("clusterBy")
             if declared:
                 cols = [c.strip() for c in declared.split(",") if c.strip()]
-                known = set(
-                    StructType.fromJson(
-                        json.loads(snap.schema_json)
-                    ).fieldNames()
-                )
-                zorder_by = [c for c in cols if c in known] or None
+                unknown = set(cols) - set(self.schema(snap).fieldNames())
+                if unknown:
+                    # a typo'd clusterBy silently degrading to plain
+                    # compaction would LOOK clustered forever — refuse
+                    raise AcidTableError(
+                        f"clusterBy property references unknown columns "
+                        f"{sorted(unknown)}"
+                    )
+                zorder_by = cols or None
         in_scope = set(snap.files)
         if where is not None:
             pruned = self._partition_prune(snap, F.expr(where))

@@ -1680,6 +1680,12 @@ class DeltaTable:
         if mw >= 7:
             have_w = set(proto.get("writerFeatures") or [])
             have_r = set(proto.get("readerFeatures") or [])
+            if mr == 2:
+                # legacy reader version 2 IMPLIES columnMapping; bumping
+                # to v3 (which honors exactly the listed readerFeatures)
+                # must restate it or third-party readers would resolve
+                # physical col-uuid names as logical ones
+                have_r.add("columnMapping")
             if not (need_w <= have_w and need_r <= have_r):
                 proto["writerFeatures"] = sorted(have_w | need_w)
                 if need_r or have_r:
@@ -1711,6 +1717,8 @@ class DeltaTable:
 
         meta = {
             "id": snap.metadata_id,
+            "name": snap.name,  # replay takes name from the LATEST
+            # metaData action — omitting it would erase the table name
             "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps(snap.schema.jsonValue()),
             "partitionColumns": list(snap.partition_columns),
@@ -1755,6 +1763,8 @@ class DeltaTable:
             {
                 "metaData": {
                     "id": snap.metadata_id,
+                    "name": snap.name,  # carried, not erased (replay
+                    # takes name from the latest metaData action)
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": json.dumps(schema_json),
                     "partitionColumns": list(snap.partition_columns),
@@ -1787,13 +1797,32 @@ class DeltaTable:
             columns = _parse_datatype_string(columns)
         snap = self.snapshot()
         self._check_writer_protocol(snap)
-        have = {f.name for f in snap.schema.fields}
-        dup = [f.name for f in columns.fields if f.name in have]
+        # case-insensitive duplicate checks (Spark's default resolver is
+        # case-insensitive — an 'ID' next to 'id' makes every reference
+        # ambiguous), and the request itself must not repeat a name
+        have = {f.name.lower() for f in snap.schema.fields}
+        dup = [f.name for f in columns.fields if f.name.lower() in have]
         if dup:
             raise DeltaProtocolError(f"columns already exist: {dup}")
+        req = [f.name.lower() for f in columns.fields]
+        if len(set(req)) != len(req):
+            raise DeltaProtocolError(
+                f"duplicate column names in request: {req}"
+            )
         schema_json = snap.schema.jsonValue()
         props = dict(snap.properties)
-        next_id = int(props.get("delta.columnMapping.maxColumnId", 0) or 0)
+        # next field id: the property can be stale or absent on foreign
+        # tables — take the max over the ids the schema actually carries
+        next_id = max(
+            int(props.get("delta.columnMapping.maxColumnId", 0) or 0),
+            max(
+                (
+                    int((f.metadata or {}).get("delta.columnMapping.id", 0))
+                    for f in snap.schema.fields
+                ),
+                default=0,
+            ),
+        )
         for f in columns.fields:
             fld = {
                 "name": f.name,
@@ -1818,6 +1847,23 @@ class DeltaTable:
             props,
         )
 
+    def _refuse_referenced_column(self, snap: DeltaSnapshot, col: str,
+                                   op: str) -> None:
+        """Refuse a column rename/drop while any CHECK constraint, column
+        invariant, or generation expression references it — committing the
+        DDL would brick every later write (the expression evaluates
+        against a frame that no longer has the column).  delta-spark
+        refuses at DDL time too.  Word-boundary text match: conservative
+        (a string literal containing the name also refuses), never
+        unsound."""
+        pat = re.compile(rf"(?<![\w`]){re.escape(col)}(?![\w`])", re.I)
+        for cname, expr, _ in self._constraint_exprs(snap):
+            if pat.search(expr):
+                raise DeltaProtocolError(
+                    f"{op} {col!r} refused: {cname} references it "
+                    f"({expr!r}) — drop the constraint first"
+                )
+
     def rename_column(self, old: str, new: str) -> int:
         """``ALTER TABLE … RENAME COLUMN``: a pure logical rename — the
         physicalName in the field metadata keeps pointing at the on-disk
@@ -1833,10 +1879,11 @@ class DeltaTable:
                 "name is the physical parquet name and existing files "
                 "would no longer resolve"
             )
+        self._refuse_referenced_column(snap, old, "RENAME COLUMN")
         names = {f.name for f in snap.schema.fields}
         if old not in names:
             raise DeltaProtocolError(f"no such column {old!r}")
-        if new in names:
+        if new.lower() in {n.lower() for n in names}:
             raise DeltaProtocolError(f"column {new!r} already exists")
         schema_json = snap.schema.jsonValue()
         for fld in schema_json["fields"]:
@@ -1868,6 +1915,7 @@ class DeltaTable:
             raise DeltaProtocolError(
                 f"cannot drop partition column {name!r}"
             )
+        self._refuse_referenced_column(snap, name, "DROP COLUMN")
         names = {f.name for f in snap.schema.fields}
         if name not in names:
             raise DeltaProtocolError(f"no such column {name!r}")

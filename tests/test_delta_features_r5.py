@@ -458,3 +458,85 @@ def test_add_rename_drop_columns(spark, tmp_path):
     assert DeltaTable(spark, mloc).read().count() == 4
     with pytest.raises(DeltaProtocolError, match="only column|no such"):
         DeltaTable(spark, mloc).drop_column("ghost")
+
+
+def test_column_ddl_hardening(spark, tmp_path):
+    """Self-review pins: metaData name survives DDL; constraint-referenced
+    columns refuse rename/drop; case-insensitive + intra-request dup
+    checks; nested parens parse in SQL bodies; clusterBy typos refuse."""
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.sources.acid.errors import (
+        AcidTableError,
+    )
+    from delta_lake_validation_spark.sources.acid.sqlshim import (
+        AcidSqlContext,
+    )
+
+    loc = str(tmp_path / "nm")
+    create_delta(spark, loc, "id bigint, v bigint", name="sales")
+    DeltaTable(spark, loc).alter_properties({"custom.tag": "x"})
+    DeltaTable(spark, loc).add_columns("amount decimal(10,2)")
+    snap = DeltaTable(spark, loc).snapshot()
+    assert snap.name == "sales"  # DDL commits must not erase the name
+    # constraint-referenced column refuses DDL (would brick later writes)
+    DeltaTable(spark, loc).alter_properties(
+        {"delta.constraints.pos": "v > 0"}
+    )
+    mloc = loc  # unmapped: rename/drop refuse on mapping anyway; check
+    # the constraint guard on a mapped table
+    import json as _json
+
+    m = str(tmp_path / "m")
+    create_delta(
+        spark, m, "id bigint, v bigint",
+        properties={"delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "2",
+                    "delta.constraints.pos": "v > 0"},
+    )
+    log = f"{m}/_delta_log"
+    with open(f"{log}/{0:020d}.json") as f:
+        lines = [_json.loads(x) for x in f if x.strip()]
+    for act in lines:
+        if "metaData" in act:
+            sch = _json.loads(act["metaData"]["schemaString"])
+            for i, fld in enumerate(sch["fields"], start=1):
+                fld["metadata"]["delta.columnMapping.id"] = i
+                fld["metadata"]["delta.columnMapping.physicalName"] = (
+                    f"col-{fld['name']}"
+                )
+            act["metaData"]["schemaString"] = _json.dumps(sch)
+    with open(f"{log}/{0:020d}.json", "w") as f:
+        f.writelines(_json.dumps(x) + "\n" for x in lines)
+    with pytest.raises(DeltaProtocolError, match="references it"):
+        DeltaTable(spark, m).rename_column("v", "value")
+    with pytest.raises(DeltaProtocolError, match="references it"):
+        DeltaTable(spark, m).drop_column("v")
+    DeltaTable(spark, m).rename_column("id", "key")  # unreferenced: fine
+    # case-insensitive dup + intra-request dup refuse
+    with pytest.raises(DeltaProtocolError, match="already exist"):
+        DeltaTable(spark, m).add_columns("KEY string")
+    with pytest.raises(DeltaProtocolError, match="duplicate"):
+        DeltaTable(spark, m).add_columns("a int, A string")
+    # stale maxColumnId: ids derive from the schema's own max
+    DeltaTable(spark, m).alter_properties(
+        unset=["delta.columnMapping.maxColumnId"]
+    )
+    DeltaTable(spark, m).add_columns("w string")
+    s = DeltaTable(spark, m).snapshot()
+    wf = next(f for f in s.schema.fields if f.name == "w")
+    assert wf.metadata["delta.columnMapping.id"] == 3
+
+    # nested parens through the SQL head
+    ctx = AcidSqlContext(spark)
+    ctx.register_delta("t", loc)
+    ctx.sql("ALTER TABLE t ADD COLUMNS (price decimal(12,3))")
+    assert "price" in [
+        f.name for f in DeltaTable(spark, loc).snapshot().schema.fields
+    ]
+
+    # ACID clusterBy typo refuses at OPTIMIZE
+    a = AcidTable.create(spark, str(tmp_path / "ac"), "id int")
+    a.append(spark.createDataFrame([(1,), (2,)], "id int"))
+    a.set_property("clusterBy", "idd")
+    with pytest.raises(AcidTableError, match="unknown columns"):
+        a.optimize()
