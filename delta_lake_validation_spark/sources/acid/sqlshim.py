@@ -484,6 +484,14 @@ class AcidSqlContext:
             if part_m
             else []
         )
+        clus_m = re.search(
+            rf"CLUSTER{_WS}BY[\s\n]*\((?P<cols>[^)]*)\)", rest, re.IGNORECASE
+        )
+        cluster_by = (
+            [c.strip() for c in clus_m.group("cols").split(",") if c.strip()]
+            if clus_m
+            else []
+        )
         properties: dict[str, str] = {}
         if props_m:
             for assign in _split_top_level(props_m.group("props")):
@@ -501,6 +509,7 @@ class AcidSqlContext:
             partition_by=partition_by,
             properties=properties,
             if_not_exists=bool(if_not_exists),
+            cluster_by=cluster_by,
         )
         self.register(name, t)
         return None

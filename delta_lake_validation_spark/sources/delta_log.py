@@ -1781,6 +1781,77 @@ class DeltaTable:
             )
         return v
 
+    def set_domain_metadata(self, domain: str, configuration: str) -> int:
+        """Write (or replace) a USER domainMetadata action.  ``delta.``
+        domains are system-owned (clustering, rowTracking) and refuse —
+        mutating one behind its feature's back corrupts the table."""
+        if domain.startswith("delta."):
+            raise DeltaProtocolError(
+                f"domain {domain!r} is system-owned (delta.*) — use the "
+                "feature's own surface (CLUSTER BY, row tracking)"
+            )
+        snap = self.snapshot()
+        self._check_writer_protocol(snap)
+        import time as _time
+
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(_time.time() * 1000),
+                    "operation": "SET DOMAIN METADATA",
+                    "operationParameters": {"domain": domain},
+                }
+            },
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": configuration,
+                    "removed": False,
+                }
+            },
+        ]
+        v = snap.version + 1
+        if not self._try_commit(v, actions):
+            raise DeltaProtocolError(
+                f"domain write lost the race for version {v}"
+            )
+        return v
+
+    def remove_domain_metadata(self, domain: str) -> int:
+        """Tombstone a USER domain (``removed: true``); delta.* refuses."""
+        if domain.startswith("delta."):
+            raise DeltaProtocolError(
+                f"domain {domain!r} is system-owned (delta.*)"
+            )
+        snap = self.snapshot()
+        self._check_writer_protocol(snap)
+        if domain not in snap.domains:
+            raise DeltaProtocolError(f"no such domain {domain!r}")
+        import time as _time
+
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(_time.time() * 1000),
+                    "operation": "REMOVE DOMAIN METADATA",
+                    "operationParameters": {"domain": domain},
+                }
+            },
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": "{}",
+                    "removed": True,
+                }
+            },
+        ]
+        v = snap.version + 1
+        if not self._try_commit(v, actions):
+            raise DeltaProtocolError(
+                f"domain removal lost the race for version {v}"
+            )
+        return v
+
     def add_columns(self, columns: StructType | str) -> int:
         """``ALTER TABLE … ADD COLUMNS``: append new NULLABLE top-level
         fields in one metaData re-commit — existing files simply lack the

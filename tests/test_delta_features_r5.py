@@ -540,3 +540,34 @@ def test_column_ddl_hardening(spark, tmp_path):
     a.set_property("clusterBy", "idd")
     with pytest.raises(AcidTableError, match="unknown columns"):
         a.optimize()
+
+
+def test_user_domain_metadata_api_and_sql_cluster_by(spark, tmp_path):
+    """User domains write/replace/tombstone through the public API
+    (delta.* refuses); CREATE TABLE ... CLUSTER BY parses in the shim."""
+    from delta_lake_validation_spark.sources.acid.sqlshim import (
+        AcidSqlContext,
+    )
+
+    loc = str(tmp_path / "dom2")
+    create_delta(spark, loc, "id bigint")
+    dt = DeltaTable(spark, loc)
+    dt.set_domain_metadata("com.example.app", '{"x": 1}')
+    DeltaTable(spark, loc).set_domain_metadata("com.example.app", '{"x": 2}')
+    snap = DeltaTable(spark, loc).snapshot()
+    assert snap.domains["com.example.app"] == '{"x": 2}'
+    DeltaTable(spark, loc).remove_domain_metadata("com.example.app")
+    assert "com.example.app" not in DeltaTable(spark, loc).snapshot().domains
+    with pytest.raises(DeltaProtocolError, match="system-owned"):
+        DeltaTable(spark, loc).set_domain_metadata("delta.clustering", "{}")
+
+    ctx = AcidSqlContext(spark)
+    tloc = str(tmp_path / "ct")
+    ctx.sql(
+        f"CREATE TABLE ct (id INT, a INT, b INT) USING DELTA "
+        f"LOCATION '{tloc}' CLUSTER BY (a, b)"
+    )
+    from delta_lake_validation_spark.sources.acid import AcidTable
+
+    t = AcidTable(spark, tloc)
+    assert t.log.snapshot().properties["clusterBy"] == "a,b"
