@@ -1548,7 +1548,11 @@ class DeltaTable:
         race's snapshot.  No-op (same list back) off rowTracking tables."""
         try:
             snap = self.snapshot(version - 1)
-        except Exception:
+        except ValueError:
+            # version-1 out of range (e.g. a clone/create writing v0
+            # through an exotic path): nothing to stamp against.  Other
+            # failures propagate — silently skipping the stamp on a
+            # rowTracking table would violate the feature's write rules.
             return actions
         if "rowTracking" not in (
             snap.protocol.get("writerFeatures") or []
