@@ -127,6 +127,7 @@ _TIER_BY_NAME = {
     "delta_features_scenario": _reg.TIER_NEWFAM,
     "dup_ngram_spans": _reg.TIER_NEWFAM,
     "dup_span_removal": _reg.TIER_NEWFAM,
+    "cross_source_dup": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):

@@ -46,6 +46,53 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-source duplicate leakage: per source, the fraction of documents
+# whose exact text also appears under ANOTHER source — the curation
+# diagnostic for "is my web scrape recycling my books corpus".
+# At 100 TB: the join key and shuffle payload is the 16-byte text digest;
+# the per-digest source-count aggregate is duplicate-cluster-sized.
+# ---------------------------------------------------------------------------
+@register(
+    "cross_source_dup",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+    hs AS (SELECT h, count(DISTINCT source) AS ns FROM d GROUP BY h)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_dup,
+           CAST(floor(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) * 10000.0
+                      / count(*) + 0.5) / 10000.0 AS DOUBLE) AS leak_frac
+    FROM d JOIN hs USING (h)
+    GROUP BY source
+    """,
+    tags=("dedup", "llm", "curation"),
+    doc="cross-source duplicate leakage: per-source fraction of documents "
+    "whose exact text also appears under another source (digest join, "
+    "16-byte shuffle payloads)",
+)
+def cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.functions.aggregates import round_half_up
+
+    docs = Tables(spark, sf_dir).documents.select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    hs = docs.groupBy("h").agg(
+        F.countDistinct("source").alias("ns")
+    )
+    cross = F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)).cast("long")
+    return (
+        docs.join(hs, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cross.alias("n_cross_dup"),
+            round_half_up(cross / F.count(F.lit(1)), 4).alias("leak_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token counting (whitespace tokenizer) — all JVM-side expressions.
 # ---------------------------------------------------------------------------
 @register(
