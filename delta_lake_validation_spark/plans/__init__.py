@@ -128,6 +128,8 @@ _TIER_BY_NAME = {
     "dup_ngram_spans": _reg.TIER_NEWFAM,
     "dup_span_removal": _reg.TIER_NEWFAM,
     "cross_source_dup": _reg.TIER_NEWFAM,
+    # round-6 families: same past-the-cap policy
+    "dup_span_cleaned": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):

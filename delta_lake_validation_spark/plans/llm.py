@@ -1842,10 +1842,10 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # transition (OCR junk detector).
 #
 # Scale: bigrams never leave the row (built by transform/slice on the token
-# array, zero joins); the two LM count-windows are keyed shuffles on
-# (w1,w2) and (w1); the doc rollup is a third.  Counts are additive, so at
-# 100 TB the windows become pre-aggregated count tables joined broadcast-
-# or bucket-wise; semantics identical.
+# array); the LM counts are pre-aggregated hash-agg tables (partial
+# map-side combine — a stop-unigram like "the" never funnels into one
+# task) joined back on (w1,w2)/(w1), where AQE's skew-join splits hot
+# probe keys; the doc rollup is a third keyed shuffle.
 # ---------------------------------------------------------------------------
 @register(
     "bigram_lm_score",
@@ -1890,16 +1890,27 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    c2 = F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
-    c1 = F.count(F.lit(1)).over(Window.partitionBy("w1"))
+    # LM counts as pre-aggregated hash-agg tables joined back, never
+    # count().over(Window.partitionBy(...)): a stop-bigram ("of the") or
+    # stop-unigram ("the") occurs in a constant fraction of all rows, and a
+    # window would serialize every occurrence into one task.  Hash
+    # aggregates partial-combine map-side; the joins key on (w1,w2)/(w1)
+    # where the count side is one row per key, so AQE skew-join splits any
+    # hot probe key.  Per-doc bigram multiplicity k folds occurrence-level
+    # sums into k-weighted sums — bit-identical to the per-occurrence form.
+    dbg = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     scored = (
-        bg.withColumn("c2", c2)
-        .withColumn("c1", c1)
+        dbg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
         .withColumn("ppm", F.expr("(c2 * 1000000) div c1"))
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.expr("sum(ppm) div count(1)").alias("avg_ppm"),
+        F.sum("k").alias("n_bigrams"),
+        F.expr("sum(k * ppm) div sum(k)").alias("avg_ppm"),
         F.min("ppm").alias("min_ppm"),
     )
 
@@ -1910,8 +1921,12 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # occurrence as duplicated, report the per-doc duplicated-chunk fraction.
 # At 100 TB: the shuffle key is the 128-bit chunk digest (16 bytes), the
 # chunk text itself never shuffles (first-occurrence choice needs only
-# (digest, doc_id, chunk_idx)); per-digest groups are tiny, so the two
-# window functions over the digest partitioning stay skew-free.
+# (digest, doc_id, chunk_idx)).  Per-digest groups are NOT tiny in real
+# crawls — a boilerplate chunk (license header, cookie banner) can recur
+# 10^7+ times — so first-occurrence marking must be a hash aggregate
+# (partial map-side combine flattens hot digests), never a window over the
+# digest: windows have no partial aggregation and funnel every occurrence
+# of one hot key into a single sort task.
 # ---------------------------------------------------------------------------
 @register(
     "chunk_dedup",
@@ -1961,17 +1976,33 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c"),
     ).select("doc_id", "c.chunk_idx", "c.h")
-    rn = F.row_number().over(
-        Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    # Global first-occurrence marking as a HASH AGGREGATE, not a window:
+    # a per-digest window (count/row_number OVER h) funnels every occurrence
+    # of one hot boilerplate chunk into a single sort task with no partial
+    # aggregation — a 10^7-occurrence license header serializes the stage at
+    # 100 TB.  min(struct(doc_id, chunk_idx)) is order-equivalent to
+    # row_number()=1 under (doc_id, chunk_idx) ordering, and hash aggregates
+    # partial-combine map-side, so hot digests reduce before the shuffle.
+    # Better still, no join back on h is needed here: a doc's non-duplicate
+    # chunk count IS the number of digests whose global first occurrence
+    # falls in that doc, so both reductions are plain groupBys.
+    firsts_per_doc = (
+        chunks.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("first"))
+        .groupBy(F.col("first.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_first"))
     )
-    marked = chunks.withColumn("rn", rn)
-    dup = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long")
-    return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
+    totals = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    dup = (
+        F.col("n_chunks") - F.coalesce(F.col("n_first"), F.lit(0))
+    ).cast("long")
+    return totals.join(firsts_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
         dup.alias("n_dup_chunks"),
-        round_half_up(
-            dup / F.count(F.lit(1)), 4
-        ).alias("dup_frac"),
+        round_half_up(dup / F.col("n_chunks"), 4).alias("dup_frac"),
     )
 
 
@@ -1984,8 +2015,12 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token range, all-but-the-first global occurrence counts as removable,
 # and overlapping marked windows merge into maximal per-doc spans.
 # At 100 TB: the shuffle key is the 16-byte window digest and the carried
-# payload is (digest, doc_id, pos) — window TEXT never shuffles; per-digest
-# groups are duplicate-cluster-sized.  The interval merge is two windows
+# payload is (digest, doc_id, pos) — window TEXT never shuffles.  Hot
+# digests (a boilerplate 20-gram recurring 10^7+ times) are handled by
+# doing first-occurrence marking as a hash aggregate (partial map-side
+# combine) plus a join back on the digest, where AQE's skew-join can split
+# the hot key — NOT as a window over the digest, which would serialize
+# every occurrence into one sort task.  The interval merge is two windows
 # partitioned BY DOCUMENT (never global): lag() finds gap starts, a
 # running sum numbers the islands — O(dup windows per doc) rows each.
 # ---------------------------------------------------------------------------
@@ -2049,17 +2084,31 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     ).select("doc_id", "w.pos", "w.h")
-    over_h = Window.partitionBy("h")
-    marked = wins.select(
-        "doc_id",
-        "pos",
-        F.count(F.lit(1)).over(over_h).alias("n_occ"),
-        F.row_number()
-        .over(over_h.orderBy("doc_id", "pos"))
-        .alias("rn"),
+    # Global first-occurrence marking as a hash aggregate + join back on h,
+    # never a window over h: one hot boilerplate 20-gram can recur 10^7+
+    # times in a crawl, and a window funnels all of them into a single sort
+    # task (no partial aggregation).  The aggregate partial-combines
+    # map-side, the filter keeps only genuinely duplicated digests on the
+    # build side, and AQE's skew-join splits any remaining hot digest on
+    # the probe side — which it cannot do for a window.
+    # min(struct(doc_id, pos)) is order-equivalent to row_number()=1 under
+    # (doc_id, pos) ordering.
+    dup_digests = (
+        wins.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .select("h", "first")
     )
-    dup = marked.filter((F.col("n_occ") > 1) & (F.col("rn") > 1)).select(
-        "doc_id", "pos"
+    dup = (
+        wins.join(dup_digests, "h")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
     )
     # merge overlapping/adjacent windows into maximal spans, per document
     by_doc = Window.partitionBy("doc_id").orderBy("pos")
@@ -2155,14 +2204,167 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
     )
+    # Spans arrive merged and disjoint (dup_ngram_spans guarantees maximal
+    # non-overlapping [start, end) ranges), so the clean count is
+    # n_tokens - sum(span lengths) — an O(spans) aggregate expression, not
+    # the O(tokens x spans) nested per-token filter it replaces (a
+    # 100k-token doc with 1k spans would evaluate 10^8 interpreted lambda
+    # calls in one row).
     return toks.join(per_doc, "doc_id").select(
         "doc_id",
         F.size("t").cast("long").alias("n_tokens"),
         F.expr(
-            "CAST(size(filter(sequence(0, size(t) - 1), "
-            "i -> size(filter(sp, s -> i >= s.s AND i < s.e)) = 0)) "
+            "CAST(size(t) - aggregate(sp, 0L, "
+            "(acc, s) -> acc + least(s.e, CAST(size(t) AS BIGINT)) - s.s) "
             "AS BIGINT)"
         ).alias("n_tokens_clean"),
+    )
+
+
+# Shared kept-token expression for the cleaned-corpus pair below: spans are
+# sorted + disjoint, so the kept tokens are the complement intervals
+# [0,s1) U [e1,s2) U ... U [ek,n), built with one zip_with over k+1 interval
+# pairs and k+1 slices — O(tokens + spans) per doc, no per-token lambda.
+_KEPT_TOKENS_EXPR = (
+    "flatten(zip_with("
+    "concat(array(0L), transform(sp, x -> x.e)), "
+    "concat(transform(sp, x -> x.s), array(CAST(size(t) AS BIGINT))), "
+    "(a, b) -> slice(t, CAST(a + 1 AS INT), CAST(b - a AS INT))))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Cleaned-corpus materialization — the production half of span removal:
+# actually cut the duplicated token ranges and emit the cleaned text (here
+# graded by its digest; cleaned_documents() below materializes the full
+# column for write-back).  At 100 TB the cut is O(tokens + spans) per doc
+# via complement-interval slicing; everything upstream shares
+# dup_ngram_spans' skew-proofed plan.
+# ---------------------------------------------------------------------------
+@register(
+    "dup_span_cleaned",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i AS pos,
+             md5(list_aggregate(list_slice(t, i + 1, i + 20),
+                                'string_agg', ' ')) AS h
+      FROM toks, UNNEST(range(len(t) - 19)) AS u(i)
+      WHERE len(t) >= 20
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY h) AS n_occ,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM wins
+    ),
+    dup AS (SELECT doc_id, pos FROM marked WHERE n_occ > 1 AND rn > 1),
+    islands AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos, 1, -100) OVER w + 20
+                  THEN 1 ELSE 0 END AS newgrp
+      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grouped AS (
+      SELECT doc_id, pos,
+             sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM islands
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
+      FROM grouped GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s) AS sp
+      FROM spans GROUP BY doc_id
+    ),
+    cut AS (
+      SELECT t.doc_id,
+             flatten(list_transform(range(1, len(p.sp) + 2), i ->
+               list_slice(t.t,
+                 list_prepend(0, list_transform(p.sp, x -> x.e))[i] + 1,
+                 list_append(list_transform(p.sp, x -> x.s), len(t.t))[i])))
+               AS kept
+      FROM toks t JOIN per_doc p USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(kept) AS BIGINT) AS n_tokens_clean,
+           md5(coalesce(list_aggregate(kept, 'string_agg', ' '), ''))
+             AS clean_digest
+    FROM cut
+    """,
+    tags=("dedup", "text", "llm", "spans"),
+    doc="cleaned-corpus materialization: cut duplicated token spans via "
+    "complement-interval slicing (O(tokens+spans) per doc) and grade the "
+    "cleaned text by digest",
+)
+def dup_span_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = dup_ngram_spans(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            )
+        ).alias("sp")
+    )
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    )
+    return (
+        toks.join(per_doc, "doc_id")
+        .withColumn("kept", F.expr(_KEPT_TOKENS_EXPR))
+        .select(
+            "doc_id",
+            F.expr("CAST(size(kept) AS BIGINT)").alias("n_tokens_clean"),
+            F.expr("md5(concat_ws(' ', kept))").alias("clean_digest"),
+        )
+    )
+
+
+def cleaned_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cleaned corpus for write-back: every document row, with
+    duplicated n-gram spans cut out of ``text_clean`` (docs with no
+    duplicate spans keep their text verbatim, lowercased/trimmed like the
+    span pass tokenizes).  This is the DataFrame a pipeline writes back to
+    its ACID table; tests/test_dedup_ops.py round-trips it through a
+    table write.
+    """
+    spans = dup_ngram_spans(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            )
+        ).alias("sp")
+    )
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    )
+    return (
+        toks.join(per_doc, "doc_id", "left")
+        .withColumn(
+            "kept",
+            F.when(F.col("sp").isNull(), F.col("t")).otherwise(
+                F.expr(_KEPT_TOKENS_EXPR)
+            ),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("kept")).alias("text_clean"),
+            F.expr("CAST(size(kept) AS BIGINT)").alias("n_tokens_clean"),
+        )
     )
 
 

@@ -57,14 +57,17 @@ EXPECTATIONS: dict[str, list[str]] = {
         "Window",
         "ReadSchema: struct<doc_id:bigint,text:string>",
     ],
+    # bigram LM: counts are hash-agg tables joined back (partial map-side
+    # combine); a Window over (w1,w2)/(w1) would serialize hot stop-words
     "bigram_lm_score": [
-        "Window",
+        "HashAggregate",
         "ReadSchema: struct<doc_id:bigint,text:string>",
     ],
     # corpus-stat ops: all three must prune the scan to (doc_id, text) and
-    # stay aggregate/window pipelines
+    # stay aggregate pipelines.  chunk_dedup's first-occurrence marking
+    # must be a hash aggregate — a Window over the chunk digest would
+    # funnel hot boilerplate digests into one sort task
     "chunk_dedup": [
-        "Window",
         "HashAggregate",
         "ReadSchema: struct<doc_id:bigint,text:string>",
     ],
@@ -174,6 +177,39 @@ CUSTOM: dict[str, object] = {
         (["no MapInPandas stage"] if "MapInPandas" not in p else [])
         + (["scan wider than doc_id+text"]
            if "ReadSchema: struct<doc_id:bigint,text:string>" not in p else [])
+    ),
+    # first-occurrence marking must stay a hash aggregate: no Window may
+    # partition by the digest (hot boilerplate n-grams would serialize into
+    # one sort task); only the per-doc island-merge windows are allowed,
+    # and the join back on h must stay an equi join
+    "chunk_dedup": lambda p: (
+        [f"expected 0 Window nodes, saw {p.count(') Window')}"]
+        if p.count(") Window") > 0
+        else []
+    ),
+    "bigram_lm_score": lambda p: (
+        ([f"expected 0 Window nodes, saw {p.count(') Window')}"]
+         if p.count(") Window") > 0 else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+    ),
+    "dup_ngram_spans": lambda p: (
+        (["no HashAggregate"] if "HashAggregate" not in p else [])
+        + ([f"non-doc-partitioned Window: "
+            f"{p.count('windowspecdefinition(')} specs, "
+            f"{p.count('windowspecdefinition(doc_id')} doc-keyed"]
+           if p.count("windowspecdefinition(")
+           != p.count("windowspecdefinition(doc_id") else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["BroadcastNestedLoopJoin appeared"]
+           if "BroadcastNestedLoopJoin" in p else [])
+    ),
+    "dup_span_cleaned": lambda p: (
+        ([f"non-doc-partitioned Window: "
+            f"{p.count('windowspecdefinition(')} specs, "
+            f"{p.count('windowspecdefinition(doc_id')} doc-keyed"]
+           if p.count("windowspecdefinition(")
+           != p.count("windowspecdefinition(doc_id") else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
     ),
     # mask-pair blocking: equi join on (nation, mask, masked-name) keys;
     # cartesian/BNLJ means the blocking-key equality was lost and the plan
