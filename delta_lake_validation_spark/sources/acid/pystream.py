@@ -148,6 +148,16 @@ class AcidPyStreamReader(DataSourceStreamReader):
         self.max_files = int(mf) if mf is not None else None
         self.max_bytes = int(mb) if mb is not None else None
         self._cursor = self._start  # last version this reader has offered
+        # highest version KNOWN DELIVERED to a committed batch: every
+        # `start` Spark passes to partitions() is the end of a committed
+        # batch, and commit(end) finalizes one.  This survives nothing (it
+        # is per-process), but it is exactly what a restart needs: after a
+        # checkpoint restart Spark calls latestOffset() BEFORE partitions(),
+        # and pacing from the option-derived cursor (e.g. -1) would return
+        # an offset BELOW the checkpointed end — Spark then records the
+        # lower offset and later triggers would re-serve already-delivered
+        # versions.  The floor makes both pacing and serving monotone.
+        self._floor = self._start
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -159,8 +169,12 @@ class AcidPyStreamReader(DataSourceStreamReader):
             return {"version": latest}
         # advance at most cap files/bytes past the internal cursor, always
         # admitting at least one version so an oversized commit still
-        # flows; the cursor only moves forward (partitions() fast-forwards
-        # it past replayed batch ends after a checkpoint restart)
+        # flows; the cursor only moves forward (partitions()/commit()
+        # fast-forward it past replayed batch ends after a checkpoint
+        # restart, and the delivered-floor clamp below keeps the returned
+        # version from ever dropping under an already-committed offset)
+        if self._floor > self._cursor:
+            self._cursor = self._floor
         end = self._cursor
         files = nbytes = 0
         while end < latest:
@@ -198,9 +212,14 @@ class AcidPyStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         if hi > self._cursor:  # checkpoint-restart replay: catch up
             self._cursor = hi
+        # `start` is always the end of a COMMITTED batch — record it as the
+        # delivered floor and never re-serve versions at or below it, even
+        # if a restart raced latestOffset() into planning a stale range
+        if lo > self._floor:
+            self._floor = lo
         slices: list[_AddSlice] = []
         stamp = None if self.feed == "appends" else "insert"
-        for v in range(lo + 1, hi + 1):
+        for v in range(max(lo, self._floor) + 1, hi + 1):
             entry = log.read_entry(v)
             meta = entry.get("metadata")
             if (
@@ -337,7 +356,9 @@ class AcidPyStreamReader(DataSourceStreamReader):
                     yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
     def commit(self, end: dict) -> None:
-        pass
+        v = int(end["version"])
+        if v > self._floor:  # batch finalized: these versions are delivered
+            self._floor = v
 
 
 def _pack(files: list[_AddSlice], max_bytes: int) -> list[list[_AddSlice]]:

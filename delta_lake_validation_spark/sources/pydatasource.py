@@ -815,6 +815,14 @@ class DeltaPyStreamReader(DataSourceStreamReader):
         self.max_files = int(mf) if mf is not None else None
         self.max_bytes = int(mb) if mb is not None else None
         self._cursor = self._start  # last version this reader has offered
+        # highest version KNOWN DELIVERED to a committed batch: every
+        # `start` Spark passes to partitions() is the end of a committed
+        # batch, and commit(end) finalizes one.  Needed because after a
+        # checkpoint restart Spark calls latestOffset() BEFORE partitions():
+        # pacing from the option-derived cursor would return an offset
+        # BELOW the checkpointed end, Spark would record the lower offset,
+        # and later triggers would re-serve already-delivered versions.
+        self._floor = self._start
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -829,7 +837,11 @@ class DeltaPyStreamReader(DataSourceStreamReader):
         # The cursor only moves forward; after a checkpoint restart it may
         # lag the committed offset, in which case a few quiet triggers pass
         # while it catches up — it can never send the stream backward
-        # (partitions() fast-forwards it to every replayed batch end).
+        # (partitions()/commit() fast-forward it, and the delivered-floor
+        # clamp keeps the returned version at or above every committed
+        # offset observed in this process).
+        if self._floor > self._cursor:
+            self._cursor = self._floor
         end = self._cursor
         files = nbytes = 0
         while end < latest:
@@ -867,18 +879,27 @@ class DeltaPyStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         if hi > self._cursor:  # checkpoint-restart replay: catch up
             self._cursor = hi
+        # `start` is always the end of a COMMITTED batch — record it as the
+        # delivered floor and never re-serve versions at or below it, even
+        # if a restart raced latestOffset() into planning a stale range
+        if lo > self._floor:
+            self._floor = lo
+        lo_eff = max(lo, self._floor)
         if self.cdf:
             # change-feed stream: every commit's row-level changes,
             # deletes included as rows — no ignore* needed
             packed = _pack_files(
-                _plan_changes(tbl, lo + 1, hi), self.max_task_bytes
+                _plan_changes(tbl, lo_eff + 1, hi)
+                if lo_eff < hi
+                else [],
+                self.max_task_bytes,
             )
             return [DeltaPyScanPartition(g) for g in packed] or [
                 DeltaPyScanPartition([])
             ]
         slices: list[_FileSlice] = []
         fs = tbl.fs if is_local(tbl.location) else _SparklessReadFS()
-        for v in range(lo + 1, hi + 1):
+        for v in range(lo_eff + 1, hi + 1):
             for a in tbl._commit_actions(v):
                 if a.get("metaData"):
                     new = a["metaData"].get("schemaString")
@@ -922,7 +943,9 @@ class DeltaPyStreamReader(DataSourceStreamReader):
         yield from self.exec.scan(partition.files)
 
     def commit(self, end: dict) -> None:
-        pass
+        v = int(end["version"])
+        if v > self._floor:  # batch finalized: these versions are delivered
+            self._floor = v
 
     def stop(self) -> None:
         pass
