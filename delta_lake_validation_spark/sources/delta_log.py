@@ -61,7 +61,8 @@ class DeltaConstraintViolationError(DeltaProtocolError):
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "vacuumProtocolCheck",
-    "columnMapping",  # name mode implemented; id mode rejected at snapshot
+    "columnMapping",  # name AND id modes implemented (id mode verifies
+    # parquet footer field-ids against the schema, _verify_field_ids)
     "deletionVectors",  # sources/dv.py codec; applied per-scan in
     # _read_snapshot via _metadata.row_index membership filtering
     "v2Checkpoint",  # UUID-named json/parquet manifests + _sidecars/
@@ -735,6 +736,26 @@ class DeltaTable:
                 return out
         return self._read_snapshot(self.snapshot(version))
 
+    def read_row_ids(self, version: int | None = None) -> DataFrame:
+        """Logical columns + ``_row_id`` / ``_row_commit_version`` — the
+        row-tracking read semantics (PROTOCOL.md): each row's id is
+        coalesce(materialized row-id column, add.baseRowId + row_index),
+        its commit version coalesce(materialized, add.default
+        RowCommitVersion).  Requires ``delta.enableRowTracking=true``
+        (ids are unstable otherwise)."""
+        snap = self.snapshot(version)
+        if not self._rt_enabled(snap):
+            raise DeltaProtocolError(
+                "read_row_ids requires delta.enableRowTracking=true "
+                "(row ids are unstable while the property is off)"
+            )
+        return (
+            self._read_with_pos(snap)
+            .drop("__fp", "__ri")
+            .withColumnRenamed("__rid", "_row_id")
+            .withColumnRenamed("__rcv", "_row_commit_version")
+        )
+
     def _read_snapshot(self, snap: DeltaSnapshot) -> DataFrame:
         # all on-disk structure (file schema, partition dirs, partitionValues
         # keys) speaks PHYSICAL names; logical names are restored at the end
@@ -999,11 +1020,11 @@ class DeltaTable:
         "rowTracking",  # honored: every commit assigns baseRowId /
         # defaultRowCommitVersion to fresh adds and advances the
         # delta.rowTracking rowIdHighWaterMark domain (_try_commit);
-        # re-added files (DV masks, RESTORE) keep their ids.  When
-        # delta.enableRowTracking=true, operations that would rewrite
-        # SURVIVING rows under fresh ids (UPDATE/MERGE/OPTIMIZE/
-        # copy-on-write DELETE) refuse — preserved ids need the
-        # materialized row-id column delta-spark writes, which we don't
+        # re-added files (DV masks, RESTORE) keep their ids; rewrite ops
+        # (UPDATE/MERGE/OPTIMIZE/copy-on-write DELETE) preserve surviving
+        # rows' ids by materializing them into the rewritten files'
+        # delta.rowTracking.materialized*ColumnName columns (delta-spark's
+        # preservation rules; see _rt_with_current_ids/_stage_files)
     }
 
     def _check_writer_protocol(self, snap: DeltaSnapshot) -> None:
@@ -1050,27 +1071,10 @@ class DeltaTable:
             raise DeltaProtocolError(
                 f"delta.appendOnly table: {op} would change existing rows"
             )
-        if (
-            str(
-                snap.properties.get("delta.enableRowTracking", "")
-            ).lower()
-            == "true"
-        ):
-            # stable row ids: surviving rows must keep their ids across
-            # rewrites, which requires materializing a row-id column into
-            # the rewritten files (delta-spark's preservation machinery).
-            # We assign fresh ids only — so any op that rewrites surviving
-            # rows refuses.  append (new rows), overwrite (no surviving
-            # rows), restore and DV-path delete (files re-added with their
-            # original baseRowId) remain allowed.
-            if op in ("update", "merge", "optimize"):
-                raise DeltaProtocolError(
-                    f"delta.enableRowTracking table: {op} would rewrite "
-                    "surviving rows under fresh row ids — refusing "
-                    "(preserved ids need materialized row-id columns)"
-                )
-            # delete() gates itself: the remove-all fast path and the
-            # DV-mask path both preserve ids; only copy-on-write refuses
+        # row tracking no longer gates rewrite ops: UPDATE/MERGE/OPTIMIZE/
+        # copy-on-write DELETE preserve surviving rows' ids by
+        # materializing them into the rewritten files (see
+        # _rt_with_current_ids / _stage_files rt_cols)
 
     def _constraint_exprs(
         self, snap: DeltaSnapshot
@@ -1321,20 +1325,37 @@ class DeltaTable:
         guaranteed to reproduce the original encoding)."""
         return {strip_scheme(self._abs(p)): p for p in snap.files}
 
-    def _stage_files(self, df: DataFrame, snap: DeltaSnapshot) -> list[dict]:
+    def _stage_files(
+        self,
+        df: DataFrame,
+        snap: DeltaSnapshot,
+        rt_cols: tuple | None = None,
+    ) -> list[dict]:
         """Write df (LOGICAL columns) as hive-laid parquet under the table
         root using PHYSICAL names (+ parquet field ids when column mapping
         assigns them, so id-mode readers resolve our files), returning Delta
         add actions (paths percent-encoded per the protocol) with
-        partitionValues keyed by physical name and numRecords stats."""
+        partitionValues keyed by physical name and numRecords stats.
+
+        ``rt_cols=(rid_col, rcv_col)``: row-tracking rewrites pass the
+        materialized-column names and a df carrying ``__rid``/``__rcv``;
+        those land in the staged files as extra physical long columns so
+        surviving rows keep their ids (readers fall back to the add's
+        baseRowId/defaultRowCommitVersion where they are null)."""
         import uuid as _uuid
         from urllib.parse import quote
 
+        rt_extra = {"__rid", "__rcv"} & set(df.columns)
+        if rt_extra and not rt_cols:
+            raise DeltaProtocolError(
+                "internal: staged frame carries row-tracking columns but "
+                "no materialized column names were provided"
+            )
         cols = set(f.name for f in snap.schema.fields)
-        if set(df.columns) != cols:
+        if set(df.columns) - rt_extra != cols:
             raise DeltaProtocolError(
                 f"schema mismatch: table has {sorted(cols)}, "
-                f"data has {sorted(df.columns)}"
+                f"data has {sorted(set(df.columns) - rt_extra)}"
             )
         out_cols = []
         for f in snap.schema.fields:
@@ -1344,6 +1365,20 @@ class DeltaTable:
                 meta["parquet.field.id"] = int(fid)
             out_cols.append(
                 F.col(f.name).cast(f.dataType).alias(snap.phys(f.name), metadata=meta)
+            )
+        if rt_extra:
+            rid_col, rcv_col = rt_cols
+            out_cols.append(
+                (
+                    F.col("__rid") if "__rid" in rt_extra
+                    else F.lit(None)
+                ).cast("long").alias(rid_col)
+            )
+            out_cols.append(
+                (
+                    F.col("__rcv") if "__rcv" in rt_extra
+                    else F.lit(None)
+                ).cast("long").alias(rcv_col)
             )
         phys_parts = [snap.phys(c) for c in snap.partition_columns]
         staging = f"{self.location}/_staging-{_uuid.uuid4().hex}"
@@ -1554,9 +1589,14 @@ class DeltaTable:
             # failures propagate — silently skipping the stamp on a
             # rowTracking table would violate the feature's write rules.
             return actions
-        if "rowTracking" not in (
-            snap.protocol.get("writerFeatures") or []
-        ):
+        feats = set(snap.protocol.get("writerFeatures") or [])
+        for a in actions:
+            # an enable-rowTracking ALTER carries its protocol upgrade in
+            # the SAME commit as the backfill re-adds it must stamp
+            p = a.get("protocol")
+            if p:
+                feats |= set(p.get("writerFeatures") or [])
+        if "rowTracking" not in feats:
             return actions
         hw = -1
         cfg = snap.domains.get("delta.rowTracking")
@@ -1582,15 +1622,34 @@ class DeltaTable:
                 out.append(a)
                 continue
             st = ad.get("stats")
+            n = None
             try:
-                n = int(
-                    (json.loads(st) if isinstance(st, str) else (st or {}))
-                    .get("numRecords", 0)
-                    or 0
-                )
+                parsed = json.loads(st) if isinstance(st, str) else (st or {})
+                raw = parsed.get("numRecords")
+                if raw is not None:
+                    n = int(raw)
             except (TypeError, ValueError):
-                n = 0
+                n = None
             ad = dict(ad)
+            if n is None:
+                # Stats-less add (CONVERT/import paths): treating it as
+                # n=0 would hand the SAME baseRowId to the next add in
+                # this commit — a silent row-id collision.  Fresh
+                # baseRowIds are the writer's responsibility (PROTOCOL.md
+                # row tracking), so count the rows from the parquet
+                # footer; if even that fails, refuse rather than collide.
+                try:
+                    n = self._count_rows_footer(ad["path"])
+                except Exception as e:
+                    raise DeltaProtocolError(
+                        f"rowTracking table: add {ad.get('path')!r} carries "
+                        "no numRecords stats and its footer could not be "
+                        f"read ({e}) — cannot assign a collision-free "
+                        "baseRowId; record numRecords stats on the add"
+                    ) from None
+                parsed = dict(parsed) if isinstance(parsed, dict) else {}
+                parsed["numRecords"] = n
+                ad["stats"] = json.dumps(parsed)
             ad["baseRowId"] = hw + 1
             ad["defaultRowCommitVersion"] = version
             hw += n
@@ -1609,6 +1668,136 @@ class DeltaTable:
                 }
             )
         return out
+
+    def _count_rows_footer(self, rel_path: str) -> int:
+        """Row count of a data file from its parquet footer only (no data
+        read) — the fallback when an add carries no numRecords stats and
+        row tracking must still assign a collision-free baseRowId."""
+        import pyarrow.parquet as pq
+
+        from delta_lake_validation_spark.sources.fs import pa_fs
+
+        fs, norm = pa_fs(self._abs(rel_path))
+        with fs.open_input_file(norm) as fh:
+            return int(pq.ParquetFile(fh).metadata.num_rows)
+
+    # ------------------------------------------------------------------
+    # Row tracking: preserved ids on rewrites (PROTOCOL.md "Row Tracking").
+    # A row's id is coalesce(materialized row-id column, add.baseRowId +
+    # row_index); its commit version is coalesce(materialized column,
+    # add.defaultRowCommitVersion).  Rewriting ops (UPDATE/MERGE/OPTIMIZE/
+    # copy-on-write DELETE) preserve surviving rows' ids by materializing
+    # them into the rewritten files' extra physical columns, named by the
+    # delta.rowTracking.materialized*ColumnName table configs (minted
+    # lazily on first rewrite, as delta-spark does).
+    # ------------------------------------------------------------------
+    _RT_RID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+    _RT_RCV_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+    def _rt_enabled(self, snap: DeltaSnapshot) -> bool:
+        return (
+            str(snap.properties.get("delta.enableRowTracking", "")).lower()
+            == "true"
+        )
+
+    def _rt_mat_cols(self, snap: DeltaSnapshot) -> tuple:
+        return (
+            snap.properties.get(self._RT_RID_KEY),
+            snap.properties.get(self._RT_RCV_KEY),
+        )
+
+    def _rt_ensure_mat_cols(self, snap: DeltaSnapshot):
+        """(rid_col, rcv_col, extra_actions): the materialized-column
+        names, minting fresh ones (plus the metaData action that records
+        them) when the table has none yet."""
+        rid_col, rcv_col = self._rt_mat_cols(snap)
+        if rid_col and rcv_col:
+            return rid_col, rcv_col, []
+        import uuid as _uuid
+
+        props = dict(snap.properties)
+        rid_col = rid_col or f"_row-id-col-{_uuid.uuid4()}"
+        rcv_col = rcv_col or f"_row-commit-version-col-{_uuid.uuid4()}"
+        props[self._RT_RID_KEY] = rid_col
+        props[self._RT_RCV_KEY] = rcv_col
+        meta = {
+            "id": snap.metadata_id,
+            "name": snap.name,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(snap.schema.jsonValue()),
+            "partitionColumns": list(snap.partition_columns),
+            "configuration": props,
+        }
+        return rid_col, rcv_col, [{"metaData": meta}]
+
+    def _rt_with_current_ids(self, df: DataFrame, snap: DeltaSnapshot):
+        """Append ``__rid``/``__rcv`` — each scanned row's CURRENT row id
+        and commit version — from the materialized columns (``__mat_rid``/
+        ``__mat_rcv``, already selected by the caller) with the add
+        entry's baseRowId + row_index / defaultRowCommitVersion as the
+        fallback.  Arrow-batched; the broadcast carries one (base, rcv)
+        pair per live file."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        base_map = {
+            strip_scheme(self._abs(p)): (
+                a.get("baseRowId"),
+                a.get("defaultRowCommitVersion"),
+            )
+            for p, a in snap.files.items()
+        }
+        bc = self.spark.sparkContext.broadcast(base_map)
+
+        def _ids(fp, ri, mrid, mrcv):
+            from urllib.parse import unquote
+
+            from delta_lake_validation_spark.sources.fs import (
+                strip_scheme as _ss,
+            )
+
+            pairs = fp.map(
+                lambda s: bc.value.get(_ss(unquote(s)), (None, None))
+            )
+            brid = pd.array([p[0] for p in pairs], dtype="Int64")
+            brcv = pd.Series(
+                pd.array([p[1] for p in pairs], dtype="Int64")
+            )
+            fresh = pd.Series(brid + pd.array(ri, dtype="Int64"))
+            mrid = mrid.astype("Int64")
+            mrcv = mrcv.astype("Int64")
+            return pd.DataFrame(
+                {
+                    "rid": mrid.where(mrid.notna(), fresh),
+                    "rcv": mrcv.where(mrcv.notna(), brcv),
+                }
+            )
+
+        # real annotation objects (the module's future-import stringifies
+        # literal hints, which pandas_udf cannot interpret)
+        _ids.__annotations__ = {
+            "fp": pd.Series,
+            "ri": pd.Series,
+            "mrid": pd.Series,
+            "mrcv": pd.Series,
+            "return": pd.DataFrame,
+        }
+        ids_udf = pandas_udf(_ids, "rid long, rcv long")
+
+        return (
+            df.withColumn(
+                "__ids",
+                ids_udf(
+                    F.col("__fp"),
+                    F.col("__ri"),
+                    F.col("__mat_rid"),
+                    F.col("__mat_rcv"),
+                ),
+            )
+            .withColumn("__rid", F.col("__ids.rid"))
+            .withColumn("__rcv", F.col("__ids.rcv"))
+            .drop("__ids", "__mat_rid", "__mat_rcv")
+        )
 
     @staticmethod
     def _meta_fingerprint(snap: DeltaSnapshot) -> tuple:
@@ -1742,6 +1931,29 @@ class DeltaTable:
             *([{"protocol": proto_action}] if proto_action else []),
             {"metaData": meta},
         ]
+        if (
+            _on("delta.enableRowTracking")
+            and str(
+                snap.properties.get("delta.enableRowTracking", "")
+            ).lower()
+            != "true"
+            and snap.files
+        ):
+            # Enabling row tracking on a non-empty table: BACKFILL in the
+            # same commit — re-add every live file stripped of ids so the
+            # row-tracking stamp assigns fresh baseRowId/
+            # defaultRowCommitVersion atomically with the property flip
+            # (delta-spark materializes row ids before flipping; an enable
+            # commit leaving old files id-less would claim row tracking
+            # over files other engines treat as broken).  Ids were
+            # unstable until now, so re-assigning any existing ones is
+            # spec-legal.
+            for a in snap.files.values():
+                ad = dict(a)
+                ad.pop("baseRowId", None)
+                ad.pop("defaultRowCommitVersion", None)
+                ad["dataChange"] = False
+                actions.append({"add": ad})
         v = snap.version + 1
         if not self._try_commit(v, actions):
             raise DeltaProtocolError(
@@ -1886,17 +2098,43 @@ class DeltaTable:
             )
         schema_json = snap.schema.jsonValue()
         props = dict(snap.properties)
+
+        def _max_field_id(dt) -> int:
+            """Max delta.columnMapping.id anywhere in a dataType —
+            NESTED struct fields / array elements / map keys+values carry
+            their own ids, and missing one hands a new column a duplicate
+            id (in 'id' mode, parquet field-id resolution would then
+            serve the wrong physical column)."""
+            from pyspark.sql.types import ArrayType, MapType
+            from pyspark.sql.types import StructType as _St
+
+            if isinstance(dt, _St):
+                out = 0
+                for f in dt.fields:
+                    out = max(
+                        out,
+                        int(
+                            (f.metadata or {}).get(
+                                "delta.columnMapping.id", 0
+                            )
+                        ),
+                        _max_field_id(f.dataType),
+                    )
+                return out
+            if isinstance(dt, ArrayType):
+                return _max_field_id(dt.elementType)
+            if isinstance(dt, MapType):
+                return max(
+                    _max_field_id(dt.keyType), _max_field_id(dt.valueType)
+                )
+            return 0
+
         # next field id: the property can be stale or absent on foreign
-        # tables — take the max over the ids the schema actually carries
+        # tables — take the max over the ids the schema actually carries,
+        # recursing through nested types
         next_id = max(
             int(props.get("delta.columnMapping.maxColumnId", 0) or 0),
-            max(
-                (
-                    int((f.metadata or {}).get("delta.columnMapping.id", 0))
-                    for f in snap.schema.fields
-                ),
-                default=0,
-            ),
+            _max_field_id(snap.schema),
         )
         for f in columns.fields:
             fld = {
@@ -2357,8 +2595,25 @@ class DeltaTable:
     def _read_with_pos(self, snap: DeltaSnapshot) -> DataFrame:
         """LOGICAL columns + ``__fp`` (absolute file path) + ``__ri``
         (physical row index), live rows only (existing DVs applied) — the
-        targeting scan for row-level DML on a real Delta table."""
+        targeting scan for row-level DML on a real Delta table.  On row
+        tracking tables the result also carries ``__rid``/``__rcv``: each
+        row's current row id / commit version, so rewrite ops can
+        materialize preserved ids into the files they stage."""
+        rt = self._rt_enabled(snap)
+        rid_col, rcv_col = self._rt_mat_cols(snap) if rt else (None, None)
         phys_schema = snap.physical_schema()
+        if rt:
+            # materialized row-id/commit-version columns are EXTRA physical
+            # columns (not part of the logical schema); files predating
+            # them null-fill under an explicit read schema
+            from pyspark.sql.types import LongType, StructField
+
+            extra = [
+                StructField(c, LongType(), True)
+                for c in (rid_col, rcv_col)
+                if c
+            ]
+            phys_schema = StructType(list(phys_schema.fields) + extra)
         phys_parts = [snap.phys(c) for c in snap.partition_columns]
         data_schema = StructType(
             [f for f in phys_schema.fields if f.name not in phys_parts]
@@ -2366,26 +2621,38 @@ class DeltaTable:
         dv_map = self._dv_map(snap)
 
         def sel(df: DataFrame) -> DataFrame:
-            return df.select(
-                *[
-                    F.col(snap.phys(f.name)).cast(f.dataType).alias(f.name)
-                    for f in snap.schema.fields
-                ],
+            cols = [
+                F.col(snap.phys(f.name)).cast(f.dataType).alias(f.name)
+                for f in snap.schema.fields
+            ] + [
                 F.col("_metadata.file_path").alias("__fp"),
                 F.col("_metadata.row_index").alias("__ri"),
-            )
+            ]
+            if rt:
+                cols.append(
+                    (df[rid_col] if rid_col else F.lit(None).cast("long"))
+                    .alias("__mat_rid")
+                )
+                cols.append(
+                    (df[rcv_col] if rcv_col else F.lit(None).cast("long"))
+                    .alias("__mat_rcv")
+                )
+            return df.select(*cols)
+
+        def fin(df: DataFrame) -> DataFrame:
+            return self._rt_with_current_ids(df, snap) if rt else df
 
         paths = [self._abs(p) for p in snap.files]
         if not snap.partition_columns:
             df = self.spark.read.schema(phys_schema).parquet(*paths)
-            return sel(self._dv_filter(df, dv_map))
+            return fin(sel(self._dv_filter(df, dv_map)))
         if self._hive_layout(snap, phys_parts):
             df = (
                 self.spark.read.schema(phys_schema)
                 .option("basePath", self.location)
                 .parquet(*paths)
             )
-            return sel(self._dv_filter(df, dv_map))
+            return fin(sel(self._dv_filter(df, dv_map)))
         groups: dict[tuple, list[str]] = {}
         for p, a in snap.files.items():
             key = tuple(
@@ -2404,7 +2671,7 @@ class DeltaTable:
                     F.lit(raw).cast(typ) if raw is not None else F.lit(None).cast(typ),
                 )
             out = sel(df) if out is None else out.unionByName(sel(df))
-        return out
+        return fin(out)
 
     def _target_bitmaps(
         self, snap: DeltaSnapshot, matched: DataFrame
@@ -2559,18 +2826,14 @@ class DeltaTable:
         if self._dv_enabled(snap):
             actions += self._dv_mask_actions(snap, per_file, ts)
         else:
-            if (
-                str(
-                    snap.properties.get("delta.enableRowTracking", "")
-                ).lower()
-                == "true"
-            ):
-                raise DeltaProtocolError(
-                    "delta.enableRowTracking table: copy-on-write DELETE "
-                    "would rewrite surviving rows under fresh row ids — "
-                    "enable deletionVectors, or delete with a predicate "
-                    "that matches whole files"
-                )
+            rt_cols = None
+            if self._rt_enabled(snap):
+                # copy-on-write on a row-tracking table: surviving rows
+                # keep their ids/commit versions via the materialized
+                # columns (__rid/__rcv came from the targeting scan)
+                rid_c, rcv_c, extra = self._rt_ensure_mat_cols(snap)
+                rt_cols = (rid_c, rcv_c)
+                actions += extra
             # match on the exact _metadata.file_path strings the targeting
             # scan returned (URI scheme/slash forms vary by filesystem)
             keep = (
@@ -2578,7 +2841,9 @@ class DeltaTable:
                 .filter(~F.coalesce(cond, F.lit(False)))
                 .drop("__fp", "__ri")
             )
-            actions += [{"add": a} for a in self._stage_files(keep, snap)]
+            actions += [
+                {"add": a} for a in self._stage_files(keep, snap, rt_cols)
+            ]
             actions += self._remove_actions(snap, list(per_file), ts)
         if not self._try_commit(v, actions):
             raise DeltaProtocolError(
@@ -2634,8 +2899,22 @@ class DeltaTable:
                     f"update lost the race for version {v}; re-read and retry"
                 )
             return v
+        rt_cols = None
+        rt_sel: list = []
+        if self._rt_enabled(snap):
+            # updated rows KEEP their row id; their commit version resets
+            # to this commit (null materialized value -> the new add's
+            # defaultRowCommitVersion).  Kept rows preserve both.
+            rid_c, rcv_c, extra = self._rt_ensure_mat_cols(snap)
+            rt_cols = (rid_c, rcv_c)
+            actions += extra
+            rt_sel = [
+                F.col("__rid"),
+                F.lit(None).cast("long").alias("__rcv"),
+            ]
         updated = matched.select(
-            *[(sets[c] if c in sets else F.col(c)).alias(c) for c in logical]
+            *[(sets[c] if c in sets else F.col(c)).alias(c) for c in logical],
+            *rt_sel,
         )
         if self._cdf_enabled(snap):
             pre = matched.drop("__fp", "__ri").withColumn(
@@ -2647,7 +2926,10 @@ class DeltaTable:
             actions += self._write_cdc(pre.unionByName(post), snap)
         if self._dv_enabled(snap):
             actions += self._dv_mask_actions(snap, per_file, ts)
-            actions += [{"add": a} for a in self._stage_files(updated, snap)]
+            actions += [
+                {"add": a}
+                for a in self._stage_files(updated, snap, rt_cols)
+            ]
         else:
             keep = (
                 live.filter(F.col("__fp").isin(touched_fps))
@@ -2655,7 +2937,10 @@ class DeltaTable:
                 .drop("__fp", "__ri")
             )
             rewritten = keep.unionByName(updated)
-            actions += [{"add": a} for a in self._stage_files(rewritten, snap)]
+            actions += [
+                {"add": a}
+                for a in self._stage_files(rewritten, snap, rt_cols)
+            ]
             actions += self._remove_actions(snap, list(per_file), ts)
         if not self._try_commit(v, actions):
             raise DeltaProtocolError(
@@ -2717,15 +3002,33 @@ class DeltaTable:
             },
             *([{"metaData": id_meta}] if id_meta else []),
         ]
+        rt_cols = None
+        rt_post: list = []
+        rt_ins: list = []
+        if self._rt_enabled(snap):
+            # matched target rows keep their row id (commit version resets
+            # to this commit); inserted rows get fresh ids from the add's
+            # baseRowId + row_index (both materialized values null)
+            rid_c, rcv_c, extra = self._rt_ensure_mat_cols(snap)
+            rt_cols = (rid_c, rcv_c)
+            actions += extra
+            rt_post = [
+                F.col("__rid"),
+                F.lit(None).cast("long").alias("__rcv"),
+            ]
+            rt_ins = [
+                F.lit(None).cast("long").alias("__rid"),
+                F.lit(None).cast("long").alias("__rcv"),
+            ]
         # one updated row PER MATCHED TARGET ROW (multiplicity preserved),
         # plus the source rows matching nothing
         post = (
-            matched.select(*keys)
+            matched.select(*keys, *([F.col("__rid")] if rt_cols else []))
             .join(source, keys, "inner")
-            .select(*logical)
+            .select(*logical, *rt_post)
         )
         tgt_keys = live.select(*keys).distinct()
-        ins = source.join(tgt_keys, keys, "anti").select(*logical)
+        ins = source.join(tgt_keys, keys, "anti").select(*logical, *rt_ins)
         if self._cdf_enabled(snap):
             pre = matched.drop("__fp", "__ri").withColumn(
                 "_change_type", F.lit("update_preimage")
@@ -2739,7 +3042,10 @@ class DeltaTable:
         new_rows = post.unionByName(ins)
         if self._dv_enabled(snap) and per_file:
             actions += self._dv_mask_actions(snap, per_file, ts)
-            actions += [{"add": a} for a in self._stage_files(new_rows, snap)]
+            actions += [
+                {"add": a}
+                for a in self._stage_files(new_rows, snap, rt_cols)
+            ]
         else:
             keep = (
                 live.filter(F.col("__fp").isin(touched_fps))
@@ -2747,7 +3053,10 @@ class DeltaTable:
                 .drop("__fp", "__ri")
             )
             rewritten = keep.unionByName(new_rows)
-            actions += [{"add": a} for a in self._stage_files(rewritten, snap)]
+            actions += [
+                {"add": a}
+                for a in self._stage_files(rewritten, snap, rt_cols)
+            ]
             actions += self._remove_actions(snap, list(per_file), ts)
         v = snap.version + 1
         if not self._try_commit(v, actions):
@@ -2897,17 +3206,39 @@ class DeltaTable:
             },
             *([{"metaData": id_meta}] if id_meta else []),
         ]
+        rt_cols = None
+        rt_post: list = []
+        rt_ins: list = []
+        if self._rt_enabled(snap):
+            # updated target rows keep their row id (commit version resets
+            # to this commit); inserts get fresh ids; kept rows preserve
+            # both via __rid/__rcv from the targeting scan
+            rid_c, rcv_c, extra = self._rt_ensure_mat_cols(snap)
+            rt_cols = (rid_c, rcv_c)
+            actions += extra
+            rt_post = [
+                F.col("__rid"),
+                F.lit(None).cast("long").alias("__rcv"),
+            ]
+            rt_ins = [
+                F.lit(None).cast("long").alias("__rid"),
+                F.lit(None).cast("long").alias("__rcv"),
+            ]
         post = (
-            clause_rows.select(*keys)
+            clause_rows.select(
+                *keys, *([F.col("__rid")] if rt_cols else [])
+            )
             .join(source, keys, "inner")
-            .select(*logical)
+            .select(*logical, *rt_post)
             if matched == "update"
             else None
         )
         ins = None
         if not_matched == "insert":
             tgt_keys = live.select(*keys).distinct()
-            ins = source.join(tgt_keys, keys, "anti").select(*logical)
+            ins = source.join(tgt_keys, keys, "anti").select(
+                *logical, *rt_ins
+            )
         if self._cdf_enabled(snap):
             pieces = []
             if matched == "update":
@@ -2947,7 +3278,8 @@ class DeltaTable:
             actions += self._dv_mask_actions(snap, per_file, ts)
             if new_rows is not None:
                 actions += [
-                    {"add": a} for a in self._stage_files(new_rows, snap)
+                    {"add": a}
+                    for a in self._stage_files(new_rows, snap, rt_cols)
                 ]
         else:
             keep = (
@@ -2959,7 +3291,8 @@ class DeltaTable:
                 keep.unionByName(new_rows) if new_rows is not None else keep
             )
             actions += [
-                {"add": a} for a in self._stage_files(rewritten, snap)
+                {"add": a}
+                for a in self._stage_files(rewritten, snap, rt_cols)
             ]
             actions += self._remove_actions(snap, list(per_file), ts)
         v = snap.version + 1
@@ -3032,15 +3365,6 @@ class DeltaTable:
 
         snap = self.snapshot()
         self._check_writer_protocol(snap)
-        if (
-            str(snap.properties.get("delta.enableRowTracking", "")).lower()
-            == "true"
-        ):
-            raise DeltaProtocolError(
-                "delta.enableRowTracking table: OPTIMIZE would rewrite "
-                "surviving rows under fresh row ids — refusing (preserved "
-                "ids need materialized row-id columns)"
-            )
         if zorder_by is None:
             # clustered table (liquid clustering): OPTIMIZE is what
             # establishes the clustering — default to Z-ordering by the
@@ -3091,7 +3415,18 @@ class DeltaTable:
             snap.name,
             snap.protocol,
         )
-        live = self._read_snapshot(scoped)
+        rt_cols = None
+        if self._rt_enabled(snap):
+            # compaction preserves BOTH the row id and the commit version
+            # of every surviving row (OPTIMIZE changes no logical data):
+            # read the scoped files through the row-id-carrying scan and
+            # materialize __rid/__rcv into the rewritten files
+            rid_c, rcv_c, rt_extra_actions = self._rt_ensure_mat_cols(snap)
+            rt_cols = (rid_c, rcv_c)
+            live = self._read_with_pos(scoped).drop("__fp", "__ri")
+        else:
+            rt_extra_actions = []
+            live = self._read_snapshot(scoped)
         # size-aware split: per-partition scoped bytes come from the log
         # itself (no extra scan); a partition over max_file_bytes gets
         # ceil(bytes/max) shuffle groups instead of one task / one file
@@ -3156,7 +3491,7 @@ class DeltaTable:
                 if n_out <= max(1, int(target_files))
                 else live.repartition(n_out)
             )
-        adds = self._stage_files(live, snap)
+        adds = self._stage_files(live, snap, rt_cols)
         ts = int(_time.time() * 1000)
         actions: list[dict] = [
             {
@@ -3173,7 +3508,8 @@ class DeltaTable:
                         **({"predicate": where} if where else {}),
                     },
                 }
-            }
+            },
+            *rt_extra_actions,
         ]
         for a in adds:
             a["dataChange"] = False

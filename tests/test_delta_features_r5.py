@@ -11,8 +11,8 @@ Protocol scope (all public PROTOCOL.md):
   create/append/read/checkpoint; deltapy refuses with a routing message.
 * rowTracking: every fresh add gets baseRowId/defaultRowCommitVersion,
   the delta.rowTracking high-water mark advances, re-added files (DV
-  masks) keep their ids, and ops that would rewrite surviving rows under
-  fresh ids refuse when delta.enableRowTracking=true.
+  masks) keep their ids, and rewrites (UPDATE/OPTIMIZE) preserve
+  surviving rows' ids via materialized row-id columns (r6).
 """
 
 from __future__ import annotations
@@ -176,12 +176,19 @@ def test_variant_column_roundtrip_and_deltapy_refusal(spark, tmp_path):
     _drop_json_at_or_before(loc, cv)
     assert DeltaTable(spark, loc).read().count() == 10
 
-    # deltapy routes variant reads to the JVM scan
-    from delta_lake_validation_spark.sources.pydatasource import _arrow_type
-    from pyspark.sql.types import VariantType as VT
+    # deltapy variant handling (r6): the arrow mapping exists
+    # (value/metadata binary pair, matched by name), but Spark 4.1
+    # annotates its variant files with the parquet VARIANT LogicalType,
+    # which this container's pyarrow 16.1 cannot parse AT THE FOOTER —
+    # the plan-time probe refuses with the real diagnosis instead of an
+    # executor OSError.  The unannotated-file parity test
+    # (tests/test_selfreview_r6.py::test_deltapy_variant_scan_unannotated)
+    # proves the scan end-to-end where pyarrow can open the files.
+    from delta_lake_validation_spark.sources import pydatasource
 
-    with pytest.raises(DeltaProtocolError, match="DeltaTable.read"):
-        _arrow_type(VT())
+    pydatasource.register(spark)
+    with pytest.raises(Exception, match="VARIANT LogicalType"):
+        spark.read.format("deltapy").load(loc).collect()
 
 
 # ------------------------------------------------------------ rowTracking
@@ -225,12 +232,6 @@ def test_row_tracking_assignment_and_preservation(spark, tmp_path):
     )
     assert DeltaTable(spark, loc).read().count() == 18
 
-    # fresh-id rewrites refuse when enabled
-    with pytest.raises(DeltaProtocolError, match="row ids"):
-        DeltaTable(spark, loc).update({"v": "v+1"}, "id = 1")
-    with pytest.raises(DeltaProtocolError, match="row ids"):
-        DeltaTable(spark, loc).optimize()
-
     # ids + high-water mark survive checkpoint replay (both paths)
     cv = write_delta_checkpoint(spark, loc)
     _drop_json_at_or_before(loc, cv)
@@ -249,6 +250,29 @@ def test_row_tracking_assignment_and_preservation(spark, tmp_path):
     assert json.loads(s.domains["delta.rowTracking"])[
         "rowIdHighWaterMark"
     ] == 29
+
+    # rewrites PRESERVE row ids (r6: materialized row-id columns replace
+    # the old refusal): UPDATE keeps ids and bumps the updated rows'
+    # commit version; OPTIMIZE (DV-materializing compaction) keeps BOTH
+    before = {
+        r._row_id: (r.id, r.v, r._row_commit_version)
+        for r in DeltaTable(spark, loc).read_row_ids().collect()
+    }
+    assert len(before) == 28  # ids unique and stable across 28 live rows
+    vu = DeltaTable(spark, loc).update({"v": "v + 1000"}, "id = 1")
+    DeltaTable(spark, loc).optimize()
+    after = {
+        r._row_id: (r.id, r.v, r._row_commit_version)
+        for r in DeltaTable(spark, loc).read_row_ids().collect()
+    }
+    assert set(after) == set(before)
+    for rid, (i, v_, rcv) in after.items():
+        bi, bv, brcv = before[rid]
+        assert i == bi, "row id remapped to a different row"
+        if i == 1:
+            assert v_ == bv + 1000 and rcv == vu
+        else:
+            assert v_ == bv and rcv == brcv
 
 
 def test_row_tracking_supported_not_enabled_allows_dml(spark, tmp_path):

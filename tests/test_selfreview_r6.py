@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 from collections import defaultdict
 
@@ -278,6 +279,358 @@ def _drive_from(reader, cur, n_batches):
         reader.commit(nxt)
         cur = nxt
     return cur, served
+
+
+# ---------------------------------------------------------------------------
+# Row tracking preservation (VERDICT.md r5 items 3+5, ADVICE.md r5 #2):
+# rewrites preserve surviving rows' ids via materialized columns; enabling
+# the property on a non-empty table backfills ids atomically; stats-less
+# adds never get colliding baseRowIds.
+# ---------------------------------------------------------------------------
+
+
+def _rt_rows(spark, loc):
+    from delta_lake_validation_spark.sources.delta_log import DeltaTable
+
+    return {
+        r._row_id: (r.id, r.v, r._row_commit_version)
+        for r in DeltaTable(spark, loc).read_row_ids().collect()
+    }
+
+
+def test_row_tracking_cow_rewrites_preserve_ids(spark, tmp_path):
+    """Copy-on-write path (no deletionVectors): UPDATE, partial-file
+    DELETE, MERGE and OPTIMIZE all keep surviving rows' ids stable."""
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        create_delta,
+    )
+
+    loc = str(tmp_path / "rtcow")
+    create_delta(
+        spark,
+        loc,
+        "id bigint, v bigint",
+        properties={"delta.enableRowTracking": "true"},
+    )
+    DeltaTable(spark, loc).append(
+        spark.range(20).selectExpr("id", "id AS v").coalesce(2)
+    )
+    base = _rt_rows(spark, loc)
+    assert len(base) == 20 and sorted(base) == list(range(20))
+
+    vu = DeltaTable(spark, loc).update({"v": "v + 100"}, "id < 5")
+    after_u = _rt_rows(spark, loc)
+    assert {rid: t[0] for rid, t in after_u.items()} == {
+        rid: t[0] for rid, t in base.items()
+    }
+    for rid, (i, v_, rcv) in after_u.items():
+        if i < 5:
+            assert v_ == base[rid][1] + 100 and rcv == vu
+        else:
+            assert (v_, rcv) == (base[rid][1], base[rid][2])
+
+    DeltaTable(spark, loc).delete("id = 7")  # copy-on-write now allowed
+    after_d = _rt_rows(spark, loc)
+    assert {rid: t[0] for rid, t in after_d.items()} == {
+        rid: t[0] for rid, t in after_u.items() if t[0] != 7
+    }
+    # kept rows in the rewritten file keep their pre-delete commit version
+    assert all(
+        after_d[rid][2] == after_u[rid][2] for rid in after_d
+    )
+
+    src = spark.createDataFrame(
+        [(3, 999), (50, 500)], "id bigint, v bigint"
+    )
+    vm = DeltaTable(spark, loc).merge_upsert(src, ["id"])
+    after_m = _rt_rows(spark, loc)
+    rid3 = next(r for r, t in after_d.items() if t[0] == 3)
+    assert after_m[rid3] == (3, 999, vm)  # id preserved, rcv bumped
+    rid50 = next(r for r, t in after_m.items() if t[0] == 50)
+    assert rid50 > max(after_d)  # inserted row: fresh id above watermark
+    for rid, t in after_d.items():
+        if t[0] != 3:
+            assert after_m[rid] == t  # untouched + kept rows unchanged
+
+    DeltaTable(spark, loc).optimize()
+    assert _rt_rows(spark, loc) == after_m  # compaction changes nothing
+
+
+def test_alter_enable_row_tracking_backfills(spark, tmp_path):
+    """ALTER SET delta.enableRowTracking=true on a non-empty table must
+    not leave pre-existing files id-less: the enable commit re-adds every
+    live file with stamped ids (atomic with the property flip)."""
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        create_delta,
+    )
+
+    loc = str(tmp_path / "rtalter")
+    create_delta(spark, loc, "id bigint, v bigint")
+    DeltaTable(spark, loc).append(
+        spark.range(8).selectExpr("id", "id AS v").coalesce(2)
+    )
+    DeltaTable(spark, loc).alter_properties(
+        {"delta.enableRowTracking": "true"}
+    )
+    snap = DeltaTable(spark, loc).snapshot()
+    assert all(
+        a.get("baseRowId") is not None for a in snap.files.values()
+    ), "backfill must stamp every pre-existing file"
+    assert json.loads(snap.domains["delta.rowTracking"])[
+        "rowIdHighWaterMark"
+    ] == 7
+    rows = _rt_rows(spark, loc)
+    assert sorted(rows) == list(range(8))  # unique, contiguous
+
+
+def test_alter_backfill_counts_stats_less_adds(spark, tmp_path):
+    """An add with no numRecords stats (CONVERT/import shape) is counted
+    from its parquet footer during stamping — never treated as n=0, which
+    would hand the next add the same baseRowId."""
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaProtocolError,
+        DeltaTable,
+        create_delta,
+    )
+
+    loc = str(tmp_path / "rtstatless")
+    create_delta(spark, loc, "id bigint, v bigint")
+    DeltaTable(spark, loc).append(
+        spark.range(6).selectExpr("id", "id AS v").coalesce(2)
+    )
+    # strip stats from every add in the log (simulate a foreign writer)
+    log = os.path.join(loc, "_delta_log")
+    for fn in sorted(os.listdir(log)):
+        if not fn.endswith(".json"):
+            continue
+        path = os.path.join(log, fn)
+        lines = []
+        with open(path) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" in a:
+                    a["add"].pop("stats", None)
+                lines.append(json.dumps(a))
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    DeltaTable(spark, loc).alter_properties(
+        {"delta.enableRowTracking": "true"}
+    )
+    snap = DeltaTable(spark, loc).snapshot()
+    bases = sorted(
+        (a["baseRowId"], json.loads(a["stats"])["numRecords"])
+        for a in snap.files.values()
+    )
+    # footer-counted: contiguous non-overlapping ranges, no collisions
+    assert bases[0][0] == 0 and bases[1][0] == bases[0][1]
+    assert sorted(_rt_rows(spark, loc)) == list(range(6))
+
+    # unreadable stats-less add -> typed refusal, not a silent collision
+    t = DeltaTable(spark, loc)
+    with pytest.raises(DeltaProtocolError, match="numRecords"):
+        t._try_commit(
+            snap.version + 1,
+            [
+                {"add": {"path": "nope-not-there.parquet",
+                         "partitionValues": {}, "size": 1,
+                         "dataChange": True}},
+            ],
+        )
+
+
+def test_deltapy_variant_scan_unannotated(spark, tmp_path):
+    """VERDICT r5 #4: deltapy carries variant columns through arrow (the
+    value/metadata binary pair, matched BY NAME — this file deliberately
+    stores metadata first).  Files without the parquet VARIANT
+    LogicalType annotation (Spark 4.0-era writers) are the case the
+    container's pyarrow can open; annotated files refuse at plan time
+    with a typed diagnosis (pinned in test_delta_features_r5)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from delta_lake_validation_spark.sources import pydatasource
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        create_delta,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        VariantType,
+    )
+
+    loc = str(tmp_path / "varplain")
+    sch = StructType(
+        [StructField("id", LongType()), StructField("v", VariantType())]
+    )
+    create_delta(spark, loc, sch)
+
+    # real variant binaries, harvested from Spark's own encoder
+    src = spark.sql(
+        "SELECT id, parse_json(concat('{\"x\": ', id, '}')) AS v "
+        "FROM range(5)"
+    ).collect()
+    ids = [r.id for r in src]
+    vals = [r.v for r in src]
+    fname = "part-unannotated.parquet"
+    tbl = pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            # metadata FIRST: name-based assembly must not care
+            "v": pa.StructArray.from_arrays(
+                [
+                    pa.array([v.metadata for v in vals], pa.binary()),
+                    pa.array([v.value for v in vals], pa.binary()),
+                ],
+                names=["metadata", "value"],
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(loc, fname))
+    size = os.path.getsize(os.path.join(loc, fname))
+    with open(
+        os.path.join(loc, "_delta_log", f"{1:020d}.json"), "w"
+    ) as f:
+        f.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": fname,
+                        "partitionValues": {},
+                        "size": size,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": len(ids)}),
+                    }
+                }
+            )
+            + "\n"
+        )
+
+    via_jvm = sorted(
+        (r.id, r.j)
+        for r in DeltaTable(spark, loc)
+        .read()
+        .selectExpr("id", "to_json(v) AS j")
+        .collect()
+    )
+    assert via_jvm == [(i, '{"x":%d}' % i) for i in range(5)]
+    pydatasource.register(spark)
+    via_pyds = sorted(
+        (r.id, r.j)
+        for r in spark.read.format("deltapy")
+        .load(loc)
+        .selectExpr("id", "to_json(v) AS j")
+        .collect()
+    )
+    assert via_pyds == via_jvm
+
+
+def test_add_columns_field_id_recurses_nested(spark, tmp_path):
+    """ADVICE r5 #3: the next column-mapping field id must account for
+    ids carried by NESTED struct/array/map fields — a stale maxColumnId
+    plus top-level-only scanning would mint a duplicate id, and in 'id'
+    mode parquet field-id resolution would then serve the wrong column."""
+    from delta_lake_validation_spark.sources.delta_log import DeltaTable
+
+    loc = tmp_path / "nestedids"
+    log = loc / "_delta_log"
+    log.mkdir(parents=True)
+    fields = [
+        {
+            "name": "a",
+            "type": "integer",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-a",
+            },
+        },
+        {
+            "name": "s",
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "inner",
+                        "type": {
+                            "type": "array",
+                            "elementType": {
+                                "type": "struct",
+                                "fields": [
+                                    {
+                                        "name": "deep",
+                                        "type": "long",
+                                        "nullable": True,
+                                        "metadata": {
+                                            "delta.columnMapping.id": 7,
+                                            "delta.columnMapping.physicalName": "col-deep",
+                                        },
+                                    }
+                                ],
+                            },
+                            "containsNull": True,
+                        },
+                        "nullable": True,
+                        "metadata": {
+                            "delta.columnMapping.id": 5,
+                            "delta.columnMapping.physicalName": "col-inner",
+                        },
+                    }
+                ],
+            },
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-s",
+            },
+        },
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "nested",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": [],
+                # stale: the nested 'deep' field carries id 7
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "2",
+                },
+            }
+        },
+    ]
+    with open(log / f"{0:020d}.json", "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    DeltaTable(spark, str(loc)).add_columns("extra string")
+    snap = DeltaTable(spark, str(loc)).snapshot()
+    new_meta = snap.schema["extra"].metadata
+    assert new_meta["delta.columnMapping.id"] == 8  # > nested max 7
+    assert snap.properties["delta.columnMapping.maxColumnId"] == "8"
+
+
+def test_shipping_zip_in_private_dir():
+    """ADVICE r5 #4: the worker-code zip must live in a per-user 0700
+    directory, never at a predictable name in shared world-writable tmp."""
+    import stat
+
+    from delta_lake_validation_spark import shipping
+
+    z = shipping._build_zip()
+    d = os.path.dirname(z)
+    st = os.stat(d)
+    assert st.st_uid == os.getuid()
+    assert not (st.st_mode & 0o022), "cache dir must not be group/world-writable"
+    assert stat.S_ISDIR(st.st_mode)
 
 
 def test_deltapy_restart_with_caps_never_replays(spark, tmp_path):
