@@ -4,8 +4,15 @@
 Runs every registry query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": ...,
-     "retimed": {name: {"in_sequence": s, "isolated": s}, ...}}
+     "queries": {name: sec, ...}, "sf": ..., "calibration_sec": C,
+     "retimed": {name: {"in_sequence": s, "isolated": s}, ...},
+     "adjusted_value": N'}
+`value`/`queries` are ALWAYS the in-sequence measurements (one
+methodology, comparable round-over-round); isolated re-measurements of
+>2x outliers live in `retimed` and only adjust `adjusted_value`.
+`calibration_sec` is a fixed pure-CPU anchor so uniform host-speed
+shifts divide out of cross-round ratios (tools/compare_bench.py
+normalizes by it when both files carry one).
 
 Execution uses the `noop` sink so the full plan runs (scan → compute → all
 rows materialized) without driver-side collection — the same measurement
@@ -124,9 +131,23 @@ def main() -> None:
                 ).mode("overwrite").save()
         spark.catalog.clearCache()
 
+    # fixed calibration anchor: pure-CPU, data-independent, so uniform
+    # host-speed shifts (r5 measured a 1.25× whole-VM drift) divide out of
+    # cross-round ratios instead of reading as query regressions.
+    # min-of-3: the minimum is the closest observable to intrinsic cost.
+    calibration = round(
+        min(_calibration_run(spark) for _ in range(3)), 3
+    )
+
     names = only if only is not None else list(REGISTRY)
     timings = _run_queries(spark, sf_dir, names)
 
+    # The in-sequence numbers are the PRIMARY metric (one methodology,
+    # comparable round-over-round).  Suspected outliers (>2x their prior
+    # round record) are re-measured in a fresh process, and the isolated
+    # numbers land in `retimed` + the substituted-minimum total in
+    # `adjusted_value` — never silently mixed into `queries`/`value`
+    # (ADVICE r5: downstream consumers compare totals).
     retimed: dict[str, dict[str, float]] = {}
     if only is None:
         prior = _prior_round_queries(sf)
@@ -142,9 +163,6 @@ def main() -> None:
                 if iso is None:
                     continue
                 retimed[n] = {"in_sequence": timings[n], "isolated": iso}
-                # report the intrinsic cost; the in_sequence number stays
-                # visible in `retimed` for the regression audit trail
-                timings[n] = min(timings[n], iso)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -153,10 +171,29 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration_sec": calibration,
     }
     if retimed:
         out["retimed"] = retimed
+        out["adjusted_value"] = round(
+            total
+            - sum(
+                r["in_sequence"] - min(r["in_sequence"], r["isolated"])
+                for r in retimed.values()
+            ),
+            3,
+        )
     print(json.dumps(out))
+
+
+def _calibration_run(spark) -> float:
+    """Data-independent CPU anchor: a codegen'd integer pipeline over
+    spark.range — no I/O, no shuffle variance beyond one final agg."""
+    t0 = time.perf_counter()
+    spark.range(0, 80_000_000, 1, 32).selectExpr(
+        "sum(id * 2654435761 % 1000003) AS s"
+    ).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
 
 
 def _isolated_rerun(names: list[str]) -> dict[str, float]:

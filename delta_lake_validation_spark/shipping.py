@@ -13,10 +13,11 @@ built lazily on first use.
 
 The cache file is keyed by a CONTENT hash of the source tree (paths,
 sizes, mtimes), not the driver PID: a PID-keyed name survives process
-exit, so a recycled PID — or another user's file on a shared /tmp —
-would silently ship stale or foreign code to every executor while the
-driver runs the current source.  A content key makes staleness
-impossible and collisions harmless (same key == same bytes to ship).
+exit, so a recycled PID would silently ship stale code to every executor
+while the driver runs the current source.  A content key makes staleness
+impossible.  The file lives in a PER-USER 0700 directory (never a
+predictable name in shared world-writable tmp, where another local user
+could pre-create the path and have their code shipped via addPyFile).
 """
 
 from __future__ import annotations
@@ -40,8 +41,37 @@ def _source_key() -> str:
     return h.hexdigest()[:16]
 
 
+def _cache_dir() -> Path:
+    """Per-user 0700 cache directory.  The zip must never live at a
+    predictable name in a shared world-writable tmp: another local user
+    could pre-create the file and have THEIR code shipped to every
+    executor via addPyFile.  Preference order: XDG cache / ~/.cache,
+    then a uid-suffixed tmp subdir — each verified owned-by-us and
+    non-world-writable, else a fresh private mkdtemp."""
+    candidates = []
+    try:
+        xdg = os.environ.get("XDG_CACHE_HOME")
+        candidates.append(
+            (Path(xdg) if xdg else Path.home() / ".cache") / "dlvs"
+        )
+    except RuntimeError:
+        pass  # no resolvable home
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    candidates.append(Path(tempfile.gettempdir()) / f"dlvs-{uid}")
+    for d in candidates:
+        try:
+            d.mkdir(mode=0o700, parents=True, exist_ok=True)
+            st = d.stat()
+            owned = not hasattr(os, "getuid") or st.st_uid == os.getuid()
+            if owned and not (st.st_mode & 0o022):
+                return d
+        except OSError:
+            continue
+    return Path(tempfile.mkdtemp(prefix="dlvs-"))
+
+
 def _build_zip() -> str:
-    out = Path(tempfile.gettempdir()) / f"dlvs_pkg_{_source_key()}.zip"
+    out = _cache_dir() / f"dlvs_pkg_{_source_key()}.zip"
     if out.exists():
         return str(out)
     tmp = out.with_name(f".{out.name}.{os.getpid()}.tmp")

@@ -145,12 +145,91 @@ def _arrow_type(dt: DataType):
             [(f.name, _arrow_type(f.dataType)) for f in dt.fields]
         )
     if type(dt).__name__ == "VariantType":
-        raise DeltaProtocolError(
-            "deltapy: variant columns have no Python Data Source arrow "
-            "mapping — read variantType tables via DeltaTable.read / "
-            "read_delta (the JVM scan serves them natively)"
+        # Spark's arrow representation of VariantType (pyspark
+        # sql/pandas/types.py to_arrow_type): a struct of the two variant
+        # binaries, with the metadata field tagged so the receiving side
+        # recognizes the struct AS a variant.  Emitting exactly this shape
+        # lets the Python Data Source arrow path carry variant columns —
+        # the physical parquet group (value/metadata) maps by NAME in
+        # _variant_assemble (never positionally; field order varies).
+        return pa.struct(
+            [
+                pa.field("value", pa.binary(), nullable=False),
+                pa.field(
+                    "metadata",
+                    pa.binary(),
+                    nullable=False,
+                    metadata={b"variant": b"true"},
+                ),
+            ]
         )
     raise DeltaProtocolError(f"deltapy: unsupported Spark type {dt}")
+
+
+def _is_variant_target(at) -> bool:
+    """True when ``at`` is the tagged variant struct _arrow_type builds."""
+    import pyarrow as pa
+
+    if not pa.types.is_struct(at) or at.num_fields != 2:
+        return False
+    names = {at.field(i).name for i in range(2)}
+    if names != {"value", "metadata"}:
+        return False
+    meta = at.field(at.get_field_index("metadata")).metadata or {}
+    return meta.get(b"variant") == b"true"
+
+
+def _variant_probe(tbl, snap) -> None:
+    """Plan-time gate for variant tables: pyarrow builds that predate the
+    parquet VARIANT LogicalType (this container ships 16.1) cannot even
+    open footers of files annotated with it (Spark 4.1 writes the
+    annotation), so probe ONE live file up front and refuse with the real
+    diagnosis instead of an executor-side OSError mid-scan.  Unannotated
+    files (Spark 4.0-era writers store the same value/metadata group
+    without the annotation) pass the probe and scan fine through
+    _variant_assemble."""
+    if not any(
+        type(f.dataType).__name__ == "VariantType"
+        for f in snap.schema.fields
+    ) or not snap.files:
+        return
+    import pyarrow.parquet as pq
+
+    rel = next(iter(snap.files))
+    fs, norm = _pa_fs(tbl._abs(rel))
+    try:
+        with fs.open_input_file(norm) as fh:
+            pq.ParquetFile(fh).schema_arrow
+    except OSError as e:
+        if "LogicalType" in str(e):
+            raise DeltaProtocolError(
+                "deltapy: this table's variant files carry the parquet "
+                "VARIANT LogicalType annotation, which the installed "
+                "pyarrow cannot parse (footers fail to open) — read via "
+                "DeltaTable.read / read_delta (the JVM scan serves them "
+                "natively).  Unannotated variant files scan fine."
+            ) from None
+        raise
+
+
+def _variant_assemble(col, at):
+    """Physical variant struct (parquet group value/metadata, any field
+    order) -> the tagged arrow struct, children matched BY NAME."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    children = [
+        col.field("value").cast(pa.binary()),
+        col.field("metadata").cast(pa.binary()),
+    ]
+    mask = pc.is_null(col)
+    return pa.StructArray.from_arrays(
+        children,
+        fields=[at.field(0), at.field(1)],
+        mask=mask if pc.any(mask).as_py() else None,
+    )
 
 
 def _pv_python(raw: str | None, dt: DataType):
@@ -691,6 +770,8 @@ class _ScanExec:
                 if pa.types.is_timestamp(col.type) and col.type.tz:
                     # tz-aware storage -> naive UTC instant
                     col = col.cast(pa.timestamp(col.type.unit, tz=None))
+                if _is_variant_target(at):
+                    col = _variant_assemble(col, at)
                 arrays.append(col.cast(at) if col.type != at else col)
             else:
                 # schema evolution: file predates the column -> nulls
@@ -736,6 +817,7 @@ class DeltaPyBatchReader(DataSourceReader):
         self._snap = tbl.snapshot(version)
         self._tbl = tbl
         self._filters: list[Filter] = []
+        _variant_probe(tbl, self._snap)
         self.exec = _ScanExec(self._snap, cdf=self.cdf)
 
     def pushFilters(self, filters: list[Filter]):
@@ -791,6 +873,7 @@ class DeltaPyStreamReader(DataSourceStreamReader):
         tbl = DeltaTable(None, self.path)
         snap = tbl.snapshot()
         self._schema_json = snap.schema.json()
+        _variant_probe(tbl, snap)
         self.exec = _ScanExec(snap, cdf=self.cdf)
         st = options.get("startingtimestamp")
         sv = str(options.get("startingversion", "0"))

@@ -1,6 +1,11 @@
 """Compare two bench JSON files: per-query deltas, sorted by regression.
 
     python tools/compare_bench.py OLD.json NEW.json [threshold_pct]
+
+When BOTH files carry a ``calibration_sec`` (the fixed pure-CPU anchor
+bench.py times each run), the new file's timings are normalized by the
+calibration ratio first, so a uniform host-speed shift (shared-VM drift)
+divides out of the per-query ratios instead of reading as regressions.
 """
 
 from __future__ import annotations
@@ -10,9 +15,20 @@ import sys
 
 
 def main() -> int:
-    old = json.load(open(sys.argv[1]))["queries"]
-    new = json.load(open(sys.argv[2]))["queries"]
+    old_doc = json.load(open(sys.argv[1]))
+    new_doc = json.load(open(sys.argv[2]))
+    old, new = old_doc["queries"], dict(new_doc["queries"])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 50.0
+    cal_o = old_doc.get("calibration_sec")
+    cal_n = new_doc.get("calibration_sec")
+    scale = 1.0
+    if cal_o and cal_n:
+        scale = cal_o / cal_n  # >1: new host slower -> scale timings down
+        print(
+            f"  calibration {cal_o}s -> {cal_n}s: normalizing new timings "
+            f"by x{scale:.3f}"
+        )
+        new = {k: v * scale for k, v in new.items()}
     rows = []
     for name in sorted(set(old) | set(new)):
         o, n = old.get(name), new.get(name)
@@ -26,7 +42,9 @@ def main() -> int:
         flag = " <-- REGRESSION" if isinstance(pct, float) and pct > threshold and o and n and n > 1.0 else ""
         if flag:
             regressions += 1
-        print(f"  {name:30s} {str(o):>8s} -> {str(n):>8s}  {label}{flag}")
+        o_txt = f"{o:.3f}" if isinstance(o, float) else str(o)
+        n_txt = f"{n:.3f}" if isinstance(n, float) else str(n)
+        print(f"  {name:30s} {o_txt:>8s} -> {n_txt:>8s}  {label}{flag}")
     print(f"\n{regressions} regressions over {threshold:.0f}% (and >1s)")
     return 1 if regressions else 0
 
