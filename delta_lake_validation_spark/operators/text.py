@@ -123,3 +123,72 @@ def chunk_documents_udtf(
         "SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk_text "
         "FROM _chunk_docs_in d, LATERAL chunk_docs(d.text) c"
     )
+
+
+# --------------------------------------------------------------------- BPE
+#: Fixture merges table, GPT-2 SHAPE (ranked adjacent-pair merges over
+#: word-internal characters; lowest rank merges first).  The real GPT-2
+#: table is 50k learned byte-level merges; this deterministic 24-entry
+#: vocabulary exercises the identical encoder semantics and is small
+#: enough for a DuckDB recursive-CTE oracle to replay bit-for-bit.
+#: Well-formed: a compound token (th, an, in) only appears on the left of
+#: a merge AFTER the merge that creates it, as learned BPE tables
+#: guarantee by construction.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"), ("in", "g"), ("o", "u"), ("i", "s"),
+    ("a", "l"), ("e", "d"), ("s", "t"), ("a", "r"), ("t", "o"),
+    ("i", "t"), ("c", "h"), ("l", "e"), ("s", "e"),
+]
+
+_BPE_RANK = {pair: r for r, pair in enumerate(BPE_MERGES, start=1)}
+
+
+def bpe_encode_len(word: str) -> int:
+    """Final token count of ``word`` under :data:`BPE_MERGES` — the
+    standard greedy encoder: repeatedly merge the LEFTMOST occurrence of
+    the LOWEST-RANK adjacent pair until none applies.  (Merging one
+    occurrence at a time is equivalent to GPT-2's merge-all-occurrences
+    loop: no merge can introduce a pair of lower rank than the one just
+    applied, because a learned table only ranks a pair after both its
+    halves exist.)"""
+    toks = list(word)
+    while True:
+        best = None
+        for i in range(len(toks) - 1):
+            r = _BPE_RANK.get((toks[i], toks[i + 1]))
+            if r is not None and (best is None or (r, i) < best):
+                best = (r, i)
+        if best is None:
+            return len(toks)
+        _, i = best
+        toks[i : i + 2] = [toks[i] + toks[i + 1]]
+
+
+def bpe_len_udf():
+    """Arrow-batched pandas UDF: word -> BPE token count.  Runs over the
+    corpus VOCABULARY (distinct words), never the token stream — callers
+    join the counts back by word — and memoizes per worker process, so a
+    Zipf-shaped vocabulary pays for each distinct word once."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cache: dict[str, int] = {}
+
+    def _enc(words):
+        from delta_lake_validation_spark.operators.text import (
+            bpe_encode_len,
+        )
+
+        out = []
+        for w in words:
+            n = cache.get(w)
+            if n is None:
+                n = bpe_encode_len(w)
+                cache[w] = n
+            out.append(n)
+        return pd.Series(out, dtype="int64")
+
+    _enc.__annotations__ = {"words": pd.Series, "return": pd.Series}
+    return pandas_udf(_enc, "long")

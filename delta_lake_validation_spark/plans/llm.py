@@ -1167,6 +1167,106 @@ def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TRUE merges-table BPE token counting — the real token-budget currency
+# (token_counts_bpe above is the regex PRE-tokenizer; actual budgets shift
+# with the merge table).  Encoder: greedy lowest-rank/leftmost merge loop
+# over word-internal characters, 24-merge fixture vocabulary
+# (operators/text.py BPE_MERGES), replayed bit-for-bit by a DuckDB
+# recursive-CTE oracle.
+# At 100 TB: the Python encoder runs over the corpus VOCABULARY (distinct
+# words — Zipf-bounded, memoized per worker), NEVER the token stream; the
+# per-doc rollup shuffles pre-aggregated (doc_id, word, k) counts and the
+# join back on word is count-side-single-row, so AQE skew-splits hot words.
+# ---------------------------------------------------------------------------
+def _bpe_merges_values() -> str:
+    from delta_lake_validation_spark.operators.text import BPE_MERGES
+
+    return ", ".join(
+        f"({r}, '{a}', '{b}')"
+        for r, (a, b) in enumerate(BPE_MERGES, start=1)
+    )
+
+
+@register(
+    "token_counts_bpe_merges",
+    oracle=r"""
+    WITH RECURSIVE merges(rank, p1, p2) AS (
+      SELECT * FROM (VALUES """ + _bpe_merges_values() + r""") v
+    ),
+    words AS (
+      SELECT doc_id, u.word
+      FROM documents,
+           UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS u(word)
+    ),
+    per_doc_word AS (
+      SELECT doc_id, word, count(*) AS k
+      FROM words GROUP BY doc_id, word
+    ),
+    vocab AS (SELECT DISTINCT word FROM words),
+    enc AS (
+      SELECT word, string_split(word, '') AS toks FROM vocab
+      UNION ALL
+      SELECT word,
+             list_concat(list_concat(
+               toks[1 : CAST(bp.i AS INT)],
+               [toks[CAST(bp.i AS INT) + 1] || toks[CAST(bp.i AS INT) + 2]]),
+               toks[CAST(bp.i AS INT) + 3 : len(toks)]) AS toks
+      FROM (
+        SELECT word, toks,
+               (SELECT min(struct_pack(r := m.rank, i := u.i))
+                FROM merges m, UNNEST(range(len(toks) - 1)) AS u(i)
+                WHERE toks[CAST(u.i AS INT) + 1] = m.p1
+                  AND toks[CAST(u.i AS INT) + 2] = m.p2) AS bp
+        FROM enc) s
+      WHERE bp IS NOT NULL
+    ),
+    final AS (
+      SELECT word, len(toks) AS n_toks FROM (
+        SELECT word, toks,
+               (SELECT min(struct_pack(r := m.rank, i := u.i))
+                FROM merges m, UNNEST(range(len(toks) - 1)) AS u(i)
+                WHERE toks[CAST(u.i AS INT) + 1] = m.p1
+                  AND toks[CAST(u.i AS INT) + 2] = m.p2) AS bp
+        FROM enc) WHERE bp IS NULL
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.k) AS BIGINT) AS n_words,
+           CAST(sum(d.k * f.n_toks) AS BIGINT) AS n_bpe_tokens
+    FROM per_doc_word d JOIN final f USING (word)
+    GROUP BY d.doc_id
+    """,
+    tags=("text", "llm", "tokenize"),
+    doc="true merges-table BPE token counts (greedy lowest-rank/leftmost "
+    "encoder over a fixture merge table), encoded over the vocabulary and "
+    "joined back — the real token-budget currency vs the regex "
+    "pre-tokenizer",
+)
+def token_counts_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.text import bpe_len_udf
+
+    docs = Tables(spark, sf_dir).documents
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    per_doc_word = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    vocab = words.select("word").distinct()
+    enc = vocab.withColumn("n_toks", bpe_len_udf()(F.col("word")))
+    return (
+        per_doc_word.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_words"),
+            F.sum(F.col("k") * F.col("n_toks")).alias("n_bpe_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition detection (Gopher-style quality rule): fraction of duplicate
 # word trigrams within each document.  Heavily repeated boilerplate scores
 # high and gets filtered before training.  Pure Catalyst: posexplode +
