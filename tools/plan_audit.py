@@ -211,6 +211,15 @@ CUSTOM: dict[str, object] = {
            != p.count("windowspecdefinition(doc_id") else [])
         + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
     ),
+    # merges-table BPE: the Arrow-batched encoder must sit on the DISTINCT
+    # word set (vocabulary), joined back by word — a cartesian or a
+    # Python stage on the exploded token stream is a regression
+    "token_counts_bpe_merges": lambda p: (
+        (["no ArrowEvalPython (pandas UDF) stage"]
+         if "ArrowEvalPython" not in p else [])
+        + (["no HashAggregate"] if "HashAggregate" not in p else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+    ),
     # mask-pair blocking: equi join on (nation, mask, masked-name) keys;
     # cartesian/BNLJ means the blocking-key equality was lost and the plan
     # is quadratic
