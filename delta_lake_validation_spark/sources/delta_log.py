@@ -1740,6 +1740,20 @@ class DeltaTable:
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
+        missing = [
+            p for p, a in snap.files.items() if a.get("baseRowId") is None
+        ]
+        if missing:
+            # a foreign writer flipped enableRowTracking without
+            # stamping: serving null ids (or silently re-assigning them
+            # on rewrite) would paper over the broken invariant
+            raise DeltaProtocolError(
+                f"row tracking is enabled but {len(missing)} live file(s) "
+                f"lack baseRowId (e.g. {missing[0]!r}) — the table "
+                "violates the row-tracking invariant; backfill ids "
+                "(ALTER SET delta.enableRowTracking after unsetting, "
+                "which re-stamps) before reading or rewriting row ids"
+            )
         base_map = {
             strip_scheme(self._abs(p)): (
                 a.get("baseRowId"),

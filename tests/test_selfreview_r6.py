@@ -686,6 +686,65 @@ def test_shipping_zip_in_private_dir():
     assert stat.S_ISDIR(st.st_mode)
 
 
+def test_row_tracking_unstamped_foreign_table_refuses(spark, tmp_path):
+    """A foreign writer that flipped enableRowTracking without stamping
+    left a broken invariant: row-id reads and rewrites must refuse typed
+    rather than serve null ids or silently re-assign them."""
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaProtocolError,
+        DeltaTable,
+        create_delta,
+    )
+
+    loc = str(tmp_path / "rtforeign")
+    create_delta(spark, loc, "id bigint, v bigint")
+    DeltaTable(spark, loc).append(
+        spark.range(4).selectExpr("id", "id AS v").coalesce(1)
+    )
+    # foreign-style enable: property + protocol flipped by hand, no
+    # backfill, existing add left unstamped
+    log = os.path.join(loc, "_delta_log")
+    snap = DeltaTable(spark, loc).snapshot()
+    with open(os.path.join(log, f"{snap.version + 1:020d}.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": [
+                            "domainMetadata",
+                            "rowTracking",
+                        ],
+                    }
+                }
+            )
+            + "\n"
+            + json.dumps(
+                {
+                    "metaData": {
+                        "id": snap.metadata_id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": json.dumps(
+                            snap.schema.jsonValue()
+                        ),
+                        "partitionColumns": [],
+                        "configuration": {
+                            "delta.enableRowTracking": "true"
+                        },
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(DeltaProtocolError, match="lack baseRowId"):
+        DeltaTable(spark, loc).read_row_ids().collect()
+    with pytest.raises(DeltaProtocolError, match="lack baseRowId"):
+        DeltaTable(spark, loc).update({"v": "v + 1"}, "id = 1")
+    # plain reads (no row-id semantics) still work
+    assert DeltaTable(spark, loc).read().count() == 4
+
+
 def test_deltapy_restart_with_caps_never_replays(spark, tmp_path):
     from delta_lake_validation_spark.sources.delta_log import (
         DeltaTable,
