@@ -1254,7 +1254,9 @@ def token_counts_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc_word = words.groupBy("doc_id", "word").agg(
         F.count(F.lit(1)).alias("k")
     )
-    vocab = words.select("word").distinct()
+    # vocabulary derives from the already-aggregated (doc, word) counts —
+    # never a second corpus scan + explode
+    vocab = per_doc_word.select("word").distinct()
     enc = vocab.withColumn("n_toks", bpe_len_udf()(F.col("word")))
     return (
         per_doc_word.join(enc, "word")
@@ -2001,8 +2003,11 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbg = bg.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("k")
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c2/c1 ROLL UP from dbg (counts are additive) instead of
+    # re-aggregating the raw bigram stream: one corpus scan + explode
+    # feeds all three count tables, not three
+    c2 = dbg.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored = (
         dbg.join(c2, ["w1", "w2"])
         .join(c1, "w1")
@@ -2333,6 +2338,28 @@ _KEPT_TOKENS_EXPR = (
 )
 
 
+def _spans_and_toks(spark: SparkSession, sf_dir: str):
+    """Shared input pair for the cleaned-corpus builders: per-doc SORTED
+    duplicate spans (``sp`` struct array) and the span pass's exact
+    tokenization (``t``)."""
+    spans = dup_ngram_spans(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            )
+        ).alias("sp")
+    )
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    )
+    return per_doc, toks
+
+
 # ---------------------------------------------------------------------------
 # Cleaned-corpus materialization — the production half of span removal:
 # actually cut the duplicated token ranges and emit the cleaned text (here
@@ -2403,21 +2430,7 @@ _KEPT_TOKENS_EXPR = (
     "cleaned text by digest",
 )
 def dup_span_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spans = dup_ngram_spans(spark, sf_dir)
-    per_doc = spans.groupBy("doc_id").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("span_start").alias("s"),
-                    F.col("span_end").alias("e"),
-                )
-            )
-        ).alias("sp")
-    )
-    docs = Tables(spark, sf_dir).documents
-    toks = docs.select(
-        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
-    )
+    per_doc, toks = _spans_and_toks(spark, sf_dir)
     return (
         toks.join(per_doc, "doc_id")
         .withColumn("kept", F.expr(_KEPT_TOKENS_EXPR))
@@ -2437,21 +2450,7 @@ def cleaned_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     its ACID table; tests/test_dedup_ops.py round-trips it through a
     table write.
     """
-    spans = dup_ngram_spans(spark, sf_dir)
-    per_doc = spans.groupBy("doc_id").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("span_start").alias("s"),
-                    F.col("span_end").alias("e"),
-                )
-            )
-        ).alias("sp")
-    )
-    docs = Tables(spark, sf_dir).documents
-    toks = docs.select(
-        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
-    )
+    per_doc, toks = _spans_and_toks(spark, sf_dir)
     return (
         toks.join(per_doc, "doc_id", "left")
         .withColumn(

@@ -157,7 +157,13 @@ class AcidPyStreamReader(DataSourceStreamReader):
         # an offset BELOW the checkpointed end — Spark then records the
         # lower offset and later triggers would re-serve already-delivered
         # versions.  The floor makes both pacing and serving monotone.
-        self._floor = self._start
+        # It starts at -1 (below every version), NEVER at the
+        # option-derived start: startingVersion='latest'/'startingTimestamp'
+        # re-resolve LIVE at restart, so a floor seeded from them could
+        # exceed the checkpointed range and silently skip the replayed
+        # versions (fresh starts don't need the seed — Spark's first
+        # partitions() start IS initialOffset, which becomes the floor).
+        self._floor = -1
 
     def initialOffset(self) -> dict:
         return {"version": self._start}

@@ -1623,13 +1623,20 @@ class DeltaTable:
                 continue
             st = ad.get("stats")
             n = None
+            parsed: dict = {}
             try:
                 parsed = json.loads(st) if isinstance(st, str) else (st or {})
+                if not isinstance(parsed, dict):
+                    raise ValueError("stats is not a JSON object")
                 raw = parsed.get("numRecords")
                 if raw is not None:
                     n = int(raw)
             except (TypeError, ValueError):
-                n = None
+                # malformed stats: fall through to the footer count with
+                # EMPTY parsed stats — carrying a previous add's parsed
+                # dict here would stamp another file's min/max into this
+                # add (data-skipping corruption)
+                n, parsed = None, {}
             ad = dict(ad)
             if n is None:
                 # Stats-less add (CONVERT/import paths): treating it as
@@ -2566,12 +2573,22 @@ class DeltaTable:
             if self._dv_enabled(snap):
                 actions += self._dv_mask_actions(snap, per_file, ts)
             else:
+                rt_cols = None
+                if self._rt_enabled(snap):
+                    # replaceWhere keep rows are SURVIVING rows: preserve
+                    # their ids/commit versions like the DELETE rewrite
+                    rid_c, rcv_c, extra = self._rt_ensure_mat_cols(snap)
+                    rt_cols = (rid_c, rcv_c)
+                    actions += extra
                 keep = (
                     live.filter(F.col("__fp").isin(touched_fps))
                     .filter(~F.coalesce(cond, F.lit(False)))
                     .drop("__fp", "__ri")
                 )
-                actions += [{"add": a} for a in self._stage_files(keep, snap)]
+                actions += [
+                    {"add": a}
+                    for a in self._stage_files(keep, snap, rt_cols)
+                ]
                 actions += self._remove_actions(snap, list(per_file), ts)
         v = snap.version + 1
         if not self._try_commit(v, actions):

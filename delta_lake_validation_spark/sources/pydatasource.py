@@ -674,7 +674,23 @@ class _ScanExec:
         for fsl in files:
             fs, norm = _pa_fs(fsl.path)
             with fs.open_input_file(norm) as fh:
-                pf = pq.ParquetFile(fh)
+                try:
+                    pf = pq.ParquetFile(fh)
+                except OSError as e:
+                    if "LogicalType" in str(e):
+                        # a file the plan-time _variant_probe did not see
+                        # (mixed-writer table, or added after the stream
+                        # started) carries the parquet VARIANT annotation
+                        # this pyarrow predates — same diagnosis, not a
+                        # bare executor OSError
+                        raise DeltaProtocolError(
+                            f"deltapy: {fsl.path} carries a parquet "
+                            "LogicalType the installed pyarrow cannot "
+                            "parse (VARIANT annotation) — read via "
+                            "DeltaTable.read / read_delta (the JVM scan "
+                            "serves it natively)"
+                        ) from None
+                    raise
                 self._verify_ids(pf.schema_arrow, fsl.path)
                 present = [
                     c for c in self.data_phys if c in pf.schema_arrow.names
@@ -905,7 +921,11 @@ class DeltaPyStreamReader(DataSourceStreamReader):
         # pacing from the option-derived cursor would return an offset
         # BELOW the checkpointed end, Spark would record the lower offset,
         # and later triggers would re-serve already-delivered versions.
-        self._floor = self._start
+        # Starts at -1 (below every version), NEVER at the option-derived
+        # start: startingVersion='latest'/startingTimestamp re-resolve
+        # LIVE at restart, so a floor seeded from them could exceed the
+        # checkpointed range and silently skip the replayed versions.
+        self._floor = -1
 
     def initialOffset(self) -> dict:
         return {"version": self._start}

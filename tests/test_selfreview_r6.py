@@ -745,6 +745,84 @@ def test_row_tracking_unstamped_foreign_table_refuses(spark, tmp_path):
     assert DeltaTable(spark, loc).read().count() == 4
 
 
+def test_acidpy_latest_start_restart_loses_nothing(spark, tmp_path):
+    """startingVersion='latest' re-resolves LIVE at restart: a fresh
+    reader's floor must NOT be seeded from it, or the replayed range
+    below the new 'latest' would be silently skipped (data loss)."""
+    from delta_lake_validation_spark.sources.acid import AcidTable
+    from delta_lake_validation_spark.sources.acid.pystream import (
+        AcidPyStreamReader,
+    )
+
+    loc = os.path.join(str(tmp_path), "lateststart")
+    t = AcidTable.create(spark, loc, "id INT, v INT")
+    for i in range(3):  # versions 1..3
+        t.append(spark.createDataFrame([(i, i)], "id INT, v INT").coalesce(1))
+
+    opts = {"path": loc, "startingversion": "latest",
+            "maxfilespertrigger": "1"}
+    r1 = AcidPyStreamReader(dict(opts))
+    assert r1.initialOffset() == {"version": 3}
+    for i in range(3, 8):  # versions 4..8 arrive while subscribed
+        t.append(spark.createDataFrame([(i, i)], "id INT, v INT").coalesce(1))
+    cur, served1 = _drive(r1, 1)  # one batch: version 4
+    assert cur["version"] == 4 and len(served1) == 1
+
+    # crash + restart: 'latest' now resolves to 8, but the checkpointed
+    # start is 4 — the replanned range (4, x] must serve 5..x in full
+    r2 = AcidPyStreamReader(dict(opts))
+    nxt = r2.latestOffset()
+    parts = r2.partitions(cur, nxt)
+    served = {f.path for p in parts for f in p.files}
+    lo, hi = cur["version"], nxt["version"]
+    assert hi > lo and len(served) == hi - lo, (
+        f"restart range ({lo},{hi}] must serve every version in it"
+    )
+    r2.commit(nxt)
+    # drive to the end: everything after version 4 arrives exactly once
+    _, served2 = _drive_from(r2, nxt, 10)
+    all_paths = [p for s in [served] + served2 for p in s]
+    assert len(all_paths) == len(set(all_paths)) == 4  # versions 5..8
+
+
+def test_deltapy_latest_start_restart_loses_nothing(spark, tmp_path):
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        create_delta,
+    )
+    from delta_lake_validation_spark.sources.pydatasource import (
+        DeltaPyStreamReader,
+    )
+
+    loc = os.path.join(str(tmp_path), "dlateststart")
+    create_delta(spark, loc, "id bigint, v bigint")
+    for i in range(3):  # versions 1..3
+        DeltaTable(spark, loc).append(
+            spark.createDataFrame([(i, i)], "id bigint, v bigint").coalesce(1)
+        )
+    opts = {"path": loc, "startingversion": "latest",
+            "maxfilespertrigger": "1"}
+    r1 = DeltaPyStreamReader(dict(opts))
+    assert r1.initialOffset() == {"version": 3}
+    for i in range(3, 8):  # versions 4..8
+        DeltaTable(spark, loc).append(
+            spark.createDataFrame([(i, i)], "id bigint, v bigint").coalesce(1)
+        )
+    cur, served1 = _drive(r1, 1)
+    assert cur["version"] == 4 and len(served1) == 1
+
+    r2 = DeltaPyStreamReader(dict(opts))
+    nxt = r2.latestOffset()
+    parts = r2.partitions(cur, nxt)
+    served = {f.path for p in parts for f in p.files}
+    lo, hi = cur["version"], nxt["version"]
+    assert hi > lo and len(served) == hi - lo
+    r2.commit(nxt)
+    _, served2 = _drive_from(r2, nxt, 10)
+    all_paths = [p for s in [served] + served2 for p in s]
+    assert len(all_paths) == len(set(all_paths)) == 4
+
+
 def test_deltapy_restart_with_caps_never_replays(spark, tmp_path):
     from delta_lake_validation_spark.sources.delta_log import (
         DeltaTable,

@@ -23,7 +23,9 @@ def main() -> int:
     cal_n = new_doc.get("calibration_sec")
     scale = 1.0
     if cal_o and cal_n:
-        scale = cal_o / cal_n  # >1: new host slower -> scale timings down
+        # a slower new host gives cal_n > cal_o, so scale < 1 and the new
+        # timings shrink toward what the old host would have measured
+        scale = cal_o / cal_n
         print(
             f"  calibration {cal_o}s -> {cal_n}s: normalizing new timings "
             f"by x{scale:.3f}"
