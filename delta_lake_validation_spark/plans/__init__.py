@@ -131,6 +131,7 @@ _TIER_BY_NAME = {
     # round-6 families: same past-the-cap policy
     "dup_span_cleaned": _reg.TIER_NEWFAM,
     "token_counts_bpe_merges": _reg.TIER_NEWFAM,
+    "bpe_fertility_by_lang": _reg.TIER_NEWFAM,
 }
 
 for _name, _spec in list(REGISTRY.items()):

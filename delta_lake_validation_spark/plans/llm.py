@@ -1269,6 +1269,101 @@ def token_counts_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Tokenizer fertility by language — the standard multilingual-tokenizer
+# health metric (tokens per word; a vocabulary trained on one language
+# fragments the others, inflating their training cost).  Same plan shape
+# as token_counts_bpe_merges with the rollup keyed by lang; the fertility
+# ratio is integer-exact (parts-per-thousand, floor-half-up) so both
+# engines agree to the bit.
+# ---------------------------------------------------------------------------
+@register(
+    "bpe_fertility_by_lang",
+    oracle=r"""
+    WITH RECURSIVE merges(rank, p1, p2) AS (
+      SELECT * FROM (VALUES """ + _bpe_merges_values() + r""") v
+    ),
+    words AS (
+      SELECT doc_id, lang, u.word
+      FROM documents,
+           UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS u(word)
+    ),
+    per_lang_word AS (
+      SELECT lang, word, count(*) AS k
+      FROM words GROUP BY lang, word
+    ),
+    vocab AS (SELECT DISTINCT word FROM per_lang_word),
+    enc AS (
+      SELECT word, string_split(word, '') AS toks FROM vocab
+      UNION ALL
+      SELECT word,
+             list_concat(list_concat(
+               toks[1 : CAST(bp.i AS INT)],
+               [toks[CAST(bp.i AS INT) + 1] || toks[CAST(bp.i AS INT) + 2]]),
+               toks[CAST(bp.i AS INT) + 3 : len(toks)]) AS toks
+      FROM (
+        SELECT word, toks,
+               (SELECT min(struct_pack(r := m.rank, i := u.i))
+                FROM merges m, UNNEST(range(len(toks) - 1)) AS u(i)
+                WHERE toks[CAST(u.i AS INT) + 1] = m.p1
+                  AND toks[CAST(u.i AS INT) + 2] = m.p2) AS bp
+        FROM enc) s
+      WHERE bp IS NOT NULL
+    ),
+    final AS (
+      SELECT word, len(toks) AS n_toks FROM (
+        SELECT word, toks,
+               (SELECT min(struct_pack(r := m.rank, i := u.i))
+                FROM merges m, UNNEST(range(len(toks) - 1)) AS u(i)
+                WHERE toks[CAST(u.i AS INT) + 1] = m.p1
+                  AND toks[CAST(u.i AS INT) + 2] = m.p2) AS bp
+        FROM enc) WHERE bp IS NULL
+    )
+    SELECT d.lang,
+           CAST(sum(d.k) AS BIGINT) AS n_words,
+           CAST(sum(d.k * f.n_toks) AS BIGINT) AS n_bpe_tokens,
+           CAST((sum(d.k * f.n_toks) * 2000 + sum(d.k))
+                // (sum(d.k) * 2) AS BIGINT) AS fertility_permille
+    FROM per_lang_word d JOIN final f USING (word)
+    GROUP BY d.lang
+    """,
+    tags=("text", "llm", "tokenize", "multilingual"),
+    doc="tokenizer fertility (BPE tokens per word, permille) by language "
+    "— the multilingual tokenizer-health metric, over the merges-table "
+    "encoder",
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.text import bpe_len_udf
+
+    docs = Tables(spark, sf_dir).documents
+    words = docs.select(
+        "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    per_lang_word = words.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    vocab = per_lang_word.select("word").distinct()
+    enc = vocab.withColumn("n_toks", bpe_len_udf()(F.col("word")))
+    toks = F.sum(F.col("k") * F.col("n_toks"))
+    # exact integer half-up (NOTES.md rounding discipline): never a float
+    # ratio + 0.5, whose ties drift between engines
+    return (
+        per_lang_word.join(enc, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("k").alias("n_words"),
+            toks.alias("n_bpe_tokens"),
+            F.expr(
+                "CAST((sum(k * n_toks) * 2000 + sum(k)) div (sum(k) * 2) "
+                "AS BIGINT)"
+            ).alias("fertility_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition detection (Gopher-style quality rule): fraction of duplicate
 # word trigrams within each document.  Heavily repeated boilerplate scores
 # high and gets filtered before training.  Pure Catalyst: posexplode +
