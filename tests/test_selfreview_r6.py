@@ -686,6 +686,62 @@ def test_shipping_zip_in_private_dir():
     assert stat.S_ISDIR(st.st_mode)
 
 
+def test_row_tracking_rewrite_checkpoint_deltapy_restore(spark, tmp_path):
+    """Preserved ids survive the full surface: UPDATE rewrite -> classic
+    checkpoint (materialized-column configs + stamped adds replayed
+    sparkless) -> deltapy scan ignores the extra physical columns ->
+    RESTORE returns the pre-update ids verbatim."""
+    from delta_lake_validation_spark.sources import pydatasource
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        create_delta,
+        write_delta_checkpoint,
+    )
+
+    loc = str(tmp_path / "rtfull")
+    create_delta(
+        spark,
+        loc,
+        "id bigint, v bigint",
+        properties={"delta.enableRowTracking": "true"},
+    )
+    DeltaTable(spark, loc).append(
+        spark.range(10).selectExpr("id", "id AS v").coalesce(2)
+    )
+    before = _rt_rows(spark, loc)
+    pre_update_version = DeltaTable(spark, loc).snapshot().version
+    vu = DeltaTable(spark, loc).update({"v": "v + 5"}, "id >= 5")
+    after = _rt_rows(spark, loc)
+    assert {r: t[0] for r, t in after.items()} == {
+        r: t[0] for r, t in before.items()
+    }
+
+    # checkpoint: mat-col configs live in properties, stamped adds in the
+    # checkpoint rows — a sparkless handle must replay both
+    write_delta_checkpoint(spark, loc)
+    snap = DeltaTable(None, loc).snapshot()
+    assert snap.properties.get(
+        "delta.rowTracking.materializedRowIdColumnName"
+    )
+    assert all(a.get("baseRowId") is not None for a in snap.files.values())
+
+    # deltapy scan: the extra physical columns never leak into results
+    pydatasource.register(spark)
+    got = sorted(
+        (r.id, r.v)
+        for r in spark.read.format("deltapy").load(loc).collect()
+    )
+    assert got == sorted((t[0], t[1]) for t in after.values())
+    assert set(
+        spark.read.format("deltapy").load(loc).columns
+    ) == {"id", "v"}
+
+    # RESTORE: the pre-update files come back with their original ids
+    DeltaTable(spark, loc).restore(pre_update_version)
+    assert _rt_rows(spark, loc) == before
+    assert vu > pre_update_version  # sanity: restore really went back
+
+
 def test_row_tracking_unstamped_foreign_table_refuses(spark, tmp_path):
     """A foreign writer that flipped enableRowTracking without stamping
     left a broken invariant: row-id reads and rewrites must refuse typed
