@@ -1187,22 +1187,11 @@ def _bpe_merges_values() -> str:
     )
 
 
-@register(
-    "token_counts_bpe_merges",
-    oracle=r"""
-    WITH RECURSIVE merges(rank, p1, p2) AS (
-      SELECT * FROM (VALUES """ + _bpe_merges_values() + r""") v
-    ),
-    words AS (
-      SELECT doc_id, u.word
-      FROM documents,
-           UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS u(word)
-    ),
-    per_doc_word AS (
-      SELECT doc_id, word, count(*) AS k
-      FROM words GROUP BY doc_id, word
-    ),
-    vocab AS (SELECT DISTINCT word FROM words),
+#: Shared DuckDB encoder block (expects a ``vocab(word)`` CTE upstream,
+#: yields ``final(word, n_toks)``) — ONE copy of the greedy
+#: lowest-rank/leftmost merge loop, so the per-doc and per-lang queries
+#: can never diverge on encoder semantics.
+_BPE_ENCODER_CTES = r"""
     enc AS (
       SELECT word, string_split(word, '') AS toks FROM vocab
       UNION ALL
@@ -1228,7 +1217,46 @@ def _bpe_merges_values() -> str:
                 WHERE toks[CAST(u.i AS INT) + 1] = m.p1
                   AND toks[CAST(u.i AS INT) + 2] = m.p2) AS bp
         FROM enc) WHERE bp IS NULL
+    )"""
+
+
+def _bpe_word_counts(docs: DataFrame, key_col: str) -> DataFrame:
+    """Shared Spark half: (key_col, word, k, n_toks) — per-key word
+    multiplicities joined to vocabulary-side encoder counts (the encoder
+    UDF runs over DISTINCT words only, never the token stream)."""
+    from delta_lake_validation_spark.operators.text import bpe_len_udf
+
+    words = docs.select(
+        key_col,
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word"),
     )
+    per_key = words.groupBy(key_col, "word").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    vocab = per_key.select("word").distinct()
+    enc = vocab.withColumn("n_toks", bpe_len_udf()(F.col("word")))
+    return per_key.join(enc, "word")
+
+
+@register(
+    "token_counts_bpe_merges",
+    oracle=r"""
+    WITH RECURSIVE merges(rank, p1, p2) AS (
+      SELECT * FROM (VALUES """ + _bpe_merges_values() + r""") v
+    ),
+    words AS (
+      SELECT doc_id, u.word
+      FROM documents,
+           UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS u(word)
+    ),
+    per_doc_word AS (
+      SELECT doc_id, word, count(*) AS k
+      FROM words GROUP BY doc_id, word
+    ),
+    vocab AS (SELECT DISTINCT word FROM per_doc_word),"""
+    + _BPE_ENCODER_CTES + r"""
     SELECT d.doc_id,
            CAST(sum(d.k) AS BIGINT) AS n_words,
            CAST(sum(d.k * f.n_toks) AS BIGINT) AS n_bpe_tokens
@@ -1242,24 +1270,9 @@ def _bpe_merges_values() -> str:
     "pre-tokenizer",
 )
 def token_counts_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_validation_spark.operators.text import bpe_len_udf
-
     docs = Tables(spark, sf_dir).documents
-    words = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-        ).alias("word"),
-    )
-    per_doc_word = words.groupBy("doc_id", "word").agg(
-        F.count(F.lit(1)).alias("k")
-    )
-    # vocabulary derives from the already-aggregated (doc, word) counts —
-    # never a second corpus scan + explode
-    vocab = per_doc_word.select("word").distinct()
-    enc = vocab.withColumn("n_toks", bpe_len_udf()(F.col("word")))
     return (
-        per_doc_word.join(enc, "word")
+        _bpe_word_counts(docs, "doc_id")
         .groupBy("doc_id")
         .agg(
             F.sum("k").alias("n_words"),
@@ -1283,7 +1296,7 @@ def token_counts_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM (VALUES """ + _bpe_merges_values() + r""") v
     ),
     words AS (
-      SELECT doc_id, lang, u.word
+      SELECT lang, u.word
       FROM documents,
            UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS u(word)
     ),
@@ -1291,33 +1304,8 @@ def token_counts_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, word, count(*) AS k
       FROM words GROUP BY lang, word
     ),
-    vocab AS (SELECT DISTINCT word FROM per_lang_word),
-    enc AS (
-      SELECT word, string_split(word, '') AS toks FROM vocab
-      UNION ALL
-      SELECT word,
-             list_concat(list_concat(
-               toks[1 : CAST(bp.i AS INT)],
-               [toks[CAST(bp.i AS INT) + 1] || toks[CAST(bp.i AS INT) + 2]]),
-               toks[CAST(bp.i AS INT) + 3 : len(toks)]) AS toks
-      FROM (
-        SELECT word, toks,
-               (SELECT min(struct_pack(r := m.rank, i := u.i))
-                FROM merges m, UNNEST(range(len(toks) - 1)) AS u(i)
-                WHERE toks[CAST(u.i AS INT) + 1] = m.p1
-                  AND toks[CAST(u.i AS INT) + 2] = m.p2) AS bp
-        FROM enc) s
-      WHERE bp IS NOT NULL
-    ),
-    final AS (
-      SELECT word, len(toks) AS n_toks FROM (
-        SELECT word, toks,
-               (SELECT min(struct_pack(r := m.rank, i := u.i))
-                FROM merges m, UNNEST(range(len(toks) - 1)) AS u(i)
-                WHERE toks[CAST(u.i AS INT) + 1] = m.p1
-                  AND toks[CAST(u.i AS INT) + 2] = m.p2) AS bp
-        FROM enc) WHERE bp IS NULL
-    )
+    vocab AS (SELECT DISTINCT word FROM per_lang_word),"""
+    + _BPE_ENCODER_CTES + r"""
     SELECT d.lang,
            CAST(sum(d.k) AS BIGINT) AS n_words,
            CAST(sum(d.k * f.n_toks) AS BIGINT) AS n_bpe_tokens,
@@ -1332,29 +1320,15 @@ def token_counts_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "encoder",
 )
 def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_validation_spark.operators.text import bpe_len_udf
-
     docs = Tables(spark, sf_dir).documents
-    words = docs.select(
-        "lang",
-        F.explode(
-            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-        ).alias("word"),
-    )
-    per_lang_word = words.groupBy("lang", "word").agg(
-        F.count(F.lit(1)).alias("k")
-    )
-    vocab = per_lang_word.select("word").distinct()
-    enc = vocab.withColumn("n_toks", bpe_len_udf()(F.col("word")))
-    toks = F.sum(F.col("k") * F.col("n_toks"))
     # exact integer half-up (NOTES.md rounding discipline): never a float
     # ratio + 0.5, whose ties drift between engines
     return (
-        per_lang_word.join(enc, "word")
+        _bpe_word_counts(docs, "lang")
         .groupBy("lang")
         .agg(
             F.sum("k").alias("n_words"),
-            toks.alias("n_bpe_tokens"),
+            F.sum(F.col("k") * F.col("n_toks")).alias("n_bpe_tokens"),
             F.expr(
                 "CAST((sum(k * n_toks) * 2000 + sum(k)) div (sum(k) * 2) "
                 "AS BIGINT)"

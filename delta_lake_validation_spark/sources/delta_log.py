@@ -1632,11 +1632,15 @@ class DeltaTable:
                 if raw is not None:
                     n = int(raw)
             except (TypeError, ValueError):
-                # malformed stats: fall through to the footer count with
-                # EMPTY parsed stats — carrying a previous add's parsed
-                # dict here would stamp another file's min/max into this
-                # add (data-skipping corruption)
-                n, parsed = None, {}
+                # fall through to the footer count.  parsed keeps THIS
+                # add's validly-parsed dict when only numRecords was
+                # malformed (its min/max stay usable for data skipping);
+                # it is re-zeroed only when the payload itself wasn't an
+                # object — and it was initialized per-iteration, so a
+                # previous add's dict can never leak in here
+                n = None
+                if not isinstance(parsed, dict):
+                    parsed = {}
             ad = dict(ad)
             if n is None:
                 # Stats-less add (CONVERT/import paths): treating it as
@@ -1713,18 +1717,33 @@ class DeltaTable:
             snap.properties.get(self._RT_RCV_KEY),
         )
 
-    def _rt_ensure_mat_cols(self, snap: DeltaSnapshot):
+    def _rt_ensure_mat_cols(
+        self, snap: DeltaSnapshot, base_meta: dict | None = None
+    ):
         """(rid_col, rcv_col, extra_actions): the materialized-column
         names, minting fresh ones (plus the metaData action that records
-        them) when the table has none yet."""
+        them) when the table has none yet.
+
+        ``base_meta``: a metaData dict ALREADY riding this commit (e.g. an
+        identity high-water-mark bump).  Log replay is last-metaData-wins,
+        so emitting a second action built from the stale snapshot would
+        silently revert whatever base_meta changed — instead the configs
+        are merged INTO it (in place; it already sits in the caller's
+        action list) and no extra action is returned."""
         rid_col, rcv_col = self._rt_mat_cols(snap)
         if rid_col and rcv_col:
             return rid_col, rcv_col, []
         import uuid as _uuid
 
-        props = dict(snap.properties)
         rid_col = rid_col or f"_row-id-col-{_uuid.uuid4()}"
         rcv_col = rcv_col or f"_row-commit-version-col-{_uuid.uuid4()}"
+        if base_meta is not None:
+            cfg = dict(base_meta.get("configuration") or {})
+            cfg[self._RT_RID_KEY] = rid_col
+            cfg[self._RT_RCV_KEY] = rcv_col
+            base_meta["configuration"] = cfg
+            return rid_col, rcv_col, []
+        props = dict(snap.properties)
         props[self._RT_RID_KEY] = rid_col
         props[self._RT_RCV_KEY] = rcv_col
         meta = {
@@ -2577,7 +2596,12 @@ class DeltaTable:
                 if self._rt_enabled(snap):
                     # replaceWhere keep rows are SURVIVING rows: preserve
                     # their ids/commit versions like the DELETE rewrite
-                    rid_c, rcv_c, extra = self._rt_ensure_mat_cols(snap)
+                    # (configs merge into id_meta when one rides this
+                    # commit — two metaData actions would last-write-wins
+                    # clobber the identity watermark bump)
+                    rid_c, rcv_c, extra = self._rt_ensure_mat_cols(
+                        snap, base_meta=id_meta
+                    )
                     rt_cols = (rid_c, rcv_c)
                     actions += extra
                 keep = (
@@ -3039,8 +3063,11 @@ class DeltaTable:
         if self._rt_enabled(snap):
             # matched target rows keep their row id (commit version resets
             # to this commit); inserted rows get fresh ids from the add's
-            # baseRowId + row_index (both materialized values null)
-            rid_c, rcv_c, extra = self._rt_ensure_mat_cols(snap)
+            # baseRowId + row_index (both materialized values null).
+            # Configs merge into id_meta when one rides this commit.
+            rid_c, rcv_c, extra = self._rt_ensure_mat_cols(
+                snap, base_meta=id_meta
+            )
             rt_cols = (rid_c, rcv_c)
             actions += extra
             rt_post = [
@@ -3243,8 +3270,11 @@ class DeltaTable:
         if self._rt_enabled(snap):
             # updated target rows keep their row id (commit version resets
             # to this commit); inserts get fresh ids; kept rows preserve
-            # both via __rid/__rcv from the targeting scan
-            rid_c, rcv_c, extra = self._rt_ensure_mat_cols(snap)
+            # both via __rid/__rcv from the targeting scan.  Configs merge
+            # into id_meta when one rides this commit.
+            rid_c, rcv_c, extra = self._rt_ensure_mat_cols(
+                snap, base_meta=id_meta
+            )
             rt_cols = (rid_c, rcv_c)
             actions += extra
             rt_post = [

@@ -357,6 +357,46 @@ def test_row_tracking_cow_rewrites_preserve_ids(spark, tmp_path):
     assert _rt_rows(spark, loc) == after_m  # compaction changes nothing
 
 
+def test_row_tracking_replace_where_preserves_kept_ids(spark, tmp_path):
+    """replaceWhere on a row-tracking table: kept rows of touched files
+    are SURVIVING rows — their ids persist through the rewrite (this
+    path crashed on the internal rt-columns guard before the r6
+    self-review fix)."""
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        create_delta,
+    )
+
+    loc = str(tmp_path / "rtrw")
+    create_delta(
+        spark,
+        loc,
+        "id bigint, grp bigint, v bigint",
+        properties={"delta.enableRowTracking": "true"},
+    )
+    DeltaTable(spark, loc).append(
+        spark.range(10)
+        .selectExpr("id", "id % 2 AS grp", "id AS v")
+        .coalesce(1)  # one file mixing grp 0 and 1 -> forces the rewrite
+    )
+    before = {
+        r._row_id: (r.id, r.grp, r.v)
+        for r in DeltaTable(spark, loc).read_row_ids().collect()
+    }
+    repl = spark.createDataFrame(
+        [(100, 1, 111), (101, 1, 222)], "id bigint, grp bigint, v bigint"
+    )
+    DeltaTable(spark, loc).overwrite(repl, replace_where="grp = 1")
+    after = {
+        r._row_id: (r.id, r.grp, r.v)
+        for r in DeltaTable(spark, loc).read_row_ids().collect()
+    }
+    kept_before = {r: t for r, t in before.items() if t[1] == 0}
+    assert {r: t for r, t in after.items() if t[1] == 0} == kept_before
+    new_rows = {t for r, t in after.items() if t[1] == 1}
+    assert new_rows == {(100, 1, 111), (101, 1, 222)}
+
+
 def test_alter_enable_row_tracking_backfills(spark, tmp_path):
     """ALTER SET delta.enableRowTracking=true on a non-empty table must
     not leave pre-existing files id-less: the enable commit re-adds every
@@ -439,6 +479,48 @@ def test_alter_backfill_counts_stats_less_adds(spark, tmp_path):
                          "dataChange": True}},
             ],
         )
+
+
+def test_rt_mat_cols_merge_into_riding_metadata(spark, tmp_path):
+    """When a commit already carries a metaData action (identity
+    high-water-mark bump), minting materialized row-id columns must merge
+    the configs INTO it — log replay is last-metaData-wins, so a second
+    action built from the stale snapshot would revert the bump."""
+    from delta_lake_validation_spark.sources.delta_log import (
+        DeltaTable,
+        create_delta,
+    )
+
+    loc = str(tmp_path / "rtmeta")
+    create_delta(
+        spark,
+        loc,
+        "id bigint, v bigint",
+        properties={"delta.enableRowTracking": "true"},
+    )
+    t = DeltaTable(spark, loc)
+    snap = t.snapshot()
+    riding = {
+        "id": snap.metadata_id,
+        "name": snap.name,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(snap.schema.jsonValue()),
+        "partitionColumns": [],
+        "configuration": {
+            **snap.properties,
+            "delta.identity.fake": "99",  # the bump that must survive
+        },
+    }
+    rid_c, rcv_c, extra = t._rt_ensure_mat_cols(snap, base_meta=riding)
+    assert extra == []  # merged, not a second action
+    cfg = riding["configuration"]
+    assert cfg[t._RT_RID_KEY] == rid_c and cfg[t._RT_RCV_KEY] == rcv_c
+    assert cfg["delta.identity.fake"] == "99"
+    # without a riding metaData the standalone action still works
+    rid2, rcv2, extra2 = t._rt_ensure_mat_cols(snap)
+    assert extra2 and extra2[0]["metaData"]["configuration"][
+        t._RT_RID_KEY
+    ] == rid2
 
 
 def test_bpe_encoder_matches_merge_all_loop():

@@ -18,7 +18,7 @@ identical input:
   side partial combine collapses hot digests before the shuffle, and
   AQE's skew-join can split the probe side.
 
-Usage: python tools/skew_probe.py [n_docs] [reps_per_doc]
+Usage: python tools/skew_probe.py [n_docs] [reps_per_doc] [block_tokens]
 Prints one markdown row + one JSON line (paste into BASELINE.md).
 """
 
@@ -41,15 +41,19 @@ from delta_lake_validation_spark.session import get_session
 K = 20
 
 
-def build(spark, n_docs: int, reps: int):
-    # ONE repeated token, so every interior window collapses onto a
-    # SINGLE digest (a 20-token boilerplate block would cycle through 20
-    # digests and hand the window form 20-way parallelism by accident —
-    # the real pathology is one digest owning the stage)
+def build(spark, n_docs: int, reps: int, block: int = 1):
+    # block=1 (default): ONE repeated token, so every interior window
+    # collapses onto a SINGLE digest — the real pathology, one digest
+    # owning the stage.  block=W>1: a W-token boilerplate block tiled to
+    # the same length cycles through W distinct digests and hands the
+    # window form W-way parallelism — the counter-case row, reproducible
+    # with the same command (third CLI arg).
+    toks = [f"hot{i}" for i in range(block)] if block > 1 else ["hot"]
+    seq = " ".join(toks[i % len(toks)] for i in range(reps * K))
     docs = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.concat(
-            F.concat_ws(" ", F.array_repeat(F.lit("hot"), reps * K)),
+            F.lit(seq),
             F.lit(" "),
             # one unique tail token per doc so results aren't degenerate
             F.concat(F.lit("tail"), F.col("id")),
@@ -113,9 +117,10 @@ def timed(df) -> tuple[float, int]:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    block = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     spark = get_session("skew-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    wins = build(spark, n_docs, reps)
+    wins = build(spark, n_docs, reps, block)
     total = wins.count()  # materialize the persist; same input both ways
     # warm both code paths on a slice first
     mark_agg(wins.limit(1000)).count()
@@ -124,8 +129,9 @@ def main() -> None:
     win_s, n_win = timed(mark_window(wins))
     assert n_agg == n_win, (n_agg, n_win)
     print(
-        f"| hot-digest marking ({n_docs} docs x {reps * K} hot tokens, "
-        f"{total} windows, 1 hot digest) | window {win_s:.1f}s | "
+        f"| hot-digest marking ({n_docs} docs x {reps * K} tokens, "
+        f"{total} windows, block={block} -> ~{max(block, 1)} hot "
+        f"digest(s)) | window {win_s:.1f}s | "
         f"agg+join {agg_s:.1f}s | {win_s / agg_s:.1f}x |"
     )
     print(
@@ -134,6 +140,7 @@ def main() -> None:
                 "probe": "hot_digest",
                 "n_docs": n_docs,
                 "reps": reps,
+                "block": block,
                 "windows": total,
                 "dup_rows": n_agg,
                 "window_form_s": round(win_s, 2),
