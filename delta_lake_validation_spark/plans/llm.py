@@ -1734,11 +1734,12 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corpus-level token document-frequency statistics.
 # The classic two-pass "how common is this document's vocabulary" signal
 # (hapax/rare-token rate is a strong noise indicator in web corpora).
-# Plan shape at 100 TB: explode -> distinct tokens per doc -> ONE shuffle by
-# token with a whole-partition count window (each (doc, tok) row picks up
-# its token's document frequency in place — no aggregate-and-rejoin, so the
-# corpus is scanned and exploded exactly once) -> hash-agg per doc.  All
-# integer outputs, so the oracle comparison is exact.
+# Plan shape at 100 TB: explode -> distinct tokens per doc -> document
+# frequency as a pre-aggregated hash-agg table (partial map-side combine —
+# a stop word never funnels into one task) joined back on tok, where AQE
+# splits hot probe keys; exchange reuse keeps it one corpus scan on the
+# sort-merge path -> hash-agg per doc.  All integer outputs, so the oracle
+# comparison is exact.
 # ---------------------------------------------------------------------------
 @register(
     "token_df_stats",
@@ -1766,11 +1767,18 @@ def token_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
         ).alias("tok"),
     )
-    # toks is distinct per (doc, tok), so a whole-partition count window
-    # over tok IS the document frequency — single scan, single tok shuffle
-    df_col = F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    # document frequency as a pre-aggregated hash-agg table joined back on
+    # tok, never count().over(Window.partitionBy("tok")): a stop word
+    # ("the") appears in essentially every document, and a window would
+    # serialize all ~n_docs of its rows into one sort task with no partial
+    # aggregation (the bigram_lm_score hazard).  The hash agg combines
+    # map-side; the join keys on tok where the count side is one row per
+    # key, so AQE skew-join splits any hot probe key.  The tok-keyed
+    # exchange under both join inputs is identical, so Spark's exchange
+    # reuse scans and explodes the corpus once on the sort-merge path.
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return (
-        toks.withColumn("df", df_col)
+        toks.join(dfreq, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_unique"),
@@ -1786,10 +1794,14 @@ def token_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sequence packing: assign documents to fixed token-budget chunks for
 # context-window training, sharded by source.  The distributed-friendly
 # contract is prefix-sum packing: within each shard order docs
-# deterministically, bin = floor(running-token-count-before / budget).  This
-# is one window cumsum per shard (no sequential bin-capacity state), so it
-# scales to any corpus where a shard fits a partition — exactly how sharded
-# training-data exports pack in practice.
+# deterministically, bin = floor(running-token-count-before / budget) — no
+# sequential bin-capacity state.  Source cardinality is tiny (a handful of
+# corpora), so a cumsum window partitioned by source would sort a constant
+# fraction of the corpus in ONE task; the prefix sum instead runs the
+# two-pass distributed recipe (functions/prefix.py): range-partition by
+# (source, doc_id), per-slice local sums, broadcast the per-slice offsets,
+# add.  Identical semantics (doc_id is a total order per source), bounded
+# tasks at any corpus size.
 # ---------------------------------------------------------------------------
 _PACK_BUDGET = 512  # tokens per chunk
 
@@ -1822,15 +1834,20 @@ _PACK_BUDGET = 512  # tokens per chunk
     doc="token-budget sequence packing into training chunks, sharded by source",
 )
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.functions.prefix import (
+        distributed_prefix_sum,
+    )
+
     docs = Tables(spark, sf_dir).documents
     n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
     t = docs.select("source", "doc_id", n_tokens.alias("n_tokens"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = t.withColumn("before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    c = distributed_prefix_sum(
+        t,
+        F.col("n_tokens"),
+        order_by=["doc_id"],
+        partition_by=["source"],
+        out="__cum",
+    ).withColumn("before", F.col("__cum") - F.col("n_tokens"))
     return (
         c.groupBy(
             "source",
@@ -1904,11 +1921,14 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Quantile binning via NTILE: length deciles within each language — the
-# binning step behind curriculum bucketing / stratified mixing.  Partitioned
-# by lang so no global sort exists (a global NTILE would single-partition
-# the window; at scale you bin per shard or cut on approx quantiles).
-# Fully deterministic: the ordering is total (n_chars, doc_id).
+# Quantile binning: length deciles within each language — the binning step
+# behind curriculum bucketing / stratified mixing.  NTILE(10) OVER
+# (PARTITION BY lang ...) would sort each language in ONE task (English is
+# ~half a web corpus), so the engine computes the identical result from a
+# two-pass distributed rank (functions/prefix.py) + per-lang counts:
+# NTILE's exact bucket rule from (rank, n) — the first (n mod 10) buckets
+# take ceil(n/10) rows, the rest floor(n/10).  Fully deterministic: the
+# ordering is total (n_chars, doc_id).
 # ---------------------------------------------------------------------------
 @register(
     "chars_decile",
@@ -1919,13 +1939,35 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("window", "ntile", "llm"),
-    doc="per-language length deciles via NTILE (total order, deterministic)",
+    doc="per-language length deciles (exact NTILE semantics via two-pass "
+    "distributed rank — no single-task per-language sort)",
 )
 def chars_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.functions.prefix import distributed_rank
+
     docs = Tables(spark, sf_dir).documents
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    return docs.select(
-        "doc_id", "lang", F.ntile(10).over(w).cast("int").alias("decile")
+    ranked = distributed_rank(
+        docs.select("doc_id", "lang", "n_chars"),
+        order_by=["n_chars", "doc_id"],
+        partition_by=["lang"],
+        out="__r",
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    # exact NTILE(10) from (rank, group size): q = n div 10, rem = n mod 10;
+    # ranks 1..(q+1)*rem fill the first rem buckets of q+1 rows, the rest
+    # fill buckets of q rows.  Integer-exact, so the oracle hash matches.
+    return (
+        ranked.join(F.broadcast(counts), "lang")
+        .withColumn(
+            "decile",
+            F.expr(
+                "CAST(CASE WHEN __r <= (__n div 10 + 1) * (__n % 10) "
+                "THEN (__r + __n div 10) div (__n div 10 + 1) "
+                "ELSE __n % 10 + (__r - (__n div 10 + 1) * (__n % 10) "
+                "+ __n div 10 - 1) div (__n div 10) END AS INT)"
+            ),
+        )
+        .select("doc_id", "lang", "decile")
     )
 
 
@@ -1936,11 +1978,15 @@ def chars_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boilerplate.  The downstream filter drops high-ratio docs or strips the
 # spans; the graded output is the per-doc profile.
 #
-# Scale: spans are deduped per doc BEFORE the corpus shuffle, df comes from
-# one count-window over the span shuffle (no self-join, no second scan), and
-# the doc-level rollup is a second keyed shuffle.  No driver state, no
-# all-pairs anything; span cardinality ~ tokens, so this is the same cost
-# envelope as the dedup shingle pipeline at any SF.
+# Scale: spans are deduped per doc BEFORE the corpus shuffle; df is a
+# pre-aggregated hash-agg table joined back on the span — never a
+# count-window over the span shuffle, because a boilerplate 3-gram ("all
+# rights reserved") recurs 1e7-1e8 times in a crawl and a window would
+# serialize every occurrence into one sort task (the chunk_dedup hazard).
+# The hash agg partial-combines map-side; AQE skew-splits hot probe keys in
+# the join back; the doc-level rollup is one more keyed shuffle.  No driver
+# state, no all-pairs anything; span cardinality ~ tokens, so this is the
+# same cost envelope as the dedup shingle pipeline at any SF.
 # ---------------------------------------------------------------------------
 @register(
     "boilerplate_spans",
@@ -1967,8 +2013,8 @@ def chars_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "llm", "curation", "boilerplate"),
     doc="per-doc boilerplate profile: distinct word-3-gram spans vs spans "
-    "shared by >= 3 docs (exact corpus df via one count-window over the "
-    "span shuffle)",
+    "shared by >= 3 docs (exact corpus df via a hash-agg span-frequency "
+    "table joined back — skew-safe on hot boilerplate spans)",
 )
 def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents
@@ -1987,8 +2033,8 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()  # per-doc dedup BEFORE the corpus-wide span shuffle
     )
-    w = Window.partitionBy("s")
-    withdf = spans.withColumn("df", F.count(F.lit(1)).over(w))
+    dfreq = spans.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    withdf = spans.join(dfreq, "s")
     boiler = F.sum(F.when(F.col("df") >= 3, 1).otherwise(0))
     return (
         withdf.groupBy("doc_id")
@@ -2605,9 +2651,13 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Zipf rank-frequency fit: slope/intercept of ln(freq) ~ ln(rank) over the
 # term frequency table (the standard corpus-health diagnostic: natural text
 # sits near slope -1; synthetic or templated corpora flatten).
-# At 100 TB: term frequencies are a vocabulary-bounded hash-agg; ranking a
-# vocabulary-sized table is one modest sort; the regression is a single
-# scalar aggregate.  Nothing scales with corpus volume except the first agg.
+# At 100 TB: term frequencies are a vocabulary-bounded hash-agg, but a web
+# crawl's distinct-token table (typos, URLs, hashes) can still hit 1e8-1e9
+# rows — a global row_number() window would pull all of it through one sort
+# task.  Ranking instead runs the two-pass distributed rank
+# (functions/prefix.py): range-partition by (freq DESC, tok), local
+# row_number per slice, broadcast per-slice offsets.  The regression is a
+# single scalar aggregate.
 # ---------------------------------------------------------------------------
 @register(
     "zipf_fit",
@@ -2636,6 +2686,7 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_validation_spark.functions.aggregates import round_half_up
+    from delta_lake_validation_spark.functions.prefix import distributed_rank
 
     docs = Tables(spark, sf_dir).documents
     tf = (
@@ -2645,12 +2696,9 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = tf.select(
-        "freq",
-        F.row_number()
-        .over(Window.orderBy(F.desc("freq"), F.asc("tok")))
-        .alias("rank"),
-    )
+    ranked = distributed_rank(
+        tf, order_by=[F.desc("freq"), F.asc("tok")], out="rank"
+    ).select("freq", "rank")
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_terms"),
         round_half_up(

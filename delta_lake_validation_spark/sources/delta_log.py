@@ -1017,6 +1017,12 @@ class DeltaTable:
         "variantType",  # honored: staged writes go through Spark's own
         # parquet variant encoding; stats skip variant columns
         "variantType-preview",
+        "checkpointProtection",  # honored: cleanup_log never truncates
+        # log entries below delta.requireCheckpointProtectionBeforeVersion
+        # unless the retained checkpoint sits at/past the boundary AND the
+        # whole protected prefix goes in one sweep (the spec's only writer
+        # obligation — the engine creates no other cleanup path); all
+        # other commits are unaffected by the feature
         "rowTracking",  # honored: every commit assigns baseRowId /
         # defaultRowCommitVersion to fresh adds and advances the
         # delta.rowTracking rowIdHighWaterMark domain (_try_commit);
@@ -1905,6 +1911,10 @@ class DeltaTable:
             need_w.update({"rowTracking", "domainMetadata"})
         if _on("delta.enableInCommitTimestamps"):
             need_w.add("inCommitTimestamp")
+        if str(
+            props.get("delta.requireCheckpointProtectionBeforeVersion", "")
+        ).strip():
+            need_w.add("checkpointProtection")
 
         proto = dict(snap.protocol)
         mr = int(proto.get("minReaderVersion", 1))
@@ -3815,6 +3825,23 @@ class DeltaTable:
                 30 * 86_400_000,
             )
         cutoff = _t.time() - retention_ms / 1000.0
+        # checkpointProtection: log entries below
+        # delta.requireCheckpointProtectionBeforeVersion may only be
+        # truncated "in one go" up to a checkpoint at/past the boundary —
+        # a cleanup that leaves a partially-truncated protected range (or
+        # truncates below a checkpoint that predates the boundary) is the
+        # exact corruption the feature exists to forbid
+        try:
+            protect_v = int(
+                snap.properties.get(
+                    "delta.requireCheckpointProtectionBeforeVersion", 0
+                )
+                or 0
+            )
+        except (TypeError, ValueError):
+            protect_v = 0
+        if protect_v > 0 and ck_v < protect_v:
+            return []
         names = self._list_log()
         doomed: list[str] = []
         # commit JSONs: contiguous expired prefix below the checkpoint
@@ -3829,6 +3856,19 @@ class DeltaTable:
             if self.fs.mtime(f"{self.log_dir}/{n}") > cutoff:
                 break
             doomed.append(n)
+        if protect_v > 0:
+            # the doomed commits are a contiguous prefix: if ANY protected
+            # commit survives (retention stopped the prefix inside the
+            # protected range), every doomed commit is also protected —
+            # drop them all, and keep protected checkpoints below too
+            doomed_set = set(doomed)
+            partial = any(
+                v < protect_v and n not in doomed_set for v, n in commits
+            )
+            if partial:
+                doomed = []
+        else:
+            partial = False
         # obsolete checkpoint files (classic parts + v2 manifests) < ck_v
         retained_manifests = []
         for n in names:
@@ -3840,6 +3880,8 @@ class DeltaTable:
                 if _V2_CHECKPOINT_RE.match(n):
                     retained_manifests.append(n)
                 continue
+            if partial and v < protect_v:
+                continue  # protected checkpoint: survives until the one-go sweep
             if self.fs.mtime(f"{self.log_dir}/{n}") > cutoff:
                 continue
             doomed.append(n)

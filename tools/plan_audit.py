@@ -51,10 +51,11 @@ EXPECTATIONS: dict[str, list[str]] = {
         "HashAggregate",
         "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>",
     ],
-    # corpus-quality ops: span/bigram pipelines must prune to (doc_id,text)
-    # and stay window+aggregate (no self-join resurgence)
+    # corpus-quality ops: span/bigram pipelines must prune to (doc_id,text);
+    # span df must be a hash-agg table joined back (a Window over the span
+    # would serialize a hot boilerplate 3-gram into one sort task)
     "boilerplate_spans": [
-        "Window",
+        "HashAggregate",
         "ReadSchema: struct<doc_id:bigint,text:string>",
     ],
     # bigram LM: counts are hash-agg tables joined back (partial map-side
@@ -75,8 +76,9 @@ EXPECTATIONS: dict[str, list[str]] = {
         "HashAggregate",
         "ReadSchema: struct<doc_id:bigint,text:string>",
     ],
+    # zipf ranks the vocabulary with the two-pass distributed rank: windows
+    # allowed only when keyed by the range-partition id (CUSTOM below)
     "zipf_fit": [
-        "Window",
         "HashAggregate",
         "ReadSchema: struct<text:string>",
     ],
@@ -85,6 +87,24 @@ EXPECTATIONS: dict[str, list[str]] = {
     # broadcast-k cross); the update is a partial hash agg
     "kmeans_clusters": ["BroadcastNestedLoopJoin", "HashAggregate"],
 }
+
+def _non_pid_window_specs(p: str, width: int = 80) -> int:
+    """Count window specs NOT keyed by the two-pass-prefix partition id.
+
+    The distributed prefix/rank recipe (functions/prefix.py) admits exactly
+    two window shapes: the local pass partitioned by (__pid, keys...) and
+    the offset pass over the tiny per-partition totals table ordered by
+    __pid — both carry ``__pid`` inside the spec head.  Any other window in
+    these plans is a hot-key regression (a corpus-sized key funneled into
+    one sort task)."""
+    bad = 0
+    i = p.find("windowspecdefinition(")
+    while i >= 0:
+        if "__pid" not in p[i : i + width]:
+            bad += 1
+        i = p.find("windowspecdefinition(", i + 1)
+    return bad
+
 
 # query -> callable(plan) -> list of problem strings (empty = OK)
 CUSTOM: dict[str, object] = {
@@ -129,10 +149,27 @@ CUSTOM: dict[str, object] = {
     ),
     # corpus df join: no hint forces a strategy, so Catalyst's stats pick
     # broadcast at toy scale and sort-merge once the vocabulary outgrows the
-    # threshold — the adaptive behavior we want.  Only a cartesian (lost
-    # equality key) is a regression.
+    # threshold — the adaptive behavior we want.  A cartesian (lost equality
+    # key) or ANY window (a stop word's ~n_docs rows through one sort task)
+    # is a regression.
     "token_df_stats": lambda p: (
-        ["CartesianProduct appeared"] if "CartesianProduct" in p else []
+        (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + ([f"expected 0 Window nodes, saw {p.count(') Window')}"]
+           if p.count(") Window") > 0 else [])
+    ),
+    # span df: same no-Window contract (hot boilerplate 3-grams)
+    "boilerplate_spans": lambda p: (
+        (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + ([f"expected 0 Window nodes, saw {p.count(') Window')}"]
+           if p.count(") Window") > 0 else [])
+    ),
+    # vocabulary rank via two-pass distributed rank: every window spec must
+    # be __pid-keyed (a global row_number window would single-task a 1e9-row
+    # distinct-token table)
+    "zipf_fit": lambda p: (
+        (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + ([f"{_non_pid_window_specs(p)} window spec(s) not __pid-keyed"]
+           if _non_pid_window_specs(p) else [])
     ),
     # context-window chunking is a pure map: any exchange is a regression
     "doc_chunks": lambda p: (
@@ -152,10 +189,16 @@ CUSTOM: dict[str, object] = {
         (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
         + (["BroadcastNestedLoopJoin appeared"] if "BroadcastNestedLoopJoin" in p else [])
     ),
-    # prefix-sum packing: one window per shard, no joins at all
+    # prefix-sum packing: the two-pass distributed cumsum — every window
+    # spec __pid-keyed (a per-source cumsum window would sort a constant
+    # fraction of the corpus in one task), offsets joined back via an
+    # explicit broadcast, never a cartesian
     "sequence_pack": lambda p: (
-        (["join operator appeared"] if "Join" in p else [])
-        + (["no Window"] if "Window" not in p else [])
+        (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["no BroadcastHashJoin (offset join-back)"]
+           if "BroadcastHashJoin" not in p else [])
+        + ([f"{_non_pid_window_specs(p)} window spec(s) not __pid-keyed"]
+           if _non_pid_window_specs(p) else [])
     ),
     # band-bucketed range join: the bucket equality must make it an equi
     # join — a nested-loop/cartesian fallback means the band key was lost
@@ -164,12 +207,15 @@ CUSTOM: dict[str, object] = {
         + (["BroadcastNestedLoopJoin appeared"] if "BroadcastNestedLoopJoin" in p else [])
     ),
     # decile binning reads 3 narrow columns — the wide text column must be
-    # pruned from the scan — through exactly one window
+    # pruned from the scan; ranks come from the two-pass distributed rank
+    # (a per-lang NTILE window would sort half a web corpus in one task)
     "chars_decile": lambda p: (
         (["text column not pruned"]
          if "ReadSchema: struct<doc_id:bigint,text" in p or ":string,text:" in p
          else [])
-        + (["no Window"] if "Window" not in p else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + ([f"{_non_pid_window_specs(p)} window spec(s) not __pid-keyed"]
+           if _non_pid_window_specs(p) else [])
     ),
     # frame sampling must stay the Arrow-batched python stage (MapInPandas),
     # scanning only the two columns the payload needs
