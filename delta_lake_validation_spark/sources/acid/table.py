@@ -667,7 +667,12 @@ class AcidTable:
         writer = df.write.mode("overwrite")
         if snap.partition_columns:
             writer = writer.partitionBy(*snap.partition_columns)
-        writer.parquet(staging)
+        from delta_lake_validation_spark.sources.delta_log import (
+            _unshredded_variant_write,
+        )
+
+        with _unshredded_variant_write(self.spark, schema):
+            writer.parquet(staging)
 
         # Per-file statistics computed EXECUTOR-side: one distributed
         # aggregation keyed by input_file_name over the staged directory.
@@ -778,8 +783,13 @@ class AcidTable:
         return snap.properties.get("enableChangeDataFeed", "false").lower() == "true"
 
     def _write_cdf(self, df_with_type: DataFrame) -> list[str]:
+        from delta_lake_validation_spark.sources.delta_log import (
+            _unshredded_variant_write,
+        )
+
         out_dir = f"{self.location}/{CDF_DIR}/{uuid.uuid4().hex}"
-        df_with_type.write.mode("overwrite").parquet(out_dir)
+        with _unshredded_variant_write(self.spark, df_with_type.schema):
+            df_with_type.write.mode("overwrite").parquet(out_dir)
         out = []
         for p, size in self.fs.list_files_with_size(out_dir):
             if not p.endswith(".parquet"):

@@ -319,6 +319,37 @@ def _schema_has_variant(dt) -> bool:
     return False
 
 
+import contextlib as _contextlib  # noqa: E402
+
+
+@_contextlib.contextmanager
+def _unshredded_variant_write(spark, schema):
+    """Stage variant parquet UNSHREDDED.  Spark 4.1 shreds variant
+    columns on write by default (spark.sql.variant.writeShredding.enabled
+    + inferShreddingSchema): the variant binary moves into typed_value
+    subtrees — a JVM-scan pushdown optimization the engine's pyarrow scan
+    leg (deltapy) cannot reassemble.  The engine trades that pushdown for
+    leg parity: both scan paths must serve every file the engine writes.
+    Foreign shredded files refuse with a typed diagnosis
+    (pydatasource._SHREDDED_MSG).  No-op when the schema has no variant
+    or the Spark build predates shredding."""
+    if not _schema_has_variant(schema):
+        yield
+        return
+    key = "spark.sql.variant.writeShredding.enabled"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None  # pre-shredding Spark: nothing to disable
+    if old is not None:
+        spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+
+
 def clustering_columns(snap: DeltaSnapshot) -> list[str]:
     """LOGICAL clustering columns of a clustered (liquid-clustering)
     table, from the ``delta.clustering`` domainMetadata.  The domain's
@@ -1391,7 +1422,8 @@ class DeltaTable:
         writer = df.select(*out_cols).write.mode("overwrite")
         if phys_parts:
             writer = writer.partitionBy(*phys_parts)
-        writer.parquet(staging)
+        with _unshredded_variant_write(self.spark, snap.schema):
+            writer.parquet(staging)
 
         sizes = {
             strip_scheme(p): sz
@@ -2781,7 +2813,8 @@ class DeltaTable:
         writer = df_logical.select(*out_cols).write.mode("overwrite")
         if phys_parts:
             writer = writer.partitionBy(*phys_parts)
-        writer.parquet(staging)
+        with _unshredded_variant_write(self.spark, snap.schema):
+            writer.parquet(staging)
         from delta_lake_validation_spark.sources.acid.table import (
             _partition_values,
         )

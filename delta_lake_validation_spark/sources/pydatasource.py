@@ -179,15 +179,53 @@ def _is_variant_target(at) -> bool:
     return meta.get(b"variant") == b"true"
 
 
+def _shredded_variant_fields(schema_arrow, phys_names) -> list[str]:
+    """Physical variant columns whose parquet group carries a
+    ``typed_value`` child — the variant SHREDDING layout (Spark 4.1
+    writes it by default): the variant binary moves into typed subtrees
+    and ``value`` is null for shredded rows, so assembling value/metadata
+    alone would silently return nulls.  Those files must refuse."""
+    import pyarrow as pa
+
+    bad = []
+    for name in phys_names:
+        if schema_arrow.get_field_index(name) < 0:
+            continue
+        t = schema_arrow.field(name).type
+        if pa.types.is_struct(t) and any(
+            t.field(i).name == "typed_value" for i in range(t.num_fields)
+        ):
+            bad.append(name)
+    return bad
+
+
+def _variant_phys_names(snap) -> list[str]:
+    return [
+        snap.phys(f.name)
+        for f in snap.schema.fields
+        if type(f.dataType).__name__ == "VariantType"
+    ]
+
+
+_SHREDDED_MSG = (
+    "deltapy: {what} stores its variant column(s) SHREDDED (typed_value "
+    "subtrees; Spark's spark.sql.variant.writeShredding.enabled default) "
+    "— the pyarrow scan leg cannot reassemble shredded variants; read via "
+    "DeltaTable.read / read_delta (the JVM scan serves them natively), or "
+    "rewrite with writeShredding disabled (this engine's own writers "
+    "stage variant parquet unshredded)."
+)
+
+
 def _variant_probe(tbl, snap) -> None:
     """Plan-time gate for variant tables: pyarrow builds that predate the
-    parquet VARIANT LogicalType (this container ships 16.1) cannot even
-    open footers of files annotated with it (Spark 4.1 writes the
-    annotation), so probe ONE live file up front and refuse with the real
-    diagnosis instead of an executor-side OSError mid-scan.  Unannotated
-    files (Spark 4.0-era writers store the same value/metadata group
-    without the annotation) pass the probe and scan fine through
-    _variant_assemble."""
+    parquet VARIANT LogicalType (this container ships 16.1) cannot open
+    footers of files annotated with it (Spark 4.1 writes the annotation).
+    The footer shim (sources/footer_patch.py) rewrites the annotation
+    away in memory — the group then reads exactly like the unannotated
+    Spark-4.0-era layout — so probe ONE live file up front and refuse
+    only when (a) the patched footer still fails, or (b) the file is
+    SHREDDED (typed_value subtrees we cannot reassemble)."""
     if not any(
         type(f.dataType).__name__ == "VariantType"
         for f in snap.schema.fields
@@ -199,17 +237,33 @@ def _variant_probe(tbl, snap) -> None:
     fs, norm = _pa_fs(tbl._abs(rel))
     try:
         with fs.open_input_file(norm) as fh:
-            pq.ParquetFile(fh).schema_arrow
+            sa = pq.ParquetFile(fh).schema_arrow
     except OSError as e:
-        if "LogicalType" in str(e):
+        if "LogicalType" not in str(e):
+            raise
+        from delta_lake_validation_spark.sources.footer_patch import (
+            read_patched_metadata,
+        )
+
+        try:
+            with fs.open_input_file(norm) as fh:
+                sa = pq.ParquetFile(
+                    fh, metadata=read_patched_metadata(fh)
+                ).schema_arrow
+        except Exception:
             raise DeltaProtocolError(
-                "deltapy: this table's variant files carry the parquet "
-                "VARIANT LogicalType annotation, which the installed "
-                "pyarrow cannot parse (footers fail to open) — read via "
-                "DeltaTable.read / read_delta (the JVM scan serves them "
-                "natively).  Unannotated variant files scan fine."
+                "deltapy: this table's variant files carry a parquet "
+                "LogicalType annotation the installed pyarrow cannot "
+                "parse, and the footer shim could not rewrite it — read "
+                "via DeltaTable.read / read_delta (the JVM scan serves "
+                "them natively)."
             ) from None
-        raise
+    shredded = _shredded_variant_fields(sa, _variant_phys_names(snap))
+    if shredded:
+        raise DeltaProtocolError(
+            _SHREDDED_MSG.format(what=f"this table (e.g. {rel!r})")
+            + f"  Shredded columns: {shredded}."
+        )
 
 
 def _variant_assemble(col, at):
@@ -220,6 +274,15 @@ def _variant_assemble(col, at):
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if any(
+        col.type.field(i).name == "typed_value"
+        for i in range(col.type.num_fields)
+    ):
+        # defense in depth: a shredded group reaching assembly would
+        # silently null out shredded rows (value is null when shredded)
+        raise DeltaProtocolError(
+            _SHREDDED_MSG.format(what="a scanned file")
+        )
     children = [
         col.field("value").cast(pa.binary()),
         col.field("metadata").cast(pa.binary()),
@@ -622,6 +685,11 @@ class _ScanExec:
         self.data_phys = [
             ph for _, ph, is_part, _ in self.columns if not is_part
         ]
+        self.variant_phys = [
+            ph
+            for lg, ph, is_part, _ in self.columns
+            if not is_part and _is_variant_target(self.target.field(lg).type)
+        ]
         self._built = True
 
     def __getstate__(self):
@@ -631,6 +699,7 @@ class _ScanExec:
             "types",
             "target",
             "data_phys",
+            "variant_phys",
             "_pq_colidx",
             "_pq_colidx_for",
         ):
@@ -677,20 +746,40 @@ class _ScanExec:
                 try:
                     pf = pq.ParquetFile(fh)
                 except OSError as e:
-                    if "LogicalType" in str(e):
-                        # a file the plan-time _variant_probe did not see
-                        # (mixed-writer table, or added after the stream
-                        # started) carries the parquet VARIANT annotation
-                        # this pyarrow predates — same diagnosis, not a
-                        # bare executor OSError
+                    if "LogicalType" not in str(e):
+                        raise
+                    # VARIANT-annotated footer this pyarrow predates:
+                    # rewrite the annotation away in memory (the group
+                    # then reads like the unannotated Spark-4.0 layout)
+                    # and reopen against the patched metadata; refuse
+                    # typed when even the shim cannot serve it
+                    from delta_lake_validation_spark.sources.footer_patch import (  # noqa: E501
+                        read_patched_metadata,
+                    )
+
+                    try:
+                        pf = pq.ParquetFile(
+                            fh, metadata=read_patched_metadata(fh)
+                        )
+                    except Exception:
                         raise DeltaProtocolError(
                             f"deltapy: {fsl.path} carries a parquet "
                             "LogicalType the installed pyarrow cannot "
-                            "parse (VARIANT annotation) — read via "
-                            "DeltaTable.read / read_delta (the JVM scan "
-                            "serves it natively)"
+                            "parse (and the footer shim could not "
+                            "rewrite it) — read via DeltaTable.read / "
+                            "read_delta (the JVM scan serves it natively)"
                         ) from None
-                    raise
+                shredded = self.variant_phys and _shredded_variant_fields(
+                    pf.schema_arrow, self.variant_phys
+                )
+                if shredded:
+                    # mixed-writer table: a shredded file the plan-time
+                    # probe did not see — value/metadata assembly would
+                    # silently null out shredded rows
+                    raise DeltaProtocolError(
+                        _SHREDDED_MSG.format(what=repr(fsl.path))
+                        + f"  Shredded columns: {shredded}."
+                    )
                 self._verify_ids(pf.schema_arrow, fsl.path)
                 present = [
                     c for c in self.data_phys if c in pf.schema_arrow.names

@@ -176,19 +176,25 @@ def test_variant_column_roundtrip_and_deltapy_refusal(spark, tmp_path):
     _drop_json_at_or_before(loc, cv)
     assert DeltaTable(spark, loc).read().count() == 10
 
-    # deltapy variant handling (r6): the arrow mapping exists
-    # (value/metadata binary pair, matched by name), but Spark 4.1
-    # annotates its variant files with the parquet VARIANT LogicalType,
-    # which this container's pyarrow 16.1 cannot parse AT THE FOOTER —
-    # the plan-time probe refuses with the real diagnosis instead of an
-    # executor OSError.  The unannotated-file parity test
-    # (tests/test_selfreview_r6.py::test_deltapy_variant_scan_unannotated)
-    # proves the scan end-to-end where pyarrow can open the files.
+    # deltapy variant parity (r7): Spark 4.1 annotates variant files with
+    # the parquet VARIANT LogicalType this container's pyarrow 16.1
+    # cannot parse at the footer — the footer shim
+    # (sources/footer_patch.py) rewrites the annotation away in memory,
+    # and the engine stages its variant parquet UNSHREDDED, so the
+    # python leg now reads the SAME files the JVM leg serves.  The r6
+    # refusal is gone; shredded foreign files still refuse typed
+    # (tests/test_variant_footer_shim.py).
     from delta_lake_validation_spark.sources import pydatasource
 
     pydatasource.register(spark)
-    with pytest.raises(Exception, match="VARIANT LogicalType"):
-        spark.read.format("deltapy").load(loc).collect()
+    py_got = sorted(
+        (r.id, r.j)
+        for r in spark.read.format("deltapy")
+        .load(loc)
+        .selectExpr("id", "to_json(v) AS j")
+        .collect()
+    )
+    assert py_got == got
 
 
 # ------------------------------------------------------------ rowTracking

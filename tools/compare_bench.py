@@ -39,6 +39,23 @@ def main() -> int:
             continue
         pct = (n - o) / o * 100 if o else 0.0
         rows.append((pct, name, o, n, f"{pct:+.0f}%"))
+    common = [q for q in old if q in new]
+    tot_o = sum(old[q] for q in common)
+    tot_n = sum(new[q] for q in common)
+    ratio = tot_n / tot_o if tot_o else float("nan")
+    # one machine-readable line for round notes: the calibration-normalized
+    # common-query ratio is THE cross-round number (host drift divided out)
+    print(
+        json.dumps(
+            {
+                "common_queries": len(common),
+                "old_total_s": round(tot_o, 1),
+                "new_total_normalized_s": round(tot_n, 1),
+                "normalized_ratio": round(ratio, 3),
+                "calibration_normalized": bool(cal_o and cal_n),
+            }
+        )
+    )
     regressions = 0
     for pct, name, o, n, label in sorted(rows, reverse=True):
         flag = " <-- REGRESSION" if isinstance(pct, float) and pct > threshold and o and n and n > 1.0 else ""
