@@ -72,6 +72,10 @@ _SUPPORTED_READER_FEATURES = {
     # parquet reader performs every spec promotion (int->long/double/
     # decimal, float->double, date->timestamp_ntz) on narrower files
     "typeWidening-preview",  # same mechanism, pre-GA feature name
+    "collations",  # collation lives in __COLLATIONS field metadata over a
+    # plain string type: reads return identical bytes; stats pruning
+    # excludes collated columns (snapshot.collated_columns)
+    "collations-preview",
     "variantType",  # Spark 4's native VariantType: the parquet physical
     # group (metadata/value binaries) is exactly what spark.read/write
     # produce, so scans serve variant columns directly (stats never
@@ -257,6 +261,27 @@ class DeltaSnapshot:
     def phys(self, logical: str) -> str:
         return self.physical[logical]
 
+    @property
+    def collated_columns(self) -> frozenset:
+        """Top-level LOGICAL columns whose subtree carries Delta collation
+        metadata (``__COLLATIONS`` StructField-metadata key; collations
+        writer feature).  Their min/max string stats order by a collation
+        this engine does not implement, so they are excluded from stats
+        WRITING and from every stats-pruning comparison (keep-on-unknown —
+        the exact residual filter preserves semantics).  Engine-side
+        comparisons on such columns use binary order; the bytes returned
+        by reads are identical to a collation-aware engine's."""
+        got = getattr(self, "_collated", None)
+        if got is None:
+            got = frozenset(
+                f.name
+                for f in self.schema.fields
+                if "__COLLATIONS" in (f.metadata or {})
+                or _subtree_has_collations(f.dataType)
+            )
+            self._collated = got
+        return got
+
     def physical_schema(self) -> StructType:
         """The on-disk schema: top-level names swapped to physicalName.
         Nested struct fields keep their physical names too — the read path
@@ -314,6 +339,31 @@ def _schema_has_variant(dt) -> bool:
         return _schema_has_variant(dt.elementType)
     if isinstance(dt, MapType):
         return _schema_has_variant(dt.keyType) or _schema_has_variant(
+            dt.valueType
+        )
+    return False
+
+
+def _subtree_has_collations(dt) -> bool:
+    """True when the type subtree contains a non-binary-collated string.
+    Delta serializes collation as ``__COLLATIONS`` StructField metadata
+    over a plain string type; pyspark 4.1's StructType.fromJson parses
+    that INTO ``StringType(<collation>)`` (and re-emits the metadata on
+    jsonValue), so detection goes by the type's collation attribute."""
+    from pyspark.sql.types import ArrayType, MapType, StringType
+
+    if isinstance(dt, StringType):
+        return getattr(dt, "collation", "UTF8_BINARY") != "UTF8_BINARY"
+    if isinstance(dt, StructType):
+        return any(
+            "__COLLATIONS" in (f.metadata or {})
+            or _subtree_has_collations(f.dataType)
+            for f in dt.fields
+        )
+    if isinstance(dt, ArrayType):
+        return _subtree_has_collations(dt.elementType)
+    if isinstance(dt, MapType):
+        return _subtree_has_collations(dt.keyType) or _subtree_has_collations(
             dt.valueType
         )
     return False
@@ -1048,6 +1098,13 @@ class DeltaTable:
         "variantType",  # honored: staged writes go through Spark's own
         # parquet variant encoding; stats skip variant columns
         "variantType-preview",
+        "collations",  # honored: __COLLATIONS field metadata is preserved
+        # verbatim through every metaData re-commit (schemaString comes
+        # from snap.schema.jsonValue()); collated columns are excluded
+        # from stats writing AND from all stats-pruning comparisons
+        # (snapshot.collated_columns) so binary-vs-collated order can
+        # never mis-skip; returned bytes are identical to delta-spark's
+        "collations-preview",  # pre-GA feature name, same mechanism
         "checkpointProtection",  # honored: cleanup_log never truncates
         # log entries below delta.requireCheckpointProtectionBeforeVersion
         # unless the retained checkpoint sits at/past the boundary AND the
@@ -1477,7 +1534,10 @@ class DeltaTable:
         stat_cols = [
             f.name
             for f in snap.schema.fields
-            if snap.phys(f.name) not in phys_parts
+            # collated columns: our min/max would be binary-ordered while
+            # the column's collation orders differently — never stat them
+            if f.name not in snap.collated_columns
+            and snap.phys(f.name) not in phys_parts
             and isinstance(f.dataType, _STAT_TYPES)
         ]
         aggs = [F.count(F.lit(1)).alias("n")]
@@ -4138,6 +4198,8 @@ class DeltaTable:
         maxs = st.get("maxValues") or {}
         pv = a.get("partitionValues") or {}
         for col, (lower, upper) in ranges.items():
+            if col in snap.collated_columns:
+                continue  # collated stats order differently: never prune
             # stats and partitionValues speak physical names
             pcol = snap.phys(col) if col in snap.physical else col
             if col in snap.partition_columns:
@@ -4294,6 +4356,8 @@ class DeltaTable:
         )
         keep = ~empty
         for col, (lower, upper) in ranges.items():
+            if col in snap.collated_columns:
+                continue  # collated stats order differently: never prune
             pcol = snap.phys(col) if col in snap.physical else col
             if not re.fullmatch(r"[\w .\-]+", pcol):
                 return None  # quoting hazard in a JSON path / map key

@@ -432,6 +432,12 @@ def _keep_file(
     maxs = st.get("maxValues") or {}
     part_set = set(snap.partition_columns)
     for col in set(ranges) | set(eq_in) | nulls:
+        if col in snap.collated_columns:
+            # collated column: binary comparison against collation-ordered
+            # stats (or partition equality under a case/accent-insensitive
+            # collation) could wrongly prune — keep; Spark re-applies the
+            # exact filter with its own collation semantics
+            continue
         pcol = snap.phys(col) if col in snap.physical else col
         if col in part_set:
             raw = pv.get(pcol)
@@ -940,6 +946,9 @@ class DeltaPyBatchReader(DataSourceReader):
             self.exec.ranges = {
                 c: (lo, hi)
                 for c, (lo, hi) in _filter_ranges(self._filters)[0].items()
+                # collated columns: row-group min/max comparisons would be
+                # binary-vs-collation — never push them to the executor
+                if c not in self._snap.collated_columns
             }
         # planning handles are not needed executor-side
         self._tbl = None
@@ -1353,6 +1362,7 @@ class DeltaPyWriter(DataSourceArrowWriter):
             self.existing_meta = None
             self.evolved_schema = None
             self.phys = {f.name: f.name for f in schema.fields}
+            self.collated = frozenset()
         else:
             snap = tbl.snapshot()
             tbl._check_writer_protocol(snap)
@@ -1393,8 +1403,19 @@ class DeltaPyWriter(DataSourceArrowWriter):
                     "deltapy writer: overwrite on a CDF-enabled table needs "
                     "change-data files; use DeltaTable.overwrite"
                 )
-            want = [(f.name, f.dataType.simpleString()) for f in snap.schema]
-            got = [(f.name, f.dataType.simpleString()) for f in schema]
+            # collation is a comparison property, not a storage one: a
+            # plain-string frame appends byte-identically to a collated
+            # column (delta-spark's implicit cast), so erase collation
+            # from the type comparison
+            import re as _re
+
+            def _ss(dt) -> str:
+                return _re.sub(
+                    r"string collate [\w.]+", "string", dt.simpleString()
+                )
+
+            want = [(f.name, _ss(f.dataType)) for f in snap.schema]
+            got = [(f.name, _ss(f.dataType)) for f in schema]
             self.evolved_schema = None
             if want != got and _boolish(options.get("mergeschema")):
                 # mergeSchema: NEW columns widen the table (metaData action
@@ -1436,6 +1457,7 @@ class DeltaPyWriter(DataSourceArrowWriter):
             self.existing_meta = True
             self._base_schema_json = snap.schema.json()
             self.phys = dict(snap.physical)
+            self.collated = snap.collated_columns
             if snap.mapping_mode not in ("none", ""):
                 raise DeltaProtocolError(
                     "deltapy writer: column-mapped tables not writable "
@@ -1575,6 +1597,8 @@ class DeltaPyWriter(DataSourceArrowWriter):
         for f_ in data.schema:
             col = data[f_.name]
             nulls[f_.name] = int(col.null_count)
+            if f_.name in getattr(self, "collated", ()):
+                continue  # binary min/max on a collated column mis-orders
             t = f_.type
             if (
                 pa.types.is_integer(t)

@@ -1,0 +1,182 @@
+"""Delta `collations` writer feature (VERDICT r6 "What's missing" #2).
+
+Delta stores collation in StructField metadata (``__COLLATIONS``) over a
+plain string type, so reads return identical bytes on any engine; the
+writer obligations this engine honors are (1) preserve the metadata
+through every metaData re-commit and (2) never write or trust binary
+min/max stats on collated columns — a case-insensitive collation orders
+'Z' < 'a', so binary pruning against collation-ordered stats can silently
+drop matching files."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from delta_lake_validation_spark.sources.delta_log import (
+    DeltaTable,
+    create_delta,
+)
+
+
+def _mk_collated(spark, tmp_path):
+    loc = str(tmp_path / "coll")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField(
+                "s",
+                StringType(),
+                metadata={"__COLLATIONS": {"s": "ICU.UNICODE_CI"}},
+            ),
+        ]
+    )
+    create_delta(spark, loc, schema)
+    # hand-bump to protocol v7 declaring the collations feature, restating
+    # the legacy writer-2 capabilities as the spec requires
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["collations-preview"],
+        "writerFeatures": ["appendOnly", "invariants", "collations-preview"],
+    }
+    with open(
+        os.path.join(loc, "_delta_log", f"{1:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"commitInfo": {"operation": "UPGRADE"}}) + "\n")
+        f.write(json.dumps({"protocol": proto}) + "\n")
+    return loc
+
+
+def test_collated_write_skips_stats_and_preserves_metadata(spark, tmp_path):
+    loc = _mk_collated(spark, tmp_path)
+    dt = DeltaTable(spark, loc)
+    assert dt.snapshot().collated_columns == {"s"}
+    dt.append(
+        spark.createDataFrame(
+            [(1, "apple"), (2, "Banana")], "id long, s string"
+        )
+    )
+    snap = DeltaTable(spark, loc).snapshot()
+    adds = list(snap.files.values())
+    assert adds
+    saw_rows = False
+    for a in adds:
+        st = json.loads(a["stats"])
+        assert "s" not in (st.get("minValues") or {})
+        assert "s" not in (st.get("maxValues") or {})
+        if st.get("numRecords"):
+            saw_rows = True
+            assert "id" in st["minValues"]  # non-collated cols still stat
+    assert saw_rows
+    # the collation survives a metaData re-commit: pyspark parses
+    # __COLLATIONS into StringType('UNICODE_CI') and re-emits the
+    # metadata on serialization, so the log keeps carrying it
+    dt.alter_properties({"delta.appendOnly": "false"})
+    f = {x.name: x for x in DeltaTable(spark, loc).snapshot().schema.fields}
+    assert getattr(f["s"].dataType, "collation", None) == "UNICODE_CI"
+    with open(
+        sorted(
+            os.path.join(loc, "_delta_log", n)
+            for n in os.listdir(os.path.join(loc, "_delta_log"))
+            if n.endswith(".json")
+        )[-1]
+    ) as fh:
+        assert "__COLLATIONS" in fh.read()
+    got = {(r.id, r.s) for r in DeltaTable(spark, loc).read().collect()}
+    assert got == {(1, "apple"), (2, "Banana")}
+
+
+def test_collated_stats_never_prune(spark, tmp_path):
+    """A foreign add with collation-ordered stats ('Z' < 'a' under
+    UNICODE_CI-ish orderings) must survive a binary range prune."""
+    loc = _mk_collated(spark, tmp_path)
+    dt = DeltaTable(spark, loc)
+    dt.append(
+        spark.createDataFrame([(1, "apple")], "id long, s string")
+    )
+    # craft a foreign file + add whose stats binary-prune against
+    # ranges s >= 'a' (min=max='Z' < 'a') although the row is 'azure'
+    spark.createDataFrame(
+        [(9, "azure")], "id long, s string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "raw"))
+    src = glob.glob(str(tmp_path / "raw/part-*.parquet"))[0]
+    fname = "part-foreign.parquet"
+    shutil.copy(src, os.path.join(loc, fname))
+    v = DeltaTable(spark, loc).latest_version() + 1
+    add = {
+        "path": fname,
+        "partitionValues": {},
+        "size": os.path.getsize(os.path.join(loc, fname)),
+        "modificationTime": 0,
+        "dataChange": True,
+        "stats": json.dumps(
+            {
+                "numRecords": 1,
+                "minValues": {"id": 9, "s": "Z"},
+                "maxValues": {"id": 9, "s": "Z"},
+                "nullCount": {"id": 0, "s": 0},
+            }
+        ),
+    }
+    with open(
+        os.path.join(loc, "_delta_log", f"{v:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"add": add}) + "\n")
+    got = {
+        (r.id, r.s)
+        for r in DeltaTable(spark, loc)
+        .read_where({"s": ("a", "b")})
+        .collect()
+    }
+    # the collated column never prunes (min='Z' would binary-prune
+    # s >= 'a'); the exact residual filter runs with the column's real
+    # collation, so both 'apple' and 'azure' survive
+    assert got == {(1, "apple"), (9, "azure")}
+    # sanity: the same stats DO prune a non-collated column
+    assert {
+        r.id
+        for r in DeltaTable(spark, loc).read_where({"id": (100, None)}).collect()
+    } == set()
+
+
+def test_collated_table_through_deltapy(spark, tmp_path):
+    from delta_lake_validation_spark.sources import pydatasource
+
+    loc = _mk_collated(spark, tmp_path)
+    DeltaTable(spark, loc).append(
+        spark.createDataFrame(
+            [(1, "apple"), (2, "Banana")], "id long, s string"
+        )
+    )
+    pydatasource.register(spark)
+    got = {
+        (r.id, r.s)
+        for r in spark.read.format("deltapy").load(loc).collect()
+    }
+    assert got == {(1, "apple"), (2, "Banana")}
+    # filter on the collated column: pruning is suppressed, Spark's exact
+    # re-application runs with UNICODE_CI semantics ('Banana' >= 'a'
+    # case-insensitively, although binary 'B' < 'a')
+    got2 = {
+        r.s
+        for r in spark.read.format("deltapy")
+        .load(loc)
+        .where("s >= 'a'")
+        .collect()
+    }
+    assert got2 == {"apple", "Banana"}
+    # deltapy writer: appended file carries no s stats
+    spark.createDataFrame([(3, "Cherry")], "id long, s string").write.format(
+        "deltapy"
+    ).mode("append").save(loc)
+    snap = DeltaTable(spark, loc).snapshot()
+    newest = max(snap.files.values(), key=lambda a: a.get("modificationTime") or 0)
+    for a in snap.files.values():
+        st = json.loads(a["stats"])
+        assert "s" not in (st.get("minValues") or {})
+    assert DeltaTable(spark, loc).read().count() == 3
