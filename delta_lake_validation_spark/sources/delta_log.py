@@ -369,6 +369,40 @@ def _subtree_has_collations(dt) -> bool:
     return False
 
 
+def _with_parquet_field_ids(dt):
+    """Copy of a datatype whose NESTED StructFields mirror
+    ``delta.columnMapping.id`` into ``parquet.field.id`` metadata — Spark's
+    parquet writer (SPARK-38094) emits field ids from that key at every
+    nesting level, which id-mode readers and icebergCompatV2 require in
+    staged files.  Types without mapping ids pass through unchanged."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+
+    if isinstance(dt, StructType):
+        fields = []
+        for f in dt.fields:
+            md = dict(f.metadata or {})
+            fid = md.get("delta.columnMapping.id")
+            if fid is not None:
+                md["parquet.field.id"] = int(fid)
+            fields.append(
+                StructField(
+                    f.name, _with_parquet_field_ids(f.dataType), f.nullable, md
+                )
+            )
+        return StructType(fields)
+    if isinstance(dt, ArrayType):
+        return ArrayType(
+            _with_parquet_field_ids(dt.elementType), dt.containsNull
+        )
+    if isinstance(dt, MapType):
+        return MapType(
+            _with_parquet_field_ids(dt.keyType),
+            _with_parquet_field_ids(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 import contextlib as _contextlib  # noqa: E402
 
 
@@ -1098,6 +1132,12 @@ class DeltaTable:
         "variantType",  # honored: staged writes go through Spark's own
         # parquet variant encoding; stats skip variant columns
         "variantType-preview",
+        "icebergCompatV2",  # honored when delta.enableIcebergCompatV2:
+        # column mapping is required (writes refuse without it), parquet
+        # field ids are stamped into every staged file incl. nested
+        # fields (_with_parquet_field_ids), and deletion vectors are
+        # refused — enabling either while the other is on is a typed
+        # error (the spec forbids the combination)
         "collations",  # honored: __COLLATIONS field metadata is preserved
         # verbatim through every metaData re-commit (schemaString comes
         # from snap.schema.jsonValue()); collated columns are excluded
@@ -1164,6 +1204,17 @@ class DeltaTable:
         ):
             raise DeltaProtocolError(
                 f"delta.appendOnly table: {op} would change existing rows"
+            )
+        if self._iceberg_compat(snap) and snap.mapping_mode not in (
+            "name",
+            "id",
+        ):
+            # icebergCompatV2 requires column mapping (field ids in every
+            # file); a table declaring it without mapping is malformed
+            raise DeltaProtocolError(
+                "icebergCompatV2 table without column mapping — the spec "
+                "requires delta.columnMapping.mode name|id; refusing to "
+                "write"
             )
         # row tracking no longer gates rewrite ops: UPDATE/MERGE/OPTIMIZE/
         # copy-on-write DELETE preserve surviving rows' ids by
@@ -1398,13 +1449,31 @@ class DeltaTable:
                 "nothing was committed"
             )
 
+    @staticmethod
+    def _iceberg_compat(snap: DeltaSnapshot) -> bool:
+        """delta.enableIcebergCompatV2 tables promise Iceberg-readable
+        files: column mapping with parquet field ids everywhere, and no
+        deletion vectors."""
+        return (
+            str(
+                snap.properties.get("delta.enableIcebergCompatV2", "")
+            ).lower()
+            == "true"
+        )
+
     def _dv_enabled(self, snap: DeltaSnapshot) -> bool:
-        return "deletionVectors" in set(
+        on = "deletionVectors" in set(
             snap.protocol.get("writerFeatures") or []
         ) and (
             str(snap.properties.get("delta.enableDeletionVectors", "")).lower()
             == "true"
         )
+        if on and self._iceberg_compat(snap):
+            raise DeltaProtocolError(
+                "table enables BOTH deletionVectors and icebergCompatV2 — "
+                "the icebergCompatV2 spec forbids DVs; refusing to write"
+            )
+        return on
 
     def _cdf_enabled(self, snap: DeltaSnapshot) -> bool:
         return (
@@ -1452,13 +1521,17 @@ class DeltaTable:
                 f"data has {sorted(set(df.columns) - rt_extra)}"
             )
         out_cols = []
+        mapped = snap.mapping_mode in ("name", "id")
         for f in snap.schema.fields:
             meta = {}
             fid = (f.metadata or {}).get("delta.columnMapping.id")
-            if snap.mapping_mode in ("name", "id") and fid is not None:
+            if mapped and fid is not None:
                 meta["parquet.field.id"] = int(fid)
+            # nested mapping ids (assigned by DDL / foreign writers) ride
+            # into the staged parquet as nested field ids too
+            target = _with_parquet_field_ids(f.dataType) if mapped else f.dataType
             out_cols.append(
-                F.col(f.name).cast(f.dataType).alias(snap.phys(f.name), metadata=meta)
+                F.col(f.name).cast(target).alias(snap.phys(f.name), metadata=meta)
             )
         if rt_extra:
             rid_col, rcv_col = rt_cols
@@ -2007,6 +2080,20 @@ class DeltaTable:
             props.get("delta.requireCheckpointProtectionBeforeVersion", "")
         ).strip():
             need_w.add("checkpointProtection")
+        if _on("delta.enableIcebergCompatV2"):
+            if _on("delta.enableDeletionVectors"):
+                raise DeltaProtocolError(
+                    "delta.enableIcebergCompatV2 and "
+                    "delta.enableDeletionVectors cannot both be true "
+                    "(icebergCompatV2 forbids DVs)"
+                )
+            if props.get("delta.columnMapping.mode") not in ("name", "id"):
+                raise DeltaProtocolError(
+                    "delta.enableIcebergCompatV2 requires column mapping "
+                    "(delta.columnMapping.mode name|id), which ALTER "
+                    "cannot retrofit"
+                )
+            need_w.add("icebergCompatV2")
 
         proto = dict(snap.protocol)
         mr = int(proto.get("minReaderVersion", 1))
@@ -5465,7 +5552,21 @@ def create_delta(
     rt_on = (
         str(props.get("delta.enableRowTracking", "")).lower() == "true"
     )
-    if dv_on or cluster or has_variant or rt_on:
+    iceberg_on = (
+        str(props.get("delta.enableIcebergCompatV2", "")).lower() == "true"
+    )
+    if iceberg_on:
+        if dv_on:
+            raise DeltaProtocolError(
+                "delta.enableIcebergCompatV2 and delta.enableDeletionVectors "
+                "cannot both be true (icebergCompatV2 forbids DVs)"
+            )
+        if not mapped:
+            raise DeltaProtocolError(
+                "delta.enableIcebergCompatV2 requires "
+                "delta.columnMapping.mode name|id"
+            )
+    if dv_on or cluster or has_variant or rt_on or iceberg_on:
         feats_r = {"deletionVectors"} if dv_on else set()
         feats_w = {"deletionVectors"} if dv_on else set()
         if has_variant:
@@ -5484,6 +5585,8 @@ def create_delta(
         if mapped:
             feats_r.add("columnMapping")
             feats_w.add("columnMapping")
+        if iceberg_on:
+            feats_w.add("icebergCompatV2")
         if cluster:
             feats_w.update({"clustering", "domainMetadata"})
         protocol = {

@@ -1,0 +1,141 @@
+"""icebergCompatV2 writer feature (VERDICT r6 "What's missing" #2).
+
+Obligations honored: column mapping required, parquet field ids stamped
+into every staged file INCLUDING nested fields, deletion vectors refused
+(and the DV+iceberg property combination refused in both directions).
+A modern delta-spark/UniForm table declaring the feature is now writable
+instead of refusing at the feature gate."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from delta_lake_validation_spark.sources.delta_log import (
+    DeltaProtocolError,
+    DeltaTable,
+    create_delta,
+)
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def _mapped_iceberg_schema():
+    return StructType(
+        [
+            StructField(
+                "id",
+                LongType(),
+                metadata={
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-id",
+                },
+            ),
+            StructField(
+                "o",
+                StructType(
+                    [
+                        StructField(
+                            "a",
+                            LongType(),
+                            metadata={
+                                "delta.columnMapping.id": 3,
+                                "delta.columnMapping.physicalName": "a",
+                            },
+                        )
+                    ]
+                ),
+                metadata={
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-o",
+                },
+            ),
+        ]
+    )
+
+
+_PROPS = {
+    "delta.columnMapping.mode": "name",
+    "delta.columnMapping.maxColumnId": "3",
+    "delta.enableIcebergCompatV2": "true",
+}
+
+
+def _field_ids(path):
+    """(name path -> parquet field id) from a file's arrow schema."""
+    import pyarrow.parquet as pq
+
+    out = {}
+
+    def walk(field, prefix):
+        meta = field.metadata or {}
+        fid = meta.get(b"PARQUET:field_id")
+        if fid is not None:
+            out[prefix + field.name] = int(fid)
+        if hasattr(field.type, "num_fields"):
+            for i in range(field.type.num_fields):
+                walk(field.type.field(i), prefix + field.name + ".")
+
+    for f in pq.ParquetFile(path).schema_arrow:
+        walk(f, "")
+    return out
+
+
+def test_iceberg_compat_write_and_nested_field_ids(spark, tmp_path):
+    loc = str(tmp_path / "ice")
+    create_delta(spark, loc, _mapped_iceberg_schema(), properties=_PROPS)
+    snap = DeltaTable(spark, loc).snapshot()
+    feats = set(snap.protocol.get("writerFeatures") or [])
+    assert {"icebergCompatV2", "columnMapping"} <= feats
+    dt = DeltaTable(spark, loc)
+    dt.append(
+        spark.sql("SELECT id, named_struct('a', id * 10) AS o FROM range(5)")
+    )
+    files = [
+        p
+        for p in glob.glob(os.path.join(loc, "**", "*.parquet"), recursive=True)
+        if "_delta_log" not in p
+    ]
+    assert files
+    ids = _field_ids(files[0])
+    assert ids.get("col-id") == 1
+    assert ids.get("col-o") == 2
+    assert ids.get("col-o.a") == 3  # NESTED id stamped too
+    got = {(r.id, r.o.a) for r in DeltaTable(spark, loc).read().collect()}
+    assert got == {(i, i * 10) for i in range(5)}
+    # rewrite ops stay iceberg-safe: UPDATE uses copy-on-write, never DVs
+    dt2 = DeltaTable(spark, loc)
+    dt2.update({"o": "named_struct('a', CAST(999 AS BIGINT))"}, "id = 1")
+    assert (1, 999) in {
+        (r.id, r.o.a) for r in DeltaTable(spark, loc).read().collect()
+    }
+    assert not any(
+        a.get("deletionVector")
+        for a in DeltaTable(spark, loc).snapshot().files.values()
+    )
+
+
+def test_iceberg_compat_refuses_dv_combinations(spark, tmp_path):
+    loc = str(tmp_path / "ice2")
+    create_delta(spark, loc, _mapped_iceberg_schema(), properties=_PROPS)
+    with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
+        DeltaTable(spark, loc).alter_properties(
+            {"delta.enableDeletionVectors": "true"}
+        )
+    # creation-time combination refusal, both orders
+    with pytest.raises(DeltaProtocolError, match="forbids DVs"):
+        create_delta(
+            spark,
+            str(tmp_path / "ice3"),
+            _mapped_iceberg_schema(),
+            properties={**_PROPS, "delta.enableDeletionVectors": "true"},
+        )
+    # mapping is required
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        create_delta(
+            spark,
+            str(tmp_path / "ice4"),
+            "id bigint",
+            properties={"delta.enableIcebergCompatV2": "true"},
+        )
