@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from delta_lake_validation_spark.functions.aggregates import davg, sql_davg
 
-from delta_lake_validation_spark.plans.registry import register
+from delta_lake_validation_spark.plans.registry import TIER_NEWFAM, register
 from delta_lake_validation_spark.tables import Tables
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
@@ -792,6 +792,87 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents
     pairs = ngram_jaccard_pairs(spark, docs, threshold=0.8)
     return dedup_clusters(spark, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Canonical-representative selection: the step AFTER clustering in every
+# near-dup pipeline — each cluster keeps ONE document (the longest; ties to
+# the smallest doc_id — the standard "keep the fullest version" rule) and
+# the rest are drop candidates.  Output is the per-member verdict table a
+# curation run joins against.
+# Scale: the representative is a hash-agg argmin of struct(-n_chars, id)
+# per cluster (map-side combine — a megacluster of boilerplate docs never
+# funnels into one sort task, deliberately NOT a row_number window), joined
+# back on cluster_id where the agg side is one row per cluster.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_canonical",
+    oracle=r"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents),
+    sh AS (SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(range(1, len(t)-1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS s FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    nsz AS (SELECT doc_id, len(s) AS n FROM sh),
+    co AS (SELECT a.doc_id AS la, b.doc_id AS rb, count(*) AS inter
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    pairs AS (SELECT co.la, co.rb
+              FROM co JOIN nsz sa ON co.la = sa.doc_id
+                      JOIN nsz sb ON co.rb = sb.doc_id
+              WHERE co.inter * 5 >= (sa.n + sb.n - co.inter) * 4),
+    edges AS (SELECT la AS a, rb AS b FROM pairs
+              UNION SELECT rb, la FROM pairs),
+    cc AS (SELECT a AS id, a AS lbl FROM edges
+           UNION
+           SELECT e.a, c.lbl FROM edges e JOIN cc c ON e.b = c.id),
+    cl AS (SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id),
+    j AS (SELECT cl.id, cl.cluster_id, d.n_chars
+          FROM cl JOIN documents d ON d.doc_id = cl.id)
+    SELECT j.id AS doc_id, j.cluster_id,
+           CAST(count(*) OVER (PARTITION BY j.cluster_id) AS BIGINT) AS csize,
+           CAST(CASE WHEN row_number() OVER (
+                    PARTITION BY j.cluster_id
+                    ORDER BY j.n_chars DESC, j.id ASC) = 1
+                THEN 1 ELSE 0 END AS INTEGER) AS canonical
+    FROM j
+    """,
+    tags=("dedup", "llm", "curation"),
+    doc="per-member canonical verdicts over near-dup clusters: each cluster "
+    "keeps its longest doc (ties to smallest id) via a skew-safe hash-agg "
+    "argmin, never a per-cluster window",
+    priority=TIER_NEWFAM,
+)
+def dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = Tables(spark, sf_dir).documents
+    pairs = ngram_jaccard_pairs(spark, docs, threshold=0.8)
+    clusters = dedup_clusters(spark, pairs)
+    j = clusters.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    rep = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("csize"),
+        F.min(
+            F.struct(
+                (-F.col("n_chars")).alias("neg_len"), F.col("id").alias("rid")
+            )
+        ).alias("best"),
+    )
+    return j.join(rep, "cluster_id").select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        "csize",
+        (F.col("id") == F.col("best.rid")).cast("int").alias("canonical"),
+    )
 
 
 # ---------------------------------------------------------------------------

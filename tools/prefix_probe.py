@@ -17,10 +17,12 @@ queries, on adversarial synthetic inputs where one key owns ~all rows:
 
 Every pair is value-asserted equal before timing counts.  Usage:
 
-    python tools/prefix_probe.py [n_rows]
+    python tools/prefix_probe.py [n_rows] [legs]
 
+``legs``: comma list from df_count,cumsum,rank (default all three).
 Prints one markdown row + one JSON line per sub-probe (paste into
-BASELINE.md).
+BASELINE.md).  Run on an IDLE machine — a concurrent Spark session
+distorts the single-task window legs most.
 """
 
 from __future__ import annotations
@@ -160,11 +162,20 @@ def probe_rank(spark, n: int) -> None:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    legs = (
+        sys.argv[2].split(",")
+        if len(sys.argv) > 2
+        else ["df_count", "cumsum", "rank"]
+    )
     spark = get_session("prefix-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    probe_df_count(spark, n)
-    probe_cumsum(spark, n)
-    probe_rank(spark, n)
+    fns = {
+        "df_count": probe_df_count,
+        "cumsum": probe_cumsum,
+        "rank": probe_rank,
+    }
+    for leg in legs:
+        fns[leg](spark, n)
 
 
 if __name__ == "__main__":
