@@ -1936,17 +1936,19 @@ def test_delta_vacuum_refuses_unsupported_writer_features(spark, tmp_path):
         "protocol": {
             "minReaderVersion": 1,
             "minWriterVersion": 7,
-            # icebergCompatV2: a real writer feature this engine does not
-            # honor (uniform Iceberg metadata would go stale on our writes)
-            "writerFeatures": ["icebergCompatV2"],
+            # coordinatedCommits: a real writer feature this engine does
+            # not honor (commits go through a coordinator, not the
+            # filesystem — our fs commit would be invisible to it).
+            # icebergCompatV2 moved OFF this list in r7 (now honored).
+            "writerFeatures": ["coordinatedCommits"],
         }
     }
     _write_commit(log, 0, [proto, _meta([("v", "integer")]), _add(f)])
     t = DeltaTable(spark, str(loc))
     assert t.read().count() == 1  # reading is fine
-    with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
+    with pytest.raises(DeltaProtocolError, match="coordinatedCommits"):
         t.vacuum(retain_hours=0)
-    with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
+    with pytest.raises(DeltaProtocolError, match="coordinatedCommits"):
         t.append(spark.createDataFrame([(2,)], "v int"))
 
 

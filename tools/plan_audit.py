@@ -266,6 +266,18 @@ CUSTOM: dict[str, object] = {
         + (["no HashAggregate"] if "HashAggregate" not in p else [])
         + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
     ),
+    # canonical selection: representative = partial-aggregated argmin
+    # joined back — a cluster-keyed window would single-task a
+    # boilerplate megacluster.  min(struct(...)) is not hash-aggregable
+    # so Spark plans a partial+final SortAggregate pair: still map-side
+    # combined, each sort bounded by its partition.
+    "dedup_canonical": lambda p: (
+        (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["cluster-keyed window appeared"]
+           if "windowspecdefinition(cluster_id" in p else [])
+        + (["no partial aggregate pair"]
+           if "SortAggregate" not in p and "HashAggregate" not in p else [])
+    ),
     # mask-pair blocking: equi join on (nation, mask, masked-name) keys;
     # cartesian/BNLJ means the blocking-key equality was lost and the plan
     # is quadratic
