@@ -59,6 +59,11 @@ def distributed_prefix_sum(
     key the offset join).  Plans carry two data shuffles (range + local
     window hash) plus a broadcast of the P x |keys| offset table; every
     window spec is keyed by the range-partition id (plan-audited).
+
+    The sliced frame is persisted for cross-branch slice consistency (see
+    the comment below); Spark's SQL cache holds it until clearCache() or
+    session end, so long-lived sessions running many prefix queries should
+    clear the cache between them (bench.py already does).
     """
     pby = list(partition_by)
     if num_partitions is None:

@@ -84,6 +84,23 @@ def test_patch_roundtrip_on_real_spark41_footer(spark, tmp_path):
     assert v.field("value").null_count == 0
 
 
+def test_patch_passthrough_on_real_testdata_footers():
+    """The transformer must walk ANY real footer byte-faithfully: every
+    testdata table's footer (big row groups, stats, key-value metadata,
+    column orders) round-trips byte-identical with dropped == 0."""
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    files = glob.glob(os.path.join(sf, "*.parquet")) + glob.glob(
+        os.path.join(sf, "*.parquet", "*.parquet")
+    )
+    checked = 0
+    for p in files:
+        footer = _footer(p)
+        out, dropped = patch_variant_footer(footer)
+        assert dropped == 0 and out == footer, p
+        checked += 1
+    assert checked >= 5
+
+
 def test_patch_declares_variant_free_footers(spark, tmp_path):
     import pyarrow as pa
 
