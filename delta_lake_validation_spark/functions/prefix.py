@@ -66,6 +66,12 @@ def distributed_prefix_sum(
     clear the cache between them (bench.py already does).
     """
     pby = list(partition_by)
+    reserved = {_PID, _MEASURE, _LOCAL, _TOTAL, _OFFSET, out} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"distributed_prefix_sum: input already has column(s) "
+            f"{sorted(reserved)} that the helper reserves"
+        )
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 2)
     keyed = (
