@@ -1,0 +1,440 @@
+"""Corpus-curation operators, batch 2 (round 7): the pipeline stages a
+100 TB training-data build runs between raw crawl and tokenizer shards.
+
+Engine extensions (the reference has no text surface — its analytics stop at
+relational queries, src/benchmarking_suite.py:40-140); each query carries a
+DuckDB oracle and a scale note.  The four families here:
+
+* **Bloom-prefiltered decontamination** — the scale path for benchmark
+  n-gram scrubbing: a fixed-size bitmap built from the (small) eval side is
+  broadcast to every executor and filters the corpus MAP-SIDE, so only the
+  ~FP-rate fraction of corpus grams ever reaches the shuffle; an exact
+  confirm join on the survivors removes false positives, making the result
+  bit-identical to the plain join (Bloom filters have no false negatives).
+* **URL canonicalization dedup** — crawl pipelines dedup by canonical URL
+  before ever touching document bodies; pure per-row regex + one hash-agg.
+* **Balanced resampling** — deterministic per-source downsampling toward a
+  uniform mixture using integer-exact thresholds (no cross-engine float).
+* **Shard manifest** — token-balanced contiguous shard assignment via the
+  two-pass distributed prefix sum (functions/prefix.py), the planning step
+  before writing training shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from delta_lake_validation_spark.plans.registry import TIER_NEWFAM, register
+from delta_lake_validation_spark.tables import Tables
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination
+#
+# decontaminate_trigrams (plans/llm.py) ships the plain equi-join form; this
+# is the 100 TB variant.  The eval set (benchmarks are MBs) hashes into an
+# m-bit bitmap on the executors — ONE bounded collect of <= m/64 longs, size
+# fixed by m, never by data — which broadcasts everywhere and prefilters the
+# corpus gram stream inside the scan stage.  Only survivors (true matches +
+# ~0.1% false positives at these parameters) are shuffled into the exact
+# confirm join, so the join's probe side shrinks by ~1000x on a clean
+# corpus.  Both hash lanes (h1, h2) are JVM xxhash64 columns; the probe UDF
+# is pure int64 arithmetic over an Arrow batch (double hashing
+# p_i = h1 + i*h2 mod m, the standard Kirsch-Mitzenmacher construction).
+#
+# Exactness: Bloom filters admit no false negatives, and the confirm join
+# removes false positives, so the result is bit-identical to the plain
+# join — which is exactly what the oracle runs.
+# ---------------------------------------------------------------------------
+_BLOOM_M = 1 << 20  # bits
+_BLOOM_K = 5  # hash probes
+_BLOOM_EVAL_MOD = 89  # doc_id % 89 == 0 -> held-out eval slice
+
+
+def _grams4(docs: DataFrame) -> DataFrame:
+    """(doc_id, g) word-4-grams; the window key is doc_id (high-cardinality,
+    bounded by document length) — never a corpus-level key."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("tok"),
+            F.lead("tok", 1).over(w),
+            F.lead("tok", 2).over(w),
+            F.lead("tok", 3).over(w),
+        ).alias("g"),
+        F.lead("tok", 3).over(w).alias("__last"),
+    ).filter(F.col("__last").isNotNull()).drop("__last")
+
+
+def _bloom_hashes(df: DataFrame) -> DataFrame:
+    """Two independent 64-bit lanes for double hashing, pre-reduced mod m.
+    Both sides of the filter (bitmap build and probe) derive positions as
+    (r1 + i*r2) mod m from these SAME two columns; reducing the raw hashes
+    first keeps the arithmetic inside [0, K*m) — no int64 overflow under
+    ANSI mode, and JVM pmod / numpy % agree exactly (both land in [0, m)
+    for a positive modulus)."""
+    m = F.lit(_BLOOM_M).cast("long")
+    return df.withColumn("__h1", F.pmod(F.xxhash64("g"), m)).withColumn(
+        "__h2", F.pmod(F.xxhash64(F.lit("bloom2"), F.col("g")), m)
+    )
+
+
+def build_bloom_bitmap(eval_grams: DataFrame):
+    """Aggregate the eval grams into an m-bit bitmap: per gram, K positions
+    p_i = pmod(h1 + i*h2, m); per 64-bit word, bit_or of the set bits.
+    Collects <= m/64 rows (16 KiB of longs at m=2^20) — bounded by the
+    bitmap geometry, not the data."""
+    import numpy as np
+
+    h = _bloom_hashes(eval_grams)
+    pos = h.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.col("__h1") + F.lit(i).cast("long") * F.col("__h2"),
+                        F.lit(_BLOOM_M).cast("long"),
+                    )
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            F.shiftright("p", 6).alias("w"),
+            F.expr("shiftleft(1L, int(p & 63))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+        .collect()
+    )
+    arr = np.zeros(_BLOOM_M // 64, dtype=np.int64)
+    for row in words:
+        arr[row["w"]] = row["bits"]
+    return arr
+
+
+def bloom_prefilter(corpus_grams: DataFrame, bitmap) -> DataFrame:
+    """Map-side Bloom membership test: vectorized int64 ops over Arrow
+    batches against the broadcast bitmap.  No shuffle; survivors only."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = corpus_grams.sparkSession
+    bc = spark.sparkContext.broadcast(bitmap)
+    m = np.int64(_BLOOM_M)
+
+    def _mc(h1, h2):
+        a = bc.value
+        x1 = h1.to_numpy(np.int64) % m
+        x2 = h2.to_numpy(np.int64) % m
+        ok = np.ones(len(x1), dtype=bool)
+        with np.errstate(over="ignore"):
+            for i in range(_BLOOM_K):
+                p = (x1 + np.int64(i) * x2) % m
+                bit = np.int64(1) << (p & np.int64(63))
+                ok &= (a[p >> np.int64(6)] & bit) != 0
+        return pd.Series(ok)
+
+    # explicit annotations: the module-level `from __future__ import
+    # annotations` stringifies inline hints, which the pandas_udf type
+    # inferencer cannot resolve for locally-imported pd (same pattern as
+    # operators/text.py bpe_len_udf)
+    _mc.__annotations__ = {"h1": pd.Series, "h2": pd.Series, "return": pd.Series}
+    might_contain = pandas_udf(_mc, "boolean")
+
+    h = _bloom_hashes(corpus_grams)
+    return (
+        h.filter(might_contain("__h1", "__h2")).drop("__h1", "__h2")
+    )
+
+
+@register(
+    "bloom_decontaminate",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, ts, unnest(range(1, len(ts) - 2)) AS i
+      FROM toks WHERE len(ts) >= 4
+    ),
+    grams AS (
+      SELECT doc_id,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS g
+      FROM idx
+    ),
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {_BLOOM_EVAL_MOD} = 0
+    )
+    SELECT g.doc_id, count(DISTINCT g.g) AS n_shared_grams
+    FROM grams g JOIN eval_grams e USING (g)
+    WHERE g.doc_id % {_BLOOM_EVAL_MOD} <> 0
+    GROUP BY g.doc_id
+    """,
+    tags=("text", "llm", "decontamination", "bloom"),
+    doc="benchmark 4-gram scrub via broadcast Bloom prefilter + exact "
+    "confirm join (bit-identical to the plain join; probe side shrinks "
+    "to true-matches + ~0.1% FP before the shuffle)",
+    priority=TIER_NEWFAM,
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    grams = _grams4(docs)
+    eval_grams = (
+        grams.filter(F.col("doc_id") % _BLOOM_EVAL_MOD == 0).select("g").distinct()
+    )
+    bitmap = build_bloom_bitmap(eval_grams)
+    corpus = grams.filter(F.col("doc_id") % _BLOOM_EVAL_MOD != 0)
+    survivors = bloom_prefilter(corpus, bitmap)
+    return (
+        survivors.join(eval_grams, "g")  # exact confirm: kills Bloom FPs
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup: crawl pipelines dedup by canonical URL before
+# reading a single document body.  The synthetic corpus has no URL column,
+# so (like pii_redact) the query derives a deterministic doc_id-keyed raw
+# URL IN BOTH ENGINES — scheme/www/trailing-slash/utm-param/fragment noise
+# over a shared (host, path, ref) identity — then grades the
+# canonicalization itself: strip scheme + www + fragment + utm_* params +
+# trailing slash, group by the canonical form.
+#
+# Scale: per-row regexes (Catalyst codegen) + ONE hash-agg keyed by the
+# canonical URL — partial aggregation collapses each host's duplicates
+# map-side; no window, no join.  Regexes stay in the Java/RE2 common subset.
+# ---------------------------------------------------------------------------
+@register(
+    "url_canonical_dedup",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+             || 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com'
+             || '/p/' || CAST(doc_id % 47 AS VARCHAR)
+             || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 11 = 0
+                      THEN '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR)
+                      WHEN doc_id % 11 = 1
+                      THEN '?ref=' || CAST(doc_id % 5 AS VARCHAR)
+                      WHEN doc_id % 11 = 2 THEN '?utm_campaign=x'
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 17 = 0 THEN '#sec' ELSE '' END) AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(url,
+                 '^https?://', ''),
+                 '^www\.', ''),
+                 '#.*$', ''),
+                 'utm_[a-z]+=[^&#]*&?', '', 'g'),
+                 '[?&]$', ''),
+                 '/$', '') AS cu
+      FROM raw
+    )
+    SELECT cu AS canon_url,
+           count(*) AS n_docs,
+           count(DISTINCT url) AS n_raw_forms,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM canon GROUP BY cu
+    """,
+    tags=("dedup", "llm", "curation", "url"),
+    doc="canonical-URL dedup: strip scheme/www/fragment/utm/trailing-slash "
+    "noise, keep min doc_id per canonical URL",
+    priority=TIER_NEWFAM,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    d = F.col("doc_id")
+
+    def s(e):
+        return e.cast("string")
+
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"),
+        s(d % 13),
+        F.lit(".example.com/p/"),
+        s(d % 47),
+        F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0, F.concat(F.lit("?utm_source=feed&ref="), s(d % 5))
+        )
+        .when(d % 11 == 1, F.concat(F.lit("?ref="), s(d % 5)))
+        .when(d % 11 == 2, F.lit("?utm_campaign=x"))
+        .otherwise(F.lit("")),
+        F.when(d % 17 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    canon = canonicalize_url(url)
+    return (
+        docs.select(d.alias("doc_id"), url.alias("url"), canon.alias("cu"))
+        .groupBy(F.col("cu").alias("canon_url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_forms"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+    )
+
+
+def canonicalize_url(url):
+    """Canonical form: no scheme, no leading www., no fragment, no utm_*
+    params (dangling ?/& tidied), no trailing slash.  Pure Catalyst regex
+    chain — zero shuffle, codegen-friendly."""
+    c = F.regexp_replace(url, "^https?://", "")
+    c = F.regexp_replace(c, r"^www\.", "")
+    c = F.regexp_replace(c, "#.*$", "")
+    c = F.regexp_replace(c, r"utm_[a-z]+=[^&#]*&?", "")
+    c = F.regexp_replace(c, r"[?&]$", "")
+    return F.regexp_replace(c, "/$", "")
+
+
+# ---------------------------------------------------------------------------
+# Balanced resampling: deterministic per-source downsampling toward a
+# uniform source mixture (each source keeps ~n_min docs — the temperature->0
+# limit of mixture reweighting; mixture_weights in plans/llm.py computes the
+# general-alpha WEIGHTS, this op APPLIES a sampling decision per document).
+#
+# Cross-engine exactness is the design constraint: the keep test never
+# touches floats.  Threshold thr = n_min * 2^20 DIV n_source (integer, exact
+# in both engines; 20-bit precision keeps n_min * 2^20 inside int64 up to
+# n_min ~ 8e12 docs); the per-doc uniform draw is the first 5 hex chars of
+# md5(doc_id) — fixed-width lowercase hex compares lexically exactly like
+# the 20-bit integer it encodes, the split_assign recipe.
+#
+# Scale: one tiny per-source count agg, its result broadcast back, then a
+# per-row hash compare + one partial-agg rollup.  No window, no skew: the
+# join key is `source` but the build side is ONE row per source.
+# ---------------------------------------------------------------------------
+@register(
+    "balanced_resample",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*) AS n_total FROM documents GROUP BY source
+    ),
+    m AS (SELECT min(n_total) AS n_min FROM counts),
+    thr AS (
+      SELECT source, n_total, (n_min * 1048576) // n_total AS thr
+      FROM counts, m
+    )
+    SELECT d.source,
+           any_value(t.n_total) AS n_total,
+           CAST(t.thr AS BIGINT) AS thr,
+           count(*) FILTER (WHERE
+             t.thr >= 1048576
+             OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5)
+                < lower(lpad(hex(t.thr), 5, '0'))
+           ) AS n_kept
+    FROM documents d JOIN thr t USING (source)
+    GROUP BY d.source, t.thr
+    """,
+    tags=("curation", "llm", "sampling"),
+    doc="deterministic balance-toward-uniform resampling; integer-exact "
+    "md5-threshold keep test (no cross-engine float)",
+    priority=TIER_NEWFAM,
+)
+def balanced_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    n_min = counts.agg(F.min("n_total").alias("n_min"))
+    thr = (
+        counts.crossJoin(F.broadcast(n_min))
+        .withColumn("thr", F.expr("n_min * 1048576L DIV n_total"))
+        .select("source", "n_total", "thr")
+    )
+    u5 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5)
+    kept = (
+        (F.col("thr") >= 1048576)
+        | (u5 < F.lower(F.lpad(F.hex("thr"), 5, "0")))
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(thr), "source")
+        .groupBy("source", "thr")
+        .agg(
+            F.any_value("n_total").alias("n_total"),
+            F.sum(kept).alias("n_kept"),
+        )
+        .select("source", "n_total", "thr", "n_kept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest: the planning step before writing training shards — assign
+# documents (in stable doc_id order) to a FIXED number of contiguous shards
+# balanced by character volume, and report each shard's boundaries.  Unlike
+# sequence_pack (per-source packing under a constant budget) the budget here
+# is derived from the corpus total: target = ceil(total / n_shards), shard =
+# start_offset DIV target — so shard count stays 16 at any corpus size.
+#
+# Scale: the global running offset comes from the two-pass distributed
+# prefix sum (functions/prefix.py) — NEVER a global Window (a
+# row_number/sum window with no partition key sorts the whole corpus in one
+# task); the corpus total joins back as a broadcast single row.  Integer
+# arithmetic throughout, exact in both engines.
+# ---------------------------------------------------------------------------
+_N_SHARDS = 16
+
+
+@register(
+    "shard_manifest",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_chars AS before
+      FROM documents
+    ),
+    t AS (SELECT (sum(n_chars) + {_N_SHARDS} - 1) // {_N_SHARDS} AS target
+          FROM documents)
+    SELECT CAST(before // target AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM c, t GROUP BY 1
+    """,
+    tags=("curation", "llm", "packing", "prefix"),
+    doc="char-balanced contiguous shard assignment (16 shards) via the "
+    "two-pass distributed prefix sum; manifest of per-shard stats",
+    priority=TIER_NEWFAM,
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.functions.prefix import (
+        distributed_prefix_sum,
+    )
+
+    docs = Tables(spark, sf_dir).documents
+    t = docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    cum = distributed_prefix_sum(
+        t, F.col("n_chars"), order_by=["doc_id"], out="__cum"
+    ).withColumn("before", F.col("__cum") - F.col("n_chars"))
+    # integer ceil without float: (sum + n - 1) DIV n
+    total = t.agg(F.sum("n_chars").alias("__tot")).select(
+        F.expr(f"(__tot + {_N_SHARDS - 1}) DIV {_N_SHARDS}").alias("target")
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .groupBy(F.expr("before DIV target").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("shard_chars"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )

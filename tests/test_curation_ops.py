@@ -1,0 +1,253 @@
+"""Round-7 curation batch 2 (plans/curation.py): Bloom-prefiltered
+decontamination, URL canonicalization dedup, balanced resampling, shard
+manifest.  Value semantics are pinned against in-test brute forces and the
+Bloom prefilter against its defining guarantees (superset of true matches,
+never a false negative; exact result after the confirm join).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_validation_spark.plans.curation import (
+    _BLOOM_EVAL_MOD,
+    _N_SHARDS,
+    _grams4,
+    balanced_resample,
+    bloom_decontaminate,
+    bloom_prefilter,
+    build_bloom_bitmap,
+    canonicalize_url,
+    shard_manifest,
+    url_canonical_dedup,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "webA", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom prefilter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_exact_after_confirm(spark):
+    # eval doc 0 shares a 4-gram with docs 1 and 3; doc 2 shares nothing
+    shared = "the quick brown fox jumps"
+    rows = [
+        (0, shared + " over benchmarks"),
+        (1, "intro " + shared + " outro words"),
+        (2, "completely disjoint vocabulary here now"),
+        (3, shared),
+    ]
+    docs = _docs(spark, rows)
+    grams = _grams4(docs)
+    eval_grams = grams.filter(F.col("doc_id") == 0).select("g").distinct()
+    corpus = grams.filter(F.col("doc_id") != 0)
+
+    bitmap = build_bloom_bitmap(eval_grams)
+    survivors = bloom_prefilter(corpus, bitmap)
+
+    truth = corpus.join(eval_grams, "g").select("doc_id", "g").collect()
+    got = survivors.join(eval_grams, "g").select("doc_id", "g").collect()
+    # no false negative: the confirm join over survivors sees every true pair
+    assert sorted((r.doc_id, r.g) for r in got) == sorted(
+        (r.doc_id, r.g) for r in truth
+    )
+    assert {r.doc_id for r in truth} == {1, 3}
+    # prefilter passes true matches and (at m=2^20/k=5 over a handful of
+    # grams) essentially nothing else
+    n_true = len({(r.doc_id, r.g) for r in truth})
+    assert survivors.count() >= n_true
+
+
+def test_bloom_hot_gram_every_doc(spark):
+    # adversarial: ONE 4-gram present in every document including the eval
+    # slice — every corpus doc must be flagged exactly once for it
+    hot = "all rights reserved worldwide"
+    rows = [(i, f"doc {i} body {hot}") for i in range(20)]
+    docs = _docs(spark, rows)
+    grams = _grams4(docs)
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 5 == 0).select("g").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 5 != 0)
+    bitmap = build_bloom_bitmap(eval_grams)
+    out = (
+        bloom_prefilter(corpus, bitmap)
+        .join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n"))
+        .collect()
+    )
+    by_doc = {r.doc_id: r.n for r in out}
+    assert set(by_doc) == {i for i in range(20) if i % 5 != 0}
+    assert all(n >= 1 for n in by_doc.values())
+
+
+def test_bloom_empty_eval_set(spark):
+    docs = _docs(spark, [(1, "some words in a document body here")])
+    grams = _grams4(docs)
+    empty = grams.filter(F.lit(False)).select("g").distinct()
+    bitmap = build_bloom_bitmap(empty)
+    assert bloom_prefilter(grams, bitmap).count() == 0
+
+
+def test_bloom_registered_query_matches_plain_join(spark):
+    got = bloom_decontaminate(spark, SF_DIR).collect()
+    from delta_lake_validation_spark.tables import Tables
+
+    grams = _grams4(Tables(spark, SF_DIR).documents)
+    ev = (
+        grams.filter(F.col("doc_id") % _BLOOM_EVAL_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    want = (
+        grams.filter(F.col("doc_id") % _BLOOM_EVAL_MOD != 0)
+        .join(ev, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
+        .collect()
+    )
+    assert sorted((r.doc_id, r.n_shared_grams) for r in got) == sorted(
+        (r.doc_id, r.n_shared_grams) for r in want
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,canon",
+    [
+        ("https://www.site1.example.com/p/9/", "site1.example.com/p/9"),
+        ("http://site1.example.com/p/9", "site1.example.com/p/9"),
+        (
+            "https://site1.example.com/p/9?utm_source=feed&ref=2",
+            "site1.example.com/p/9?ref=2",
+        ),
+        ("http://www.site1.example.com/p/9?utm_campaign=x", "site1.example.com/p/9"),
+        ("https://site1.example.com/p/9#sec", "site1.example.com/p/9"),
+        (
+            "http://site1.example.com/p/9/?ref=2#frag",
+            "site1.example.com/p/9/?ref=2",
+        ),
+    ],
+)
+def test_canonicalize_url_cases(spark, raw, canon):
+    row = (
+        spark.range(1)
+        .select(canonicalize_url(F.lit(raw)).alias("c"))
+        .first()
+    )
+    assert row.c == canon
+
+
+def test_canonicalize_url_idempotent(spark):
+    raws = [
+        "https://www.site1.example.com/p/9/?utm_source=a&ref=2#x",
+        "http://site2.example.com/p/0",
+        "https://www.site3.example.com/p/7?utm_campaign=x",
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], "u string")
+    once = df.select(canonicalize_url(F.col("u")).alias("c"))
+    twice = once.select(
+        F.col("c"), canonicalize_url(F.col("c")).alias("c2")
+    ).collect()
+    for r in twice:
+        assert r.c == r.c2
+
+
+def test_url_dedup_groups_noise_variants(spark, tmp_path):
+    import pandas as pd
+
+    # doc_ids 3 and 614 share (id % 13, id % 47) and both fall in the
+    # no-query class (% 11 in 3..10), so their canonical URLs collide while
+    # the raw forms differ (3 gets www., 614 does not) — a guaranteed
+    # multi-form group regardless of corpus size
+    ids = [3, 614, 10, 20]
+    pd.DataFrame(
+        [(i, f"text {i}", "en", "webA", 7) for i in ids],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = url_canonical_dedup(spark, str(tmp_path)).collect()
+    assert rows
+    collided = [r for r in rows if r.n_docs > 1]
+    assert len(collided) == 1
+    assert collided[0].n_docs == 2
+    assert collided[0].n_raw_forms == 2  # www. + scheme noise differs
+    assert collided[0].keep_doc_id == 3
+    # canonical forms carry no noise
+    for r in rows:
+        assert not r.canon_url.startswith("http")
+        assert "utm_" not in r.canon_url and "#" not in r.canon_url
+        assert not r.canon_url.endswith(("?", "&"))
+
+
+# ---------------------------------------------------------------------------
+# Balanced resample
+# ---------------------------------------------------------------------------
+
+
+def test_balanced_resample_keeps_min_source_and_bounds(spark, tmp_path):
+    import pandas as pd
+
+    # 3 sources with 5 / 50 / 500 docs
+    rows = []
+    i = 0
+    for src, n in (("tiny", 5), ("mid", 50), ("big", 500)):
+        for _ in range(n):
+            rows.append((i, f"text {i}", "en", src, 7))
+            i += 1
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {r.source: r for r in balanced_resample(spark, str(tmp_path)).collect()}
+    assert out["tiny"].thr == 1048576 and out["tiny"].n_kept == 5
+    assert out["mid"].thr == 1048576 * 5 // 50
+    assert out["big"].thr == 1048576 * 5 // 500
+    # md5 draws are uniform-ish: kept counts land near n_min with slack
+    assert 0 <= out["mid"].n_kept <= 50
+    assert 0 <= out["big"].n_kept <= 500
+    # determinism: identical on re-run
+    again = {r.source: r for r in balanced_resample(spark, str(tmp_path)).collect()}
+    assert {k: (v.n_kept, v.thr) for k, v in out.items()} == {
+        k: (v.n_kept, v.thr) for k, v in again.items()
+    }
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest
+# ---------------------------------------------------------------------------
+
+
+def test_shard_manifest_contiguous_and_complete(spark):
+    from delta_lake_validation_spark.tables import Tables
+
+    docs = Tables(spark, SF_DIR).documents
+    n_docs = docs.count()
+    total = docs.agg(F.sum("n_chars")).first()[0]
+    max_chars = docs.agg(F.max("n_chars")).first()[0]
+    target = (total + _N_SHARDS - 1) // _N_SHARDS
+
+    rows = sorted(shard_manifest(spark, SF_DIR).collect(), key=lambda r: r.shard_id)
+    assert rows[0].shard_id == 0 and rows[-1].shard_id <= _N_SHARDS - 1
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.shard_chars for r in rows) == total
+    # contiguity in doc_id order
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_doc < b.first_doc
+        assert b.shard_id == a.shard_id + 1
+    # balance: a shard holds at most target + one straddling document
+    for r in rows:
+        assert r.shard_chars <= target + max_chars

@@ -286,6 +286,44 @@ CUSTOM: dict[str, object] = {
         + (["BroadcastNestedLoopJoin appeared"] if "BroadcastNestedLoopJoin" in p else [])
         + (["no Generate (posexplode) node"] if "Generate" not in p else [])
     ),
+    # Bloom prefilter: the Arrow-batched membership test must exist (it is
+    # the map-side corpus shrink — without it the query degenerates to the
+    # plain join) and the exact confirm join must keep its equality key
+    "bloom_decontaminate": lambda p: (
+        (["no ArrowEvalPython (Bloom probe) stage"]
+         if "ArrowEvalPython" not in p else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["BroadcastNestedLoopJoin appeared"]
+           if "BroadcastNestedLoopJoin" in p else [])
+    ),
+    # URL canonicalization: pure per-row regex chain + one hash-agg — any
+    # window or join is a regression
+    "url_canonical_dedup": lambda p: (
+        (["no HashAggregate"] if "HashAggregate" not in p else [])
+        + ([f"expected 0 Window nodes, saw {p.count(') Window')}"]
+           if p.count(") Window") > 0 else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+    ),
+    # balanced resample: per-source thresholds broadcast back (one row per
+    # source); the single-row n_min cross IS a keyless broadcast (BNLJ
+    # intended, like kmeans' centroid cross); no windows anywhere
+    "balanced_resample": lambda p: (
+        (["no BroadcastHashJoin (threshold join-back)"]
+         if "BroadcastHashJoin" not in p else [])
+        + ([f"expected 0 Window nodes, saw {p.count(') Window')}"]
+           if p.count(") Window") > 0 else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+    ),
+    # shard manifest: global offsets via the two-pass prefix sum — every
+    # window spec __pid-keyed (a keyless cumsum window would sort the whole
+    # corpus in one task); corpus total arrives as a single-row broadcast
+    "shard_manifest": lambda p: (
+        ([f"{_non_pid_window_specs(p)} window spec(s) not __pid-keyed"]
+         if _non_pid_window_specs(p) else [])
+        + (["no BroadcastHashJoin (offset join-back)"]
+           if "BroadcastHashJoin" not in p else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+    ),
 }
 
 
