@@ -438,3 +438,73 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier: the fastText-shaped scoring pipeline —
+# token -> hash bucket -> weight -> sum -> threshold — that web-corpus
+# curation runs per document.  Weights here are a deterministic
+# pseudo-random INTEGER table keyed by bucket (a Knuth multiplicative mix),
+# so the dot product is a BIGINT sum: exact in both engines, no
+# cross-engine float-summation-order hazard.  A production model would
+# broadcast its learned bucket->weight table and join on the bucket —
+# identical plan shape (the weight lookup is the only change).
+#
+# Scale: per-row md5 + integer arithmetic inside codegen, then ONE partial
+# hash-agg keyed by doc_id.  No join, no window, nothing Python.
+# ---------------------------------------------------------------------------
+_QB = 64  # hash buckets
+_QMIX = 2654435761  # Knuth 2^32 / phi
+_QMOD = 1997  # prime weight range: w in [-998, 998]
+
+
+@register(
+    "quality_linear_score",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             (CAST(concat('0x', substr(md5(tok), 1, 6)) AS BIGINT) % {_QB})
+               AS b
+      FROM toks
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum((b * {_QMIX}) % {_QMOD} - {(_QMOD - 1) // 2}) AS BIGINT)
+             AS score_raw,
+           CASE WHEN sum((b * {_QMIX}) % {_QMOD} - {(_QMOD - 1) // 2}) >= 0
+                THEN 'keep' ELSE 'drop' END AS label
+    FROM feats GROUP BY doc_id
+    """,
+    tags=("text", "llm", "curation", "quality", "classifier"),
+    doc="fastText-shaped hashed linear scorer: token->bucket->integer "
+    "weight->BIGINT dot product->keep/drop (integer-exact cross-engine)",
+    priority=TIER_NEWFAM,
+)
+def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    )
+    b = (
+        F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("long") % _QB
+    )
+    w = (b * F.lit(_QMIX)) % F.lit(_QMOD) - F.lit((_QMOD - 1) // 2)
+    return (
+        toks.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").cast("long").alias("score_raw"),
+        )
+        .withColumn(
+            "label",
+            F.when(F.col("score_raw") >= 0, F.lit("keep")).otherwise(
+                F.lit("drop")
+            ),
+        )
+    )

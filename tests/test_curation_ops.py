@@ -13,12 +13,16 @@ from pyspark.sql import functions as F
 from delta_lake_validation_spark.plans.curation import (
     _BLOOM_EVAL_MOD,
     _N_SHARDS,
+    _QB,
+    _QMIX,
+    _QMOD,
     _grams4,
     balanced_resample,
     bloom_decontaminate,
     bloom_prefilter,
     build_bloom_bitmap,
     canonicalize_url,
+    quality_linear_score,
     shard_manifest,
     url_canonical_dedup,
 )
@@ -224,6 +228,44 @@ def test_balanced_resample_keeps_min_source_and_bounds(spark, tmp_path):
     assert {k: (v.n_kept, v.thr) for k, v in out.items()} == {
         k: (v.n_kept, v.thr) for k, v in again.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality scorer
+# ---------------------------------------------------------------------------
+
+
+def test_quality_linear_score_matches_python_brute_force(spark, tmp_path):
+    import hashlib
+
+    import pandas as pd
+
+    texts = [
+        "the quick brown fox",
+        "lorem ipsum dolor sit amet",
+        "the the the the",
+        "one",
+    ]
+    pd.DataFrame(
+        [(i, t, "en", "webA", len(t)) for i, t in enumerate(texts)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    def score(text):
+        s = 0
+        toks = text.lower().strip().split()
+        for tok in toks:
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:6], 16) % _QB
+            s += (b * _QMIX) % _QMOD - (_QMOD - 1) // 2
+        return len(toks), s
+
+    got = {
+        r.doc_id: (r.n_tokens, r.score_raw, r.label)
+        for r in quality_linear_score(spark, str(tmp_path)).collect()
+    }
+    for i, t in enumerate(texts):
+        n, s = score(t)
+        assert got[i] == (n, s, "keep" if s >= 0 else "drop"), (i, t)
 
 
 # ---------------------------------------------------------------------------

@@ -314,6 +314,16 @@ CUSTOM: dict[str, object] = {
            if p.count(") Window") > 0 else [])
         + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
     ),
+    # hashed linear scorer: per-row hashing + ONE partial hash-agg — any
+    # join, window, or Python stage is a regression
+    "quality_linear_score": lambda p: (
+        (["no HashAggregate"] if "HashAggregate" not in p else [])
+        + ([f"expected 0 Window nodes, saw {p.count(') Window')}"]
+           if p.count(") Window") > 0 else [])
+        + (["ArrowEvalPython appeared (scorer must stay JVM-side)"]
+           if "ArrowEvalPython" in p else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+    ),
     # shard manifest: global offsets via the two-pass prefix sum — every
     # window spec __pid-keyed (a keyless cumsum window would sort the whole
     # corpus in one task); corpus total arrives as a single-row broadcast
