@@ -441,6 +441,135 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup: split each document into
+# VARIABLE-length chunks at positions where a rolling 3-gram hash hits a
+# boundary condition (hash % 8 == 0 -> ~8-token expected chunks), then count
+# corpus-wide duplicate chunks by digest.  CDC is the substring-dedup
+# primitive that survives insertions/deletions: an edit shifts FIXED-stride
+# chunk boundaries for the whole rest of the document, but content-defined
+# boundaries re-synchronize within one chunk, so shared tails still dedup
+# (the rsync/LBFS construction).  Complements chunk_dedup (fixed 10-token
+# passages, plans/llm.py) and dup_ngram_spans (sliding windows).
+#
+# Scale: token windows are doc_id-keyed (bounded by document length, never
+# a corpus key); chunk-duplicate counts are a hash-agg digest table joined
+# back (map-side combine collapses a boilerplate megachunk before the
+# shuffle — the bigram_lm_score recipe, never count().over(digest)).
+# ---------------------------------------------------------------------------
+_CDC_MOD = 8  # expected chunk length in tokens
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks
+    ),
+    t AS (
+      SELECT doc_id, i, ts[i] AS tok,
+             -- coalesce: DuckDB vectorized CAST fires even on rows the
+             -- CASE discards (i < 3 makes ts[i-2] NULL -> concat('0x')),
+             -- so the hash input must be a valid string on EVERY row;
+             -- the i >= 3 condition still gates which rows can bound
+             CASE WHEN i >= 3 AND
+                  (CAST(concat('0x', substr(md5(
+                     coalesce(ts[i-2], '') || ' ' ||
+                     coalesce(ts[i-1], '') || ' ' || ts[i]), 1, 6))
+                    AS BIGINT) % {_CDC_MOD}) = 0
+                  THEN 1 ELSE 0 END AS bnd
+      FROM pos
+    ),
+    c AS (
+      SELECT doc_id, i, tok,
+             coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY i)) AS digest,
+             count(*) AS n_tokens
+      FROM c GROUP BY doc_id, chunk_id
+    ),
+    freq AS (SELECT digest, count(*) AS n FROM chunks GROUP BY digest)
+    SELECT chunks.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN freq.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks
+    FROM chunks JOIN freq USING (digest)
+    GROUP BY chunks.doc_id
+    """,
+    tags=("dedup", "llm", "cdc", "chunking"),
+    doc="content-defined chunking (rolling 3-gram hash boundaries, ~8-token "
+    "chunks) + corpus-wide duplicate-chunk counts by digest",
+    priority=TIER_NEWFAM,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    chunks = cdc_chunks(docs)
+    freq = chunks.groupBy("digest").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        chunks.join(freq, "digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+    )
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, digest, n_tokens) content-defined chunks of each
+    document.  Boundary after token i when md5 of the 3-gram ending at i
+    hits 0 mod _CDC_MOD; chunk_id = boundaries seen strictly before the
+    token.  All windows doc_id-keyed (bounded by document length)."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.lag("tok", 2).over(w), F.lag("tok", 1).over(w), F.col("tok")
+    )
+    bnd = F.when(
+        (F.col("pos") >= 2)
+        & (
+            F.conv(F.substring(F.md5(gram), 1, 6), 16, 10).cast("long")
+            % _CDC_MOD
+            == 0
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    t = toks.withColumn("bnd", bnd)
+    chunk_id = F.coalesce(
+        F.sum("bnd").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    c = t.withColumn("chunk_id", chunk_id)
+    return c.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("digest"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hashed linear quality classifier: the fastText-shaped scoring pipeline —
 # token -> hash bucket -> weight -> sum -> threshold — that web-corpus
 # curation runs per document.  Weights here are a deterministic

@@ -231,6 +231,77 @@ def test_balanced_resample_keeps_min_source_and_bounds(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def _cdc_digests(spark, texts):
+    from delta_lake_validation_spark.plans.curation import cdc_chunks
+
+    docs = _docs(spark, list(enumerate(texts)))
+    rows = cdc_chunks(docs).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.doc_id, []).append((r.chunk_id, r.digest, r.n_tokens))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_cdc_chunks_cover_document(spark):
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(50)}" for _ in range(300)]
+    text = " ".join(words)
+    chunks = _cdc_digests(spark, [text])[0]
+    # chunk ids contiguous from 0, token counts sum to the document
+    ids = [c[0] for c in chunks]
+    assert ids == list(range(len(ids)))
+    assert sum(c[2] for c in chunks) == len(words)
+
+
+def test_cdc_resynchronizes_after_edit(spark):
+    import random
+
+    rng = random.Random(11)
+    words = [f"t{rng.randrange(80)}" for _ in range(400)]
+    base = " ".join(words)
+    edited = " ".join(words[:5] + ["INSERTED"] + words[5:])
+    d = _cdc_digests(spark, [base, edited])
+    base_digests = {c[1] for c in d[0]}
+    edited_digests = [c[1] for c in d[1]]
+    # the defining CDC property: one early insertion perturbs only the
+    # chunks around the edit — boundaries re-synchronize and the long
+    # shared tail still produces identical digests (a fixed-stride chunker
+    # would shift EVERY downstream boundary and share ~nothing)
+    shared = sum(1 for g in edited_digests if g in base_digests)
+    assert shared >= len(edited_digests) - 3, (
+        shared,
+        len(edited_digests),
+    )
+    # and the perturbed region does differ
+    assert set(edited_digests) != base_digests
+
+
+def test_cdc_duplicate_counts(spark, tmp_path):
+    import pandas as pd
+
+    from delta_lake_validation_spark.plans.curation import cdc_chunk_dedup
+
+    body = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    texts = [body, body, "unique words only here nothing shared at all"]
+    pd.DataFrame(
+        [(i, t, "en", "webA", len(t)) for i, t in enumerate(texts)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {r.doc_id: r for r in cdc_chunk_dedup(spark, str(tmp_path)).collect()}
+    # identical docs: every chunk duplicated
+    assert got[0].n_dup_chunks == got[0].n_chunks
+    assert got[1].n_dup_chunks == got[1].n_chunks
+    # disjoint doc: nothing duplicated
+    assert got[2].n_dup_chunks == 0
+
+
+# ---------------------------------------------------------------------------
 # Hashed linear quality scorer
 # ---------------------------------------------------------------------------
 

@@ -314,6 +314,16 @@ CUSTOM: dict[str, object] = {
            if p.count(") Window") > 0 else [])
         + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
     ),
+    # CDC chunking: token windows doc_id-keyed only; duplicate counts are a
+    # hash-agg digest table joined back — a digest-keyed window (one
+    # boilerplate megachunk through one sort task) or cartesian regresses
+    "cdc_chunk_dedup": lambda p: (
+        ([f"{p.count('windowspecdefinition(')} window specs, "
+          f"{p.count('windowspecdefinition(doc_id')} doc-keyed"]
+         if p.count("windowspecdefinition(")
+         != p.count("windowspecdefinition(doc_id") else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+    ),
     # hashed linear scorer: per-row hashing + ONE partial hash-agg — any
     # join, window, or Python stage is a regression
     "quality_linear_score": lambda p: (
