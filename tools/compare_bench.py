@@ -14,13 +14,50 @@ import json
 import sys
 
 
+def _queries_of(doc: dict) -> dict[str, float]:
+    """Per-query timings from either shape: bench.py's own output
+    ({"queries": {...}, "calibration_sec": C}) or the driver's capture
+    wrapper ({"sf", "tail": "<truncated stdout>"}) — the tail keeps only
+    the END of the JSON line, so pairs are regex-extracted (partial
+    coverage) exactly like bench.py's _prior_round_queries."""
+    import re
+
+    q = doc.get("queries")
+    if q:
+        return dict(q)
+    tail = doc.get("tail")
+    if isinstance(tail, str):
+        return {
+            name: float(sec)
+            for name, sec in re.findall(
+                r'"(\w+)":\s*([0-9]+(?:\.[0-9]+)?)', tail
+            )
+            if name not in ("value", "sf", "calibration_sec")
+        }
+    raise SystemExit(f"no queries/tail in bench doc (keys: {list(doc)})")
+
+
+def _calibration_of(doc: dict):
+    c = doc.get("calibration_sec")
+    if c is not None:
+        return c
+    tail = doc.get("tail")
+    if isinstance(tail, str):
+        import re
+
+        m = re.search(r'"calibration_sec":\s*([0-9.]+)', tail)
+        if m:
+            return float(m.group(1))
+    return None
+
+
 def main() -> int:
     old_doc = json.load(open(sys.argv[1]))
     new_doc = json.load(open(sys.argv[2]))
-    old, new = old_doc["queries"], dict(new_doc["queries"])
+    old, new = _queries_of(old_doc), _queries_of(new_doc)
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 50.0
-    cal_o = old_doc.get("calibration_sec")
-    cal_n = new_doc.get("calibration_sec")
+    cal_o = _calibration_of(old_doc)
+    cal_n = _calibration_of(new_doc)
     scale = 1.0
     if cal_o and cal_n:
         # a slower new host gives cal_n > cal_o, so scale < 1 and the new
