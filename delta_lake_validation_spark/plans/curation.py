@@ -441,6 +441,61 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Int8-quantized ANN: the memory-footprint scale path for similarity
+# search.  Quantizing with a POWER-OF-TWO scale (x -> clamp(floor(x*256),
+# -128, 127)) makes the mapping bit-identical in float32, float64, and SQL
+# doubles — scaling by 2^n never rounds — so the integer dot-product
+# scores are exactly value-hash gradeable (float cosine needs round(_, 6)
+# tolerance).  4x less RAM/shuffle/scan bandwidth than float32, 16x less
+# than float64; integer matmul hits SDOT/VNNI-class kernels.  Recall vs
+# the float anchor is pinned in pytest.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_quantized_topk",
+    oracle="""
+    WITH qz AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding,
+                 x -> greatest(-128, least(127, floor(x * 256)))) AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    bz AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> greatest(-128, least(127, floor(x * 256)))) AS bv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             CAST(list_dot_product(qv, bv) AS BIGINT) AS score_q
+      FROM qz q CROSS JOIN bz b
+      WHERE b.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, score_q, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY score_q DESC, neighbor_id ASC) AS INTEGER)
+                  AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+    tags=("similarity", "llm", "quantization"),
+    doc="int8-quantized dot-product top-k (power-of-two scale -> "
+    "bit-deterministic quantization; integer scores value-hash exact)",
+    priority=TIER_NEWFAM,
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.similarity import (
+        quantized_topk,
+    )
+
+    emb = Tables(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return quantized_topk(spark, emb, q, k=10)
+
+
+# ---------------------------------------------------------------------------
 # Content-defined chunking (CDC) dedup: split each document into
 # VARIABLE-length chunks at positions where a rolling 3-gram hash hits a
 # boundary condition (hash % 8 == 0 -> ~8-token expected chunks), then count
