@@ -441,6 +441,98 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters: the bounded-memory frequency sketch every
+# streaming/telemetry system uses, computed as plain DataFrame aggregation
+# so it is deterministic and value-hash gradeable.  The CMS table is d x w
+# counters (3 x 1024 = 3072 rows regardless of corpus size): token ->
+# bucket_r = md5(salt_r || token) mod w for each row r; a token's estimate
+# is min over rows of its buckets' counts — the textbook CMS guarantee
+# estimate >= true count holds by construction, and the query reports both
+# so the overestimate is visible.  Top-20 via ORDER BY + LIMIT
+# (TakeOrderedAndProject: per-partition partial top-k, no global-rank
+# window — the zipf_fit hazard class).
+#
+# Scale: token-stream -> ONE hash-agg per sketch row keyed by (r, bucket)
+# (w buckets: perfectly bounded, hot tokens just increment hot counters
+# map-side) + one hash-agg for exact counts; the 3072-row CMS broadcasts
+# back onto the distinct-token table.
+# ---------------------------------------------------------------------------
+_CMS_D = 3  # hash rows
+_CMS_W = 1024  # buckets per row
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT tok, r,
+             CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':' || tok),
+                                      1, 8)) AS BIGINT) % {_CMS_W} AS bucket
+      FROM toks, range({_CMS_D}) t(r)
+    ),
+    cms AS (
+      SELECT r, bucket, count(*) AS cnt FROM hashed GROUP BY r, bucket
+    ),
+    exact AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok),
+    est AS (
+      SELECT h.tok, min(c.cnt) AS n_est
+      FROM (SELECT DISTINCT tok, r, bucket FROM hashed) h
+      JOIN cms c USING (r, bucket)
+      GROUP BY h.tok
+    )
+    SELECT e.tok, CAST(x.n_exact AS BIGINT) AS n_exact,
+           CAST(e.n_est AS BIGINT) AS n_est
+    FROM est e JOIN exact x USING (tok)
+    ORDER BY e.n_est DESC, e.tok ASC LIMIT 20
+    """,
+    tags=("text", "llm", "sketch", "heavy-hitters"),
+    doc="count-min-sketch heavy hitters (d=3, w=1024 bounded counters) "
+    "with the exact count alongside — estimate >= exact by construction",
+    priority=TIER_NEWFAM,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    )
+    rows = spark.range(_CMS_D).withColumnRenamed("id", "r")
+    hashed = toks.crossJoin(F.broadcast(rows)).select(
+        "tok",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("tok"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        ).alias("bucket"),
+    )
+    cms = hashed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = (
+        hashed.distinct()
+        .join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("n_est"))
+    )
+    return (
+        est.join(exact, "tok")
+        .select("tok", F.col("n_exact").cast("long"), F.col("n_est").cast("long"))
+        .orderBy(F.desc("n_est"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Int8-quantized ANN: the memory-footprint scale path for similarity
 # search.  Quantizing with a POWER-OF-TWO scale (x -> clamp(floor(x*256),
 # -128, 127)) makes the mapping bit-identical in float32, float64, and SQL

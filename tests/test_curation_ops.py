@@ -340,6 +340,29 @@ def test_quality_linear_score_matches_python_brute_force(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Count-min heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_cms_overestimates_never_underestimates(spark, tmp_path):
+    import pandas as pd
+
+    from delta_lake_validation_spark.plans.curation import heavy_hitters_cms
+
+    # skewed corpus: 'hot' dominates, long tail of singletons
+    texts = ["hot " * 30 + f"tail{i} rare{i}" for i in range(25)]
+    pd.DataFrame(
+        [(i, t.strip(), "en", "webA", len(t)) for i, t in enumerate(texts)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = heavy_hitters_cms(spark, str(tmp_path)).collect()
+    assert rows[0].tok == "hot" and rows[0].n_exact == 750
+    for r in rows:
+        # the CMS guarantee: estimate >= true count, always
+        assert r.n_est >= r.n_exact, (r.tok, r.n_exact, r.n_est)
+
+
+# ---------------------------------------------------------------------------
 # Int8-quantized ANN
 # ---------------------------------------------------------------------------
 

@@ -314,6 +314,17 @@ CUSTOM: dict[str, object] = {
            if p.count(") Window") > 0 else [])
         + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
     ),
+    # CMS heavy hitters: top-k must be TakeOrderedAndProject (partial
+    # per-partition top-k), never a global row_number window; the d=3
+    # sketch-row cross IS a keyless broadcast (BNLJ intended, like
+    # kmeans' centroid cross)
+    "heavy_hitters_cms": lambda p: (
+        (["no TakeOrderedAndProject (top-k became a sort or window)"]
+         if "TakeOrderedAndProject" not in p else [])
+        + ([f"expected 0 Window nodes, saw {p.count(') Window')}"]
+           if p.count(") Window") > 0 else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+    ),
     # CDC chunking: token windows doc_id-keyed only; duplicate counts are a
     # hash-agg digest table joined back — a digest-keyed window (one
     # boilerplate megachunk through one sort task) or cartesian regresses
