@@ -3,7 +3,7 @@
 
 Engine extensions (the reference has no text surface — its analytics stop at
 relational queries, src/benchmarking_suite.py:40-140); each query carries a
-DuckDB oracle and a scale note.  The four families here:
+DuckDB oracle and a scale note.  The families here:
 
 * **Bloom-prefiltered decontamination** — the scale path for benchmark
   n-gram scrubbing: a fixed-size bitmap built from the (small) eval side is
@@ -18,6 +18,12 @@ DuckDB oracle and a scale note.  The four families here:
 * **Shard manifest** — token-balanced contiguous shard assignment via the
   two-pass distributed prefix sum (functions/prefix.py), the planning step
   before writing training shards.
+* **CDC chunk dedup** — content-defined chunk boundaries that re-sync
+  after edits (rsync/LBFS), duplicate-chunk counts via hash-agg join-back.
+* **Hashed linear quality classifier** — fastText-shaped integer-exact
+  token->bucket->weight scoring.
+* **Int8-quantized ANN / CMS heavy hitters** — the bounded-memory scale
+  paths for similarity search and frequency estimation.
 """
 
 from __future__ import annotations
@@ -88,7 +94,7 @@ def _bloom_hashes(df: DataFrame) -> DataFrame:
 def build_bloom_bitmap(eval_grams: DataFrame):
     """Aggregate the eval grams into an m-bit bitmap: per gram, K positions
     p_i = pmod(h1 + i*h2, m); per 64-bit word, bit_or of the set bits.
-    Collects <= m/64 rows (16 KiB of longs at m=2^20) — bounded by the
+    Collects <= m/64 rows (128 KiB of longs at m=2^20) — bounded by the
     bitmap geometry, not the data."""
     import numpy as np
 
