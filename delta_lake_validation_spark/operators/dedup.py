@@ -258,6 +258,89 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Exact containment join (asymmetric near-dup: A's shingles inside B)
+# ---------------------------------------------------------------------------
+def containment_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """All ordered pairs (a, b), a != b, with containment
+    C(a,b) = |S_a ∩ S_b| / |S_a| ≥ threshold — EXACT, via the one-sided
+    PPJoin prefix filter.  Containment is the quote/inclusion-detection
+    primitive (a short doc pasted inside a long one scores C≈1 while its
+    Jaccard vanishes), so it catches what the symmetric join cannot.
+
+    Lossless candidate filters (one-sided versions of ngram_jaccard_pairs'
+    bounds — the asymmetry changes the math):
+
+    1. *A-side prefix*: if B misses ALL of A's first |A| − ⌈t·|A|⌉ + 1
+       rare-first shingles, then |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| — so only A's
+       prefix generates candidates.  B has no prefix (B may be arbitrarily
+       larger than A and still contain it), so B posts every shingle; the
+       rare-first order keeps hot shingles out of A-prefixes, which is what
+       bounds a hot posting list's fan-out.
+    2. *One-sided size bound*: |A∩B| ≥ t·|A| ⟹ |B| ≥ t·|A| (lower bound
+       only — no upper bound exists for containment).
+    3. *Positional bound*: at a shared shingle with ranks (pa, pb),
+       |A∩B| ≤ min(|A|−pa, |B|−pb) + 1; require that ≥ ⌈t·|A|⌉.
+
+    All bound math is integer (Fraction threshold — float 0.8 breaks
+    losslessness exactly at C == t, the ngram_jaccard lesson).
+    Verification intersects the sorted hash sets JVM-side for surviving
+    candidates only.  Returns (a_doc, b_doc, n_shared, sz_a) — all
+    integers, so the result value-hashes exactly.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    t_num, t_den = frac.numerator, frac.denominator
+
+    sh = shingle_hashes(docs, id_col, text_col, k).persist()
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    pos = _rank_positions(sh, dfreq)
+    a_pref = _prefix_filter(pos, t_num, t_den)
+
+    a = a_pref.alias("a")
+    b = pos.alias("b")
+    overlap_ub = (
+        F.least(F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos"))
+        + 1
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") != F.col("b.id"))
+            & (F.col("b.sz") * t_den >= F.col("a.sz") * t_num)
+            & (overlap_ub * t_den >= F.col("a.sz") * t_num),
+        )
+        .select(F.col("a.id").alias("a_doc"), F.col("b.id").alias("b_doc"))
+        .distinct()
+    )
+    sets = sh.groupBy("id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    out = (
+        cand.join(
+            sets.withColumnRenamed("id", "a_doc").withColumnRenamed("hs", "hs_a"),
+            "a_doc",
+        )
+        .join(
+            sets.withColumnRenamed("id", "b_doc").withColumnRenamed("hs", "hs_b"),
+            "b_doc",
+        )
+        .withColumn("n_shared", F.size(F.array_intersect("hs_a", "hs_b")).cast("long"))
+        .withColumn("sz_a", F.size("hs_a").cast("long"))
+        .filter(F.col("n_shared") * t_den >= F.col("sz_a") * t_num)
+        .select("a_doc", "b_doc", "n_shared", "sz_a")
+    )
+    out._graft_caches = [sh]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # MinHash signatures + banded LSH (sub-quadratic scale path)
 # ---------------------------------------------------------------------------
 def _hash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:

@@ -447,6 +447,49 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Containment join: asymmetric near-dup — a short document pasted inside a
+# long one scores containment ~1 while its Jaccard vanishes, so the
+# symmetric join (ngram_jaccard_pairs) cannot catch quote/inclusion
+# duplication.  Exact via the one-sided PPJoin prefix filter
+# (operators/dedup.py containment_pairs); all outputs integer, so the
+# result value-hashes exactly with no rounding tolerance.
+# ---------------------------------------------------------------------------
+@register(
+    "containment_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 3),
+    grams AS (SELECT DISTINCT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM idx),
+    sz AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS a_doc, b.doc_id AS b_doc, count(*) AS n_shared
+      FROM grams a JOIN grams b USING (g)
+      WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+    )
+    SELECT a_doc, b_doc, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(s.sz AS BIGINT) AS sz_a
+    FROM shared JOIN sz s ON s.doc_id = a_doc
+    WHERE n_shared * 5 >= 4 * s.sz
+    """,
+    tags=("dedup", "llm", "containment"),
+    doc="asymmetric containment near-dup (C(a,b) >= 0.8): one-sided PPJoin "
+    "prefix filter + exact set-intersection verify, integer outputs",
+    priority=TIER_NEWFAM,
+)
+def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.dedup import containment_pairs
+
+    docs = Tables(spark, sf_dir).documents
+    return containment_pairs(spark, docs, threshold=0.8, k=3)
+
+
+# ---------------------------------------------------------------------------
 # Count-min-sketch heavy hitters: the bounded-memory frequency sketch every
 # streaming/telemetry system uses, computed as plain DataFrame aggregation
 # so it is deterministic and value-hash gradeable.  The CMS table is d x w

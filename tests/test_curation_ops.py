@@ -340,6 +340,74 @@ def test_quality_linear_score_matches_python_brute_force(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Containment join
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    from delta_lake_validation_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the five boxing wizards jump quickly tonight"
+    long_body = " ".join(f"w{i} w{i+1} filler{i}" for i in range(60))
+    docs = _docs(
+        spark,
+        [
+            (1, quote),  # short doc
+            (2, long_body + " " + quote + " " + long_body),  # contains it
+            (3, "completely unrelated text with different words entirely"),
+        ],
+    )
+    cont = containment_pairs(spark, docs, threshold=0.8, k=3).collect()
+    pairs = {(r.a_doc, r.b_doc) for r in cont}
+    # doc 1's trigrams all occur inside doc 2 -> containment 1.0
+    assert (1, 2) in pairs
+    # asymmetry: doc 2 is NOT contained in doc 1
+    assert (2, 1) not in pairs
+    # the symmetric Jaccard join cannot see this pair at the same threshold
+    jac = ngram_jaccard_pairs(spark, docs, threshold=0.8, k=3).collect()
+    assert not any(
+        {r.left_doc, r.right_doc} == {1, 2} for r in jac
+    )
+    # exact counts: every shared gram of doc 1 is reported
+    r12 = next(r for r in cont if (r.a_doc, r.b_doc) == (1, 2))
+    assert r12.n_shared == r12.sz_a
+
+
+def test_containment_prefix_filter_is_lossless_on_brute_force(spark):
+    import itertools
+    import random
+
+    from delta_lake_validation_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(13)
+    vocab = [f"v{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(6, 30)))
+        for _ in range(18)
+    ]
+    docs = _docs(spark, list(enumerate(texts)))
+    got = {
+        (r.a_doc, r.b_doc): (r.n_shared, r.sz_a)
+        for r in containment_pairs(spark, docs, threshold=0.8, k=3).collect()
+    }
+
+    def grams(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    gs = {i: grams(t) for i, t in enumerate(texts)}
+    want = {}
+    for a, b in itertools.permutations(range(len(texts)), 2):
+        shared = len(gs[a] & gs[b])
+        if gs[a] and shared * 5 >= 4 * len(gs[a]):
+            want[(a, b)] = (shared, len(gs[a]))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # Count-min heavy hitters
 # ---------------------------------------------------------------------------
 

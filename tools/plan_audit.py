@@ -314,6 +314,14 @@ CUSTOM: dict[str, object] = {
            if p.count(") Window") > 0 else [])
         + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
     ),
+    # containment join: candidates from the A-prefix x postings equi join
+    # on the shingle hash — a cartesian/BNLJ means the equality key was
+    # lost and the plan is quadratic in the corpus
+    "containment_pairs": lambda p: (
+        (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["BroadcastNestedLoopJoin appeared"]
+           if "BroadcastNestedLoopJoin" in p else [])
+    ),
     # CMS heavy hitters: top-k must be TakeOrderedAndProject (partial
     # per-partition top-k), never a global row_number window; the d=3
     # sketch-row cross IS a keyless broadcast (BNLJ intended, like
