@@ -15,6 +15,9 @@ from delta_lake_validation_spark.streaming.windowed import (  # noqa: F401
 )
 from delta_lake_validation_spark.streaming.acid_stream import stream_appends  # noqa: F401
 from delta_lake_validation_spark.streaming.stateful import running_user_totals  # noqa: F401
+from delta_lake_validation_spark.streaming.heavy_hitters import (  # noqa: F401
+    streaming_heavy_hitters,
+)
 from delta_lake_validation_spark.streaming.cdf_stream import (  # noqa: F401
     CommittedChangeFeed,
     DeltaCommittedChangeFeed,

@@ -1,0 +1,133 @@
+"""Streaming space-saving heavy hitters (streaming/heavy_hitters.py):
+bounded per-shard state, overestimate bounds, cross-restart checkpoint
+resume.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from delta_lake_validation_spark.streaming import streaming_heavy_hitters
+
+DOCS_SCHEMA = "doc_id long, text string"
+CAP = 8
+SHARDS = 4
+
+
+def _write_docs(path, rows, name):
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        f"{path}/{name}.parquet"
+    )
+
+
+def _run(spark, src, ckpt, qname):
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(src)
+    out = streaming_heavy_hitters(stream, capacity=CAP, n_shards=SHARDS)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    latest = {}
+    for r in rows:  # update mode re-emits; keep the largest est per token
+        cur = latest.get((r.shard, r.tok))
+        if cur is None or r.est > cur[0]:
+            latest[(r.shard, r.tok)] = (r.est, r.err)
+    return latest
+
+
+def _true_counts(spark, src):
+    return {
+        r.tok: r.n
+        for r in spark.read.schema(DOCS_SCHEMA)
+        .parquet(src)
+        .select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def test_hot_tokens_tracked_with_space_saving_bounds(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [(i, "hot " * 20 + f"tail{i} noise{i % 7}") for i in range(40)]
+    _write_docs(src, rows, "a")
+    got = _run(spark, str(src), str(tmp_path / "ck"), "hh1")
+    true = _true_counts(spark, str(src))
+
+    hot = [(k, v) for k, v in got.items() if k[1] == "hot"]
+    assert len(hot) == 1
+    (shard, _), (est, err) = hot[0]
+    # the space-saving guarantees: est >= true >= est - err
+    assert est >= true["hot"] >= est - err
+    # every tracked candidate respects the bound
+    for (s, tok), (e, r) in got.items():
+        assert e >= true[tok] >= e - r, (tok, e, r, true[tok])
+    # bounded state: at most CAP candidates per shard
+    per_shard = {}
+    for (s, _t), _ in got.items():
+        per_shard[s] = per_shard.get(s, 0) + 1
+    assert all(n <= CAP for n in per_shard.values())
+
+
+def test_checkpoint_resume_accumulates_counts(spark, tmp_path):
+    # the memory sink cannot recover from a checkpoint (stateful.py sink
+    # note) — cross-restart state needs foreachBatch
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ck")
+    collected: list = []
+
+    def run_once():
+        stream = spark.readStream.schema(DOCS_SCHEMA).parquet(str(src))
+        out = streaming_heavy_hitters(stream, capacity=CAP, n_shards=SHARDS)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _eid: collected.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_docs(src, [(i, "hot common " * 5) for i in range(10)], "a")
+    run_once()
+    hot_first = max(r.est for r in collected if r.tok == "hot")
+    assert hot_first == 50
+
+    # second availableNow run, SAME checkpoint: state carries over and only
+    # the new file is read
+    collected.clear()
+    _write_docs(src, [(100 + i, "hot again " * 3) for i in range(10)], "b")
+    run_once()
+    hot_second = max(r.est for r in collected if r.tok == "hot")
+    assert hot_second == 50 + 30
+
+
+def test_distinct_token_flood_keeps_state_bounded(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # 400 distinct tokens through 4 shards with capacity 8: every shard
+    # must evict, yet 'hot' (majority token) must survive eviction pressure
+    rows = [(i, "hot hot hot " + " ".join(f"u{i}_{j}" for j in range(10)))
+            for i in range(40)]
+    _write_docs(src, rows, "a")
+    got = _run(spark, str(src), str(tmp_path / "ck"), "hh3")
+    per_shard = {}
+    for (s, _t), _ in got.items():
+        per_shard[s] = per_shard.get(s, 0) + 1
+    assert all(n <= CAP for n in per_shard.values())
+    assert any(k[1] == "hot" for k in got)
+    est, err = next(v for k, v in got.items() if k[1] == "hot")
+    assert est >= 120 >= est - err
