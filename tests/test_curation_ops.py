@@ -198,6 +198,57 @@ def test_url_dedup_groups_noise_variants(spark, tmp_path):
         assert not r.canon_url.endswith(("?", "&"))
 
 
+def test_canonicalize_url_randomized_properties(spark):
+    import random
+
+    rng = random.Random(42)
+    urls = []
+    for _ in range(200):
+        u = rng.choice(["http://", "https://", ""])
+        u += rng.choice(["www.", ""])
+        u += f"h{rng.randrange(20)}.example.com/p/{rng.randrange(50)}"
+        u += rng.choice(["/", ""])
+        q = rng.choice(
+            ["", "?ref=1", "?utm_source=a", "?utm_source=a&ref=2",
+             "?ref=2&utm_medium=b", "?utm_a=1&utm_b=2"]
+        )
+        u += q + rng.choice(["", "#frag"])
+        urls.append(u)
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(
+        "u",
+        canonicalize_url(F.col("u")).alias("c"),
+        canonicalize_url(canonicalize_url(F.col("u"))).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.c == r.c2, (r.u, r.c, r.c2)  # idempotent
+        assert not r.c.startswith(("http", "www."))
+        assert "#" not in r.c and "utm_" not in r.c
+        assert not r.c.endswith(("?", "&"))
+        # non-tracking params survive
+        if "ref=" in r.u.split("#")[0]:
+            assert "ref=" in r.c, (r.u, r.c)
+
+
+def test_containment_ignores_docs_without_shingles(spark):
+    from delta_lake_validation_spark.operators.dedup import containment_pairs
+
+    docs = _docs(
+        spark,
+        [
+            (1, "one two"),  # < 3 tokens: no 3-gram shingles
+            (2, "one two three four five"),
+            (3, "one two three four five six"),
+        ],
+    )
+    rows = containment_pairs(spark, docs, threshold=0.8, k=3).collect()
+    # doc 1 has an empty shingle set: it must appear on NEITHER side
+    # (containment over an empty set is undefined, not vacuously true)
+    assert all(r.a_doc != 1 and r.b_doc != 1 for r in rows)
+    # doc 2's 3 shingles are all inside doc 3
+    assert any((r.a_doc, r.b_doc) == (2, 3) and r.n_shared == r.sz_a for r in rows)
+
+
 # ---------------------------------------------------------------------------
 # Balanced resample
 # ---------------------------------------------------------------------------
