@@ -42,17 +42,20 @@ _PID, _MEASURE, _LOCAL, _TOTAL, _OFFSET = (
 )
 
 
-def distributed_prefix_sum(
+def distributed_prefix_sums(
     df: DataFrame,
-    measure: Column,
+    measures: dict[str, Column],
     order_by: Sequence,
     partition_by: Sequence[str] = (),
-    out: str = "prefix",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Add ``out`` = inclusive running sum of ``measure`` over the rows of
-    each ``partition_by`` group in ``order_by`` order — computed with the
-    two-pass recipe above, never a corpus-sized window partition.
+    """Add one inclusive running sum column per ``measures`` entry
+    (out_name -> measure expression) over the rows of each ``partition_by``
+    group in ``order_by`` order — the two-pass recipe above, never a
+    corpus-sized window partition.  N measures share ONE range shuffle, ONE
+    local window pass, and ONE offset broadcast (vocab_growth needs
+    cum_tokens + cum_types; two chained single-measure calls would double
+    every stage).
 
     ``order_by`` must be a total order within each group (include a unique
     tiebreaker column); ``partition_by`` entries must be column NAMES (they
@@ -66,18 +69,31 @@ def distributed_prefix_sum(
     clear the cache between them (bench.py already does).
     """
     pby = list(partition_by)
-    reserved = {_PID, _MEASURE, _LOCAL, _TOTAL, _OFFSET, out} & set(df.columns)
+    outs = list(measures)
+    m_cols = {o: f"{_MEASURE}_{i}" for i, o in enumerate(outs)}
+    l_cols = {o: f"{_LOCAL}_{i}" for i, o in enumerate(outs)}
+    t_cols = {o: f"{_TOTAL}_{i}" for i, o in enumerate(outs)}
+    o_cols = {o: f"{_OFFSET}_{i}" for i, o in enumerate(outs)}
+    internal = (
+        {_PID}
+        | set(m_cols.values())
+        | set(l_cols.values())
+        | set(t_cols.values())
+        | set(o_cols.values())
+    )
+    reserved = (internal | set(outs)) & set(df.columns)
     if reserved:
         raise ValueError(
-            f"distributed_prefix_sum: input already has column(s) "
+            f"distributed_prefix_sums: input already has column(s) "
             f"{sorted(reserved)} that the helper reserves"
         )
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 2)
-    keyed = (
-        df.withColumn(_MEASURE, measure)
-        .repartitionByRange(num_partitions, *pby, *order_by)
-        .withColumn(_PID, F.spark_partition_id())
+    keyed = df
+    for o in outs:
+        keyed = keyed.withColumn(m_cols[o], measures[o])
+    keyed = keyed.repartitionByRange(num_partitions, *pby, *order_by).withColumn(
+        _PID, F.spark_partition_id()
     )
     # The slice id MUST be materialized once: Spark's range partitioner
     # SAMPLES its boundaries with seeds derived from the RDD instance, so
@@ -94,24 +110,62 @@ def distributed_prefix_sum(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = keyed.withColumn(_LOCAL, F.sum(_MEASURE).over(w_local))
-    totals = keyed.groupBy(_PID, *pby).agg(F.sum(_MEASURE).alias(_TOTAL))
+    local = keyed
+    for o in outs:
+        local = local.withColumn(l_cols[o], F.sum(m_cols[o]).over(w_local))
+    totals = keyed.groupBy(_PID, *pby).agg(
+        *[F.sum(m_cols[o]).alias(t_cols[o]) for o in outs]
+    )
     # exclusive prefix over the tiny totals table: P rows per group, so the
-    # single-task window here is bounded by the partition COUNT, not rows
+    # single-task window here is bounded by the partition COUNT, not rows.
+    # With no partition_by the spec gets a constant key — same single
+    # bounded partition, but Spark's "No Partition Defined for Window"
+    # warning (which flags genuinely corpus-sized global windows) stays
+    # meaningful in logs instead of firing on this bounded table.  The key
+    # must be NON-FOLDABLE (pmod of the pid, always 0) — a literal is
+    # stripped by Catalyst's EliminateWindowPartitions and the warning
+    # returns.
     w_off = (
-        Window.partitionBy(*pby)
+        Window.partitionBy(
+            *(pby if pby else [F.pmod(F.col(_PID), F.lit(1))])
+        )
         .orderBy(_PID)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
         _PID,
         *pby,
-        F.coalesce(F.sum(_TOTAL).over(w_off), F.lit(0)).alias(_OFFSET),
+        *[
+            F.coalesce(F.sum(t_cols[o]).over(w_off), F.lit(0)).alias(o_cols[o])
+            for o in outs
+        ],
     )
-    return (
-        local.join(F.broadcast(offsets), [_PID, *pby])
-        .withColumn(out, F.col(_LOCAL) + F.col(_OFFSET))
-        .drop(_PID, _MEASURE, _LOCAL, _OFFSET)
+    res = local.join(F.broadcast(offsets), [_PID, *pby])
+    for o in outs:
+        res = res.withColumn(o, F.col(l_cols[o]) + F.col(o_cols[o]))
+    return res.drop(
+        _PID,
+        *[m_cols[o] for o in outs],
+        *[l_cols[o] for o in outs],
+        *[o_cols[o] for o in outs],
+    )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    measure: Column,
+    order_by: Sequence,
+    partition_by: Sequence[str] = (),
+    out: str = "prefix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Single-measure form of ``distributed_prefix_sums`` (see above)."""
+    return distributed_prefix_sums(
+        df,
+        {out: measure},
+        order_by=order_by,
+        partition_by=partition_by,
+        num_partitions=num_partitions,
     )
 
 

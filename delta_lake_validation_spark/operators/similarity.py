@@ -36,6 +36,58 @@ def _as_matrix(series: pd.Series) -> np.ndarray:
     return np.stack(series.to_numpy()).astype(np.float64, copy=False)
 
 
+class QuerySetTooLargeError(ValueError):
+    """The top-k operators broadcast the QUERY side from the driver — a
+    deliberate contract (bounded query set vs unbounded base corpus).
+    Raised loudly, with the offending count, instead of letting a
+    million-row query table OOM the driver with an opaque Py4J error."""
+
+
+#: default ceiling for the bounded-query-set contract; override per call.
+DEFAULT_MAX_QUERIES = 100_000
+
+
+def _collect_bounded(
+    queries: DataFrame, query_id_col: str, query_vec_col: str, max_queries: int
+) -> list:
+    """Enforce the bounded-query-set contract, then collect (id, vec) rows.
+
+    The probe is ``limit(max+1).count()`` — O(cap) rows scanned regardless
+    of the query table's true size, so the guard itself stays cheap at
+    100 TB.  A failure names the contract and the knob.
+    """
+    probe = queries.limit(max_queries + 1).count()
+    if probe > max_queries:
+        raise QuerySetTooLargeError(
+            f"top-k query set has more than {max_queries} rows; the query "
+            "side is collected to the driver and broadcast (bounded-query-"
+            "set contract). Raise max_queries= explicitly if the driver "
+            "can hold it, or flip the tables so the bounded side is the "
+            "query side, or use cosine_self_pairs / ivf_blocked_self_pairs "
+            "for unbounded-by-unbounded similarity."
+        )
+    return queries.select(query_id_col, query_vec_col).collect()
+
+
+def _prune_topk(
+    cand_ids: np.ndarray, cand_sims: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Partition-local top-k prune with the SAME tie-break as the global
+    window (score DESC, id ASC).  np.argpartition alone keeps an arbitrary
+    subset of rows tied at the k-th score — with integer (quantized) scores
+    ties are common, and dropping the wrong tied row before the global
+    rank makes output depend on input partitioning (ADVICE r7).  So: cheap
+    O(b) partial-select first, then re-admit every row tied with the k-th
+    score, then one small lexsort to emit exactly the k winners."""
+    if len(cand_ids) > k:
+        part = np.argpartition(cand_sims, -k)[-k:]
+        kth = cand_sims[part].min()
+        keep = cand_sims >= kth
+        cand_ids, cand_sims = cand_ids[keep], cand_sims[keep]
+    order = np.lexsort((cand_ids, -cand_sims))[:k]
+    return cand_ids[order], cand_sims[order]
+
+
 def cosine_topk(
     spark: SparkSession,
     base: DataFrame,
@@ -46,14 +98,17 @@ def cosine_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "qe",
     scale: int = 6,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """Exact cosine top-k of every query vector against the base table.
 
     Returns columns (query_id, neighbor_id, sim, rnk), rnk 1..k, ties broken
     by neighbor id ascending.  Self-matches (same id) are excluded.
+    The query side is driver-collected under the bounded-query-set contract
+    (``max_queries``, enforced — see QuerySetTooLargeError).
     """
     out_empty = "query_id long, neighbor_id long, sim double, rnk int"
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_rows = _collect_bounded(queries, query_id_col, query_vec_col, max_queries)
     if not q_rows:
         return spark.createDataFrame([], out_empty)
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
@@ -78,17 +133,12 @@ def cosine_topk(
             for qi, qid in enumerate(b_qids):
                 row = sims[qi]
                 mask = ids != qid
-                cand_ids, cand_sims = ids[mask], row[mask]
-                if len(cand_ids) > k:
-                    # partial-select top-k then order: O(b) not O(b log b)
-                    part = np.argpartition(cand_sims, -k)[-k:]
-                    cand_ids, cand_sims = cand_ids[part], cand_sims[part]
-                order = np.lexsort((cand_ids, -cand_sims))
+                cand_ids, cand_sims = _prune_topk(ids[mask], row[mask], k)
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
-                        "neighbor_id": cand_ids[order],
-                        "sim": cand_sims[order],
+                        "neighbor_id": cand_ids,
+                        "sim": cand_sims,
                     }
                 )
 
@@ -110,6 +160,7 @@ def quantized_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "qe",
     scale: int = 256,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """Int8-quantized dot-product top-k: the memory-footprint scale path for
     similarity search.  q(x) = clamp(floor(x * scale), -128, 127) with a
@@ -123,7 +174,7 @@ def quantized_topk(
     score_q, rnk); ties broken by neighbor id; self-matches excluded.
     """
     out_empty = "query_id long, neighbor_id long, score_q long, rnk int"
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_rows = _collect_bounded(queries, query_id_col, query_vec_col, max_queries)
     if not q_rows:
         return spark.createDataFrame([], out_empty)
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
@@ -146,16 +197,12 @@ def quantized_topk(
             for qi, qid in enumerate(b_qids):
                 row = sims[qi]
                 mask = ids != qid
-                cand_ids, cand_sims = ids[mask], row[mask]
-                if len(cand_ids) > k:
-                    part = np.argpartition(cand_sims, -k)[-k:]
-                    cand_ids, cand_sims = cand_ids[part], cand_sims[part]
-                order = np.lexsort((cand_ids, -cand_sims))
+                cand_ids, cand_sims = _prune_topk(ids[mask], row[mask], k)
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
-                        "neighbor_id": cand_ids[order],
-                        "score_q": cand_sims[order].astype(np.int64),
+                        "neighbor_id": cand_ids,
+                        "score_q": cand_sims.astype(np.int64),
                     }
                 )
 
@@ -314,6 +361,7 @@ def lsh_ann_topk(
     dim: int = 64,
     seed: int = 42,
     scale: int = 6,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table random-hyperplane LSH.
 
@@ -343,7 +391,7 @@ def lsh_ann_topk(
     base_sig = base.select(id_col, vec_col).mapInPandas(
         sig_of, "t int, id long, sig long"
     )
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_rows = _collect_bounded(queries, query_id_col, query_vec_col, max_queries)
     if not q_rows:
         return spark.createDataFrame([], "query_id long, neighbor_id long, sim double, rnk int")
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
@@ -405,6 +453,7 @@ def ivf_ann_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "qe",
     scale: int = 6,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
@@ -424,7 +473,7 @@ def ivf_ann_topk(
         .collect()
     )
     cents = {int(r["cell"]): np.asarray(r["centroid"], dtype=np.float64) for r in cells}
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_rows = _collect_bounded(queries, query_id_col, query_vec_col, max_queries)
     if not q_rows or not cents:
         return spark.createDataFrame([], "query_id long, neighbor_id long, sim double, rnk int")
     probe_rows = []
@@ -500,6 +549,7 @@ def ivf_kmeans_topk(
     query_vec_col: str = "qe",
     seed: int = 42,
     scale: int = 6,
+    max_queries: int = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """IVF ANN with learned k-means cells (vs ivf_ann_topk's label cells):
     fit centroids on a sample, assign the base distributedly (one matmul
@@ -517,7 +567,7 @@ def ivf_kmeans_topk(
             yield pd.DataFrame({"neighbor_id": pdf[id_col], "cell": d.argmin(1).astype("int32")})
 
     cells = base.select(id_col, vec_col).mapInPandas(assign, "neighbor_id long, cell int")
-    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_rows = _collect_bounded(queries, query_id_col, query_vec_col, max_queries)
     if not q_rows:
         return spark.createDataFrame([], "query_id long, neighbor_id long, sim double, rnk int")
     probe_rows = []

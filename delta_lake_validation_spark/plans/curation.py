@@ -244,12 +244,13 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon AS (
       SELECT doc_id, url,
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                 regexp_replace(regexp_replace(url,
+                 regexp_replace(regexp_replace(regexp_replace(url,
                  '^https?://', ''),
                  '^www\.', ''),
                  '#.*$', ''),
-                 'utm_[a-z]+=[^&#]*&?', '', 'g'),
-                 '[?&]$', ''),
+                 '([?&])utm_[a-z]+=[^&#]*', '\1', 'g'),
+                 '([?&])&+', '\1', 'g'),
+                 '[?&]+$', ''),
                  '/$', '') AS cu
       FROM raw
     )
@@ -302,12 +303,22 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def canonicalize_url(url):
     """Canonical form: no scheme, no leading www., no fragment, no utm_*
     params (dangling ?/& tidied), no trailing slash.  Pure Catalyst regex
-    chain — zero shuffle, codegen-friendly."""
+    chain — zero shuffle, codegen-friendly.
+
+    The utm strip is anchored to a parameter boundary ([?&]) so it never
+    fires inside another parameter's name ("?gutm_x=1") or value
+    ("?a=xutm_src=y") — ADVICE r7.  Anchoring can't CONSUME the separator
+    (the consumed '&' would be the next utm param's anchor and consecutive
+    utm params would leak), so the separator is kept via a backreference
+    and the leftover '?&'/'&&' runs are collapsed in a second pass — both
+    patterns are lookbehind-free, hence valid in Java regex AND RE2
+    (DuckDB oracle stays in lockstep)."""
     c = F.regexp_replace(url, "^https?://", "")
     c = F.regexp_replace(c, r"^www\.", "")
     c = F.regexp_replace(c, "#.*$", "")
-    c = F.regexp_replace(c, r"utm_[a-z]+=[^&#]*&?", "")
-    c = F.regexp_replace(c, r"[?&]$", "")
+    c = F.regexp_replace(c, r"([?&])utm_[a-z]+=[^&#]*", "$1")
+    c = F.regexp_replace(c, r"([?&])&+", "$1")
+    c = F.regexp_replace(c, r"[?&]+$", "")
     return F.regexp_replace(c, "/$", "")
 
 

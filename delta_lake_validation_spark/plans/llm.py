@@ -2668,8 +2668,11 @@ def cleaned_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cumulative token volume over the corpus in doc-id order, bucketed.
 # At 100 TB: first-occurrence per type is a min() hash-agg keyed by the
 # token (bounded by vocabulary size, not corpus size); bucket totals are a
-# hash-agg keyed by bucket; the final cumulative window runs over a few
-# hundred bucket rows on one partition — driver-scale by construction.
+# hash-agg keyed by bucket; the two cumulative sums run on the two-pass
+# distributed prefix (functions/prefix.py, ONE shared range shuffle) —
+# the bucket table is n_docs/100 rows, which at 10^10 docs is 10^8 rows:
+# far too many for the single sort task a global Window.orderBy would use
+# (VERDICT r7 finding 1).
 # ---------------------------------------------------------------------------
 @register(
     "vocab_growth",
@@ -2720,11 +2723,19 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    return joined.select(
+    from delta_lake_validation_spark.functions.prefix import (
+        distributed_prefix_sums,
+    )
+
+    cum = distributed_prefix_sums(
+        joined,
+        {"cum_tokens": F.col("n_tokens"), "cum_types": F.col("n_new")},
+        order_by=[F.asc("bucket")],
+    )
+    return cum.select(
         "bucket",
-        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
-        F.sum("n_new").over(w).cast("long").alias("cum_types"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_types").cast("long").alias("cum_types"),
     )
 
 

@@ -777,17 +777,67 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ntile/percent_rank/first_value/nth_value; SURVEY.md §2.5 extension",
 )
 def window_battery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four analytics rebuilt from the two-pass distributed rank +
+    per-key scalars (VERDICT r7 finding 2): o_orderpriority has 5 distinct
+    values, so `Window.partitionBy("o_orderpriority")` hands each sort task
+    ~20% of the orders table — the exact hot-key shape chars_decile was
+    de-skewed from.  With row_number from functions/prefix.py (range
+    slices stay ~n/P regardless of key skew) the rest are closed forms:
+
+    - ntile(4): standard bucket sizing — the first n%4 buckets get
+      floor(n/4)+1 rows, so the quartile is a two-case ceil over the rank.
+    - percent_rank = (rank-1)/(n-1) — (o_totalprice, o_orderkey) is a
+      total order (orderkey unique), so rank == row_number and the IEEE
+      double division is bit-identical to the window function's.
+    - first_value / nth_value(2) over the full frame are per-key scalars:
+      a 5-row agg over the rank<=2 rows, broadcast-joined back.
+    """
+    from delta_lake_validation_spark.functions.prefix import distributed_rank
+
     o = Tables(spark, sf_dir).orders
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.asc("o_totalprice"), F.asc("o_orderkey")
+    ranked = distributed_rank(
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        order_by=[F.asc("o_totalprice"), F.asc("o_orderkey")],
+        partition_by=["o_orderpriority"],
+        out="__rnk",
     )
-    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(w).cast("int").alias("price_quartile"),
-        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
-        F.first("o_orderkey").over(w).alias("cheapest_key"),
-        F.nth_value("o_totalprice", 2).over(wfull).cast("double").alias("second_cheapest_price"),
+    # group sizes come straight off the scan (partial agg) — no need to
+    # re-evaluate the rank pipeline for a count
+    per_key = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("__n"))
+    heads = (
+        ranked.filter(F.col("__rnk") <= 2)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max(F.when(F.col("__rnk") == 1, F.col("o_orderkey"))).alias(
+                "cheapest_key"
+            ),
+            F.max(F.when(F.col("__rnk") == 2, F.col("o_totalprice")))
+            .cast("double")
+            .alias("second_cheapest_price"),
+        )
+    )
+    rnk, n = F.col("__rnk"), F.col("__n")
+    base, rem = (n / 4).cast("long"), n % 4
+    head_rows = rem * (base + 1)
+    quartile = F.when(
+        rnk <= head_rows, ((rnk + base) / (base + 1)).cast("long")
+    ).otherwise(
+        rem
+        + ((rnk - head_rows + F.greatest(base, F.lit(1)) - 1)
+           / F.greatest(base, F.lit(1))).cast("long")
+    )
+    pct = F.when(n > 1, (rnk - 1).cast("double") / (n - 1).cast("double")
+                 ).otherwise(F.lit(0.0))
+    return (
+        ranked.join(F.broadcast(per_key), "o_orderpriority")
+        .join(F.broadcast(heads), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            quartile.cast("int").alias("price_quartile"),
+            F.round(pct, 6).cast("double").alias("pct_rank"),
+            "cheapest_key",
+            "second_cheapest_price",
+        )
     )
 
 

@@ -51,17 +51,23 @@ def _space_saving_update(capacity: int):
             cand = {}
         for pdf in pdfs:
             # batch-local exact counts first: one dict op per DISTINCT
-            # token per micro-batch, not per occurrence
-            for tok, n in pdf["tok"].value_counts().items():
-                n = int(n)
+            # token per micro-batch, not per occurrence.  Iteration and
+            # eviction both tie-break on the token string so the surviving
+            # candidate set is deterministic across runs even when counts
+            # tie (pandas value_counts order and dict insertion order are
+            # otherwise run-dependent) — ADVICE r7.
+            counts = pdf["tok"].value_counts()
+            for tok in sorted(counts.index):
+                n = int(counts[tok])
                 if tok in cand:
                     cand[tok][0] += n
                 elif len(cand) < capacity:
                     cand[tok] = [n, 0]
                 else:
-                    # space-saving eviction: replace the minimum candidate;
-                    # the newcomer inherits its count as overestimate error
-                    victim = min(cand, key=lambda t: cand[t][0])
+                    # space-saving eviction: replace the minimum candidate
+                    # (ties broken by token ASC); the newcomer inherits its
+                    # count as overestimate error
+                    victim = min(cand.items(), key=lambda kv: (kv[1][0], kv[0]))[0]
                     vest = cand[victim][0]
                     del cand[victim]
                     cand[tok] = [vest + n, vest]

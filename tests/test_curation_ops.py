@@ -146,6 +146,26 @@ def test_bloom_registered_query_matches_plain_join(spark):
             "http://site1.example.com/p/9/?ref=2#frag",
             "site1.example.com/p/9/?ref=2",
         ),
+        # ADVICE r7 boundary cases: the utm strip is anchored to [?&], so a
+        # non-tracking param whose NAME merely contains 'utm_' survives...
+        (
+            "http://site1.example.com/p/9?gutm_x=1",
+            "site1.example.com/p/9?gutm_x=1",
+        ),
+        # ...as does a VALUE containing 'utm_src='
+        (
+            "http://site1.example.com/p/9?a=xutm_src=y",
+            "site1.example.com/p/9?a=xutm_src=y",
+        ),
+        # consecutive utm params all stripped, later real param kept
+        (
+            "http://site1.example.com/p/9?utm_a=1&utm_b=2&ref=3",
+            "site1.example.com/p/9?ref=3",
+        ),
+        (
+            "http://site1.example.com/p/9?utm_a=1&utm_b=2",
+            "site1.example.com/p/9",
+        ),
     ],
 )
 def test_canonicalize_url_cases(spark, raw, canon):

@@ -27,12 +27,25 @@ def _queries_of(doc: dict) -> dict[str, float]:
         return dict(q)
     tail = doc.get("tail")
     if isinstance(tail, str):
+        # restrict extraction to the span of the "queries" object when its
+        # opening brace survived truncation; otherwise fall back to the
+        # whole tail minus the known top-level numeric keys (ADVICE r7:
+        # the old name-blacklist would misread any future numeric metadata
+        # key as a query timing)
+        m = re.search(r'"queries"\s*:\s*\{', tail)
+        span = tail[m.end():] if m else tail
+        # the first '}' closes the queries object whether or not its
+        # opening brace survived the truncation (queries is the only
+        # nested object in bench.py's output line)
+        end = span.find("}")
+        if end >= 0:
+            span = span[:end]
         return {
             name: float(sec)
             for name, sec in re.findall(
-                r'"(\w+)":\s*([0-9]+(?:\.[0-9]+)?)', tail
+                r'"(\w+)":\s*([0-9]+(?:\.[0-9]+)?)', span
             )
-            if name not in ("value", "sf", "calibration_sec")
+            if name not in ("value", "sf", "calibration_sec", "n_queries")
         }
     raise SystemExit(f"no queries/tail in bench doc (keys: {list(doc)})")
 

@@ -171,6 +171,27 @@ CUSTOM: dict[str, object] = {
         + ([f"{_non_pid_window_specs(p)} window spec(s) not __pid-keyed"]
            if _non_pid_window_specs(p) else [])
     ),
+    # analytic battery: ntile/percent_rank/first/nth_value rebuilt from the
+    # two-pass rank — an o_orderpriority-keyed window (5 distinct values)
+    # would hand one sort task ~20% of the orders table (VERDICT r7
+    # finding 2); only __pid-keyed specs may remain
+    "window_battery_orders": lambda p: (
+        (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["no BroadcastHashJoin (per-key scalar join-back)"]
+           if "BroadcastHashJoin" not in p else [])
+        + ([f"{_non_pid_window_specs(p)} window spec(s) not __pid-keyed"]
+           if _non_pid_window_specs(p) else [])
+    ),
+    # Heaps curve: both cumulative sums via the two-pass distributed prefix
+    # over the bucket table — a keyless Window.orderBy would pull n_docs/100
+    # rows through one sort task (VERDICT r7 finding 1)
+    "vocab_growth": lambda p: (
+        (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["no BroadcastHashJoin (offset join-back)"]
+           if "BroadcastHashJoin" not in p else [])
+        + ([f"{_non_pid_window_specs(p)} window spec(s) not __pid-keyed"]
+           if _non_pid_window_specs(p) else [])
+    ),
     # context-window chunking is a pure map: any exchange is a regression
     "doc_chunks": lambda p: (
         [f"expected 0 Exchange nodes, saw {p.count(') Exchange')}"]
