@@ -179,44 +179,6 @@ def _is_variant_target(at) -> bool:
     return meta.get(b"variant") == b"true"
 
 
-def _shredded_variant_fields(schema_arrow, phys_names) -> list[str]:
-    """Physical variant columns whose parquet group carries a
-    ``typed_value`` child — the variant SHREDDING layout (Spark 4.1
-    writes it by default): the variant binary moves into typed subtrees
-    and ``value`` is null for shredded rows, so assembling value/metadata
-    alone would silently return nulls.  Those files must refuse."""
-    import pyarrow as pa
-
-    bad = []
-    for name in phys_names:
-        if schema_arrow.get_field_index(name) < 0:
-            continue
-        t = schema_arrow.field(name).type
-        if pa.types.is_struct(t) and any(
-            t.field(i).name == "typed_value" for i in range(t.num_fields)
-        ):
-            bad.append(name)
-    return bad
-
-
-def _variant_phys_names(snap) -> list[str]:
-    return [
-        snap.phys(f.name)
-        for f in snap.schema.fields
-        if type(f.dataType).__name__ == "VariantType"
-    ]
-
-
-_SHREDDED_MSG = (
-    "deltapy: {what} stores its variant column(s) SHREDDED (typed_value "
-    "subtrees; Spark's spark.sql.variant.writeShredding.enabled default) "
-    "— the pyarrow scan leg cannot reassemble shredded variants; read via "
-    "DeltaTable.read / read_delta (the JVM scan serves them natively), or "
-    "rewrite with writeShredding disabled (this engine's own writers "
-    "stage variant parquet unshredded)."
-)
-
-
 def _variant_probe(tbl, snap) -> None:
     """Plan-time gate for variant tables: pyarrow builds that predate the
     parquet VARIANT LogicalType (this container ships 16.1) cannot open
@@ -224,8 +186,9 @@ def _variant_probe(tbl, snap) -> None:
     The footer shim (sources/footer_patch.py) rewrites the annotation
     away in memory — the group then reads exactly like the unannotated
     Spark-4.0-era layout — so probe ONE live file up front and refuse
-    only when (a) the patched footer still fails, or (b) the file is
-    SHREDDED (typed_value subtrees we cannot reassemble)."""
+    only when the patched footer still fails.  SHREDDED files (typed_value
+    subtrees) assemble at scan time (sources/variant_shred.py) since r8
+    and no longer refuse."""
     if not any(
         type(f.dataType).__name__ == "VariantType"
         for f in snap.schema.fields
@@ -237,7 +200,7 @@ def _variant_probe(tbl, snap) -> None:
     fs, norm = _pa_fs(tbl._abs(rel))
     try:
         with fs.open_input_file(norm) as fh:
-            sa = pq.ParquetFile(fh).schema_arrow
+            pq.ParquetFile(fh).schema_arrow
     except OSError as e:
         if "LogicalType" not in str(e):
             raise
@@ -247,7 +210,7 @@ def _variant_probe(tbl, snap) -> None:
 
         try:
             with fs.open_input_file(norm) as fh:
-                sa = pq.ParquetFile(
+                pq.ParquetFile(
                     fh, metadata=read_patched_metadata(fh)
                 ).schema_arrow
         except Exception:
@@ -258,17 +221,13 @@ def _variant_probe(tbl, snap) -> None:
                 "via DeltaTable.read / read_delta (the JVM scan serves "
                 "them natively)."
             ) from None
-    shredded = _shredded_variant_fields(sa, _variant_phys_names(snap))
-    if shredded:
-        raise DeltaProtocolError(
-            _SHREDDED_MSG.format(what=f"this table (e.g. {rel!r})")
-            + f"  Shredded columns: {shredded}."
-        )
 
 
 def _variant_assemble(col, at):
     """Physical variant struct (parquet group value/metadata, any field
-    order) -> the tagged arrow struct, children matched BY NAME."""
+    order) -> the tagged arrow struct, children matched BY NAME.
+    SHREDDED groups (a typed_value child — Spark 4.1's default layout)
+    route to the per-row reconstructor in sources/variant_shred.py."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -278,11 +237,11 @@ def _variant_assemble(col, at):
         col.type.field(i).name == "typed_value"
         for i in range(col.type.num_fields)
     ):
-        # defense in depth: a shredded group reaching assembly would
-        # silently null out shredded rows (value is null when shredded)
-        raise DeltaProtocolError(
-            _SHREDDED_MSG.format(what="a scanned file")
+        from delta_lake_validation_spark.sources.variant_shred import (
+            assemble_shredded,
         )
+
+        return assemble_shredded(col, at)
     children = [
         col.field("value").cast(pa.binary()),
         col.field("metadata").cast(pa.binary()),
@@ -691,11 +650,6 @@ class _ScanExec:
         self.data_phys = [
             ph for _, ph, is_part, _ in self.columns if not is_part
         ]
-        self.variant_phys = [
-            ph
-            for lg, ph, is_part, _ in self.columns
-            if not is_part and _is_variant_target(self.target.field(lg).type)
-        ]
         self._built = True
 
     def __getstate__(self):
@@ -705,7 +659,6 @@ class _ScanExec:
             "types",
             "target",
             "data_phys",
-            "variant_phys",
             "_pq_colidx",
             "_pq_colidx_for",
         ):
@@ -775,17 +728,9 @@ class _ScanExec:
                             "rewrite it) — read via DeltaTable.read / "
                             "read_delta (the JVM scan serves it natively)"
                         ) from None
-                shredded = self.variant_phys and _shredded_variant_fields(
-                    pf.schema_arrow, self.variant_phys
-                )
-                if shredded:
-                    # mixed-writer table: a shredded file the plan-time
-                    # probe did not see — value/metadata assembly would
-                    # silently null out shredded rows
-                    raise DeltaProtocolError(
-                        _SHREDDED_MSG.format(what=repr(fsl.path))
-                        + f"  Shredded columns: {shredded}."
-                    )
+                # shredded variant files (typed_value subtrees) need no
+                # gate here: _variant_assemble detects the layout per
+                # column and reconstructs via sources/variant_shred.py
                 self._verify_ids(pf.schema_arrow, fsl.path)
                 present = [
                     c for c in self.data_phys if c in pf.schema_arrow.names
@@ -2017,5 +1962,16 @@ class DeltaPyDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register the ``deltapy`` format on a session."""
+    """Idempotently register the ``deltapy`` format on a session.
+
+    Ships the package zip first: the data-source CREATION worker
+    cloudpickle-imports this module by name, so a bare session started
+    outside the repo hits ModuleNotFoundError before any scan runs."""
+    from delta_lake_validation_spark.shipping import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    # the reader implements pushFilters(); Spark refuses to plan it when
+    # python filter pushdown is off (the default on a bare session), so
+    # registering deltapy opts the session in — runtime-settable SQL conf
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DeltaPyDataSource)

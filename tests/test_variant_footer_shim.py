@@ -159,10 +159,27 @@ def test_deltapy_parity_on_engine_written_variant(spark, tmp_path):
     assert py2 == jvm
 
 
-def test_shredded_foreign_file_refuses_typed(spark, tmp_path):
-    """A shredded variant file smuggled into a table must refuse loudly:
-    value is null for shredded rows, so silent assembly would read
-    nulls."""
+def _foreign_add(loc: str, src: str, fname: str, version: int) -> None:
+    """Smuggle a foreign parquet file into the table as a hand-written
+    add commit."""
+    shutil.copy(src, os.path.join(loc, fname))
+    add = {
+        "path": fname,
+        "partitionValues": {},
+        "size": os.path.getsize(os.path.join(loc, fname)),
+        "modificationTime": 0,
+        "dataChange": True,
+    }
+    with open(
+        os.path.join(loc, "_delta_log", f"{version:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps({"add": add}) + "\n")
+
+
+def test_shredded_foreign_file_reads_parity(spark, tmp_path):
+    """A shredded variant file smuggled into a table reads through the
+    deltapy assembly (sources/variant_shred.py) with JVM parity — the r7
+    refusal flipped to a reconstruction (VERDICT r7 task 3)."""
     from delta_lake_validation_spark.sources import pydatasource
     from pyspark.sql.types import LongType, StructField, StructType, VariantType
 
@@ -177,22 +194,213 @@ def test_shredded_foreign_file_refuses_typed(spark, tmp_path):
     shredded_src = _write_raw_variant(
         spark, str(tmp_path / "rawshred"), shredded=True
     )
-    fname = "part-shredded.parquet"
-    shutil.copy(shredded_src, os.path.join(loc, fname))
-    # hand-commit the foreign add (version 1)
-    add = {
-        "path": fname,
-        "partitionValues": {},
-        "size": os.path.getsize(os.path.join(loc, fname)),
-        "modificationTime": 0,
-        "dataChange": True,
-    }
-    with open(
-        os.path.join(loc, "_delta_log", f"{1:020d}.json"), "w"
-    ) as f:
-        f.write(json.dumps({"add": add}) + "\n")
+    _foreign_add(loc, shredded_src, "part-shredded.parquet", 1)
     pydatasource.register(spark)
-    with pytest.raises(Exception, match="SHREDDED"):
-        spark.read.format("deltapy").load(loc).collect()
-    # the JVM leg still serves it (allowReadingShredded)
-    assert DeltaTable(spark, loc).read().count() == 10
+    jvm = sorted(
+        (r.id, r.j)
+        for r in DeltaTable(spark, loc)
+        .read()
+        .selectExpr("id", "to_json(v) AS j")
+        .collect()
+    )
+    py = sorted(
+        (r.id, r.j)
+        for r in spark.read.format("deltapy")
+        .load(loc)
+        .selectExpr("id", "to_json(v) AS j")
+        .collect()
+    )
+    assert py == jvm and len(py) == 10
+
+
+def test_mixed_shredded_and_unshredded_files_parity(spark, tmp_path):
+    """One table, one shredded file + one unshredded file + one
+    engine-written file: the scan must detect the layout per file and
+    serve all three identically to the JVM leg."""
+    from delta_lake_validation_spark.sources import pydatasource
+    from pyspark.sql.types import LongType, StructField, StructType, VariantType
+
+    loc = str(tmp_path / "varmix")
+    create_delta(
+        spark,
+        loc,
+        StructType(
+            [StructField("id", LongType()), StructField("v", VariantType())]
+        ),
+    )
+    dt = DeltaTable(spark, loc)
+    dt.append(_variant_df(spark))  # engine-staged, unshredded, ids 0..9
+    shredded = _write_shifted(spark, str(tmp_path / "s1"), shredded=True, base=100)
+    plain = _write_shifted(spark, str(tmp_path / "s2"), shredded=False, base=200)
+    _foreign_add(loc, shredded, "part-foreign-shred.parquet", 2)
+    _foreign_add(loc, plain, "part-foreign-plain.parquet", 3)
+    pydatasource.register(spark)
+    jvm = sorted(
+        (r.id, r.j)
+        for r in DeltaTable(spark, loc)
+        .read()
+        .selectExpr("id", "to_json(v) AS j")
+        .collect()
+    )
+    py = sorted(
+        (r.id, r.j)
+        for r in spark.read.format("deltapy")
+        .load(loc)
+        .selectExpr("id", "to_json(v) AS j")
+        .collect()
+    )
+    assert py == jvm and len(py) == 30
+
+
+def _write_shifted(spark, out_dir, shredded: bool, base: int):
+    key = "spark.sql.variant.writeShredding.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(shredded).lower())
+    try:
+        spark.sql(
+            "SELECT id + {b} AS id, parse_json(concat('{{\"x\": ', id + {b}, "
+            "', \"s\": \"t', id, '\"}}')) AS v FROM range(10)".format(b=base)
+        ).coalesce(1).write.mode("overwrite").parquet(out_dir)
+    finally:
+        spark.conf.set(key, old)
+    return glob.glob(os.path.join(out_dir, "part-*.parquet"))[0]
+
+
+def test_shredded_rich_shapes_parity(spark, tmp_path):
+    """Shredding edge shapes through the full deltapy read: per-field
+    residuals (type mismatch), extra unshredded fields, nested objects,
+    arrays, top-level nulls, SQL nulls."""
+    from delta_lake_validation_spark.sources import pydatasource
+    from pyspark.sql.types import LongType, StructField, StructType, VariantType
+
+    cases = [
+        # (sql CASE expr over id, n)
+        ("""CASE WHEN id % 3 = 0 THEN concat('{"x": ', id, ', "s": "a", "e": 9}')
+             ELSE concat('{"x": ', id, ', "s": "b"}') END""", 6),
+        ("""CASE WHEN id % 3 = 0 THEN '{"x": "str"}'
+             ELSE concat('{"x": ', id, '}') END""", 6),
+        ("""concat('{"x": ', id, ', "nest": {"a": ', id * 2,
+             ', "b": "t"}, "arr": [', id, ', ', id + 1, ']}')""", 5),
+        ("""concat('[', id, ', ', id + 1, ']')""", 5),
+        ("""CASE WHEN id % 2 = 0 THEN concat('{"x": ', id, '}')
+             ELSE 'null' END""", 6),
+        ("""CASE WHEN id = 3 THEN NULL
+             ELSE concat('{"d": 1.5, "b": true, "t": "q', id, '"}') END""", 6),
+    ]
+    from pyspark.sql.types import VariantType  # noqa: F811
+
+    pydatasource.register(spark)
+    key = "spark.sql.variant.writeShredding.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try:
+        for ci, (expr, n) in enumerate(cases):
+            df = spark.sql(
+                f"SELECT id, parse_json({expr}) AS v FROM range({n})"
+            )
+            loc = str(tmp_path / f"rich{ci}")
+            create_delta(
+                spark,
+                loc,
+                StructType(
+                    [
+                        StructField("id", LongType()),
+                        StructField("v", VariantType()),
+                    ]
+                ),
+            )
+            raw = str(tmp_path / f"rawrich{ci}")
+            df.coalesce(1).write.mode("overwrite").parquet(raw)
+            _foreign_add(
+                loc,
+                glob.glob(os.path.join(raw, "part-*.parquet"))[0],
+                "part-rich.parquet",
+                1,
+            )
+            want = sorted(
+                (r.id, r.j)
+                for r in df.selectExpr("id", "to_json(v) AS j").collect()
+            )
+            got = sorted(
+                (r.id, r.j)
+                for r in spark.read.format("deltapy")
+                .load(loc)
+                .selectExpr("id", "to_json(v) AS j")
+                .collect()
+            )
+            assert got == want, (ci, got, want)
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_variant_codec_roundtrips_spark_binaries(spark, tmp_path):
+    """decode+re-encode of Spark-written UNSHREDDED variant binaries is
+    semantics-preserving: the fresh pair feeds back through Spark's
+    VariantType reader with identical to_json."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from delta_lake_validation_spark.sources.footer_patch import (
+        read_patched_metadata,
+    )
+    from delta_lake_validation_spark.sources.variant_shred import (
+        decode_metadata,
+        decode_value,
+        encode_variant,
+    )
+
+    df = spark.sql(
+        """SELECT id, parse_json(CASE id % 6
+        WHEN 0 THEN concat('{"x": ', id, ', "arr": [1, 2.5, null]}')
+        WHEN 1 THEN '{"nested": {"a": {"b": [true, false]}}, "n": -3}'
+        WHEN 2 THEN 'null'
+        WHEN 3 THEN '[9, "mixed", {"k": 1e30}]'
+        WHEN 4 THEN '"a string well past the sixty-four byte short-string cutoff so the long path is exercised too"'
+        ELSE '{"big": 123456789012345678901234567.5}' END) AS v
+        FROM range(12)"""
+    )
+    src_dir = str(tmp_path / "plainvar")
+    key = "spark.sql.variant.writeShredding.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    finally:
+        spark.conf.set(key, old)
+    src = glob.glob(os.path.join(src_dir, "part-*.parquet"))[0]
+    fs = pa.fs.LocalFileSystem()
+    with fs.open_input_file(src) as fh:
+        t = pq.ParquetFile(fh, metadata=read_patched_metadata(fh)).read()
+    v = t.column("v").combine_chunks()
+    ids, vals, metas = [], [], []
+    for i in range(len(v)):
+        keys = decode_metadata(v.field("metadata")[i].as_py())
+        node = decode_value(v.field("value")[i].as_py(), 0, keys)
+        m2, v2 = encode_variant(node)
+        ids.append(t.column("id")[i].as_py())
+        vals.append(v2)
+        metas.append(m2)
+    re_path = str(tmp_path / "reenc.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "v": pa.StructArray.from_arrays(
+                    [pa.array(vals, pa.binary()), pa.array(metas, pa.binary())],
+                    names=["value", "metadata"],
+                ),
+            }
+        ),
+        re_path,
+    )
+    got = sorted(
+        (r.id, r.j)
+        for r in spark.read.schema("id long, v variant")
+        .parquet(re_path)
+        .selectExpr("id", "to_json(v) AS j")
+        .collect()
+    )
+    want = sorted(
+        (r.id, r.j) for r in df.selectExpr("id", "to_json(v) AS j").collect()
+    )
+    assert got == want
