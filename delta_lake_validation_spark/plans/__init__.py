@@ -95,7 +95,6 @@ _TIER_BY_NAME = {
     # stays covered by the sweep and by the in-window join family (J1 via
     # dim_union_join, J3 via bucket_band_join).
     "chunk_dedup": _reg.TIER_NEWFAM,
-    "vocab_growth": _reg.TIER_NEWFAM,
     "zipf_fit": _reg.TIER_NEWFAM,
     "kmeans_clusters": _reg.TIER_NEWFAM,
     # text-quality family variant (window keeps token_counts, text_quality,
@@ -133,6 +132,17 @@ _TIER_BY_NAME = {
     "dup_span_cleaned": _reg.TIER_NEWFAM,
     "token_counts_bpe_merges": _reg.TIER_NEWFAM,
     "bpe_fertility_by_lang": _reg.TIER_NEWFAM,
+    # round-8 ROTATION (VERDICT r7 task 6): the driver window froze at the
+    # first 50 entries in r4, so families added since carry only selfcheck
+    # + judge-re-run evidence.  This round the 9 curation-batch-2 entries
+    # (TIER_ROTATE at their @register sites), the freshly de-skewed
+    # vocab_growth, and nested_project (P2 — displaced in r7 by
+    # dedup_canonical) rotate INTO positions ~35-45; the displaced core
+    # relational entries (driver-green since r1 and still selfcheck-green
+    # every round) move just past the cap.  Next round: rotate this batch
+    # back to TIER_NEWFAM and promote the next ungraded ten.
+    "vocab_growth": _reg.TIER_ROTATE,
+    "nested_project": _reg.TIER_ROTATE,
 }
 
 for _name, _spec in list(REGISTRY.items()):

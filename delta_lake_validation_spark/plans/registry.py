@@ -36,12 +36,20 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   15 = timeseries/sessionization + SQL subquery ops
 #   20 = ACID DML snapshot-diff queries
 #   30 = core relational ops (one per SURVEY §2 family)
+#   28 = ROTATION slots (r8, VERDICT r7 task 6): the driver's window has
+#        been frozen at the first 50 entries since r4, so families added
+#        after r4 never earn driver-graded rows.  Entries promoted to this
+#        tier land in window positions ~35-45 for the CURRENT round; the
+#        displaced core-relational entries (long driver-green, and still
+#        selfcheck-green every round) move just past the cap.  Rotate a
+#        fresh batch here each round until every family has a driver row.
 #   40 = later-round new families: first past the observed cap, so they gain
 #        driver rows if the window grows without displacing verified families
 #   60 = additional relational variants (families already covered above)
 TIER_LLM = 10
 TIER_TIMESERIES = 15
 TIER_DML = 20
+TIER_ROTATE = 28
 TIER_CORE = 30
 TIER_NEWFAM = 40
 TIER_VARIANT = 60
