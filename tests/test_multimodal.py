@@ -50,8 +50,49 @@ def test_frame_sample_shape(media):
 
 
 def test_decode_stub_contract():
+    from delta_lake_validation_spark.operators.multimodal import (
+        imaging_available,
+    )
+
+    if imaging_available():
+        pytest.skip("imaging library present: stub contract not in effect")
     with pytest.raises(NotImplementedError, match="imaging library"):
         decode_image(b"\xff\xd8\xff", "jpeg")
+
+
+def test_decode_path_with_imaging_lib(spark):
+    """Real decode path: runs only where the optional imaging dependency
+    is installed (VERDICT r7 task 8); skipped cleanly otherwise."""
+    pytest.importorskip("PIL")
+    import io
+
+    import PIL.Image
+
+    from delta_lake_validation_spark.operators.multimodal import (
+        extract_pixel_features,
+        resize_image,
+    )
+
+    def png(rgb, size=(8, 8)):
+        img = PIL.Image.new("RGB", size, rgb)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    red, blue = png((255, 0, 0)), png((0, 0, 255))
+    arr = decode_image(red, "png")
+    assert arr.shape == (8, 8, 3) and arr[0, 0, 0] == 255
+
+    small = resize_image(red, 4, 4)
+    assert decode_image(small, "png").shape == (4, 4, 3)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(red)), (2, bytearray(blue))], "id long, payload binary"
+    )
+    feats = {r.id: list(r.features)
+             for r in extract_pixel_features(media, dim=6).collect()}
+    assert feats[1] != feats[2]  # red and blue histograms differ
+    assert len(feats[1]) == 6
 
 
 def test_thumbnail_bytes_plumbing(media):
@@ -66,7 +107,12 @@ def test_thumbnail_bytes_plumbing(media):
 
 
 def test_resize_stub_contract():
-    from delta_lake_validation_spark.operators.multimodal import resize_image
+    from delta_lake_validation_spark.operators.multimodal import (
+        imaging_available,
+        resize_image,
+    )
 
+    if imaging_available():
+        pytest.skip("imaging library present: stub contract not in effect")
     with pytest.raises(NotImplementedError, match="imaging library"):
         resize_image(b"\x89PNG", 64, 64)

@@ -52,9 +52,13 @@ def main() -> int:
 
 
 def clustered_regime(spark, n=4000, dim=64, n_clusters=20, n_queries=20, seed=7):
-    """ANN recall on CLUSTERED vectors — realistic embeddings concentrate
-    around topic clusters, where LSH buckets and IVF cells are much more
-    selective than on uniform-random vectors (the sf tables' regime)."""
+    """ANN recall on CLUSTERED vectors — realistic text embeddings
+    concentrate around topic clusters (k well-separated Gaussians), where
+    LSH buckets and IVF cells are far more selective than on the
+    uniform-random vectors of the sf tables (the ANN worst case).  Sweeps
+    the knob each path trades recall with (LSH probe radius / tables, IVF
+    nprobe) on BOTH a tight and a diffuse cluster mix, so a user can pick
+    settings from measured numbers rather than the random-vector floor."""
     import numpy as np
 
     from delta_lake_validation_spark.operators.similarity import (
@@ -66,25 +70,40 @@ def clustered_regime(spark, n=4000, dim=64, n_clusters=20, n_queries=20, seed=7)
     rng = np.random.RandomState(seed)
     centers = rng.normal(size=(n_clusters, dim))
     assign = rng.randint(0, n_clusters, size=n)
-    vecs = centers[assign] + 0.15 * rng.normal(size=(n, dim))
-    base = spark.createDataFrame(
-        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
-        "vec_id long, embedding array<double>",
-    ).cache()
-    qidx = rng.choice(n, size=n_queries, replace=False)
-    queries = spark.createDataFrame(
-        [(int(1_000_000 + j), [float(x) for x in vecs[i]]) for j, i in enumerate(qidx)],
-        "query_id long, qe array<double>",
-    )
-    exact = {(r.query_id, r.neighbor_id)
-             for r in cosine_topk(spark, base, queries).collect()}
-    lsh = {(r.query_id, r.neighbor_id)
-           for r in lsh_ann_topk(spark, base, queries, n_planes=12, dim=dim).collect()}
-    ivf = {(r.query_id, r.neighbor_id)
-           for r in ivf_kmeans_topk(spark, base, queries, n_cells=n_clusters, nprobe=4).collect()}
-    print(f"  [clustered n={n} k={n_clusters}] lsh_ann recall "
-          f"{len(exact & lsh) / max(1, len(exact)):.3f}, "
-          f"ivf_kmeans recall {len(exact & ivf) / max(1, len(exact)):.3f}")
+    for spread in (0.15, 0.6):
+        vecs = centers[assign] + spread * rng.normal(size=(n, dim))
+        base = spark.createDataFrame(
+            [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        ).cache()
+        qidx = rng.choice(n, size=n_queries, replace=False)
+        queries = spark.createDataFrame(
+            [(int(1_000_000 + j), [float(x) for x in vecs[i]])
+             for j, i in enumerate(qidx)],
+            "query_id long, qe array<double>",
+        )
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in cosine_topk(spark, base, queries).collect()}
+
+        def rec(s):
+            return len(exact & s) / max(1, len(exact))
+
+        tag = "tight" if spread < 0.3 else "diffuse"
+        for tables, hamming in ((2, 0), (4, 1), (4, 2)):
+            lsh = {(r.query_id, r.neighbor_id)
+                   for r in lsh_ann_topk(
+                       spark, base, queries, n_planes=12, dim=dim,
+                       n_tables=tables, max_hamming=hamming).collect()}
+            print(f"  [clustered/{tag} n={n} k={n_clusters}] lsh_ann "
+                  f"T={tables} h<={hamming}: recall {rec(lsh):.3f}")
+        for nprobe in (1, 2, 4):
+            ivf = {(r.query_id, r.neighbor_id)
+                   for r in ivf_kmeans_topk(
+                       spark, base, queries, n_cells=n_clusters,
+                       nprobe=nprobe).collect()}
+            print(f"  [clustered/{tag} n={n} k={n_clusters}] ivf_kmeans "
+                  f"nprobe={nprobe}: recall {rec(ivf):.3f}")
+        base.unpersist()
 
 
 if __name__ == "__main__":
