@@ -146,6 +146,11 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     build_sf1(spark)
+    # warm the JVM/Arrow/python-worker pool before the first timed probe:
+    # earlier rounds' first rows carried 3-5s of codegen + worker fork cost
+    # (the starred caveats in BASELINE.md) — an untimed throwaway run of
+    # the first family eats that instead
+    run_probe(spark, families[0], SF01)
     results: dict[str, dict] = {}
     print("| query | sf0.1 wall | sf1 wall | ratio | sf0.1 shW MB | sf1 shW MB | shuffle ratio |")
     print("|---|---|---|---|---|---|---|")
