@@ -1,0 +1,310 @@
+"""Round-8 corpus-retrieval & split-hygiene operators.
+
+Engine extensions (the reference has no text surface — its analytics stop
+at relational queries, src/benchmarking_suite.py:40-140); each query
+carries a DuckDB oracle and a 100 TB scale note.  The families:
+
+* **BM25 retrieval** — Okapi BM25 top-k document retrieval against a
+  deterministic query set: the scoring primitive of every
+  retrieval-augmented pipeline and of quality-classifier training-set
+  mining.  Inverted-index equi join; high-df (stop) terms pruned on both
+  engines symmetrically.
+* **N-gram novelty** — per-document fraction of shingles first seen in
+  that document (doc-id order): the classic "how much new text does this
+  shard add" curation signal.  Integer outputs — exactly gradeable.
+* **Split leakage audit** — near-dup clusters spanning train/val/test
+  splits: THE silent eval-contamination bug in LLM training.  Composes
+  the exact Jaccard clusters with the hash-based split assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from delta_lake_validation_spark.functions.aggregates import round_half_up
+from delta_lake_validation_spark.plans.registry import TIER_NEWFAM, register
+from delta_lake_validation_spark.tables import Tables
+
+# ---------------------------------------------------------------------------
+# Okapi BM25 top-k retrieval.
+#
+# Query set: documents with doc_id % 97 == 0 (deterministic, ~1% of the
+# corpus — the bounded "query side" of a retrieval run); each query is its
+# document's distinct term set, self-matches excluded.
+#
+# Scale shape: tf/df/dl are hash aggregates (vocabulary- and corpus-
+# bounded, map-side combined); candidates come from the (query term) ×
+# (postings) EQUI join — never a cross join; corpus-level scalars (N,
+# avgdl) ride a broadcast 1-row frame.  Terms with df > 0.9*N are dropped on
+# BOTH engines: their idf is near zero while their postings dominate
+# candidate volume (a stop word joins every document — the standard
+# impact-ordering prune).  Top-k per query is rank()<=k, which Spark
+# rewrites to WindowGroupLimit: each map partition pre-selects its local
+# top-k BEFORE the shuffle, so a hot query never funnels its full
+# candidate list through one sort task.
+#
+# Floats: BM25 is inherently ln()-valued; both engines evaluate the SAME
+# expression tree in IEEE doubles and the score is rounded half-up to 4
+# decimals before ranking (the zipf_fit discipline — ranking on the
+# ROUNDED score keeps the two engines' orderings identical; ties break by
+# doc_id).
+# ---------------------------------------------------------------------------
+_BM25_QUERY_MOD = 97
+_BM25_K = 10
+
+
+@register(
+    "bm25_topk",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, u.term
+      FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS u(term)
+      WHERE u.term <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    ad AS (SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n_docs FROM n) AS avgdl FROM dl),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qterm AS (
+      SELECT DISTINCT doc_id AS query_doc, term FROM toks
+      WHERE doc_id % {_BM25_QUERY_MOD} = 0
+    ),
+    cand AS (
+      SELECT q.query_doc, t.doc_id,
+             ln(1 + ((SELECT n_docs FROM n) - f.df + 0.5) / (f.df + 0.5))
+             * (t.tf * 2.2)
+             / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM ad)))
+               AS s
+      FROM qterm q
+      JOIN tf t ON t.term = q.term AND t.doc_id <> q.query_doc
+      JOIN df f ON f.term = q.term
+      JOIN dl d ON d.doc_id = t.doc_id
+      WHERE f.df * 10 <= (SELECT n_docs FROM n) * 9
+    ),
+    scored AS (
+      SELECT query_doc, doc_id,
+             CAST(floor(sum(s) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS score
+      FROM cand GROUP BY 1, 2
+    )
+    SELECT query_doc, doc_id, CAST(rnk AS INTEGER) AS rnk, score FROM (
+      SELECT query_doc, doc_id, score,
+             row_number() OVER (
+               PARTITION BY query_doc ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_BM25_K}
+    """,
+    tags=("retrieval", "llm", "text"),
+    doc="Okapi BM25 top-10 retrieval (k1=1.2, b=0.75) for a deterministic "
+    "~1% query slice; inverted-index equi join, df>0.9N terms pruned, "
+    "WindowGroupLimit top-k",
+    priority=TIER_NEWFAM,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    ad = dl.crossJoin(F.broadcast(n)).agg(
+        (F.sum("dl").cast("double") / F.first("n_docs")).alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterm = (
+        toks.filter(F.col("doc_id") % _BM25_QUERY_MOD == 0)
+        .select(F.col("doc_id").alias("query_doc"), "term")
+        .distinct()
+    )
+    cand = (
+        qterm.join(tf, "term")
+        .filter(F.col("doc_id") != F.col("query_doc"))
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ad))
+        .filter(F.col("df") * 10 <= F.col("n_docs") * 9)
+        .withColumn(
+            "s",
+            F.expr(
+                "ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) "
+                "/ (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+            ),
+        )
+    )
+    scored = cand.groupBy("query_doc", "doc_id").agg(
+        round_half_up(F.sum("s"), 4).alias("score")
+    )
+    w = Window.partitionBy("query_doc").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _BM25_K)
+        .select("query_doc", "doc_id", "rnk", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: per document, the fraction of its distinct 3-gram
+# shingles whose FIRST corpus occurrence (min doc_id) is this document.
+#
+# Scale shape: the first-occurrence table is a min() hash aggregate keyed
+# by the shingle (vocabulary-bounded, map-side combined — a boilerplate
+# shingle repeated 10^9 times still reduces map-side); the join back is an
+# equi join on the shingle where AQE splits hot probe keys.  The exact
+# token_df_stats / chunk_dedup shape — no window anywhere.  Integer
+# outputs (counts + basis points via integer division): exactly gradeable.
+# Documents with fewer than 3 tokens have no shingles and are excluded on
+# both engines (the containment_pairs precedent).
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                 * 10000) // count(*) AS BIGINT) AS novelty_bp
+    FROM ex e JOIN firsts f USING (g)
+    GROUP BY e.doc_id
+    """,
+    tags=("text", "llm", "curation"),
+    doc="per-doc shingle novelty vs doc-id order (first-occurrence "
+    "hash-agg + join-back); novelty in integer basis points",
+    priority=TIER_NEWFAM,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.dedup import shingles
+
+    docs = Tables(spark, sf_dir).documents
+    ex = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("g")
+    )
+    firsts = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        ex.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            ((F.col("n_novel") * 10000) / F.col("n_shingles"))
+            .cast("long")
+            .alias("novelty_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit: near-duplicate clusters whose members span more
+# than one train/val/test split — the silent eval-contamination failure
+# mode of every LLM data pipeline (a val document's near-dup sitting in
+# train).  Composes the exact-Jaccard connected components
+# (operators/dedup.py) with the md5-bucket split rule (split_assign,
+# plans/llm.py) and reports per-cluster membership counts.
+#
+# Scale shape: inherits the PPJoin candidate bounds and the label-prop
+# clusters; the audit itself is one hash aggregate keyed by cluster_id
+# (integer outputs, exactly gradeable).  The oracle reuses the
+# dedup_clusters recursive-CTE closure verbatim.
+# ---------------------------------------------------------------------------
+@register(
+    "split_leakage",
+    oracle=r"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             FROM documents),
+    sh AS (SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(range(1, len(t)-1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS s FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    nsz AS (SELECT doc_id, len(s) AS n FROM sh),
+    co AS (SELECT a.doc_id AS la, b.doc_id AS rb, count(*) AS inter
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    pairs AS (SELECT co.la, co.rb
+              FROM co JOIN nsz sa ON co.la = sa.doc_id
+                      JOIN nsz sb ON co.rb = sb.doc_id
+              WHERE co.inter * 5 >= (sa.n + sb.n - co.inter) * 4),
+    edges AS (SELECT la AS a, rb AS b FROM pairs
+              UNION SELECT rb, la FROM pairs),
+    cc AS (SELECT a AS id, a AS lbl FROM edges
+           UNION
+           SELECT e.a, c.lbl FROM edges e JOIN cc c ON e.b = c.id),
+    cl AS (SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id),
+    sp AS (SELECT cl.id, cl.cluster_id,
+                  CASE WHEN h2 < '03' THEN 'val'
+                       WHEN h2 < '06' THEN 'test'
+                       ELSE 'train' END AS split
+           FROM cl JOIN (SELECT doc_id,
+                                substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+                         FROM documents) d ON d.doc_id = cl.id)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_val,
+           CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_test
+    FROM sp GROUP BY cluster_id
+    HAVING count(DISTINCT split) > 1
+    """,
+    tags=("dedup", "llm", "curation", "split"),
+    doc="near-dup clusters spanning train/val/test splits (eval-"
+    "contamination audit): exact-Jaccard components x md5-bucket splits",
+    priority=TIER_NEWFAM,
+)
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = Tables(spark, sf_dir).documents
+    pairs = ngram_jaccard_pairs(spark, docs, threshold=0.8)
+    clusters = dedup_clusters(spark, pairs)  # (id, cluster_id)
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "03", "val").when(h2 < "06", "test").otherwise("train")
+    )
+    members = clusters.join(
+        docs.select("doc_id", split.alias("split")),
+        clusters["id"] == F.col("doc_id"),
+    )
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+            F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+            F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+            F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )

@@ -245,6 +245,30 @@ CUSTOM: dict[str, object] = {
         + (["scan wider than doc_id+text"]
            if "ReadSchema: struct<doc_id:bigint,text:string>" not in p else [])
     ),
+    # BM25: candidates must come from the term equi join (a lost key =
+    # cartesian over the corpus); top-k must get the WindowGroupLimit
+    # rewrite (per-partition pre-selection before the shuffle — without it
+    # a hot query funnels its full candidate list through one sort task)
+    "bm25_topk": lambda p: (
+        (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["no WindowGroupLimit (rank pushdown lost)"]
+           if "WindowGroupLimit" not in p else [])
+        + (["no HashAggregate"] if "HashAggregate" not in p else [])
+    ),
+    # novelty: first-occurrence is a min() hash-agg joined back — a Window
+    # over the shingle would serialize hot boilerplate shingles
+    "ngram_novelty": lambda p: (
+        ([f"expected 0 Window nodes, saw {p.count(') Window')}"]
+         if p.count(") Window") > 0 else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["no HashAggregate"] if "HashAggregate" not in p else [])
+    ),
+    # leakage audit inherits the PPJoin candidate bounds; the audit itself
+    # is one hash aggregate — no cartesian, no nested-loop fallback
+    "split_leakage": lambda p: (
+        (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["no HashAggregate"] if "HashAggregate" not in p else [])
+    ),
     # first-occurrence marking must stay a hash aggregate: no Window may
     # partition by the digest (hot boilerplate n-grams would serialize into
     # one sort task); only the per-doc island-merge windows are allowed,
