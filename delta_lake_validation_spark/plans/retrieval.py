@@ -15,6 +15,11 @@ carries a DuckDB oracle and a 100 TB scale note.  The families:
 * **Split leakage audit** — near-dup clusters spanning train/val/test
   splits: THE silent eval-contamination bug in LLM training.  Composes
   the exact Jaccard clusters with the hash-based split assignment.
+* **BPE pair counts** — one step of byte-pair-encoding TRAINING: adjacent
+  symbol-pair frequencies over the corpus vocabulary (the argmax picks
+  the next merge).  The merges-table ENCODER lives in operators/text.py;
+  this is the learning-side primitive, driver-orchestrated per round like
+  k-means.
 """
 
 from __future__ import annotations
@@ -307,4 +312,75 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
         )
         .filter(F.col("n_splits") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counts: one step of byte-pair-encoding TRAINING.  The classic
+# tokenizer-learning loop is "count adjacent symbol pairs (weighted by word
+# frequency), merge the argmax, repeat"; this query is the count+argmax
+# primitive over the INITIAL character alphabet.  The driver re-invokes per
+# merge round (like kmeans_clusters) — each round is this same shape over
+# the updated symbol sequences.
+#
+# Scale shape: pair generation runs over the DISTINCT word table
+# (vocabulary-bounded — the token_counts_bpe_merges trick: a web corpus
+# has ~10^7-10^8 distinct words regardless of token count), weighted by
+# the word-frequency hash agg; the pair rollup is another hash agg (pair
+# alphabet is tiny), and top-20 is TakeOrderedAndProject — no window, no
+# sort of anything corpus-sized.  substr(word, i, 2) is 1-based and
+# identical in Spark SQL and DuckDB; integer outputs are exactly
+# gradeable, and the (cnt DESC, pair ASC) order makes the top-20 SET
+# deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "bpe_pair_counts",
+    oracle=r"""
+    WITH words AS (
+      SELECT u.w AS word, count(*) AS freq
+      FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS u(w)
+      WHERE u.w <> '' GROUP BY u.w
+    ),
+    pairs AS (
+      SELECT p.pair, freq FROM words,
+        UNNEST(list_transform(range(1, length(word)),
+                              i -> substr(word, i, 2))) AS p(pair)
+      WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair ASC LIMIT 20
+    """,
+    tags=("text", "llm", "tokenizer"),
+    doc="BPE training step: top-20 adjacent character pairs over the "
+    "distinct-word vocabulary, weighted by word frequency",
+    priority=TIER_NEWFAM,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # length >= 2 guard on BOTH sides: Spark's sequence(1, 0) DESCENDS
+    # ([1, 0]) instead of being empty, so 1-char words would inject bogus
+    # "pairs"; DuckDB's range(1, 1) is empty
+    pairs = words.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
     )

@@ -159,3 +159,39 @@ def test_compare_bench_ignores_non_query_numeric_keys():
     }
     q2 = _queries_of(doc2)
     assert q2["q3"] == 3.25 and "n_queries" not in q2 and "sf" not in q2
+
+
+def test_distributed_prefix_sums_multi_measure_equals_window(spark):
+    """The r8 multi-measure form must match the single global window for
+    BOTH measures simultaneously (one shared range shuffle)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from delta_lake_validation_spark.functions.prefix import (
+        distributed_prefix_sums,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7 + 1).alias("a"),
+        (F.col("id") % 3).alias("b"),
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: (r.ca, r.cb)
+        for r in df.select(
+            "k",
+            F.sum("a").over(w).alias("ca"),
+            F.sum("b").over(w).alias("cb"),
+        ).collect()
+    }
+    got = {
+        r.k: (r.ca, r.cb)
+        for r in distributed_prefix_sums(
+            df,
+            {"ca": F.col("a"), "cb": F.col("b")},
+            order_by=[F.asc("k")],
+            num_partitions=8,
+        ).collect()
+    }
+    assert got == want

@@ -182,8 +182,8 @@ def test_variant_column_roundtrip_and_deltapy_refusal(spark, tmp_path):
     # (sources/footer_patch.py) rewrites the annotation away in memory,
     # and the engine stages its variant parquet UNSHREDDED, so the
     # python leg now reads the SAME files the JVM leg serves.  The r6
-    # refusal is gone; shredded foreign files still refuse typed
-    # (tests/test_variant_footer_shim.py).
+    # refusal is gone; since r8 shredded foreign files ASSEMBLE with JVM
+    # parity too (tests/test_variant_footer_shim.py).
     from delta_lake_validation_spark.sources import pydatasource
 
     pydatasource.register(spark)

@@ -7,8 +7,9 @@ engine's writers stage variant parquet UNSHREDDED so both scan legs serve
 the same files.  Pins: (1) the raw patcher round-trips a real Spark-4.1
 footer, (2) non-variant footers are declared as such, (3) engine-written
 variant tables read identically through deltapy and the JVM leg (incl.
-after checkpoint), (4) SHREDDED foreign files refuse typed — never a
-silent all-null read."""
+after checkpoint), (4) since r8, SHREDDED foreign files ASSEMBLE with JVM
+parity (sources/variant_shred.py) — incl. mixed shredded+plain tables,
+per-field residuals, nested shapes, and the raw codec round-trip."""
 
 from __future__ import annotations
 

@@ -269,6 +269,15 @@ CUSTOM: dict[str, object] = {
         (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
         + (["no HashAggregate"] if "HashAggregate" not in p else [])
     ),
+    # BPE learning step: two hash aggs over the vocabulary + ordered top-20
+    # — no window, no corpus-sized sort
+    "bpe_pair_counts": lambda p: (
+        ([f"expected 0 Window nodes, saw {p.count(') Window')}"]
+         if p.count(") Window") > 0 else [])
+        + (["no TakeOrderedAndProject (top-k fell back to full sort)"]
+           if "TakeOrderedAndProject" not in p else [])
+        + (["no HashAggregate"] if "HashAggregate" not in p else [])
+    ),
     # first-occurrence marking must stay a hash aggregate: no Window may
     # partition by the digest (hot boilerplate n-grams would serialize into
     # one sort task); only the per-doc island-merge windows are allowed,
