@@ -52,12 +52,19 @@ def _collect_bounded(
 ) -> list:
     """Enforce the bounded-query-set contract, then collect (id, vec) rows.
 
-    The probe is ``limit(max+1).count()`` — O(cap) rows scanned regardless
-    of the query table's true size, so the guard itself stays cheap at
-    100 TB.  A failure names the contract and the knob.
+    The guard is folded into the collect itself: ``limit(cap+1).collect()``
+    runs ONE job (a separate count-probe would re-evaluate the query
+    side's entire upstream lineage — measured as a 2× regression on the
+    ANN composition queries) and bounds driver memory at cap+1 rows
+    regardless of the query table's true size.  A failure names the
+    contract and the knob.
     """
-    probe = queries.limit(max_queries + 1).count()
-    if probe > max_queries:
+    rows = (
+        queries.select(query_id_col, query_vec_col)
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(rows) > max_queries:
         raise QuerySetTooLargeError(
             f"top-k query set has more than {max_queries} rows; the query "
             "side is collected to the driver and broadcast (bounded-query-"
@@ -66,7 +73,7 @@ def _collect_bounded(
             "query side, or use cosine_self_pairs / ivf_blocked_self_pairs "
             "for unbounded-by-unbounded similarity."
         )
-    return queries.select(query_id_col, query_vec_col).collect()
+    return rows
 
 
 def _prune_topk(

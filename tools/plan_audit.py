@@ -255,11 +255,16 @@ CUSTOM: dict[str, object] = {
            if "WindowGroupLimit" not in p else [])
         + (["no HashAggregate"] if "HashAggregate" not in p else [])
     ),
-    # novelty: first-occurrence is a min() hash-agg joined back — a Window
-    # over the shingle would serialize hot boilerplate shingles
+    # novelty: two hash-agg rollups meeting at doc granularity — the only
+    # join is per-doc × per-doc, never a join back on the exploded shingle
+    # stream; windows only for the doc-keyed k-gram assembly (bounded by
+    # document length, never a corpus key)
     "ngram_novelty": lambda p: (
-        ([f"expected 0 Window nodes, saw {p.count(') Window')}"]
-         if p.count(") Window") > 0 else [])
+        ([f"non-doc-partitioned Window: "
+          f"{p.count('windowspecdefinition(')} specs, "
+          f"{p.count('windowspecdefinition(doc_id')} doc-keyed"]
+         if p.count("windowspecdefinition(")
+         != p.count("windowspecdefinition(doc_id") else [])
         + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
         + (["no HashAggregate"] if "HashAggregate" not in p else [])
     ),
