@@ -126,21 +126,32 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterm = tf.filter(F.col("doc_id") % _BM25_QUERY_MOD == 0).select(
         F.col("doc_id").alias("query_doc"), "term"
     )
-    cand = (
-        qterm.join(tf, "term")
-        .filter(F.col("doc_id") != F.col("query_doc"))
-        .join(dfreq, "term")
+    # materialize the IMPACT LIST first: s(term, doc) depends only on the
+    # candidate document (tf, df, dl), never on the query — so the ln/div
+    # arithmetic and the df/dl joins run once at postings granularity
+    # (O(corpus tokens) rows), and the query join below carries a single
+    # precomputed double per candidate instead of re-deriving the score on
+    # the (query x postings) fan-out.  This is exactly how a production
+    # engine ships BM25 at scale: impact lists are corpus-side state,
+    # queries probe them.  The df>0.9N stop-term prune drops a term's
+    # whole postings list here, before any query sees it.
+    contrib = (
+        tf.join(dfreq, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(n))
         .crossJoin(F.broadcast(ad))
         .filter(F.col("df") * 10 <= F.col("n_docs") * 9)
-        .withColumn(
-            "s",
+        .select(
+            "term",
+            "doc_id",
             F.expr(
                 "ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) "
                 "/ (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
-            ),
+            ).alias("s"),
         )
+    )
+    cand = qterm.select("query_doc", "term").join(contrib, "term").filter(
+        F.col("doc_id") != F.col("query_doc")
     )
     scored = cand.groupBy("query_doc", "doc_id").agg(
         round_half_up(F.sum("s"), 4).alias("score")
