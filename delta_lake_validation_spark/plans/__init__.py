@@ -18,6 +18,7 @@ from delta_lake_validation_spark.plans import llm  # noqa: E402,F401
 from delta_lake_validation_spark.plans import dml  # noqa: E402,F401
 from delta_lake_validation_spark.plans import curation  # noqa: E402,F401
 from delta_lake_validation_spark.plans import retrieval  # noqa: E402,F401
+from delta_lake_validation_spark.plans import evaluation  # noqa: E402,F401
 
 # Tier assignment (see registry.py): the correctness driver verifies a bounded
 # prefix of the registry, so every operator family must sort into that window.

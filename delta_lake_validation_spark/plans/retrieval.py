@@ -57,6 +57,19 @@ from delta_lake_validation_spark.tables import Tables
 # ---------------------------------------------------------------------------
 _BM25_QUERY_MOD = 97
 _BM25_K = 10
+# Impact-ordered postings cap: each term keeps only its top-M
+# highest-impact (score, doc) entries as CANDIDATE SOURCES.  Without it,
+# candidate volume is |queries| x |postings| — quadratic in corpus size
+# whenever the vocabulary is dense (the sf1 probe measured 30x wall at
+# 10x input on this corpus's 31-term vocabulary).  With it, a query
+# generates at most |query terms| * M candidates — linear in the query
+# count, constant per term — which is exactly how production engines ship
+# BM25 (impact-ordered / WAND-family indexes).  The cap is part of the
+# operator's contract and the oracle mirrors it (rank by identical IEEE
+# score, doc_id tie-break), so the result stays exactly value-gradeable;
+# M = infinity recovers exhaustive scoring (at sf0.01 every postings list
+# is shorter than M, so the capped and exhaustive results coincide).
+_BM25_IMPACT_M = 1000
 
 
 @register(
@@ -76,17 +89,29 @@ _BM25_K = 10
       SELECT DISTINCT doc_id AS query_doc, term FROM toks
       WHERE doc_id % {_BM25_QUERY_MOD} = 0
     ),
-    cand AS (
-      SELECT q.query_doc, t.doc_id,
+    contrib AS (
+      SELECT t.term, t.doc_id,
              ln(1 + ((SELECT n_docs FROM n) - f.df + 0.5) / (f.df + 0.5))
              * (t.tf * 2.2)
              / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / (SELECT avgdl FROM ad)))
                AS s
-      FROM qterm q
-      JOIN tf t ON t.term = q.term AND t.doc_id <> q.query_doc
-      JOIN df f ON f.term = q.term
+      FROM tf t
+      JOIN df f ON f.term = t.term
       JOIN dl d ON d.doc_id = t.doc_id
       WHERE f.df * 10 <= (SELECT n_docs FROM n) * 9
+    ),
+    capped AS (
+      SELECT term, doc_id, s FROM (
+        SELECT term, doc_id, s,
+               row_number() OVER (
+                 PARTITION BY term ORDER BY s DESC, doc_id ASC) AS r
+        FROM contrib
+      ) WHERE r <= {_BM25_IMPACT_M}
+    ),
+    cand AS (
+      SELECT q.query_doc, c.doc_id, c.s
+      FROM qterm q
+      JOIN capped c ON c.term = q.term AND c.doc_id <> q.query_doc
     ),
     scored AS (
       SELECT query_doc, doc_id,
@@ -102,8 +127,8 @@ _BM25_K = 10
     """,
     tags=("retrieval", "llm", "text"),
     doc="Okapi BM25 top-10 retrieval (k1=1.2, b=0.75) for a deterministic "
-    "~1% query slice; inverted-index equi join, df>0.9N terms pruned, "
-    "WindowGroupLimit top-k",
+    "~1% query slice; impact-ordered postings (top-1000 per term), "
+    "df>0.9N terms pruned, WindowGroupLimit top-k",
     priority=TIER_NEWFAM,
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,7 +175,17 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    cand = qterm.select("query_doc", "term").join(contrib, "term").filter(
+    # impact-ordering cap (see _BM25_IMPACT_M above): rank<=M gets Spark's
+    # WindowGroupLimit rewrite, so each map partition pre-selects its local
+    # top-M before the term-keyed shuffle — a hot term never funnels its
+    # full postings list through one sort task
+    wcap = Window.partitionBy("term").orderBy(F.desc("s"), F.asc("doc_id"))
+    capped = (
+        contrib.withColumn("__r", F.row_number().over(wcap))
+        .filter(F.col("__r") <= _BM25_IMPACT_M)
+        .drop("__r")
+    )
+    cand = qterm.select("query_doc", "term").join(capped, "term").filter(
         F.col("doc_id") != F.col("query_doc")
     )
     scored = cand.groupBy("query_doc", "doc_id").agg(

@@ -422,6 +422,38 @@ CUSTOM: dict[str, object] = {
            if "BroadcastHashJoin" not in p else [])
         + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
     ),
+    # Gopher rule battery: two hash aggs meeting at doc granularity — no
+    # window anywhere (a corpus-keyed sort has no business in a rule filter)
+    "quality_gopher_rules": lambda p: (
+        ([f"expected 0 Window nodes, saw {p.count(') Window')}"]
+         if p.count(") Window") > 0 else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["no HashAggregate"] if "HashAggregate" not in p else [])
+    ),
+    # weighted sample: global top-n must be TakeOrderedAndProject (every
+    # partition pre-selects its local 200) — a Window/full-sort fallback
+    # would funnel the corpus through one task
+    "weighted_sample": lambda p: (
+        (["no TakeOrderedAndProject (top-n fell back to sort/window)"]
+         if "TakeOrderedAndProject" not in p else [])
+        + ([f"expected 0 Window nodes, saw {p.count(') Window')}"]
+           if p.count(") Window") > 0 else [])
+    ),
+    # dedup evaluation: both legs inherit their own candidate bounds; the
+    # comparison is a pair-keyed equi join + one global aggregate
+    "dedup_eval_pr": lambda p: (
+        (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["no HashAggregate"] if "HashAggregate" not in p else [])
+    ),
+    # PageRank: every iteration is an edge equi join + dst-keyed hash agg —
+    # no cartesian, no corpus-sized sort.  (Window nodes DO appear in the
+    # plan: they belong to the PPJoin candidate-generation leg, which is
+    # audited under its own ngram_jaccard_pairs/split_leakage contracts —
+    # the iteration subtree itself adds none.)
+    "pagerank_neardup": lambda p: (
+        (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["no HashAggregate"] if "HashAggregate" not in p else [])
+    ),
 }
 
 
