@@ -72,6 +72,20 @@ _BM25_K = 10
 _BM25_IMPACT_M = 1000
 
 
+def _impact_cap(contrib: DataFrame, m: int) -> DataFrame:
+    """Keep each term's top-``m`` postings by (score DESC, doc_id ASC).
+
+    rank<=m gets Spark's WindowGroupLimit rewrite, so each map partition
+    pre-selects its local top-m BEFORE the term-keyed shuffle — a hot term
+    never funnels its full postings list through one sort task."""
+    wcap = Window.partitionBy("term").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (
+        contrib.withColumn("__r", F.row_number().over(wcap))
+        .filter(F.col("__r") <= m)
+        .drop("__r")
+    )
+
+
 @register(
     "bm25_topk",
     oracle=rf"""
@@ -175,17 +189,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    # impact-ordering cap (see _BM25_IMPACT_M above): rank<=M gets Spark's
-    # WindowGroupLimit rewrite, so each map partition pre-selects its local
-    # top-M before the term-keyed shuffle — a hot term never funnels its
-    # full postings list through one sort task
-    wcap = Window.partitionBy("term").orderBy(F.desc("s"), F.asc("doc_id"))
-    capped = (
-        contrib.withColumn("__r", F.row_number().over(wcap))
-        .filter(F.col("__r") <= _BM25_IMPACT_M)
-        .drop("__r")
-    )
-    cand = qterm.select("query_doc", "term").join(capped, "term").filter(
+    cand = qterm.select("query_doc", "term").join(
+        _impact_cap(contrib, _BM25_IMPACT_M), "term"
+    ).filter(
         F.col("doc_id") != F.col("query_doc")
     )
     scored = cand.groupBy("query_doc", "doc_id").agg(
