@@ -297,6 +297,124 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Classifier-calibration sweep: confusion counts of the hashed linear
+# scorer (quality_linear_score) against the Gopher rule battery's pass_all
+# label, at 9 per-token-mean thresholds.  This is how a model-based quality
+# filter's operating point is picked before a 100 TB filtering run: sweep
+# the threshold, read precision/recall, choose the knee.
+#
+# Integer discipline: the predicate is the CROSS-MULTIPLICATION
+# score_raw * 1000 >= t * n_tokens — never a division of the (possibly
+# negative) score, because Spark's DIV truncates toward zero while
+# DuckDB's // floors, and the two disagree on negative numerators.  All
+# outputs are BIGINT counts / basis points (floor division of nonnegative
+# values only).
+#
+# Scale shape: per-doc scores and labels are the two upstream hash-agg
+# pipelines (each linear, exchange-reused); the sweep itself broadcasts a
+# 9-row threshold frame against the doc-granularity join and reduces to 9
+# rows — no window, no extra corpus pass per threshold.
+# ---------------------------------------------------------------------------
+_SWEEP_THRESHOLDS = "(SELECT CAST(i * 500 - 2000 AS BIGINT) AS t FROM range(9) r(i))"
+
+
+def _threshold_sweep_oracle() -> str:
+    from delta_lake_validation_spark.plans.curation import _QB, _QMIX, _QMOD
+
+    return rf"""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                  FROM documents),
+    score AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum((CAST(concat('0x', substr(md5(u.tok), 1, 6)) AS BIGINT)
+                       % {_QB} * {_QMIX}) % {_QMOD} - {(_QMOD - 1) // 2})
+                  AS BIGINT) AS score_raw
+      FROM toks, unnest(t) AS u(tok) GROUP BY doc_id
+    ),
+    per AS (SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(t, w -> length(w))) * 100
+                        // len(t) AS BIGINT) AS mwl_cp,
+                   CAST(len(list_distinct(list_filter(t, w -> w IN ('the', 'a'))))
+                        AS BIGINT) AS n_stop
+            FROM toks),
+    dom AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt
+            FROM (SELECT doc_id, u.w, count(*) AS c
+                  FROM toks, unnest(t) AS u(w) GROUP BY 1, 2)
+            GROUP BY doc_id),
+    lbl AS (SELECT p.doc_id,
+                   CASE WHEN (CASE WHEN p.n_words BETWEEN 30 AND 80 THEN 1 ELSE 0 END)
+                           + (CASE WHEN p.mwl_cp BETWEEN 430 AND 470 THEN 1 ELSE 0 END)
+                           + (CASE WHEN p.n_stop = 2 THEN 1 ELSE 0 END)
+                           + (CASE WHEN d.top_cnt * 10000 // p.n_words <= 1200
+                              THEN 1 ELSE 0 END) = 4
+                        THEN 1 ELSE 0 END AS pos
+            FROM per p JOIN dom d USING (doc_id)),
+    j AS (SELECT s.score_raw, s.n_tokens, l.pos
+          FROM score s JOIN lbl l USING (doc_id)),
+    sweep AS (SELECT th.t,
+                     CASE WHEN j.score_raw * 1000 >= th.t * j.n_tokens
+                          THEN 1 ELSE 0 END AS pred, j.pos
+              FROM j CROSS JOIN {_SWEEP_THRESHOLDS} th)
+    SELECT t,
+           CAST(sum(pred * pos) AS BIGINT) AS tp,
+           CAST(sum(pred * (1 - pos)) AS BIGINT) AS fp,
+           CAST(sum((1 - pred) * pos) AS BIGINT) AS fn,
+           CAST(sum((1 - pred) * (1 - pos)) AS BIGINT) AS tn,
+           CAST(sum(pred * pos) * 10000
+                // greatest(sum(pred), 1) AS BIGINT) AS precision_bp,
+           CAST(sum(pred * pos) * 10000
+                // greatest(sum(pos), 1) AS BIGINT) AS recall_bp
+    FROM sweep GROUP BY t
+    """
+
+
+@register(
+    "quality_threshold_sweep",
+    oracle=_threshold_sweep_oracle(),
+    tags=("text", "llm", "curation", "quality", "evaluation"),
+    doc="classifier-calibration sweep: confusion counts + precision/recall "
+    "of the hashed linear scorer vs the Gopher pass_all label at 9 "
+    "per-token thresholds (integer cross-multiplication, no division)",
+    priority=TIER_NEWFAM,
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.plans.curation import (
+        quality_linear_score,
+    )
+
+    score = quality_linear_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "score_raw"
+    )
+    lbl = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("pass_all").alias("pos")
+    )
+    thresholds = spark.range(9).select(
+        (F.col("id") * 500 - 2000).cast("long").alias("t")
+    )
+    j = score.join(lbl, "doc_id").crossJoin(F.broadcast(thresholds))
+    sweep = j.select(
+        "t",
+        (
+            (F.col("score_raw") * 1000 >= F.col("t") * F.col("n_tokens"))
+        ).cast("long").alias("pred"),
+        "pos",
+    )
+    return sweep.groupBy("t").agg(
+        F.sum(F.col("pred") * F.col("pos")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("pos"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("pos")).alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("pos"))).alias("tn"),
+        F.expr(
+            "sum(pred * pos) * 10000 DIV greatest(sum(pred), 1)"
+        ).alias("precision_bp"),
+        F.expr(
+            "sum(pred * pos) * 10000 DIV greatest(sum(pos), 1)"
+        ).alias("recall_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PageRank (3 power-iteration steps, d = 0.85) over the undirected exact
 # near-dup graph (Jaccard >= 0.8 pairs) — centrality ranks the
 # most-connected members of each dup cluster (a canonical-selection signal

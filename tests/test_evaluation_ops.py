@@ -122,6 +122,27 @@ def test_dedup_eval_count_identities(spark):
 
 
 # ---------------------------------------------------------------------------
+# quality_threshold_sweep: confusion-matrix identities and monotonicity
+# ---------------------------------------------------------------------------
+def test_threshold_sweep_identities(spark):
+    from delta_lake_validation_spark.plans.evaluation import (
+        quality_threshold_sweep,
+    )
+
+    out = quality_threshold_sweep(spark, SF_DIR).toPandas().sort_values("t")
+    n_docs = (out.tp + out.fp + out.fn + out.tn).unique()
+    assert len(n_docs) == 1  # every threshold classifies every doc
+    pos = (out.tp + out.fn).unique()
+    assert len(pos) == 1  # label count is threshold-independent
+    # raising the threshold can only shrink the predicted-positive set
+    pred_pos = (out.tp + out.fp).tolist()
+    assert pred_pos == sorted(pred_pos, reverse=True)
+    recall = out.recall_bp.tolist()
+    assert recall == sorted(recall, reverse=True)
+    assert out.t.tolist() == [-2000 + 500 * i for i in range(9)]
+
+
+# ---------------------------------------------------------------------------
 # pagerank_neardup: fixed-point mass conservation and a hand-checked fixture
 # ---------------------------------------------------------------------------
 def test_pagerank_mass_conservation(spark):

@@ -445,6 +445,15 @@ CUSTOM: dict[str, object] = {
         (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
         + (["no HashAggregate"] if "HashAggregate" not in p else [])
     ),
+    # calibration sweep: two linear upstream pipelines + a broadcast 9-row
+    # threshold frame + one hash agg — no window, no corpus pass per
+    # threshold
+    "quality_threshold_sweep": lambda p: (
+        ([f"expected 0 Window nodes, saw {p.count(') Window')}"]
+         if p.count(") Window") > 0 else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+        + (["no HashAggregate"] if "HashAggregate" not in p else [])
+    ),
     # PageRank: every iteration is an edge equi join + dst-keyed hash agg —
     # no cartesian, no corpus-sized sort.  (Window nodes DO appear in the
     # plan: they belong to the PPJoin candidate-generation leg, which is
