@@ -688,3 +688,204 @@ def ivf_blocked_self_pairs(
     return (
         assigned.groupBy("cell").applyInPandas(cell_pairs, out_schema).distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-bandwidth scale path
+# ---------------------------------------------------------------------------
+def pq_codebooks(
+    spark: SparkSession,
+    df: DataFrame,
+    m_sub: int = 8,
+    n_codes: int = 256,
+    iters: int = 10,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Fit per-subspace PQ codebooks (Jégou et al. 2011) with Lloyd's
+    k-means on a deterministic sample — the kmeans_centroids discipline:
+    rows where xxhash64(id) % sample_mod == 0 land driver-side (at 100 TB
+    set sample_mod so ~1M vectors fit; codebook training is O(sample)
+    while encoding stays fully distributed).
+
+    Returns an (m_sub, n_codes', sub_dim) array; n_codes' may be smaller
+    than requested when the sample has fewer points (small-SF fixtures)."""
+    sampled = df.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+    )
+    rows = sampled.select(vec_col).collect()
+    mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    dim = mat.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sd = dim // m_sub
+    k = min(n_codes, len(mat))
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m_sub):
+        sub = mat[:, j * sd : (j + 1) * sd]
+        cents = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(iters):
+            # matmul + bincount Lloyd step: the (n, k, d) broadcast form
+            # allocates n*k*d doubles per iteration and was measured 22x
+            # slower at a 20k-vector sample (it single-handedly made the
+            # sf1 probe 21.9x; this form is 3.5s total there).  Per-row
+            # constant ||x||^2 can't change the argmin and is dropped.
+            d = -2.0 * (sub @ cents.T) + (cents**2).sum(1)[None, :]
+            assign = d.argmin(1)
+            cnt = np.bincount(assign, minlength=k)
+            sums = np.zeros((k, sd))
+            np.add.at(sums, assign, sub)
+            nz = cnt > 0
+            cents[nz] = sums[nz] / cnt[nz, None]
+        books.append(cents)
+    return np.stack(books)
+
+
+def pq_encode(
+    spark: SparkSession,
+    base: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PQ encoding: each vector becomes m_sub small codes —
+    one argmin per subspace against the broadcast codebooks.  The coded
+    table is what a 100 TB ANN serving layer actually stores and scans:
+    m_sub bytes per vector instead of 4·dim (32× less memory bandwidth at
+    dim=64, m=8), which is the entire point of PQ."""
+    bc_b = spark.sparkContext.broadcast(books)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bks = bc_b.value
+        m_sub, _, sd = bks.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _as_matrix(pdf[vec_col])
+            codes = np.empty((len(pdf), m_sub), dtype=np.int32)
+            for j in range(m_sub):
+                sub = mat[:, j * sd : (j + 1) * sd]
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; per-row constant
+                # ||x||² doesn't affect the argmin
+                d = -2.0 * (sub @ bks[j].T) + (bks[j] ** 2).sum(1)[None, :]
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col],
+                    "codes": list(codes),
+                }
+            )
+
+    return base.select(id_col, vec_col).mapInPandas(
+        encode, "neighbor_id long, codes array<int>"
+    )
+
+
+def pq_ann_topk(
+    spark: SparkSession,
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m_sub: int = 8,
+    n_codes: int = 256,
+    refine: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qe",
+    seed: int = 42,
+    scale: int = 6,
+    max_queries: int = DEFAULT_MAX_QUERIES,
+) -> DataFrame:
+    """Approximate cosine top-k via product quantization with asymmetric
+    distance computation (ADC) + exact re-rank.
+
+    Pipeline: (1) codebooks from a bounded sample (pq_codebooks);
+    (2) distributed encoding — the corpus becomes m_sub-byte codes;
+    (3) ADC scan: per query, a (m_sub × n_codes) lookup table of
+    subvector dot products and reconstructed subnorms — scoring a
+    candidate is m_sub table gathers, touching ONLY the coded table
+    (never the float vectors); per-partition tie-safe prune keeps
+    refine·k candidates; (4) the global refine·k survivors (rank window,
+    WindowGroupLimit) join their float vectors back for an EXACT rescore,
+    and the final top-k ranks on true cosine.
+
+    100 TB shape: the scan leg reads m_sub bytes/vector (32× less
+    bandwidth than float32 at dim=64, m=8); the exact leg touches only
+    refine·k·|queries| vectors.  Same bounded-query-set contract and
+    output schema as cosine_topk; approximate contents, graded via the
+    exact anchor + recall flag (ann_pq_topk)."""
+    books = pq_codebooks(
+        spark, base, m_sub=m_sub, n_codes=n_codes,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    coded = pq_encode(spark, base, books, id_col=id_col, vec_col=vec_col)
+    q_rows = _collect_bounded(queries, query_id_col, query_vec_col, max_queries)
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rnk int"
+        )
+    qids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    m_dims = books.shape
+    sd = m_dims[2]
+    # per-query ADC tables: dot_lut[q, j, c] = q_sub_j · book[j, c];
+    # norm_lut[j, c] = ||book[j, c]||² (query-independent)
+    dot_lut = np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), m_dims[0], sd), books)
+    norm_lut = (books**2).sum(-1)
+    qnorms = np.sqrt(np.einsum("ij,ij->i", qm, qm))
+    bc = spark.sparkContext.broadcast((qids, dot_lut, norm_lut, qnorms))
+    n_keep = refine * k
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, dlut, nlut, qn = bc.value
+        m_sub_ = nlut.shape[0]
+        cols = np.arange(m_sub_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            nids = pdf["neighbor_id"].to_numpy()
+            # reconstructed ||v̂||² is query-independent: gather once
+            vnorm = np.sqrt(nlut[cols[None, :], codes].sum(1))
+            for qi, qid in enumerate(ids_q):
+                dots = dlut[qi][cols[None, :], codes].sum(1)
+                sims = dots / (qn[qi] * vnorm)
+                mask = nids != qid
+                cid, csim = _prune_topk(nids[mask], sims[mask], n_keep)
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cid,
+                        "adc": np.round(csim, 9),
+                    }
+                )
+
+    adc_scored = coded.mapInPandas(
+        adc, "query_id long, neighbor_id long, adc double"
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    survivors = (
+        adc_scored.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= n_keep)
+        .select("query_id", "neighbor_id")
+    )
+    qvec = {int(r[0]): np.asarray(r[1], dtype=np.float64) for r in q_rows}
+    bc_q = spark.sparkContext.broadcast(qvec)
+    with_vec = survivors.join(
+        base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")),
+        "neighbor_id",
+    )
+    rescored = with_vec.mapInPandas(
+        _make_candidate_scorer(bc_q, scale),
+        "query_id long, neighbor_id long, sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return rescored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= k
+    )

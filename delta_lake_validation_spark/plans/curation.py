@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from delta_lake_validation_spark.plans.registry import TIER_ROTATE, register
+from delta_lake_validation_spark.plans.registry import (
+    TIER_NEWFAM,
+    TIER_ROTATE,
+    TIER_VARIANT,
+    register,
+)
 from delta_lake_validation_spark.tables import Tables
 
 # ---------------------------------------------------------------------------
@@ -844,3 +849,62 @@ def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (operators/similarity.py pq_*): the
+# memory-bandwidth scale path — the corpus scan touches m_sub-byte codes
+# (32x less bandwidth than float32 at dim=64, m=8), scoring is table
+# gathers (ADC), and only refine*k survivors per query see their float
+# vectors again for the exact re-rank.  Approximate by construction, so
+# graded like the LSH/IVF family: the registered query returns the EXACT
+# anchor rows plus a recall_ok flag computed from the PQ path
+# (plans/llm.py _anchor_with_recall_flag); the raw PQ output stays
+# registered as a rows-only variant.
+# ---------------------------------------------------------------------------
+def _pq_parts(spark: SparkSession, sf_dir: str):
+    from delta_lake_validation_spark.operators.similarity import (
+        cosine_topk,
+        pq_ann_topk,
+    )
+    from delta_lake_validation_spark.plans.llm import _ann_queries
+
+    emb, q = _ann_queries(spark, sf_dir)
+    exact = cosine_topk(spark, emb, q, k=10)
+    approx = pq_ann_topk(spark, emb, q, k=10, m_sub=8, n_codes=256, refine=10)
+    return exact, approx
+
+
+def _register_pq() -> None:
+    from delta_lake_validation_spark.plans.llm import (
+        _ANN_ORACLE_WITH_FLAG,
+        _anchor_with_recall_flag,
+    )
+
+    @register(
+        "ann_pq_topk",
+        oracle=_ANN_ORACLE_WITH_FLAG,
+        tags=("similarity", "llm", "quantization", "approx"),
+        doc="product-quantization ANN (ADC scan over m_sub-byte codes + "
+        "exact re-rank of refine*k survivors) graded against the exact "
+        "top-k anchor (recall>=0.85 flag)",
+        priority=TIER_NEWFAM,
+    )
+    def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        exact, approx = _pq_parts(spark, sf_dir)
+        return _anchor_with_recall_flag(exact, approx, threshold_pct=85)
+
+    @register(
+        "ann_pq_topk_raw",
+        oracle=None,
+        tags=("similarity", "llm", "quantization", "approx"),
+        doc="raw PQ-ANN output (the rows a 100 TB user serves); rows-only, "
+        "its graded twin is ann_pq_topk",
+        priority=TIER_VARIANT,
+    )
+    def ann_pq_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _, approx = _pq_parts(spark, sf_dir)
+        return approx
+
+
+_register_pq()

@@ -445,6 +445,16 @@ CUSTOM: dict[str, object] = {
         (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
         + (["no HashAggregate"] if "HashAggregate" not in p else [])
     ),
+    # PQ-ANN: the ADC scan and encoder must stay Arrow-batched python
+    # stages (MapInPandas); both per-query rank<=n prunes must get the
+    # WindowGroupLimit rewrite; candidate generation is never a cartesian
+    "ann_pq_topk": lambda p: (
+        (["no MapInPandas stage (ADC scan fell off the Arrow path)"]
+         if "MapInPandas" not in p else [])
+        + (["no WindowGroupLimit (per-query rank pushdown lost)"]
+           if "WindowGroupLimit" not in p else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+    ),
     # calibration sweep: two linear upstream pipelines + a broadcast 9-row
     # threshold frame + one hash agg — no window, no corpus pass per
     # threshold
