@@ -712,17 +712,32 @@ def pq_codebooks(
 
     Returns an (m_sub, n_codes', sub_dim) array; n_codes' may be smaller
     than requested when the sample has fewer points (small-SF fixtures)."""
+    mat = _collect_sample(df, sample_mod, id_col, vec_col)
+    return _fit_codebooks(mat, m_sub, n_codes, iters, np.random.RandomState(seed))
+
+
+def _collect_sample(
+    df: DataFrame, sample_mod: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """The deterministic training sample: rows where xxhash64(id) %
+    sample_mod == 0, collected driver-side as a float64 matrix."""
     sampled = df.filter(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
     )
     rows = sampled.select(vec_col).collect()
-    mat = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    return np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+
+
+def _fit_codebooks(
+    mat: np.ndarray, m_sub: int, n_codes: int, iters: int, rng
+) -> np.ndarray:
+    """Per-subspace Lloyd's k-means on a driver-side matrix (shared by the
+    flat-PQ and IVF-PQ trainers)."""
     dim = mat.shape[1]
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     sd = dim // m_sub
     k = min(n_codes, len(mat))
-    rng = np.random.RandomState(seed)
     books = []
     for j in range(m_sub):
         sub = mat[:, j * sd : (j + 1) * sd]
@@ -862,6 +877,163 @@ def pq_ann_topk(
                         "neighbor_id": cid,
                         "adc": np.round(csim, 9),
                     }
+                )
+
+    adc_scored = coded.mapInPandas(
+        adc, "query_id long, neighbor_id long, adc double"
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    survivors = (
+        adc_scored.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= n_keep)
+        .select("query_id", "neighbor_id")
+    )
+    qvec = {int(r[0]): np.asarray(r[1], dtype=np.float64) for r in q_rows}
+    bc_q = spark.sparkContext.broadcast(qvec)
+    with_vec = survivors.join(
+        base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")),
+        "neighbor_id",
+    )
+    rescored = with_vec.mapInPandas(
+        _make_candidate_scorer(bc_q, scale),
+        "query_id long, neighbor_id long, sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return rescored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= k
+    )
+
+
+def ivfpq_ann_topk(
+    spark: SparkSession,
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    n_codes: int = 256,
+    refine: int = 10,
+    iters: int = 10,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qe",
+    seed: int = 42,
+    scale: int = 6,
+    max_queries: int = DEFAULT_MAX_QUERIES,
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFPQ structure): coarse cells restrict the
+    scan to nprobe/n_cells of the corpus, RESIDUAL product quantization
+    compresses what remains to m_sub-byte codes, ADC scores candidates by
+    table gathers, and the refine·k survivors get an exact re-rank.
+
+    Math: a candidate reconstructs as x̂ = c_cell + r̂, so
+        q·x̂   = q·c_cell + Σⱼ q_j·book_j[code_j]          (two LUT gathers)
+        ‖x̂‖²  = ‖c_cell‖² + Σⱼ (2·c_j·book_j[code_j] + ‖book_j[code_j]‖²)
+    The cell-dependent cross table is (n_cells × m_sub × n_codes) — 262 KB
+    at the defaults — broadcast once; queries add a (n_q × n_cells) coarse
+    dot table and the flat-PQ residual LUTs.
+
+    100 TB shape: training is O(sample) on the driver (deterministic
+    xxhash sample, matmul Lloyd steps); encoding is one distributed pass;
+    the query scan touches nprobe/n_cells of the CODED table only
+    (m_sub bytes/vector), and float vectors are read back solely for the
+    refine·k survivors.  Same bounded-query-set contract and output
+    schema as cosine_topk; approximate contents, graded via the exact
+    anchor + recall flag (ann_ivfpq_topk)."""
+    mat = _collect_sample(base, sample_mod, id_col, vec_col)
+    rng = np.random.RandomState(seed)
+    coarse = _fit_codebooks(mat, 1, n_cells, iters, rng)[0]  # (cells, dim)
+    d = -2.0 * (mat @ coarse.T) + (coarse**2).sum(1)[None, :]
+    books = _fit_codebooks(mat - coarse[d.argmin(1)], m_sub, n_codes, iters, rng)
+    bc = spark.sparkContext.broadcast((coarse, books))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cc, bks = bc.value
+        m_, _, sd = bks.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _as_matrix(pdf[vec_col])
+            cells = (
+                -2.0 * (x @ cc.T) + (cc**2).sum(1)[None, :]
+            ).argmin(1)
+            r = x - cc[cells]
+            codes = np.empty((len(pdf), m_), dtype=np.int32)
+            for j in range(m_):
+                sub = r[:, j * sd : (j + 1) * sd]
+                codes[:, j] = (
+                    -2.0 * (sub @ bks[j].T) + (bks[j] ** 2).sum(1)[None, :]
+                ).argmin(1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col],
+                    "cell": cells.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    coded = base.select(id_col, vec_col).mapInPandas(
+        encode, "neighbor_id long, cell int, codes array<int>"
+    )
+    q_rows = _collect_bounded(queries, query_id_col, query_vec_col, max_queries)
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rnk int"
+        )
+    qids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    m_, kk, sd = books.shape
+    # query-side tables
+    qdot_c = qm @ coarse.T                                  # (n_q, cells)
+    qdot_r = np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), m_, sd), books)
+    qnorms = np.sqrt(np.einsum("ij,ij->i", qm, qm))
+    # cell-dependent reconstruction-norm tables (query-independent)
+    cnorm2 = (coarse**2).sum(1)                             # (cells,)
+    cross = 2.0 * np.einsum(
+        "ojd,jcd->ojc", coarse.reshape(n_cells, m_, sd), books
+    ) + (books**2).sum(-1)[None, :, :]                      # (cells, m, codes)
+    # probes: nprobe nearest cells per query (same L2 rule as training),
+    # broadcast as a (n_q x n_cells) boolean MASK — NOT a join.  The first
+    # probe of this operator joined coded x probes, which materialized a
+    # (query, row) pair for every probed row (~nprobe/n_cells x n_q row
+    # duplication through the shuffle and Arrow: measured 14.6x wall at
+    # 10x input).  The mask form streams each coded partition ONCE and
+    # restricts per query with one boolean gather — the flat-PQ scan shape
+    # with cell selectivity applied inside the batch.
+    qcell_d = -2.0 * qdot_c + cnorm2[None, :]
+    probe_mask = np.zeros((len(qids), n_cells), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[qi, np.argsort(qcell_d[qi])[:nprobe]] = True
+    bc_t = spark.sparkContext.broadcast(
+        (qids, qdot_c, qdot_r, qnorms, cnorm2, cross, probe_mask)
+    )
+    n_keep = refine * k
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, qc, qr, qn, cn2, cr, pm = bc_t.value
+        cols = np.arange(qr.shape[1])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            cells = pdf["cell"].to_numpy()
+            nids = pdf["neighbor_id"].to_numpy()
+            for qi, qid in enumerate(ids_q):
+                sel = pm[qi][cells] & (nids != qid)
+                if not sel.any():
+                    continue
+                cds, cls, nid = codes[sel], cells[sel], nids[sel]
+                dots = qc[qi][cls] + qr[qi][cols[None, :], cds].sum(1)
+                nrm2 = cn2[cls] + cr[cls[:, None], cols[None, :], cds].sum(1)
+                sims = dots / (qn[qi] * np.sqrt(nrm2))
+                cid, csim = _prune_topk(nid, sims, n_keep)
+                yield pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": cid, "adc": np.round(csim, 9)}
                 )
 
     adc_scored = coded.mapInPandas(

@@ -907,4 +907,53 @@ def _register_pq() -> None:
         return approx
 
 
+def _register_ivfpq() -> None:
+    from delta_lake_validation_spark.plans.llm import (
+        _ANN_ORACLE_WITH_FLAG,
+        _anchor_with_recall_flag,
+        _ann_queries,
+    )
+
+    def _parts(spark: SparkSession, sf_dir: str):
+        from delta_lake_validation_spark.operators.similarity import (
+            cosine_topk,
+            ivfpq_ann_topk,
+        )
+
+        emb, q = _ann_queries(spark, sf_dir)
+        exact = cosine_topk(spark, emb, q, k=10)
+        approx = ivfpq_ann_topk(
+            spark, emb, q, k=10, n_cells=16, nprobe=12, m_sub=8,
+            n_codes=256, refine=10,
+        )
+        return exact, approx
+
+    @register(
+        "ann_ivfpq_topk",
+        oracle=_ANN_ORACLE_WITH_FLAG,
+        tags=("similarity", "llm", "quantization", "approx"),
+        doc="IVF-PQ ANN (FAISS IVFPQ structure: coarse cells restrict the "
+        "scan to nprobe/n_cells of the coded corpus, residual PQ + ADC, "
+        "exact re-rank) graded against the exact top-k anchor "
+        "(recall>=0.85 flag)",
+        priority=TIER_NEWFAM,
+    )
+    def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        exact, approx = _parts(spark, sf_dir)
+        return _anchor_with_recall_flag(exact, approx, threshold_pct=85)
+
+    @register(
+        "ann_ivfpq_topk_raw",
+        oracle=None,
+        tags=("similarity", "llm", "quantization", "approx"),
+        doc="raw IVF-PQ output (the rows a 100 TB user serves); rows-only, "
+        "its graded twin is ann_ivfpq_topk",
+        priority=TIER_VARIANT,
+    )
+    def ann_ivfpq_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _, approx = _parts(spark, sf_dir)
+        return approx
+
+
 _register_pq()
+_register_ivfpq()

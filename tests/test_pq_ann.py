@@ -82,3 +82,47 @@ def test_pq_topk_bounded_query_guard(spark):
     )
     with pytest.raises(QuerySetTooLargeError, match="bounded-query"):
         pq_ann_topk(spark, emb, q, k=5, max_queries=10)
+
+
+def test_ivfpq_topk_recall_and_contract(spark):
+    from delta_lake_validation_spark.operators.similarity import ivfpq_ann_topk
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    exact = cosine_topk(spark, emb, q, k=5).toPandas()
+    approx = ivfpq_ann_topk(
+        spark, emb, q, k=5, n_cells=8, nprobe=6, n_codes=64, refine=10
+    ).toPandas()
+    assert list(approx.columns) == ["query_id", "neighbor_id", "sim", "rnk"]
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    assert len(e & a) / len(e) >= 0.7  # 6/8 cells probed on random vectors
+    # recovered pairs carry the EXACT cosine (re-rank contract)
+    em = {(r.query_id, r.neighbor_id): r.sim for r in exact.itertuples()}
+    for r in approx.itertuples():
+        if (r.query_id, r.neighbor_id) in em:
+            assert r.sim == em[(r.query_id, r.neighbor_id)]
+
+
+def test_ivfpq_scan_restricted_to_probed_cells(spark):
+    # the candidate stream must be cell-restricted: with nprobe == n_cells
+    # the scan covers everything (recall == flat PQ), with nprobe=1 it
+    # covers ~1/n_cells and recall must drop — the probe knob is real
+    from delta_lake_validation_spark.operators.similarity import ivfpq_ann_topk
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    exact = cosine_topk(spark, emb, q, k=5).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+
+    def recall(nprobe):
+        a = ivfpq_ann_topk(
+            spark, emb, q, k=5, n_cells=8, nprobe=nprobe, n_codes=64
+        ).toPandas()
+        return len(e & set(zip(a.query_id, a.neighbor_id))) / len(e)
+
+    assert recall(8) > recall(1)

@@ -448,6 +448,17 @@ CUSTOM: dict[str, object] = {
     # PQ-ANN: the ADC scan and encoder must stay Arrow-batched python
     # stages (MapInPandas); both per-query rank<=n prunes must get the
     # WindowGroupLimit rewrite; candidate generation is never a cartesian
+    # IVF-PQ: cell restriction happens INSIDE the Arrow scan via the
+    # broadcast probe mask — a coded-x-probes join would re-materialize a
+    # (query, row) pair per probed row (the 14.6x probe regression this
+    # operator shipped without)
+    "ann_ivfpq_topk": lambda p: (
+        (["no MapInPandas stage (ADC scan fell off the Arrow path)"]
+         if "MapInPandas" not in p else [])
+        + (["no WindowGroupLimit (per-query rank pushdown lost)"]
+           if "WindowGroupLimit" not in p else [])
+        + (["CartesianProduct appeared"] if "CartesianProduct" in p else [])
+    ),
     "ann_pq_topk": lambda p: (
         (["no MapInPandas stage (ADC scan fell off the Arrow path)"]
          if "MapInPandas" not in p else [])

@@ -41,7 +41,8 @@ def main() -> int:
 
     topk = {(r.query_id, r.neighbor_id)
             for r in REGISTRY["ann_cosine_topk"].builder(spark, sf_dir).collect()}
-    for name in ("ann_lsh_topk_raw", "ann_ivf_topk_raw", "ann_pq_topk_raw"):
+    for name in ("ann_lsh_topk_raw", "ann_ivf_topk_raw", "ann_pq_topk_raw",
+                 "ann_ivfpq_topk_raw"):
         approx = {(r.query_id, r.neighbor_id)
                   for r in REGISTRY[name].builder(spark, sf_dir).collect()}
         print(f"  {name:12s} vs exact top-10: {len(approx)} results, "
