@@ -65,7 +65,9 @@ def clustered_regime(spark, n=4000, dim=64, n_clusters=20, n_queries=20, seed=7)
     from delta_lake_validation_spark.operators.similarity import (
         cosine_topk,
         ivf_kmeans_topk,
+        ivfpq_ann_topk,
         lsh_ann_topk,
+        pq_ann_topk,
     )
 
     rng = np.random.RandomState(seed)
@@ -104,6 +106,17 @@ def clustered_regime(spark, n=4000, dim=64, n_clusters=20, n_queries=20, seed=7)
                        nprobe=nprobe).collect()}
             print(f"  [clustered/{tag} n={n} k={n_clusters}] ivf_kmeans "
                   f"nprobe={nprobe}: recall {rec(ivf):.3f}")
+        pq = {(r.query_id, r.neighbor_id)
+              for r in pq_ann_topk(spark, base, queries).collect()}
+        print(f"  [clustered/{tag} n={n} k={n_clusters}] pq "
+              f"m=8 c=256 refine=10: recall {rec(pq):.3f}")
+        for nprobe in (2, 4):
+            ivfpq = {(r.query_id, r.neighbor_id)
+                     for r in ivfpq_ann_topk(
+                         spark, base, queries, n_cells=n_clusters,
+                         nprobe=nprobe).collect()}
+            print(f"  [clustered/{tag} n={n} k={n_clusters}] ivfpq "
+                  f"nprobe={nprobe}: recall {rec(ivfpq):.3f}")
         base.unpersist()
 
 
