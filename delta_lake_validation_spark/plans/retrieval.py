@@ -465,3 +465,34 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE training LOOP: the full merges-table learner whose single counting
+# step is the graded bpe_pair_counts query above.  The loop's driver-side
+# state is one argmax row per round; everything else is vocabulary-bounded
+# hash aggregates + a map-side merge fold (operators/text.py bpe_train).
+# Rows-only: the 8-round loop is not SQL-expressible (each round's lambda
+# depends on the previous round's argmax), but the output is DETERMINISTIC
+# (tie-break count DESC, pair ASC) and pytest replays it against an
+# independent pure-Python reference trainer on the same corpus
+# (tests/test_retrieval_ops.py).
+# ---------------------------------------------------------------------------
+@register(
+    "bpe_train_merges",
+    oracle=None,
+    tags=("text", "llm", "tokenizer"),
+    doc="distributed BPE training loop (8 merge rounds over the distinct-"
+    "word vocabulary); deterministic merges table, pytest-verified "
+    "against a pure-Python reference trainer",
+    priority=TIER_NEWFAM,
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.text import bpe_train
+
+    docs = Tables(spark, sf_dir).documents
+    merges = bpe_train(spark, docs, n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )

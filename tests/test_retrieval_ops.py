@@ -61,3 +61,76 @@ def test_bm25_cap_is_noop_at_test_scale(spark):
     # rank is dense 1..k per query
     for _, g in out.groupby("query_doc"):
         assert sorted(g.rnk.tolist()) == list(range(1, len(g) + 1))
+
+
+# ---------------------------------------------------------------------------
+# bpe_train: the distributed loop must reproduce an independent pure-Python
+# reference trainer exactly (same corpus, same tie-break)
+# ---------------------------------------------------------------------------
+def _py_bpe_train(word_freqs, n_merges):
+    seqs = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    import re
+
+    from delta_lake_validation_spark.operators.text import bpe_train
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    freqs = {}
+    for r in docs.select("text").collect():
+        for w in re.split("[^a-z]+", r.text.lower()):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    expect = _py_bpe_train(freqs, 8)
+    got = bpe_train(spark, docs, n_merges=8)
+    assert got == expect
+
+
+def test_bpe_train_first_merge_is_pair_counts_argmax(spark):
+    from delta_lake_validation_spark.operators.text import bpe_train
+    from delta_lake_validation_spark.plans.retrieval import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    top = bpe_pair_counts(spark, SF_DIR).first()
+    (first, *_rest) = bpe_train(spark, docs, n_merges=1)
+    assert first[0] + first[1] == top.pair
+
+
+def test_bpe_train_merges_well_formed(spark):
+    # a learned table only ranks a pair after both halves exist (single
+    # chars or products of earlier merges) — the property BPE_MERGES
+    # documents and the encoder's equivalence argument relies on
+    from delta_lake_validation_spark.operators.text import bpe_train
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges = bpe_train(spark, docs, n_merges=8)
+    assert len(merges) == 8
+    known = set()
+    for a, b in merges:
+        for half in (a, b):
+            assert len(half) == 1 or half in known, (a, b)
+        known.add(a + b)
