@@ -1,0 +1,103 @@
+"""Streaming PQ-index maintenance: new embeddings are encoded on ingest
+with FROZEN codebooks (trained once on the existing corpus) and appended
+exactly-once to an ACID coded table — the serving-index upkeep loop of a
+100 TB ANN deployment (codebooks retrain on drift, encoding is per-batch
+incremental).  Composes operators/similarity.pq_* with streaming/acid_sink."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from delta_lake_validation_spark.operators.similarity import (
+    pq_codebooks,
+    pq_encode,
+)
+from delta_lake_validation_spark.sources.acid.table import AcidTable
+from delta_lake_validation_spark.streaming.acid_sink import acid_sink
+
+from .conftest import SF_DIR
+
+SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _vecs(spark, ids, seed=0):
+    rng = np.random.RandomState(seed)
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.normal(size=64)]) for i in ids],
+        SCHEMA,
+    )
+
+
+def test_streaming_pq_encode_exactly_once(spark, tmp_path):
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_codebooks(spark, base, m_sub=8, n_codes=16, iters=5)
+
+    src = str(tmp_path / "src")
+    loc = str(tmp_path / "coded")
+    AcidTable.create(
+        spark, loc, schema="neighbor_id long, codes array<int>"
+    )
+    # micro-batch source: files landing in a directory
+    _vecs(spark, range(1000, 1010), seed=1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    coded_stream = lambda df: pq_encode(spark, df, books)  # noqa: E731
+
+    sink = acid_sink(spark, loc, query_id="pq")
+
+    def batch(df, batch_id):
+        sink(coded_stream(df), batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    first = AcidTable(spark, loc).read().collect()
+    assert len(first) == 10
+
+    # second batch lands; restart processes ONLY the new file
+    _vecs(spark, range(2000, 2005), seed=2).write.mode("append").parquet(src)
+    q2 = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(src)
+        .writeStream.foreachBatch(batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = AcidTable(spark, loc).read().collect()
+    assert len(rows) == 15
+    ids = sorted(r.neighbor_id for r in rows)
+    assert ids == list(range(1000, 1010)) + list(range(2000, 2005))
+
+    # streamed codes equal batch codes (frozen codebooks are the contract:
+    # the index stays queryable mid-ingest because old and new rows share
+    # one code space)
+    batch_codes = {
+        r.neighbor_id: list(r.codes)
+        for r in pq_encode(
+            spark, _vecs(spark, range(2000, 2005), seed=2), books
+        ).collect()
+    }
+    stream_codes = {
+        r.neighbor_id: list(r.codes)
+        for r in rows
+        if r.neighbor_id >= 2000
+    }
+    assert stream_codes == batch_codes
+
+
+def test_streaming_pq_replayed_batch_is_idempotent(spark, tmp_path):
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_codebooks(spark, base, m_sub=8, n_codes=16, iters=3)
+    loc = str(tmp_path / "coded")
+    AcidTable.create(spark, loc, schema="neighbor_id long, codes array<int>")
+    sink = acid_sink(spark, loc, query_id="pq-replay")
+    df = pq_encode(spark, _vecs(spark, range(5), seed=3), books)
+    sink(df, 0)
+    sink(df, 0)  # replay after a crash-before-checkpoint: must not double
+    assert AcidTable(spark, loc).read().count() == 5
