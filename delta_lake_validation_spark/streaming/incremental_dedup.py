@@ -58,7 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from delta_lake_validation_spark.operators.dedup import (
     batch_dedup_pairs,
     build_shingle_index,
-    shingle_hashes,
+    shingle_hash_arrays,
 )
 from delta_lake_validation_spark.sources.acid.errors import AcidTableError
 from delta_lake_validation_spark.sources.acid.table import AcidTable
@@ -194,9 +194,10 @@ class DedupIndex:
         for unseen shingles), its own shingles append to dfreq as new rows
         (frozen means we deliberately do NOT update existing counts).
         Ids already present in the index are NOT re-folded (write-once).
-        ``shingles`` (the batch's full shingle_hashes frame, cache owned by
-        the caller) skips re-tokenizing the batch — the write-once filter
-        then applies as an id anti-join on the shingle rows."""
+        ``shingles`` (the batch's :func:`shingle_hash_arrays` frame —
+        (id, hs), cache owned by the caller) skips re-tokenizing the batch —
+        the write-once filter then applies as an id anti-join on the
+        one-row-per-doc array frame."""
         from pyspark.sql import functions as F
 
         self._check_k(k)
@@ -205,26 +206,27 @@ class DedupIndex:
             fresh = batch.join(
                 existing_ids, batch[id_col] == existing_ids.id, "left_anti"
             )
-            sh = shingle_hashes(fresh, id_col, text_col, k).persist()
+            arr = shingle_hash_arrays(fresh, id_col, text_col, k).persist()
         else:
             # the anti-join result feeds three append plans — persist it so
             # the corpus-sized sets-id scan runs once, not per append (the
             # caller's base cache doesn't cover the join)
-            sh = shingles.join(
+            arr = shingles.join(
                 existing_ids, shingles["id"] == existing_ids.id, "left_anti"
             ).persist()
         try:
             from delta_lake_validation_spark.operators.dedup import _rank_positions
 
+            sh = arr.select(
+                "id", F.size("hs").cast("long").alias("sz"), F.explode("hs").alias("h")
+            )
             dfreq = self._table("dfreq").read().select("h", "df")
             tag = F.lit(int(batch_id)).cast("long")
             pos = _rank_positions(sh, dfreq, outer=True).withColumn(
                 "src_batch", tag
             )
-            sets = (
-                sh.groupBy("id")
-                .agg(F.sort_array(F.collect_list("h")).alias("hs"))
-                .withColumn("src_batch", tag)
+            sets = arr.select("id", F.array_sort("hs").alias("hs")).withColumn(
+                "src_batch", tag
             )
             # only genuinely-new shingles enter dfreq (df=0 placeholders keep
             # later batches' unseen-shingle ranking identical to this batch's)
@@ -290,7 +292,7 @@ class DedupIndex:
                 self._table("sets").append(sets, operation_parameters=params)
                 self._floors[("sets", query_id)] = int(batch_id)
         finally:
-            sh.unpersist()
+            arr.unpersist()
 
 
 def dedup_stream_sink(
@@ -335,7 +337,7 @@ def dedup_stream_sink(
         batch = batch.persist()
         # one shingle scan serves the index lookup, the within-batch dedup,
         # AND the index fold (three tokenize+persist chains collapse to one)
-        sh_b = shingle_hashes(batch, id_col, text_col, k).persist()
+        sh_b = shingle_hash_arrays(batch, id_col, text_col, k).persist()
         try:
             # exclude exactly the index rows THIS batch folded (if any):
             # after a crash between the index and results commits, replay
