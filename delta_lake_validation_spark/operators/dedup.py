@@ -556,31 +556,41 @@ def simhash_pairs(
     chunks = max_hamming + 1
     width = 32 // chunks
     sim = simhash32(docs, id_col, text_col, hash_mode)
-    chunk_cols = [
-        (F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))).alias(
-            f"c{i}"
-        )
-        for i in range(chunks)
-    ]
-    s = sim.select("id", "simhash", *chunk_cols)
-    pieces = []
-    for i in range(chunks):
-        a = s.alias("a")
-        b = s.alias("b")
-        pieces.append(
-            a.join(b, F.col(f"a.c{i}") == F.col(f"b.c{i}"))
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(
-                F.col("a.id").alias("left_doc"),
-                F.col("b.id").alias("right_doc"),
-                F.col("a.simhash").alias("sh_a"),
-                F.col("b.simhash").alias("sh_b"),
+    # ONE join keyed by (chunk index, chunk value) over the exploded chunk
+    # rows replaces the former union of `chunks` separate self-joins — the
+    # same candidate set (a pair surfaces once per agreeing chunk either
+    # way; dropDuplicates collapses it) through a single exchange instead
+    # of `chunks` exchanges per side (guide §2.4).
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("cv"),
             )
+            for i in range(chunks)
+        ]
+    )
+    s = sim.select(
+        "id", "simhash", F.explode(chunk_structs).alias("ch")
+    ).select("id", "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+    a, b = s.alias("a"), s.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-    cand = pieces[0]
-    for p in pieces[1:]:
-        cand = cand.unionByName(p)
-    cand = cand.dropDuplicates(["left_doc", "right_doc"])
+        .select(
+            F.col("a.id").alias("left_doc"),
+            F.col("b.id").alias("right_doc"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["left_doc", "right_doc"])
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.withColumn("hamming", hamming.cast("int"))

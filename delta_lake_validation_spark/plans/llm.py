@@ -2098,33 +2098,45 @@ def chars_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table joined back — skew-safe on hot boilerplate spans)",
 )
 def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_validation_spark.operators.dedup import shingle_hash_arrays
+
     docs = Tables(spark, sf_dir).documents
-    toks = docs.select(
-        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
-    ).filter(F.size("t") >= 3)
-    spans = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t) - 3), "
-                    "i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"
-                )
-            ).alias("s"),
-        )
-        .distinct()  # per-doc dedup BEFORE the corpus-wide span shuffle
+    # the 3-gram span set per doc IS the k=3 shingle set (same lower/trim/
+    # split tokenization), and the span text is only ever a grouping/join
+    # KEY — so reuse the map-side shingle pipeline: per-doc distinct
+    # happens inside the scan task (no corpus-wide distinct shuffle),
+    # every downstream shuffle/join carries an 8-byte hash instead of the
+    # span string (guide §2.3/§2.4), n_spans is just the array size, and
+    # only the hot (df>=3) digest set joins back — a semi join that drops
+    # non-boilerplate rows instead of carrying df through the doc rollup.
+    # Output counts are unchanged.
+    arr = shingle_hash_arrays(docs, "doc_id", "text", k=3).filter(
+        F.size("hs") >= 1
+    ).persist()
+    spans = arr.select("id", F.explode("hs").alias("h"))
+    hot = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("h")
     )
-    dfreq = spans.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    withdf = spans.join(dfreq, "s")
-    boiler = F.sum(F.when(F.col("df") >= 3, 1).otherwise(0))
+    boiler = (
+        spans.join(hot, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("boiler_spans"))
+    )
     return (
-        withdf.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            boiler.alias("boiler_spans"),
-        )
-        .withColumn(
-            "boiler_permille", F.expr("(boiler_spans * 1000) div n_spans")
+        arr.select("id", F.size("hs").cast("long").alias("n_spans"))
+        .join(boiler, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_spans",
+            F.coalesce("boiler_spans", F.lit(0)).cast("long").alias(
+                "boiler_spans"
+            ),
+            F.expr(
+                "(coalesce(boiler_spans, 0) * 1000) div n_spans"
+            ).alias("boiler_permille"),
         )
     )
 
@@ -2179,6 +2191,12 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
     ).filter(F.size("t") >= 2)
+    # bigram identity shuffles as an 8-byte xxhash64, never the strings:
+    # the word pair is needed only as a grouping/join KEY (output is integer
+    # ppm stats), so hashing right after the map-side explode cuts every
+    # downstream shuffle/join key from tens of bytes to 8 (guide §2.3
+    # "shuffle keys instead of payloads"); hashes are computed vectorized
+    # on the exploded column, not inside the transform lambda.
     bg = toks.select(
         "doc_id",
         F.explode(
@@ -2187,26 +2205,30 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "i -> struct(t[i] AS w1, t[i+1] AS w2))"
             )
         ).alias("b"),
-    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    ).select(
+        "doc_id",
+        F.xxhash64("b.w1").alias("h1"),
+        F.xxhash64("b.w1", "b.w2").alias("h2"),
+    )
     # LM counts as pre-aggregated hash-agg tables joined back, never
     # count().over(Window.partitionBy(...)): a stop-bigram ("of the") or
     # stop-unigram ("the") occurs in a constant fraction of all rows, and a
     # window would serialize every occurrence into one task.  Hash
-    # aggregates partial-combine map-side; the joins key on (w1,w2)/(w1)
+    # aggregates partial-combine map-side; the joins key on (h1,h2)/(h1)
     # where the count side is one row per key, so AQE skew-join splits any
     # hot probe key.  Per-doc bigram multiplicity k folds occurrence-level
     # sums into k-weighted sums — bit-identical to the per-occurrence form.
-    dbg = bg.groupBy("doc_id", "w1", "w2").agg(
+    dbg = bg.groupBy("doc_id", "h1", "h2").agg(
         F.count(F.lit(1)).alias("k")
     )
     # c2/c1 ROLL UP from dbg (counts are additive) instead of
     # re-aggregating the raw bigram stream: one corpus scan + explode
     # feeds all three count tables, not three
-    c2 = dbg.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    c2 = dbg.groupBy("h1", "h2").agg(F.sum("k").alias("c2"))
+    c1 = c2.groupBy("h1").agg(F.sum("c2").alias("c1"))
     scored = (
-        dbg.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+        dbg.join(c2, ["h1", "h2"])
+        .join(c1, "h1")
         .withColumn("ppm", F.expr("(c2 * 1000000) div c1"))
     )
     return scored.groupBy("doc_id").agg(
@@ -2273,7 +2295,10 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "transform(sequence(0, CAST(ceil(size(t) / 10.0) AS INT) - 1), "
                 "i -> struct(i AS chunk_idx, "
-                "md5(concat_ws(' ', slice(t, i * 10 + 1, 10))) AS h))"
+                # digest is INTERNAL (output is per-doc fractions): the
+                # native array hash skips the concat string build and the
+                # md5 rounds the oracle mirror still pays — r8 optimization
+                "xxhash64(slice(t, i * 10 + 1, 10)) AS h))"
             )
         ).alias("c"),
     ).select("doc_id", "c.chunk_idx", "c.h")
@@ -2381,7 +2406,10 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"transform(sequence(0, size(t) - {K}), "
                 f"i -> struct(i AS pos, "
-                f"md5(concat_ws(' ', slice(t, i + 1, {K}))) AS h))"
+                # digest is INTERNAL (output is merged spans): xxhash64
+                # over the token slice — no concat string, no md5 rounds;
+                # the oracle's md5 marks the identical duplicate set
+                f"xxhash64(slice(t, i + 1, {K})) AS h))"
             )
         ).alias("w"),
     ).select("doc_id", "w.pos", "w.h")
