@@ -147,10 +147,18 @@ def _impact_cap(contrib: DataFrame, m: int) -> DataFrame:
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
-    ).filter(F.col("term") != "")
+    # term identity is only ever a grouping/join KEY (scores derive from
+    # tf/df/dl counts), so shuffle an 8-byte xxhash64 instead of the term
+    # string — hashed vectorized right after the map-side explode
+    # (guide §2.3 "shuffle keys instead of payloads")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .select("doc_id", F.xxhash64("term").alias("term"))
+    )
     # ONE explode pass: dl, df, and the query term sets all derive from
     # the (doc, term) tf table (dl = Σ tf per doc; tf rows are already
     # distinct per (doc, term)) — the naive form scanned and exploded the
