@@ -741,43 +741,80 @@ def cdc_chunks(docs: DataFrame) -> DataFrame:
     """(doc_id, chunk_id, digest, n_tokens) content-defined chunks of each
     document.  Boundary after token i when md5 of the 3-gram ending at i
     hits 0 mod _CDC_MOD; chunk_id = boundaries seen strictly before the
-    token.  All windows doc_id-keyed (bounded by document length)."""
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
-            "pos", "tok"
-        ),
+    token.
+
+    Everything is computed inside the scan task on the token array —
+    boundary positions via filter(sequence(...)), chunk slices via
+    slice() — so no token-level row ever shuffles (the old form shuffled
+    the full tokenized corpus twice: a lag/cumsum window plus a
+    collect_list groupBy).  The boundary rule's md5 is SEMANTIC (chunk
+    boundaries depend on its value, mirrored by the oracle) and is kept
+    bit-for-bit; the chunk *identity* digest is internal (outputs are
+    counts), so it is xxhash64 over the token slice — same duplicate
+    marking modulo 64-bit collisions, the class the engine already
+    accepts for shingles."""
+    ts = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("ts")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    gram = F.concat_ws(
-        " ", F.lag("tok", 2).over(w), F.lag("tok", 1).over(w), F.col("tok")
-    )
-    bnd = F.when(
-        (F.col("pos") >= 2)
-        & (
-            F.conv(F.substring(F.md5(gram), 1, 6), 16, 10).cast("long")
-            % _CDC_MOD
-            == 0
-        ),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    t = toks.withColumn("bnd", bnd)
-    chunk_id = F.coalesce(
-        F.sum("bnd").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
-    )
-    c = t.withColumn("chunk_id", chunk_id)
-    return c.groupBy("doc_id", "chunk_id").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda x: x["tok"],
+    n1 = F.size("ts") - 1
+    # 0-based boundary positions i >= 2 where md5("t[i-2] t[i-1] t[i]")
+    # hits 0 mod _CDC_MOD (identical gram string + gate as the old lag form)
+    bpos = F.when(
+        F.size("ts") >= 3,
+        F.filter(
+            F.sequence(F.lit(2), n1),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("ts", i - 1),
+                            F.element_at("ts", i),
+                            F.element_at("ts", i + 1),
+                        )
+                    ),
+                    1,
+                    6,
                 ),
-                " ",
-            )
-        ).alias("digest"),
-        F.count(F.lit(1)).alias("n_tokens"),
+                16,
+                10,
+            ).cast("long")
+            % _CDC_MOD
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # chunk END positions: every boundary, plus the last token unless it
+    # is itself a boundary (a trailing boundary closes its chunk without
+    # opening an empty one — matches the strictly-before cumsum)
+    last_b = F.when(F.size("bpos") > 0, F.element_at("bpos", -1))
+    ends = F.when(last_b == n1, F.col("bpos")).otherwise(
+        F.concat("bpos", F.array(n1))
+    )
+
+    def _chunk(e, j):
+        # chunk j spans [prev_end + 1, e] (0-based); slice() is 1-based
+        s = F.when(j == F.lit(0), F.lit(0)).otherwise(
+            F.get("ends", j - 1) + 1
+        )
+        piece = F.slice("ts", s + 1, e - s + 1)
+        return F.struct(
+            F.xxhash64(piece).alias("digest"),
+            (e - s + 1).cast("long").alias("n_tokens"),
+        )
+
+    return (
+        ts.withColumn("bpos", bpos)
+        .withColumn("ends", ends)
+        .select(
+            "doc_id",
+            F.posexplode(F.transform("ends", _chunk)).alias("chunk_id", "ch"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("ch.digest").alias("digest"),
+            F.col("ch.n_tokens").alias("n_tokens"),
+        )
     )
 
 

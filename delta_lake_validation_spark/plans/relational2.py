@@ -897,43 +897,63 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_nationkey", "c_name"
     )
     suffix_len = 9  # digits after the constant "Customer#" prefix
-    masks = []
+    # The suffix is NUMERIC, so "the suffix with positions i and j
+    # wildcarded" has an exact 8-byte integer encoding: parse the suffix
+    # once (sfx), precompute the 9 digit terms z_i = d_i * 10^(8-i) with
+    # integer div/mod, and mask (i, j) is sfx - z_i - z_j; *36 + mask_idx
+    # makes the encoding injective across masks.  Two names agree on mask
+    # (i, j) iff all digits outside {i, j} are equal — exactly the
+    # string-wildcard agreement condition — so the candidate set is
+    # IDENTICAL, but the 36× exploded rows carry (key, one long) instead
+    # of (key, mask_idx, 9-char string) (guide §2.3 "shuffle keys, not
+    # payloads") and the map side does integer subtractions instead of
+    # 36 string concats (A/B of the exploded side alone at sf0.1: 0.33 s
+    # strings, 0.69 s xxhash64-of-strings, 0.19 s integer masks).  A
+    # non-numeric suffix would fail the ANSI cast loudly rather than
+    # silently losing pairs — the fixture contract is zero-padded
+    # sequential ids.  Candidate distinct runs on the bare (k1, k2) key
+    # pair; names rehydrate afterwards via two key joins.  (A previous
+    # version dragged both full name strings through the amplification
+    # and the distinct — the slowest query in the r2 bench at 6.7s, for
+    # identical output.)
+    zcols = {
+        f"_z{i}": F.expr(
+            f"(sfx div {10 ** (suffix_len - 1 - i)}) % 10"
+            f" * {10 ** (suffix_len - 1 - i)}"
+        )
+        for i in range(suffix_len)
+    }
+    n_masks = suffix_len * (suffix_len - 1) // 2  # C(9,2) = 36
+    buckets = []
+    idx = 0
     for i in range(suffix_len):
         for j in range(i + 1, suffix_len):
-            # the 9-digit suffix with positions i and j wildcarded
-            parts = []
-            pos = 0
-            for cut in sorted((i, j)):
-                if cut > pos:
-                    parts.append(F.substring("c_name", 10 + pos, cut - pos))
-                parts.append(F.lit("_"))
-                pos = cut + 1
-            if pos < suffix_len:
-                parts.append(F.substring("c_name", 10 + pos, suffix_len - pos))
-            masks.append(F.concat(*parts))
-    # the 36× exploded rows carry ONLY (key, nation, mask) — no name
-    # strings — and the candidate distinct runs on the bare (k1, k2) key
-    # pair; names rehydrate afterwards via two key joins against the
-    # un-exploded table.  (A previous version dragged both full name
-    # strings through the amplification and the distinct — the slowest
-    # query in the r2 bench at 6.7s, for identical output.)
-    keyed = cust.select(
-        "c_custkey",
-        "c_nationkey",
-        F.posexplode(F.array(*masks)).alias("mask_idx", "masked"),
+            buckets.append(
+                (F.col("sfx") - F.col(f"_z{i}") - F.col(f"_z{j}")) * n_masks
+                + idx
+            )
+            idx += 1
+    keyed = (
+        cust.withColumn(
+            "sfx", F.substring("c_name", 10, suffix_len).cast("long")
+        )
+        .withColumns(zcols)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.explode(F.array(*buckets)).alias("bkt"),
+        )
     )
     right = keyed.select(
         F.col("c_custkey").alias("k2"),
         F.col("c_nationkey").alias("n2"),
-        F.col("mask_idx").alias("mi2"),
-        F.col("masked").alias("m2"),
+        F.col("bkt").alias("b2"),
     )
     cand = (
         keyed.join(
             right,
             (F.col("c_nationkey") == F.col("n2"))
-            & (F.col("mask_idx") == F.col("mi2"))
-            & (F.col("masked") == F.col("m2"))
+            & (F.col("bkt") == F.col("b2"))
             & (F.col("c_custkey") < F.col("k2")),
         )
         .select(F.col("c_custkey").alias("k1"), "k2")
