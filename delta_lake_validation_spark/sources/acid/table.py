@@ -715,14 +715,11 @@ class AcidTable:
             cdf_files = self._write_cdf(old.withColumn(CDF_TYPE, F.lit("delete")))
         return adds, cdf_files
 
-    def _staged_stats(
-        self, staging: str, schema: StructType, partition_columns: list[str]
-    ) -> dict[str, tuple[int, dict | None]]:
-        """staged-file abs path -> (numRecords, stats dict) via ONE Spark
-        job: group the staged data by input_file_name and aggregate count +
-        per-column min/max/null-count.  Column coverage matches the data-
-        skipping reader: integral/floating/string/boolean (timestamps,
-        decimals, binaries skipped rather than mis-ordered in JSON)."""
+    #: stat columns = what the data-skipping reader can use:
+    #: integral/floating/string/boolean (timestamps, decimals, binaries
+    #: skipped rather than mis-ordered in JSON)
+    @staticmethod
+    def _stat_col_names(schema: StructType, partition_columns: list[str]) -> list[str]:
         from pyspark.sql.types import (
             BooleanType,
             DoubleType,
@@ -737,11 +734,69 @@ class AcidTable:
             IntegerType, LongType, ShortType, FloatType, DoubleType,
             StringType, BooleanType,
         )
-        stat_cols = [
+        return [
             f.name
             for f in schema.fields
             if f.name not in partition_columns and isinstance(f.dataType, stat_types)
         ]
+
+    def _staged_stats(
+        self, staging: str, schema: StructType, partition_columns: list[str]
+    ) -> dict[str, tuple[int, dict | None]]:
+        """staged-file rel path -> (numRecords, stats dict).  Footer-first:
+        the staged files' parquet footers already hold per-row-group
+        count/min/max/null-count for every stat-eligible type this layer
+        records, so the commit path reads KBs of metadata instead of
+        re-scanning every byte it just wrote (guide §6; the scan job was
+        one full extra pass per commit).  Any surprise — a column missing
+        from a footer, an unreadable file, a filesystem pyarrow can't
+        open — falls back to the original Spark-scan path, which remains
+        the semantics reference."""
+        try:
+            return self._staged_stats_footer(staging, schema, partition_columns)
+        except Exception:
+            return self._staged_stats_scan(staging, schema, partition_columns)
+
+    def _staged_stats_footer(
+        self, staging: str, schema: StructType, partition_columns: list[str]
+    ) -> dict[str, tuple[int, dict | None]]:
+        from delta_lake_validation_spark.sources.footer_stats import footer_stats
+
+        stat_cols = self._stat_col_names(schema, partition_columns)
+        paths = [
+            p
+            for p, _ in self.fs.list_files_with_size(staging)
+            if p.endswith(".parquet")
+        ]
+        per_file = footer_stats(paths, self.spark)
+        base = strip_scheme(staging).rstrip("/")
+        out: dict[str, tuple[int, dict | None]] = {}
+        for p, (n, cols) in per_file.items():
+            sp = strip_scheme(p)
+            rel = sp[len(base):].lstrip("/") if sp.startswith(base) else sp.rsplit("/", 1)[-1]
+            mins, maxs, nulls = {}, {}, {}
+            for c in stat_cols:
+                mn, mx, nc = cols.get(c, (None, None, None))
+                if nc is None:
+                    # footer lacks a stat the scan would have computed —
+                    # never record weaker stats silently
+                    raise ValueError(f"no footer null-count for {c} in {p}")
+                nulls[c] = int(nc)
+                if mn is not None:
+                    mins[c] = mn
+                if mx is not None:
+                    maxs[c] = mx
+            st = {"minValues": mins, "maxValues": maxs, "nullCounts": nulls} if mins else None
+            out[rel] = (int(n), st)
+        return out
+
+    def _staged_stats_scan(
+        self, staging: str, schema: StructType, partition_columns: list[str]
+    ) -> dict[str, tuple[int, dict | None]]:
+        """Original one-Spark-job stats pass (groupBy input_file_name over
+        the staged data) — the fallback and semantics reference for
+        ``_staged_stats_footer``."""
+        stat_cols = self._stat_col_names(schema, partition_columns)
         reader = self.spark.read.schema(schema)
         if partition_columns:
             reader = reader.option("basePath", staging)

@@ -1613,36 +1613,57 @@ class DeltaTable:
             and snap.phys(f.name) not in phys_parts
             and isinstance(f.dataType, _STAT_TYPES)
         ]
-        aggs = [F.count(F.lit(1)).alias("n")]
-        for i, c in enumerate(stat_cols):
-            pc = snap.phys(c)
-            aggs.append(F.min(F.col(pc)).alias(f"mn{i}"))
-            aggs.append(F.max(F.col(pc)).alias(f"mx{i}"))
-            aggs.append(
-                F.sum(F.col(pc).isNull().cast("long")).alias(f"nc{i}")
-            )
+        # Footer-first (guide §6): the staged parquet footers already carry
+        # per-row-group count/min/max/null-count with the exact orderings
+        # the Spark-scan path computed, so the commit reads KBs of metadata
+        # instead of re-scanning every byte it just wrote.  Timestamp stat
+        # columns stay on the scan path (Spark stages them as INT96, which
+        # has no footer statistics); so does any surprise (missing footer
+        # stat, unreadable file) — the scan remains the semantics reference.
         stats_by_file: dict[str, dict] = {}
-        for r in (
-            self.spark.read.parquet(staging)
-            .groupBy(F.input_file_name().alias("f"))
-            .agg(*aggs)
-            .collect()
+        _footer_ok = False
+        if not any(
+            isinstance(f.dataType, TimestampType)
+            for f in snap.schema.fields
+            if f.name in stat_cols
         ):
-            mins, maxs, nulls = {}, {}, {}
+            try:
+                stats_by_file = self._staged_stats_footer(
+                    sorted(sizes), [snap.phys(c) for c in stat_cols]
+                )
+                _footer_ok = True
+            except Exception:
+                stats_by_file = {}
+        if not _footer_ok:
+            aggs = [F.count(F.lit(1)).alias("n")]
             for i, c in enumerate(stat_cols):
                 pc = snap.phys(c)
-                lo, hi = _stat_jsonable(r[f"mn{i}"]), _stat_jsonable(r[f"mx{i}"])
-                if lo is not None:
-                    mins[pc] = lo
-                if hi is not None:
-                    maxs[pc] = hi
-                nulls[pc] = int(r[f"nc{i}"] or 0)
-            stats_by_file[strip_scheme(_unq(r["f"]))] = {
-                "numRecords": int(r["n"]),
-                "minValues": mins,
-                "maxValues": maxs,
-                "nullCount": nulls,
-            }
+                aggs.append(F.min(F.col(pc)).alias(f"mn{i}"))
+                aggs.append(F.max(F.col(pc)).alias(f"mx{i}"))
+                aggs.append(
+                    F.sum(F.col(pc).isNull().cast("long")).alias(f"nc{i}")
+                )
+            for r in (
+                self.spark.read.parquet(staging)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(*aggs)
+                .collect()
+            ):
+                mins, maxs, nulls = {}, {}, {}
+                for i, c in enumerate(stat_cols):
+                    pc = snap.phys(c)
+                    lo, hi = _stat_jsonable(r[f"mn{i}"]), _stat_jsonable(r[f"mx{i}"])
+                    if lo is not None:
+                        mins[pc] = lo
+                    if hi is not None:
+                        maxs[pc] = hi
+                    nulls[pc] = int(r[f"nc{i}"] or 0)
+                stats_by_file[strip_scheme(_unq(r["f"]))] = {
+                    "numRecords": int(r["n"]),
+                    "minValues": mins,
+                    "maxValues": maxs,
+                    "nullCount": nulls,
+                }
         from delta_lake_validation_spark.sources.acid.table import (
             _partition_values,
         )
@@ -1677,6 +1698,39 @@ class DeltaTable:
             )
         self.fs.delete(staging, recursive=True)
         return adds
+
+    def _staged_stats_footer(
+        self, paths: list[str], phys_stat_cols: list[str]
+    ) -> dict[str, dict]:
+        """Delta-shaped per-file stats from parquet footers (see
+        sources/footer_stats.py for the equivalence argument).  Raises on
+        any column whose footer lacks a statistic the scan path would
+        have computed — the caller then falls back to the scan, so stats
+        are never silently weaker than before."""
+        from delta_lake_validation_spark.sources.footer_stats import (
+            footer_stats,
+        )
+
+        out: dict[str, dict] = {}
+        for p, (n, cols) in footer_stats(paths, self.spark).items():
+            mins, maxs, nulls = {}, {}, {}
+            for pc in phys_stat_cols:
+                mn, mx, nc = cols.get(pc, (None, None, None))
+                if nc is None:
+                    raise ValueError(f"no footer null-count for {pc} in {p}")
+                nulls[pc] = int(nc)
+                lo, hi = _stat_jsonable(mn), _stat_jsonable(mx)
+                if lo is not None:
+                    mins[pc] = lo
+                if hi is not None:
+                    maxs[pc] = hi
+            out[strip_scheme(p)] = {
+                "numRecords": int(n),
+                "minValues": mins,
+                "maxValues": maxs,
+                "nullCount": nulls,
+            }
+        return out
 
     #: write a classic checkpoint every N successful commits (delta-spark's
     #: own cadence) so long-lived tables replay one columnar file + a short
