@@ -772,6 +772,12 @@ class AcidTable:
         base = strip_scheme(staging).rstrip("/")
         out: dict[str, tuple[int, dict | None]] = {}
         for p, (n, cols) in per_file.items():
+            if n == 0:
+                # 0-row file: no row groups, so no footer entries at all.
+                # The scan path omits it too (no groupBy row), and the
+                # consumer's .get default supplies (0, None) — skip, don't
+                # treat the empty footer as a missing statistic.
+                continue
             sp = strip_scheme(p)
             rel = sp[len(base):].lstrip("/") if sp.startswith(base) else sp.rsplit("/", 1)[-1]
             mins, maxs, nulls = {}, {}, {}

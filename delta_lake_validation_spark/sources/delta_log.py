@@ -1713,6 +1713,11 @@ class DeltaTable:
 
         out: dict[str, dict] = {}
         for p, (n, cols) in footer_stats(paths, self.spark).items():
+            if n == 0:
+                # 0-row file: no row groups, no footer entries.  The scan
+                # path omits it too; the consumer's .get default supplies
+                # {"numRecords": 0} — skip rather than raise.
+                continue
             mins, maxs, nulls = {}, {}, {}
             for pc in phys_stat_cols:
                 mn, mx, nc = cols.get(pc, (None, None, None))

@@ -178,6 +178,40 @@ def test_delta_timestamp_schema_stays_on_scan_path(spark, tmp_path):
         assert st["numRecords"] > 0
 
 
+def test_acid_footer_zero_row_file(spark, tmp_path):
+    """A 0-row staged file has no row groups (so no footer stats at all).
+    The footer path must skip it — matching the scan path, which emits no
+    groupBy row for it — instead of raising and forcing a whole-commit
+    fallback (observed in the streaming sink: an empty verdicts batch)."""
+    base = os.path.join(str(tmp_path), "t0")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    t = AcidTable.create(spark, base, df.schema)
+    staging = os.path.join(base, "_stagetest")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    # add a genuinely empty part file alongside
+    df.limit(0).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "empty")
+    )
+    empty = [
+        f
+        for f in os.listdir(os.path.join(str(tmp_path), "empty"))
+        if f.endswith(".parquet")
+    ][0]
+    shutil.copy(
+        os.path.join(str(tmp_path), "empty", empty),
+        os.path.join(staging, "part-empty.c000.snappy.parquet"),
+    )
+    fo = t._staged_stats_footer(staging, df.schema, [])
+    sc = t._staged_stats_scan(staging, df.schema, [])
+    # both omit the empty file; the consumer's .get default handles it
+    assert set(fo) == set(sc)
+    assert not any("part-empty" in k for k in fo)
+    for key in sc:
+        assert _eq(fo[key], sc[key])
+
+
 def test_footer_stats_distributed_path(spark, tmp_path):
     """Past the threshold the footers are read via a Spark job; result
     must be identical to the driver loop."""
