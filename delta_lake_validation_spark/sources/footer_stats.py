@@ -78,7 +78,22 @@ def file_footer_stats(path: str) -> tuple[int, dict[str, tuple]]:
     from delta_lake_validation_spark.sources.fs import pa_fs
 
     fs, norm = pa_fs(path)
-    md = pq.read_metadata(norm, filesystem=fs)
+    try:
+        md = pq.read_metadata(norm, filesystem=fs)
+    except OSError:
+        # Spark 4.1 annotates variant columns with the parquet VARIANT
+        # LogicalType, which this container's pyarrow cannot parse — the
+        # same footer otherwise carries perfectly good statistics for the
+        # non-variant columns.  Reuse the r7 thrift shim that strips the
+        # annotation (footer_patch.py); statistics bytes are copied
+        # verbatim, so values are identical.  Any other parse failure
+        # re-raises and the caller falls back to the scan.
+        from delta_lake_validation_spark.sources.footer_patch import (
+            read_patched_metadata,
+        )
+
+        with fs.open_input_file(norm) as fh:
+            md = read_patched_metadata(fh)
     # [min, max, null_count, every_rg_had_minmax, every_rg_had_nullcount]
     cols: dict[str, list] = {}
     for rg_i in range(md.num_row_groups):

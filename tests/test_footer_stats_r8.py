@@ -212,6 +212,43 @@ def test_acid_footer_zero_row_file(spark, tmp_path):
         assert _eq(fo[key], sc[key])
 
 
+def test_delta_variant_table_uses_footer_stats(spark, tmp_path):
+    """Spark 4.1 annotates variant columns with the parquet VARIANT
+    LogicalType, which stock pyarrow cannot parse; file_footer_stats must
+    retry through the r7 thrift shim and still deliver exact stats for
+    the non-variant columns, with no scan fallback."""
+    import json
+
+    from delta_lake_validation_spark.sources import delta_log as dl
+
+    dbase = os.path.join(str(tmp_path), "dvar")
+    vdf = spark.range(0, 100).selectExpr(
+        "id AS k", "parse_json(to_json(struct(id AS a, id * 2 AS b))) AS v"
+    )
+    dt = create_delta(spark, dbase, vdf.schema)
+    calls = {"scan": 0}
+    orig = dl.DeltaTable._staged_stats_footer
+
+    def counting(self, *a, **k):
+        try:
+            return orig(self, *a, **k)
+        except Exception:
+            calls["scan"] += 1
+            raise
+
+    try:
+        dl.DeltaTable._staged_stats_footer = counting
+        dt.append(vdf)
+    finally:
+        dl.DeltaTable._staged_stats_footer = orig
+    assert calls["scan"] == 0
+    snap = dt.snapshot()
+    stats = [json.loads(a["stats"]) for a in snap.files.values()]
+    assert stats
+    ks = [st["minValues"].get("k") for st in stats if st["numRecords"]]
+    assert min(ks) == 0
+
+
 def test_footer_stats_distributed_path(spark, tmp_path):
     """Past the threshold the footers are read via a Spark job; result
     must be identical to the driver loop."""
