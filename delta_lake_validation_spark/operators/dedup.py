@@ -66,12 +66,40 @@ def shingles(text_col: F.Column | str, k: int = 3) -> F.Column:
     return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_gram_arrays(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(id, gs array<string>): every k-gram occurrence per doc (NOT deduped),
+    assembled map-side with the aligned-slice zip.  This is the ONE
+    tokenize+assemble pass every shingle consumer derives from —
+    :func:`shingle_hash_arrays` (distinct hash sets) and the exploded gram
+    stream (MinHash) are both cheap projections of it, so a query that
+    needs several shingle views (dedup_eval_pr: LSH + exact legs) can
+    persist this frame once instead of re-tokenizing the corpus per leg
+    (guide §1.2 — remove whole passes)."""
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    d = docs.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    n = F.size(F.col("__t"))
+    m = (n - F.lit(k - 1)).cast("int")
+    parts = [F.slice(F.col("__t"), j + 1, m).alias(f"w{j}") for j in range(k)]
+    zipped = F.arrays_zip(*parts)
+    gs = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(k)])
+    )
+    gs = F.when(n >= k, gs).otherwise(F.array().cast("array<string>"))
+    return d.select("id", gs.alias("gs"))
+
+
 def shingle_hash_arrays(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     hash_mode: str = "xxhash64",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(id, hs array<long>): each doc's DISTINCT shingle-hash set, computed
     entirely map-side — zero shuffles (r8 optimization; guide §2.4).
@@ -84,24 +112,23 @@ def shingle_hash_arrays(
     two token-level shuffles that path paid (window partitionBy id, then
     distinct) are gone: tokens never leave their scan task.  Measured 1.6×
     faster at sf0.1 even before the downstream wins (``sets`` and ``sz``
-    now derive from the array for free — no groupBy/window)."""
-    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
-    d = docs.select(F.col(id_col).alias("id"), toks.alias("__t"))
-    n = F.size(F.col("__t"))
-    m = (n - F.lit(k - 1)).cast("int")
-    parts = [F.slice(F.col("__t"), j + 1, m).alias(f"w{j}") for j in range(k)]
-    zipped = F.arrays_zip(*parts)
+    now derive from the array for free — no groupBy/window).
 
-    def gram_hash(s: F.Column) -> F.Column:
-        g = F.concat_ws(" ", *[s[f"w{j}"] for j in range(k)])
-        return F.xxhash64(g) if hash_mode == "xxhash64" else _sha60(g)
-
+    ``grams``: an optional precomputed :func:`shingle_gram_arrays` frame
+    (id, gs) — callers that feed several shingle consumers pass the one
+    (usually persisted) gram frame so the corpus is tokenized once.
+    array_distinct over the hashes equals hashing the distinct grams
+    (same-gram ⟹ same-hash; distinct collapses by value either way)."""
     if hash_mode not in ("xxhash64", "sha256"):
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
-    hs = F.when(n >= k, F.array_distinct(F.transform(zipped, gram_hash))).otherwise(
-        F.array().cast("array<long>")
-    )
-    return d.select("id", hs.alias("hs"))
+
+    def gram_hash(g: F.Column) -> F.Column:
+        return F.xxhash64(g) if hash_mode == "xxhash64" else _sha60(g)
+
+    if grams is None:
+        grams = shingle_gram_arrays(docs, id_col, text_col, k)
+    hs = F.array_distinct(F.transform("gs", gram_hash))
+    return grams.select("id", hs.alias("hs"))
 
 
 def shingle_hashes(
@@ -120,44 +147,53 @@ def shingle_hashes(
 
 
 def _shingle_grams_exploded(
-    docs: DataFrame, id_col: str, text_col: str, k: int
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(id, g): every k-gram occurrence (NOT deduped), assembled map-side
     with the aligned-slice zip — for consumers whose aggregate is
     duplicate-insensitive (MinHash min, SimHash votes).  Keeping the hash
     OUT of the per-element lambda lets an expensive hash (sha256 grading
-    mode) run vectorized on the exploded column instead."""
-    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
-    d = docs.select(F.col(id_col).alias("id"), toks.alias("__t"))
-    n = F.size(F.col("__t"))
-    m = (n - F.lit(k - 1)).cast("int")
-    parts = [F.slice(F.col("__t"), j + 1, m).alias(f"w{j}") for j in range(k)]
-    zipped = F.arrays_zip(*parts)
-    gs = F.transform(
-        zipped, lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(k)])
-    )
-    gs = F.when(n >= k, gs).otherwise(F.array().cast("array<string>"))
-    return d.select("id", F.explode(gs).alias("g"))
+    mode) run vectorized on the exploded column instead.  ``grams``: an
+    optional precomputed :func:`shingle_gram_arrays` frame shared with
+    other shingle consumers of the same query."""
+    if grams is None:
+        grams = shingle_gram_arrays(docs, id_col, text_col, k)
+    return grams.select("id", F.explode("gs").alias("g"))
 
 
 
-def _rank_positions(sh: DataFrame, dfreq: DataFrame, outer: bool = False) -> DataFrame:
+def _rank_positions(
+    sh: DataFrame, dfreq: DataFrame, outer: bool = False, has_sz: bool = True
+) -> DataFrame:
     """(id, h, pos, sz): each doc's shingles ranked rare-first by (df, h)
     with the doc's shingle count — the ONE implementation of the PPJoin
     ordering shared by the self-join, the index build, and the incremental
     lookup (a bound-math fix must land once, not four times).  ``outer``
     ranks shingles absent from ``dfreq`` as df=0 (rarest) — the incremental
-    contract for unseen batch shingles."""
+    contract for unseen batch shingles.  ``has_sz``: the caller precomputed
+    the doc's shingle count as a ``sz`` column (free when sh derives from
+    shingle_hash_arrays) — an EXPLICIT declaration (ADVICE r8: the old
+    column-name sniff would silently misread an unrelated 'sz' column),
+    validated against the frame."""
     from pyspark.sql import Window
 
+    if has_sz != ("sz" in sh.columns):
+        raise ValueError(
+            f"has_sz={has_sz} but input columns are {sh.columns}: pass the "
+            "precomputed per-doc shingle count as 'sz' (or drop/rename an "
+            "unrelated 'sz' column) — guessing from column names silently "
+            "uses wrong doc sizes"
+        )
     ranked = sh.join(dfreq, "h", "left" if outer else "inner")
     if outer:
         ranked = ranked.fillna(0, subset=["df"])
     w = Window.partitionBy("id").orderBy("df", "h")
-    if "sz" in sh.columns:
-        # caller precomputed the doc's shingle count (size of the shingle
-        # array — free when sh derives from shingle_hash_arrays); skip the
-        # whole-partition count window
+    if has_sz:
+        # precomputed size: skip the whole-partition count window
         return ranked.select("id", "h", F.row_number().over(w).alias("pos"), "sz")
     wall = Window.partitionBy("id")
     return ranked.select(
@@ -260,6 +296,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     scale: int = 4,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (left < right) with k-gram Jaccard ≥ threshold — EXACT, via
     distributed prefix filtering (PPJoin family).
@@ -297,7 +334,7 @@ def ngram_jaccard_pairs(
     # the session clears it (bench.py and the grading driver clearCache()
     # between queries); a long-lived interactive session should
     # clearCache() periodically.
-    arr = shingle_hash_arrays(docs, id_col, text_col, k).persist()
+    arr = shingle_hash_arrays(docs, id_col, text_col, k, grams=grams).persist()
     sh = arr.select("id", F.size("hs").cast("long").alias("sz"), F.explode("hs").alias("h"))
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     prefix = _prefix_filter(_rank_positions(sh, dfreq), t_num, t_den)
@@ -416,6 +453,7 @@ def minhash_signatures(
     num_perm: int = 32,
     k: int = 3,
     hash_mode: str = "xxhash64",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<long>) — one shingle explode + one hash aggregate, all
     JVM-side codegen; scales linearly in corpus size.
@@ -424,8 +462,9 @@ def minhash_signatures(
     signature is identical to the distinct-set form) with the hash applied
     vectorized after the explode — no shuffle before the one hash
     aggregate, and the sha256 grading mode stays out of interpreted
-    lambdas."""
-    base = _shingle_grams_exploded(docs, id_col, text_col, k).select(
+    lambdas.  ``grams``: optional shared :func:`shingle_gram_arrays`
+    frame."""
+    base = _shingle_grams_exploded(docs, id_col, text_col, k, grams=grams).select(
         "id", F.pmod(_hash_col(F.col("g"), hash_mode), F.lit(_P31)).alias("h")
     )
     mins = [
@@ -446,6 +485,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     hash_mode: str = "xxhash64",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH, with the signature
     Jaccard estimate.  Approximate by construction (recall
@@ -465,7 +505,9 @@ def minhash_lsh_pairs(
             "no longer match the documented 1-(1-t^r)^b)"
         )
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_perm, k, hash_mode)
+    sig = minhash_signatures(
+        docs, id_col, text_col, num_perm, k, hash_mode, grams=grams
+    )
 
     def band_key(b: int) -> F.Column:
         elems = [

@@ -214,13 +214,42 @@ def bpe_train(
     Scale shape: the loop runs over the DISTINCT-WORD vocabulary with its
     frequency (a web corpus has ~10^7-10^8 distinct words regardless of
     token count), so each round is two vocabulary-bounded hash aggregates
-    + one driver-side argmax row (TakeOrderedAndProject) + one map-side
-    fold that applies the merge.  Symbol sequences are localCheckpointed
-    every round — without lineage truncation round t would re-evaluate
-    all rounds < t (the dedup_clusters/pagerank recipe).  The merge fold
-    is a JVM higher-order function: interpreted, but vocabulary-bounded —
-    never on the token stream."""
+    + one driver-side collect of the PAIR-ALPHABET-bounded count table
+    (|symbols|² at most — hundreds of rows here, guarded) + one map-side
+    fold pass.  Symbol sequences are localCheckpointed every round —
+    without lineage truncation round t would re-evaluate all rounds < t
+    (the dedup_clusters/pagerank recipe).  The merge fold is a JVM
+    higher-order function: interpreted, but vocabulary-bounded — never on
+    the token stream.
+
+    r9 (VERDICT r8 item 5): each round applies a BATCH of merges instead
+    of one, cutting the number of count-job + checkpoint-job rounds ~2-4×
+    while producing the IDENTICAL merges table (pinned by
+    tests/test_retrieval_ops.py against a pure-Python reference trainer).
+    The batch is the maximal prefix p₁..pⱼ of the (cnt DESC, l, r)-ordered
+    pair table such that, for every i ≥ 2:
+
+    * pᵢ's symbols are disjoint from every earlier pₘ = (a, b) — merging
+      (a, b) only destroys/creates pairs that touch a or b, so pᵢ's count
+      is unchanged and the sequential argmax at step i still sees it;
+      all pairs ranked above pᵢ are p₁..pᵢ₋₁ (prefix) and are merged away,
+      and other old pairs' counts only decrease;
+    * cnt(pᵢ) STRICTLY exceeds every earlier member's new-pair bound
+      Bₘ = max(max_x cnt₀(x, a), max_y cnt₀(b, y)): any pair created by
+      merging (a,b)→Z is (x, Z) (every occurrence was x,a,b ⟹ bounded by
+      cnt₀(x, a)) or (Z, y) (bounded by cnt₀(b, y)), and new-pair counts
+      only decrease through later in-batch merges — so no created pair can
+      outrank pᵢ at step i (strict > also covers ties);
+    * the created token string a+b does not already exist as a symbol
+      (else counts of existing (x, "ab") pairs could INCREASE and the
+      bound argument breaks — Bₘ treated as +∞, batch stops).
+
+    If the pair table overflows the driver guard (general-alphabet corpora;
+    never the a-z fixtures), the round falls back to the classic 1-merge
+    step using only the table head."""
     from pyspark.sql import functions as F
+
+    pair_table_cap = 65536  # |symbols|² bound; a-z + merges ⟹ ~10³ here
 
     seqs = (
         docs.select(
@@ -242,7 +271,7 @@ def bpe_train(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         # size>=2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead
         # of being empty, so a fully-merged single-symbol word would index
         # out of bounds (ANSI) — and contributes no pairs anyway
@@ -260,24 +289,67 @@ def bpe_train(
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = pairs.orderBy(
-            F.desc("cnt"), F.asc("l"), F.asc("r")
-        ).limit(1).collect()
-        if not best:
+        tbl = (
+            pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(pair_table_cap + 1)
+            .collect()
+        )
+        if not tbl:
             break
-        a, b = best[0]["l"], best[0]["r"]
-        merges.append((a, b))
+        if len(tbl) > pair_table_cap:
+            batch = [(tbl[0]["l"], tbl[0]["r"])]  # guarded fallback: 1 merge
+        else:
+            batch = _select_merge_batch(tbl, n_merges - len(merges))
+        merges.extend(batch)
         # left-to-right non-overlapping replacement of (a, b) -> ab, as a
-        # fold over the symbol array (the GPT-2 merge semantics)
-        seqs = seqs.select(
-            "freq",
-            F.expr(
-                "aggregate(syms, cast(array() as array<string>), "
+        # fold over the symbol array (the GPT-2 merge semantics); batch
+        # merges compose as nested folds IN ORDER — identical to applying
+        # them in separate sequential passes
+        col = "syms"
+        for a, b in batch:
+            col = (
+                "aggregate({prev}, cast(array() as array<string>), "
                 "(acc, s) -> CASE WHEN size(acc) > 0 "
-                f"AND element_at(acc, -1) = '{a}' AND s = '{b}' "
+                "AND element_at(acc, -1) = '{a}' AND s = '{b}' "
                 "THEN concat(slice(acc, 1, size(acc) - 1), "
-                f"array('{a}{b}')) "
+                "array('{ab}')) "
                 "ELSE concat(acc, array(s)) END)"
-            ).alias("syms"),
+            ).format(prev=col, a=a, b=b, ab=a + b)
+        seqs = seqs.select(
+            "freq", F.expr(col).alias("syms")
         ).localCheckpoint(eager=True)
     return merges
+
+
+def _select_merge_batch(tbl, max_n: int) -> list[tuple[str, str]]:
+    """Maximal safe merge-batch prefix of an ordered pair-count table (see
+    :func:`bpe_train` for the proof sketch).  ``tbl``: Rows (l, r, cnt)
+    sorted by (cnt DESC, l ASC, r ASC) — the sequential argmax order."""
+    symbols: set[str] = set()
+    end_max: dict[str, int] = {}
+    start_max: dict[str, int] = {}
+    for row in tbl:
+        symbols.update((row["l"], row["r"]))
+        # tbl is count-descending: first occurrence IS the max
+        start_max.setdefault(row["l"], row["cnt"])
+        end_max.setdefault(row["r"], row["cnt"])
+
+    batch: list[tuple[str, str]] = []
+    used: set[str] = set()
+    bounds: list[float] = []
+    for row in tbl:
+        if len(batch) >= max_n:
+            break
+        a, b, cnt = row["l"], row["r"], row["cnt"]
+        if batch and (a in used or b in used):
+            break  # non-disjoint: its count changed — next round decides
+        if any(cnt <= bm for bm in bounds):
+            break  # a pair created by an earlier merge could outrank it
+        batch.append((a, b))
+        used.update((a, b))
+        bounds.append(
+            float("inf")
+            if a + b in symbols
+            else max(end_max.get(a, 0), start_max.get(b, 0))
+        )
+    return batch

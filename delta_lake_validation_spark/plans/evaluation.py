@@ -267,13 +267,23 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_validation_spark.operators.dedup import (
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        shingle_gram_arrays,
     )
 
     docs = Tables(spark, sf_dir).documents
+    # ONE tokenize+k-gram pass feeds BOTH legs (r9, VERDICT r8 item 2):
+    # the LSH leg consumes the exploded gram stream (sha256 grading hash),
+    # the exact leg the distinct xxhash64 sets — previously each leg
+    # re-tokenized the corpus from scratch.  Same gram strings, same
+    # downstream hashes; the persist lives until the session clearCache()
+    # between queries (the bench/driver lifecycle).
+    grams = shingle_gram_arrays(docs).persist()
     pred = minhash_lsh_pairs(
-        spark, docs, threshold=0.5, hash_mode="sha256"
+        spark, docs, threshold=0.5, hash_mode="sha256", grams=grams
     ).select("left_doc", "right_doc", F.lit(1).alias("in_pred"))
-    truth = ngram_jaccard_pairs(spark, docs, threshold=0.5).select(
+    truth = ngram_jaccard_pairs(
+        spark, docs, threshold=0.5, grams=grams
+    ).select(
         "left_doc", "right_doc", F.lit(1).alias("in_truth")
     )
     j = pred.join(truth, ["left_doc", "right_doc"], "full_outer").select(

@@ -645,7 +645,13 @@ _ANN_ORACLE_WITH_FLAG = """
 
 
 def _ann_queries(spark: SparkSession, sf_dir: str):
-    emb = Tables(spark, sf_dir).embeddings
+    # persist the decoded embeddings ONCE per query (r9, VERDICT r8 item 3):
+    # every anchored ANN query scans this table 3-5x — exact-anchor
+    # mapInPandas, sample collect, index/assign pass, survivor vector
+    # join-back, query-side collect — and each scan re-read and re-decoded
+    # the parquet floats.  The persist lives until the session clearCache()
+    # between queries (the bench/driver lifecycle).
+    emb = Tables(spark, sf_dir).embeddings.persist()
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -1157,7 +1163,10 @@ def semantic_dedup_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_blocked_self_pairs,
     )
 
-    emb = Tables(spark, sf_dir).embeddings
+    # one persisted decode feeds the exact leg (count + 2-sided cogroup),
+    # the ANN leg (sample collect + assign pass) and the final vec_id join
+    # (r9, VERDICT r8 item 3 — same lifecycle note as _ann_queries)
+    emb = Tables(spark, sf_dir).embeddings.persist()
     exact_pairs = cosine_self_pairs(spark, emb, threshold=0.35)
     approx_pairs = ivf_blocked_self_pairs(
         spark, emb, threshold=0.35, n_cells=16, nprobe=4
@@ -1192,7 +1201,7 @@ def semantic_dedup_ann_raw_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_blocked_self_pairs,
     )
 
-    emb = Tables(spark, sf_dir).embeddings
+    emb = Tables(spark, sf_dir).embeddings.persist()
     pairs = ivf_blocked_self_pairs(
         spark, emb, threshold=0.35, n_cells=16, nprobe=4
     )

@@ -71,6 +71,24 @@ _BM25_K = 10
 # is shorter than M, so the capped and exhaustive results coincide).
 _BM25_IMPACT_M = 1000
 
+# r9 upper-bound prune (VERDICT r8 item 4 — the WAND/MaxScore family):
+# a candidate document's score is a sum of POSITIVE impact entries, so
+# tot(d) = Σ s over d's surviving capped entries upper-bounds its score
+# for EVERY query.  Phase 1 exactly scores the _BM25_THETA_T highest-tot
+# "anchor" docs per query (a tiny, impact-table-sized join) and takes the
+# k-th best rounded score as θ_q — a valid LOWER bound on the query's
+# true k-th score because those phase-1 scores ARE final scores.  Phase 2
+# then drops candidates with tot(d) < θ_q − margin BEFORE the score
+# aggregate: a dropped doc's score ≤ tot < θ_q − 1e-3, so after half-up
+# rounding to 4 decimals it lands strictly below ≥k docs scoring ≥ θ_q
+# and can never enter the top-k under any doc_id tie-break (the margin
+# covers the 1e-4 rounding quantum plus float-summation noise ~1e-15;
+# all s > 0 since the df ≤ 0.9N prune keeps idf > 0).  Result-identical
+# by construction — the oracle is untouched.  sf1 measured 24.2k candidate
+# docs/query → ~1-2k survivors/query at median θ.
+_BM25_THETA_T = 256
+_BM25_PRUNE_MARGIN = 1e-3
+
 
 def _impact_cap(contrib: DataFrame, m: int) -> DataFrame:
     """Keep each term's top-``m`` postings by (score DESC, doc_id ASC).
@@ -197,10 +215,49 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    cand = qterm.select("query_doc", "term").join(
-        _impact_cap(contrib, _BM25_IMPACT_M), "term"
-    ).filter(
-        F.col("doc_id") != F.col("query_doc")
+    # the impact list feeds phase 1 (θ anchors), the per-doc bound AND the
+    # phase-2 candidate join: persist it (≤ |vocab|·M rows — index-sized,
+    # never corpus-sized) so the tf/df/dl aggregates and the cap window run
+    # once, not three times.  Lifecycle: session clearCache() between
+    # queries (the bench/driver contract).
+    capped = _impact_cap(contrib, _BM25_IMPACT_M).persist()
+    # per-doc score upper bound over the SURVIVING capped entries
+    tot = capped.groupBy("doc_id").agg(F.sum("s").alias("__tot"))
+    anchors = (
+        tot.orderBy(F.desc("__tot"), F.asc("doc_id"))
+        .limit(_BM25_THETA_T)
+        .select("doc_id")
+    )
+    # phase 1: EXACT scores of the anchor docs (every capped entry whose
+    # term is in the query), k-th best rounded score per query = θ_q
+    p1 = (
+        qterm.join(
+            capped.join(F.broadcast(anchors), "doc_id", "left_semi"), "term"
+        )
+        .filter(F.col("doc_id") != F.col("query_doc"))
+        .groupBy("query_doc", "doc_id")
+        .agg(round_half_up(F.sum("s"), 4).alias("score"))
+    )
+    w_th = Window.partitionBy("query_doc").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    theta = (
+        p1.withColumn("__r", F.row_number().over(w_th))
+        .filter(F.col("__r") == _BM25_K)
+        .select("query_doc", F.col("score").alias("__theta"))
+    )
+    # phase 2: the candidate fan-out, pruned by the per-doc bound BEFORE
+    # the score aggregate (queries with < k anchors keep every candidate —
+    # θ row absent ⟹ null ⟹ no prune)
+    cand = (
+        qterm.select("query_doc", "term")
+        .join(capped.join(tot, "doc_id"), "term")
+        .filter(F.col("doc_id") != F.col("query_doc"))
+        .join(theta, "query_doc", "left")
+        .filter(
+            F.col("__theta").isNull()
+            | (F.col("__tot") >= F.col("__theta") - F.lit(_BM25_PRUNE_MARGIN))
+        )
     )
     scored = cand.groupBy("query_doc", "doc_id").agg(
         round_half_up(F.sum("s"), 4).alias("score")
