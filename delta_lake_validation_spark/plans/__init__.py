@@ -134,17 +134,28 @@ _TIER_BY_NAME = {
     "dup_span_cleaned": _reg.TIER_NEWFAM,
     "token_counts_bpe_merges": _reg.TIER_NEWFAM,
     "bpe_fertility_by_lang": _reg.TIER_NEWFAM,
-    # round-8 ROTATION (VERDICT r7 task 6): the driver window froze at the
-    # first 50 entries in r4, so families added since carry only selfcheck
-    # + judge-re-run evidence.  This round the 9 curation-batch-2 entries
-    # (TIER_ROTATE at their @register sites), the freshly de-skewed
-    # vocab_growth, and nested_project (P2 — displaced in r7 by
-    # dedup_canonical) rotate INTO positions ~35-45; the displaced core
-    # relational entries (driver-green since r1 and still selfcheck-green
-    # every round) move just past the cap.  Next round: rotate this batch
-    # back to TIER_NEWFAM and promote the next ungraded ten.
-    "vocab_growth": _reg.TIER_ROTATE,
-    "nested_project": _reg.TIER_ROTATE,
+    # round-9 ROTATION (VERDICT r8 item 7, same recipe as r8's e1a3737):
+    # the r8 batch (9 curation-batch-2 entries, vocab_growth,
+    # nested_project — all driver-graded green in CORRECTNESS_r08) rotates
+    # back to TIER_NEWFAM, and the next 11 never-driver-graded families
+    # take the TIER_ROTATE slots (window positions ~35-45).  Positions
+    # 0-34 (LLM/timeseries/DML tiers) stay untouched round-over-round.
+    # Next round: demote this batch and promote the remaining ungraded
+    # families (doc_chunks, semantic_dedup, tfidf_top_terms, zipf_fit,
+    # kmeans_clusters, mixture_weights, delta-scenario family, …).
+    "vocab_growth": _reg.TIER_NEWFAM,
+    "nested_project": _reg.TIER_NEWFAM,
+    "bm25_topk": _reg.TIER_ROTATE,
+    "ngram_novelty": _reg.TIER_ROTATE,
+    "split_leakage": _reg.TIER_ROTATE,
+    "dedup_eval_pr": _reg.TIER_ROTATE,
+    "pagerank_neardup": _reg.TIER_ROTATE,
+    "ann_pq_topk": _reg.TIER_ROTATE,
+    "ann_ivfpq_topk": _reg.TIER_ROTATE,
+    "quality_gopher_rules": _reg.TIER_ROTATE,
+    "quality_threshold_sweep": _reg.TIER_ROTATE,
+    "weighted_sample": _reg.TIER_ROTATE,
+    "bpe_pair_counts": _reg.TIER_ROTATE,
 }
 
 for _name, _spec in list(REGISTRY.items()):

@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 
 from delta_lake_validation_spark.plans.registry import (
     TIER_NEWFAM,
-    TIER_ROTATE,
     TIER_VARIANT,
     register,
 )
@@ -196,7 +195,7 @@ def bloom_prefilter(corpus_grams: DataFrame, bitmap) -> DataFrame:
     doc="benchmark 4-gram scrub via broadcast Bloom prefilter + exact "
     "confirm join (bit-identical to the plain join; probe side shrinks "
     "to true-matches + ~0.1% FP before the shuffle)",
-    priority=TIER_ROTATE,
+    priority=TIER_NEWFAM,
 )
 def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents
@@ -268,7 +267,7 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm", "curation", "url"),
     doc="canonical-URL dedup: strip scheme/www/fragment/utm/trailing-slash "
     "noise, keep min doc_id per canonical URL",
-    priority=TIER_ROTATE,
+    priority=TIER_NEWFAM,
 )
 def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents
@@ -369,7 +368,7 @@ def canonicalize_url(url):
     tags=("curation", "llm", "sampling"),
     doc="deterministic balance-toward-uniform resampling; integer-exact "
     "md5-threshold keep test (no cross-engine float)",
-    priority=TIER_ROTATE,
+    priority=TIER_NEWFAM,
 )
 def balanced_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents
@@ -434,7 +433,7 @@ _N_SHARDS = 16
     tags=("curation", "llm", "packing", "prefix"),
     doc="char-balanced contiguous shard assignment (16 shards) via the "
     "two-pass distributed prefix sum; manifest of per-shard stats",
-    priority=TIER_ROTATE,
+    priority=TIER_NEWFAM,
 )
 def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_validation_spark.functions.prefix import (
@@ -496,7 +495,7 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm", "containment"),
     doc="asymmetric containment near-dup (C(a,b) >= 0.8): one-sided PPJoin "
     "prefix filter + exact set-intersection verify, integer outputs",
-    priority=TIER_ROTATE,
+    priority=TIER_NEWFAM,
 )
 def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_validation_spark.operators.dedup import containment_pairs
@@ -557,7 +556,7 @@ _CMS_W = 1024  # buckets per row
     tags=("text", "llm", "sketch", "heavy-hitters"),
     doc="count-min-sketch heavy hitters (d=3, w=1024 bounded counters) "
     "with the exact count alongside — estimate >= exact by construction",
-    priority=TIER_ROTATE,
+    priority=TIER_NEWFAM,
 )
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents
@@ -638,7 +637,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "llm", "quantization"),
     doc="int8-quantized dot-product top-k (power-of-two scale -> "
     "bit-deterministic quantization; integer scores value-hash exact)",
-    priority=TIER_ROTATE,
+    priority=TIER_NEWFAM,
 )
 def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_validation_spark.operators.similarity import (
@@ -719,7 +718,7 @@ _CDC_MOD = 8  # expected chunk length in tokens
     tags=("dedup", "llm", "cdc", "chunking"),
     doc="content-defined chunking (rolling 3-gram hash boundaries, ~8-token "
     "chunks) + corpus-wide duplicate-chunk counts by digest",
-    priority=TIER_ROTATE,
+    priority=TIER_NEWFAM,
 )
 def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents
@@ -860,7 +859,7 @@ _QMOD = 1997  # prime weight range: w in [-998, 998]
     tags=("text", "llm", "curation", "quality", "classifier"),
     doc="fastText-shaped hashed linear scorer: token->bucket->integer "
     "weight->BIGINT dot product->keep/drop (integer-exact cross-engine)",
-    priority=TIER_ROTATE,
+    priority=TIER_NEWFAM,
 )
 def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents

@@ -909,9 +909,11 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # payloads") and the map side does integer subtractions instead of
     # 36 string concats (A/B of the exploded side alone at sf0.1: 0.33 s
     # strings, 0.69 s xxhash64-of-strings, 0.19 s integer masks).  A
-    # non-numeric suffix would fail the ANSI cast loudly rather than
-    # silently losing pairs — the fixture contract is zero-padded
-    # sequential ids.  Candidate distinct runs on the bare (k1, k2) key
+    # non-numeric suffix raises loudly via the explicit null-guard below
+    # (ADVICE r8: the bare cast is only loud under ANSI, which the session
+    # does not pin — with ANSI off it yields NULL buckets and silently
+    # loses pairs) — the fixture contract is zero-padded sequential ids.
+    # Candidate distinct runs on the bare (k1, k2) key
     # pair; names rehydrate afterwards via two key joins.  (A previous
     # version dragged both full name strings through the amplification
     # and the distinct — the slowest query in the r2 bench at 6.7s, for
@@ -933,10 +935,18 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + idx
             )
             idx += 1
+    sfx_raw = F.substring("c_name", 10, suffix_len).cast("long")
+    sfx_checked = F.when(sfx_raw.isNotNull(), sfx_raw).otherwise(
+        # raise_error is ANSI-independent; the branch never evaluates for
+        # the numeric-suffix fixture contract, so it costs nothing
+        F.expr(
+            "raise_error(concat('fuzzy_name_pairs: non-numeric c_name "
+            "suffix in ', c_name, ' — wildcard-mask keys would silently "
+            "drop pairs'))"
+        ).cast("long")
+    )
     keyed = (
-        cust.withColumn(
-            "sfx", F.substring("c_name", 10, suffix_len).cast("long")
-        )
+        cust.withColumn("sfx", sfx_checked)
         .withColumns(zcols)
         .select(
             "c_custkey",

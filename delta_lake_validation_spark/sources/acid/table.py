@@ -748,10 +748,12 @@ class AcidTable:
         count/min/max/null-count for every stat-eligible type this layer
         records, so the commit path reads KBs of metadata instead of
         re-scanning every byte it just wrote (guide §6; the scan job was
-        one full extra pass per commit).  Any surprise — a column missing
-        from a footer, an unreadable file, a filesystem pyarrow can't
-        open — falls back to the original Spark-scan path, which remains
-        the semantics reference."""
+        one full extra pass per commit).  A column whose statistics object
+        the writer dropped wholesale (oversized string min/max) is omitted
+        per-column (ADVICE r8); any other surprise — an asymmetric missing
+        stat, an unreadable file, a filesystem pyarrow can't open — falls
+        back to the original Spark-scan path, which remains the semantics
+        reference."""
         try:
             return self._staged_stats_footer(staging, schema, partition_columns)
         except Exception:
@@ -784,7 +786,15 @@ class AcidTable:
             for c in stat_cols:
                 mn, mx, nc = cols.get(c, (None, None, None))
                 if nc is None:
-                    # footer lacks a stat the scan would have computed —
+                    if mn is None and mx is None:
+                        # writer dropped the column's whole statistics
+                        # object (oversized string min/max — ADVICE r8):
+                        # omit the column; every skipping consumer
+                        # keeps-on-unknown, so stats are weaker only for
+                        # this column instead of the commit reverting to
+                        # a full re-scan of every written byte
+                        continue
+                    # asymmetric surprise (min/max without null-count):
                     # never record weaker stats silently
                     raise ValueError(f"no footer null-count for {c} in {p}")
                 nulls[c] = int(nc)

@@ -1703,10 +1703,12 @@ class DeltaTable:
         self, paths: list[str], phys_stat_cols: list[str]
     ) -> dict[str, dict]:
         """Delta-shaped per-file stats from parquet footers (see
-        sources/footer_stats.py for the equivalence argument).  Raises on
-        any column whose footer lacks a statistic the scan path would
-        have computed — the caller then falls back to the scan, so stats
-        are never silently weaker than before."""
+        sources/footer_stats.py for the equivalence argument).  A column
+        whose statistics object was dropped wholesale by the writer
+        (oversized string min/max) is omitted per-column; raises only on
+        the asymmetric surprise (min/max present, null-count missing) —
+        the caller then falls back to the scan, so stats are never
+        silently weaker than the footer actually carries."""
         from delta_lake_validation_spark.sources.footer_stats import (
             footer_stats,
         )
@@ -1722,6 +1724,12 @@ class DeltaTable:
             for pc in phys_stat_cols:
                 mn, mx, nc = cols.get(pc, (None, None, None))
                 if nc is None:
+                    if mn is None and mx is None:
+                        # dropped statistics object (oversized string
+                        # min/max — ADVICE r8): omit the column rather
+                        # than reverting the whole commit to the scan;
+                        # skipping consumers keep-on-unknown
+                        continue
                     raise ValueError(f"no footer null-count for {pc} in {p}")
                 nulls[pc] = int(nc)
                 lo, hi = _stat_jsonable(mn), _stat_jsonable(mx)

@@ -5,10 +5,16 @@ nullCount)`` in its add entries.  The original implementation re-read
 the just-written staging directory in a second Spark job
 (``groupBy(input_file_name)``) — a full pass over every byte the commit
 just wrote, per commit.  Parquet footers already carry exactly these
-statistics per row group (parquet-mr writes them untruncated by
-default), so this module derives the same values from metadata only:
-a few KB per file instead of the file itself.  Guide §6 (I/O): at
-100 TB the commit path stops re-reading its own output entirely.
+statistics per row group, so this module derives the same values from
+metadata only: a few KB per file instead of the file itself.  Guide §6
+(I/O): at 100 TB the commit path stops re-reading its own output
+entirely.  Caveat (ADVICE r8): for a string/binary column whose min+max
+exceed the writer's statistics-size threshold (4096 bytes in
+parquet-cpp/parquet-mr) the writer drops that column's WHOLE statistics
+object — no min/max and no null_count — so such a column surfaces here
+as (None, None, None) and callers must tolerate it per-column (omit the
+column from the recorded stats; data skipping keeps-on-unknown) rather
+than failing the whole commit back to the scan.
 
 Equivalence with the scan (pinned by tests/test_footer_stats_r8.py):
 
@@ -21,8 +27,11 @@ Equivalence with the scan (pinned by tests/test_footer_stats_r8.py):
 - timestamps: Spark writes INT96 (no footer statistics) — callers keep
   timestamp-bearing schemas on the scan path.
 - a column whose footer lacks a needed statistic surfaces as ``None``;
-  callers treat that as "fall back to the scan", so the footer path can
-  never silently weaken the recorded stats.
+  callers OMIT a fully-absent column (min, max and null_count all
+  ``None`` — the dropped-statistics-object case above) and fall back to
+  the scan only for the asymmetric surprise (a null_count missing while
+  min/max are present), so one oversized text column no longer reverts
+  every commit on the table to a full re-scan.
 
 Past ``distributed_threshold`` files the footers are read in a Spark
 job over the path list (metadata-sized rows only), so a commit with

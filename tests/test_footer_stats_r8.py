@@ -264,3 +264,69 @@ def test_footer_stats_distributed_path(spark, tmp_path):
     assert set(driver) == set(dist)
     for k in driver:
         assert _eq(driver[k], dist[k])
+
+
+def test_acid_footer_tolerates_dropped_string_stats(spark, tmp_path, monkeypatch):
+    """ADVICE r8: a string column whose min+max exceed the writer's
+    statistics-size threshold (4096 bytes) loses its WHOLE statistics
+    object — no min/max AND no null_count.  The footer path must omit
+    that column per-column instead of reverting the commit to the full
+    re-scan (which was the exact document-text workload the footer
+    optimization targets)."""
+    base = os.path.join(str(tmp_path), "t_longstr")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("x" * 5000), F.col("id").cast("string")).alias("blob"),
+        (F.col("id") % 5).cast("int").alias("i32"),
+    )
+    t = AcidTable.create(spark, base, df.schema)
+    staging = os.path.join(base, "_stagetest")
+    df.write.mode("overwrite").parquet(staging)
+
+    fo = t._staged_stats_footer(staging, df.schema, [])
+    assert fo
+    for _rel, (n, st) in fo.items():
+        assert n > 0 and st is not None
+        # full stats for the well-behaved columns...
+        assert "k" in st["minValues"] and "i32" in st["minValues"]
+        assert st["nullCounts"]["k"] == 0
+        # ...and the oversized column is omitted, not raised on
+        assert "blob" not in st["minValues"]
+        assert "blob" not in st["maxValues"]
+        assert "blob" not in st["nullCounts"]
+
+    # the public path must KEEP the footer result — no scan fallback
+    def boom(*a, **k):
+        raise AssertionError("scan fallback must not fire for dropped "
+                             "string statistics")
+
+    monkeypatch.setattr(t, "_staged_stats_scan", boom)
+    via_public = t._staged_stats(staging, df.schema, [])
+    assert set(via_public) == set(fo)
+    for key in fo:
+        assert _eq(via_public[key], fo[key])
+
+
+def test_delta_footer_tolerates_dropped_string_stats(spark, tmp_path):
+    """Same ADVICE r8 tolerance on the Delta layer: the oversized column
+    is omitted from the add-entry stats; other columns keep full stats."""
+    dbase = os.path.join(str(tmp_path), "d_longstr")
+    ddf = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("y" * 6000), F.col("id").cast("string")).alias("blob"),
+    )
+    dt = create_delta(spark, dbase, ddf.schema)
+    staging = os.path.join(dbase, "_abstage")
+    ddf.write.mode("overwrite").parquet(staging)
+    paths = sorted(
+        os.path.join(staging, f)
+        for f in os.listdir(staging)
+        if f.endswith(".parquet")
+    )
+    out = dt._staged_stats_footer(paths, ["k", "blob"])
+    assert out
+    for st in out.values():
+        assert st["numRecords"] > 0
+        assert "k" in st["minValues"] and st["nullCount"]["k"] == 0
+        assert "blob" not in st["minValues"]
+        assert "blob" not in st["nullCount"]
