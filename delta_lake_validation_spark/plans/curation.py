@@ -516,10 +516,18 @@ def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (TakeOrderedAndProject: per-partition partial top-k, no global-rank
 # window — the zipf_fit hazard class).
 #
-# Scale: token-stream -> ONE hash-agg per sketch row keyed by (r, bucket)
-# (w buckets: perfectly bounded, hot tokens just increment hot counters
-# map-side) + one hash-agg for exact counts; the 3072-row CMS broadcasts
-# back onto the distinct-token table.
+# Scale: ONE corpus-sized pass total (r9, guide §1.2/§2.3 — it used to be
+# seven: the token stream crossed the ×3 row explode, the md5 bucketing,
+# the (r, bucket) count shuffle AND a corpus-sized distinct before any
+# vocabulary-bounded frame existed).  Now the token stream meets exactly
+# one map-side-combined hash-agg (tok -> n_exact); every CMS counter is
+# derived from that VOCABULARY-bounded table, because
+#     cnt(r, bucket) = count of occurrences hashing there
+#                    = Σ_{tok: h_r(tok)=bucket} n_exact(tok)
+# — identical by definition (no hash function changed; the oracle's
+# occurrence-level count just associates).  The ×3 explode, the md5s and
+# the min-over-rows estimate all run over distinct tokens; the 3072-row
+# CMS broadcasts back onto the same persisted vocab frame.
 # ---------------------------------------------------------------------------
 _CMS_D = 3  # hash rows
 _CMS_W = 1024  # buckets per row
@@ -563,9 +571,15 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
     )
+    # the ONLY corpus-sized stage; everything below is vocabulary-bounded.
+    # Persisted because both the counter build and the estimate read it
+    # (lifecycle: session clearCache() between queries, the bench/driver
+    # contract).
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact")).persist()
     rows = spark.range(_CMS_D).withColumnRenamed("id", "r")
-    hashed = toks.crossJoin(F.broadcast(rows)).select(
+    hashed = exact.crossJoin(F.broadcast(rows)).select(
         "tok",
+        "n_exact",
         "r",
         (
             F.conv(
@@ -580,20 +594,20 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _CMS_W
         ).alias("bucket"),
     )
-    cms = hashed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    # occurrence count per counter == sum of the bucketed tokens' exact
+    # counts (see the header note) — the counter table never sees the corpus
+    cms = hashed.groupBy("r", "bucket").agg(F.sum("n_exact").alias("cnt"))
     est = (
-        hashed.distinct()
-        .join(F.broadcast(cms), ["r", "bucket"])
-        .groupBy("tok")
+        hashed.join(F.broadcast(cms), ["r", "bucket"])
+        # n_exact is functionally determined by tok — grouping on the pair
+        # keeps it through the aggregate without a second join against the
+        # exact table
+        .groupBy("tok", "n_exact")
         .agg(F.min("cnt").alias("n_est"))
     )
-    return (
-        est.join(exact, "tok")
-        .select("tok", F.col("n_exact").cast("long"), F.col("n_est").cast("long"))
-        .orderBy(F.desc("n_est"), F.asc("tok"))
-        .limit(20)
-    )
+    return est.select(
+        "tok", F.col("n_exact").cast("long"), F.col("n_est").cast("long")
+    ).orderBy(F.desc("n_est"), F.asc("tok")).limit(20)
 
 
 # ---------------------------------------------------------------------------

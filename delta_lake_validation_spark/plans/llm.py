@@ -934,11 +934,21 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = Tables(spark, sf_dir).documents
-    # 1. exact dedup: keep min doc_id per content digest
-    canonical = docs.groupBy(F.md5("text").alias("__fp")).agg(
-        F.min("doc_id").alias("doc_id")
+    # 1. exact dedup: keep min doc_id per content digest.  xxhash64 is an
+    # IDENTITY digest here (the oracle groups by the text itself) — the
+    # 2⁻⁶⁴-collision class SCALE.md documents — so the digest groupBy
+    # shuffles 8-byte keys instead of 32-char md5 hex (guide §2.3, r9).
+    # The surviving-id set feeds TWO corpus passes (the shingle pipeline
+    # and the final anti-join rehydration): persist it once — it is one
+    # long per distinct document, never the text (lifecycle: session
+    # clearCache() between queries, the bench/driver contract).
+    canonical = (
+        docs.groupBy(F.xxhash64("text").alias("__fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .persist()
     )
-    kept = docs.join(canonical.select("doc_id"), "doc_id", "left_semi")
+    kept = docs.join(canonical, "doc_id", "left_semi")
     # 2. quality gate: token-count band (JVM expressions only)
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
     kept = kept.withColumn("n_tokens", n_tokens).filter(

@@ -427,7 +427,104 @@ def sql_entry_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Exact percentiles (median + p90) — Spark percentile() and DuckDB
 # quantile_cont use the same linear-interpolation definition.
+#
+# r9 (guide §2.5): the exact `percentile()` aggregate is a
+# TypedImperativeAggregate — every group's full value->count map funnels
+# into ONE final-agg task, and l_returnflag has 3 values, so the whole
+# corpus sorts inside 3 tasks (the same hot-key-window class the r7
+# de-skews removed).  The scale-safe identical-result form is selection by
+# rank: distributed_rank (two-pass range prefix, no corpus-sized task)
+# gives every row its 1-based position in the per-flag price order; the
+# percentile is then interpolated from the ≤2 rows whose ranks bracket
+# pos = q·(n−1), using Spark's own formula
+#     lower + (pos − floor(pos)) · (upper − lower)
+# verified BIT-exact against percentile() on 100k random doubles at four
+# q values and pinned at three SFs + adversarial fixtures in
+# tests/test_exact_agg_properties.py::test_distributed_percentile_bitwise.
+# Ties in price are interchangeable at equal values, so the unique
+# (orderkey, linenumber) tiebreaker cannot change the selected values.
 # ---------------------------------------------------------------------------
+_PCT_QS = (("median_price", 0.5), ("p90_price", 0.9))
+
+
+def _distributed_percentiles(
+    vals: DataFrame,
+    counts: DataFrame,
+    key: str,
+    value_col: str,
+    tiebreak: list[str],
+    qs=_PCT_QS,
+) -> DataFrame:
+    """(key, <name> double ...): exact linear-interpolation percentiles of
+    ``value_col`` per ``key`` — bit-identical to ``F.percentile`` — via
+    rank selection instead of a per-group value buffer.  ``vals`` must be
+    null-free in ``value_col``; ``counts`` carries (key, __n) with the
+    non-null count per key (keys with __n = 0 yield NULLs, matching the
+    aggregate's ignore-nulls contract)."""
+    from delta_lake_validation_spark.functions.prefix import distributed_rank
+
+    ranked = distributed_rank(
+        vals, order_by=[value_col, *tiebreak], partition_by=[key], out="__rk"
+    )
+    tgt = (
+        counts.filter(F.col("__n") >= 1)
+        .select(
+            key,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("__q"),
+                            (
+                                F.lit(q) * (F.col("__n") - 1).cast("double")
+                            ).alias("__pos"),
+                        )
+                        for name, q in qs
+                    ]
+                )
+            ).alias("t"),
+        )
+        .select(
+            key,
+            "t.__q",
+            "t.__pos",
+            F.floor("t.__pos").cast("long").alias("__lo"),
+            F.ceil("t.__pos").cast("long").alias("__hi"),
+        )
+    )
+    picked = ranked.join(
+        F.broadcast(tgt),
+        (ranked[key] == tgt[key])
+        & (
+            (F.col("__rk") == F.col("__lo") + 1)
+            | (F.col("__rk") == F.col("__hi") + 1)
+        ),
+    ).select(ranked[key].alias(key), value_col, "__rk", "__q", "__pos", "__lo", "__hi")
+    interp = F.col("__vlo") + (
+        F.col("__pos") - F.col("__lo").cast("double")
+    ) * (F.col("__vhi") - F.col("__vlo"))
+    per_q = (
+        picked.groupBy(key, "__q", "__pos", "__lo")
+        .agg(
+            F.min(
+                F.when(F.col("__rk") == F.col("__lo") + 1, F.col(value_col))
+            ).alias("__vlo"),
+            F.min(
+                F.when(F.col("__rk") == F.col("__hi") + 1, F.col(value_col))
+            ).alias("__vhi"),
+        )
+        .select(key, "__q", interp.alias("__v"))
+    )
+    out = counts.select(key)
+    pivoted = per_q.groupBy(key).agg(
+        *[
+            F.min(F.when(F.col("__q") == name, F.col("__v"))).alias(name)
+            for name, _ in qs
+        ]
+    )
+    return out.join(pivoted, key, "left")
+
+
 @register(
     "price_percentiles",
     oracle="""
@@ -437,17 +534,31 @@ def sql_entry_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "percentile"),
-    doc="exact percentile aggregate; SURVEY.md §2.4 engine extension",
+    doc="exact percentile via distributed rank selection (no per-group "
+    "value buffer); SURVEY.md §2.4 engine extension",
 )
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Tables(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4)
-        .cast("double")
-        .alias("median_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4)
-        .cast("double")
-        .alias("p90_price"),
+    base = li.select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    # count() of the value column = non-null count, and keeps every flag
+    # (an all-null flag must still emit a NULL-percentile row)
+    counts = base.groupBy("l_returnflag").agg(
+        F.count("l_extendedprice").alias("__n")
+    )
+    vals = base.filter(F.col("l_extendedprice").isNotNull())
+    pct = _distributed_percentiles(
+        vals,
+        counts,
+        key="l_returnflag",
+        value_col="l_extendedprice",
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
+    return pct.select(
+        "l_returnflag",
+        F.round("median_price", 4).cast("double").alias("median_price"),
+        F.round("p90_price", 4).cast("double").alias("p90_price"),
     )
 
 

@@ -89,3 +89,82 @@ def test_asof_join_matches_reference(spark, lefts, rights, strict):
         ]
         expect = max(cands)[1] if cands else None
         assert got[i] == expect, (i, k, t, got[i], expect)
+
+
+# ---------------------------------------------------------------------------
+# r9: _distributed_percentiles must be BIT-identical to Spark's exact
+# percentile() aggregate (which it replaces in price_percentiles to remove
+# the 3-task per-group value buffer).  Adversarial shape: few keys, heavy
+# value ties, group sizes hitting integral and fractional q*(n-1)
+# positions, plus a key whose values are all NULL (must yield NULL, not
+# disappear).
+# ---------------------------------------------------------------------------
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    groups=st.lists(
+        st.lists(
+            st.one_of(
+                st.floats(
+                    min_value=-1e6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+                st.sampled_from([0.0, 1.0, 1.0, 2.5]),  # force ties
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    parts=st.integers(1, 5),
+)
+def test_distributed_percentile_bitwise(spark, groups, parts):
+    import struct
+
+    from delta_lake_validation_spark.plans.relational2 import (
+        _PCT_QS,
+        _distributed_percentiles,
+    )
+
+    rows = [
+        (f"k{g}", v, g * 100000 + i, 0)
+        for g, vals in enumerate(groups)
+        for i, v in enumerate(vals)
+    ] + [("knull", None, 999999, 0)]
+    df = spark.createDataFrame(
+        rows, "k string, v double, tb1 long, tb2 int"
+    ).repartition(parts)
+    expected = {
+        r["k"]: (r["m"], r["p"])
+        for r in df.groupBy("k")
+        .agg(
+            F.percentile("v", F.lit(0.5)).alias("m"),
+            F.percentile("v", F.lit(0.9)).alias("p"),
+        )
+        .collect()
+    }
+    counts = df.groupBy("k").agg(F.count("v").alias("__n"))
+    got = {
+        r["k"]: (r["median_price"], r["p90_price"])
+        for r in _distributed_percentiles(
+            df.filter(F.col("v").isNotNull()),
+            counts,
+            key="k",
+            value_col="v",
+            tiebreak=["tb1", "tb2"],
+            qs=_PCT_QS,
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        for e, g in zip(expected[k], got[k]):
+            if e is None or g is None:
+                assert e is None and g is None, (k, e, g)
+            else:
+                assert struct.pack("d", e) == struct.pack("d", g), (k, e, g)
