@@ -118,17 +118,34 @@ def shingle_hash_arrays(
     (id, gs) — callers that feed several shingle consumers pass the one
     (usually persisted) gram frame so the corpus is tokenized once.
     array_distinct over the hashes equals hashing the distinct grams
-    (same-gram ⟹ same-hash; distinct collapses by value either way)."""
+    (same-gram ⟹ same-hash; distinct collapses by value either way).
+    Default-path callers (grams=None) get the hash FUSED into the gram
+    lambda — one transform, no intermediate string array per row (the r8
+    single-pass shape); the two-step form runs only when a shared gram
+    frame actually exists."""
     if hash_mode not in ("xxhash64", "sha256"):
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
     def gram_hash(g: F.Column) -> F.Column:
         return F.xxhash64(g) if hash_mode == "xxhash64" else _sha60(g)
 
-    if grams is None:
-        grams = shingle_gram_arrays(docs, id_col, text_col, k)
-    hs = F.array_distinct(F.transform("gs", gram_hash))
-    return grams.select("id", hs.alias("hs"))
+    if grams is not None:
+        hs = F.array_distinct(F.transform("gs", gram_hash))
+        return grams.select("id", hs.alias("hs"))
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    d = docs.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    n = F.size(F.col("__t"))
+    m = (n - F.lit(k - 1)).cast("int")
+    parts = [F.slice(F.col("__t"), j + 1, m).alias(f"w{j}") for j in range(k)]
+    zipped = F.arrays_zip(*parts)
+    hs = F.transform(
+        zipped,
+        lambda s: gram_hash(F.concat_ws(" ", *[s[f"w{j}"] for j in range(k)])),
+    )
+    hs = F.when(n >= k, F.array_distinct(hs)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return d.select("id", hs.alias("hs"))
 
 
 def shingle_hashes(
