@@ -134,3 +134,79 @@ def test_bpe_train_merges_well_formed(spark):
         for half in (a, b):
             assert len(half) == 1 or half in known, (a, b)
         known.add(a + b)
+
+
+# ---------------------------------------------------------------------------
+# r9: bpe_train applies BATCHES of provably-safe merges per round.  The
+# reference-equality test above pins end-to-end correctness; these pin the
+# batching itself — that multi-merge batches really fire (the optimization
+# is live, not dead code) and that the selection rules stop where the
+# sequential-argmax argument stops holding.
+# ---------------------------------------------------------------------------
+def _row(l, r, cnt):
+    from pyspark.sql import Row
+
+    return Row(l=l, r=r, cnt=cnt)
+
+
+def test_select_merge_batch_rules():
+    from delta_lake_validation_spark.operators.text import _select_merge_batch
+
+    # disjoint pairs with strictly separated counts: all taken (the bound
+    # for (a,b) is max over existing (x,a)/(b,y) pairs — absent here, so 0)
+    tbl = [_row("a", "b", 100), _row("c", "d", 50), _row("e", "f", 25)]
+    assert _select_merge_batch(tbl, 10) == [("a", "b"), ("c", "d"), ("e", "f")]
+    # max_n truncates the prefix
+    assert _select_merge_batch(tbl, 2) == [("a", "b"), ("c", "d")]
+    # symbol overlap stops the batch (second pair's count changed by the
+    # first merge — the next round must re-count)
+    tbl = [_row("a", "b", 100), _row("b", "c", 50), _row("e", "f", 25)]
+    assert _select_merge_batch(tbl, 10) == [("a", "b")]
+    # created-pair bound: (x,a)=(q,a,cnt 60) means merging (a,b) can mint a
+    # (q,ab) pair with count up to 60 > 50, which would outrank (c,d) in the
+    # sequential order — batch must stop before (c,d).  (q,a) itself ranks
+    # below (a,b) only via the count, keep it third.
+    tbl = [_row("a", "b", 100), _row("c", "d", 50), _row("q", "a", 60)]
+    # table must be count-sorted: (a,b) 100, (q,a) 60, (c,d) 50
+    tbl = [_row("a", "b", 100), _row("q", "a", 60), _row("c", "d", 50)]
+    assert _select_merge_batch(tbl, 10) == [("a", "b")]
+    # existing-symbol collision: if the token "ab" already exists as a
+    # symbol (appears as l or r), counts of existing (x,'ab') pairs could
+    # INCREASE after the merge — bound is +inf, batch stops after it
+    tbl = [_row("a", "b", 100), _row("ab", "z", 1), _row("c", "d", 50)]
+    tbl = sorted(tbl, key=lambda r: (-r.cnt, r.l, r.r))
+    assert _select_merge_batch(tbl, 10) == [("a", "b")]
+
+
+def test_bpe_train_batching_fires_and_matches_reference(spark, monkeypatch):
+    import re
+
+    from delta_lake_validation_spark.operators import text as text_mod
+
+    # corpus engineered so several disjoint high-gap pairs coexist:
+    # batches >1 must fire, AND chained merges (ab+c) must still happen in
+    # the right sequential order across rounds
+    words = (
+        ["abab"] * 64 + ["cdcd"] * 32 + ["efef"] * 16 + ["abcd"] * 8 + ["gg"] * 4
+    )
+    docs = spark.createDataFrame([(i, w) for i, w in enumerate(words)], "doc_id long, text string")
+    freqs = {}
+    for w in words:
+        for t in re.split("[^a-z]+", w.lower()):
+            if t:
+                freqs[t] = freqs.get(t, 0) + 1
+    expect = _py_bpe_train(freqs, 10)
+
+    calls = []
+    real = text_mod._select_merge_batch
+
+    def spy(tbl, max_n):
+        batch = real(tbl, max_n)
+        calls.append(len(batch))
+        return batch
+
+    monkeypatch.setattr(text_mod, "_select_merge_batch", spy)
+    got = text_mod.bpe_train(spark, docs, n_merges=10)
+    assert got == expect
+    assert max(calls) > 1, f"batching never fired: batch sizes {calls}"
+    assert sum(calls) == len(got) and len(calls) < len(got)
